@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-oriented defaults.
+  *
+  * The reference hand-tunes `spark.sql.shuffle.partitions` (2 locally,
+  * 200 on EMR — `spark_jobs/etl_yellow_s3.py:16`,
+  * `spark_jobs/etl_yellow_s3_v2.py:28`) and never enables AQE. We instead
+  * turn on adaptive execution so shuffle partitioning, skew joins and
+  * broadcast decisions re-plan at runtime — the setting that actually
+  * survives a 1000-executor / 100 TB deployment where no static number is
+  * right for every stage.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to an arbitrary builder (local or cluster). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata events.ts is parquet TIMESTAMP(NANOS), which the Spark
+      // reader rejects; read as long ns and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+
+  /** Local session for tests / CLI runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.ui.enabled", "false"),
+      shufflePartitions = math.max(cores, 8)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,324 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Joins, Relational, Windows}
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.ml.{Clusters, Outliers}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), with DuckDB
+  * oracle SQL for every SQL-expressible query. Aliases, ordering, and
+  * rounding are pinned identically on both sides (see `Relational`
+  * scaladoc for the float policy).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters / projections (SURVEY §2.1, §2.2) ---
+    "q1_pricing_summary" -> q((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "s1_scan_filter_project" -> q((s, d) => Relational.scanFilterProject(Tables.lineitem(s, d))),
+    "p4_year_filter" -> q((s, d) => Relational.yearRangeCounts(Tables.orders(s, d))),
+    "p5_set_membership" -> q((s, d) => Relational.setMembership(Tables.events(s, d))),
+    "p7_safe_cast" -> q((s, d) => Relational.safeCastSum(Tables.events(s, d))),
+    "p10_guarded_ratio" -> q((s, d) => Relational.guardedRatio(Tables.lineitem(s, d))),
+    "p12_clipped_ratio" -> q((s, d) => Relational.clippedRatio(Tables.lineitem(s, d))),
+    "p13_dow_counts" -> q((s, d) => Relational.countsByDow(Tables.events(s, d))),
+    "p14_season_totals" -> q((s, d) => Relational.seasonTotals(Tables.orders(s, d))),
+    // --- aggregations (SURVEY §2.4) ---
+    "a1_hourly_profile" -> q((s, d) => Relational.hourlyProfile(Tables.events(s, d))),
+    "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
+    "a6_rollup_totals" -> q((s, d) => Relational.rollupTotals(Tables.orders(s, d))),
+    "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
+    "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
+    "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
+    "a16_segmentation" -> q((s, d) => Relational.segmentation(Tables.lineitem(s, d))),
+    "a17_value_counts_topk" -> q((s, d) => Relational.valueCountsTopK(Tables.part(s, d))),
+    "a18_histogram" -> q((s, d) => Relational.histogram(Tables.lineitem(s, d))),
+    "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
+    "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
+    // --- set ops / joins (SURVEY §2.3, §2.7) ---
+    "u1_union_by_name" -> q((s, d) =>
+      Relational.unionByNameEntities(Tables.customer(s, d), Tables.supplier(s, d))),
+    "j1_join_segment" -> q((s, d) =>
+      Joins.ordersBySegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "j2_snowflake_dims" -> q((s, d) =>
+      Joins.customersByRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "j3_semi_topk" -> q((s, d) => Joins.topCustomerOrders(Tables.orders(s, d))),
+    // --- windows (SURVEY §2.5/§2.6 upgrades) ---
+    "w1_rank_per_group" -> q((s, d) => Windows.topOrdersPerCustomer(Tables.orders(s, d))),
+    "w2_lag_deltas" -> q((s, d) => Windows.userValueDeltas(Tables.events(s, d))),
+    "w3_rolling_avg" -> q((s, d) => Windows.rollingDailyAvg(Tables.orders(s, d))),
+    "a15_daily_zscore" -> q((s, d) => Windows.dailyZscore(Tables.events(s, d))),
+    "st2_sessionize" -> q((s, d) => Windows.sessionize(Tables.events(s, d))),
+    // --- streaming semantics, batch twin (SURVEY §2.9) ---
+    "st1_windowed_counts" -> q((s, d) =>
+      graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
+        .orderBy("window_start", "event_type")),
+    // --- ML-adjacent (SURVEY A22/A23) ---
+    "ml1_kmeans" -> q((s, d) => Clusters.eventClusters(Tables.events(s, d))),
+    "ml2_iqr_anomalies" -> q((s, d) => Outliers.iqrAnomalies(Tables.events(s, d))),
+    // --- text analysis (training-data ops) ---
+    "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
+    "t6_quality_by_lang" -> q((s, d) => TextAnalysis.qualityByLang(Tables.documents(s, d))),
+    "t7_token_stats" -> q((s, d) =>
+      TextAnalysis.docMetrics(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("lang")),
+    "t8_fingerprints" -> q((s, d) =>
+      TextAnalysis.withFingerprint(Tables.documents(s, d))
+        .select("doc_id", "fp").orderBy("doc_id").limit(100)),
+    // --- dedup (training-data ops) ---
+    "d1_dup_stats" -> q((s, d) => Dedup.dupStatsByLang(Tables.documents(s, d))),
+    "d2_exact_dedup" -> q((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "d3_minhash_pairs" -> q((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
+    "d4_simhash_pairs" -> q((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8).limit(1000)),
+    "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
+    // --- similarity search (training-data ops) ---
+    "n1_ann_topk" -> q((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
+    "n2_lsh_top_pairs" -> q((s, d) =>
+      Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
+    // --- multimodal plumbing (training-data ops) ---
+    "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
+    "m2_multimodal_features" -> q((s, d) =>
+      Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .orderBy("doc_id").limit(100))
+  )
+
+  private val stop = "('the','a','an','of','and','or','to','in','is','it')"
+  private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),0) AS sum_qty,
+         round(sum(l_extendedprice),0) AS sum_base, round(avg(l_discount),6) AS avg_disc,
+         count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "s1_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_quantity > 30 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber""",
+    "p4_year_filter" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS cnt,
+         round(sum(o_totalprice),0) AS total FROM orders
+         WHERE year(o_orderdate) BETWEEN 1996 AND 1998 GROUP BY 1 ORDER BY o_year""",
+    "p5_set_membership" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS cnt,
+         round(avg(value),4) AS avg_value FROM events
+         WHERE event_type IN ('click','view') AND hour(ts) IN (20,21,22,23,0,1,2,3,4)
+         GROUP BY 1,2 ORDER BY event_type, hr""",
+    "p7_safe_cast" ->
+      """SELECT event_type, round(sum(k),0) AS sum_k, count(k) AS cnt_k FROM (
+           SELECT event_type,
+             CASE WHEN regexp_matches(regexp_extract(props, '"k": (-?\d+)', 1), '^-?\d+(\.\d+)?$')
+                  THEN CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) END AS k
+           FROM events) GROUP BY 1 ORDER BY event_type""",
+    "p10_guarded_ratio" ->
+      """SELECT l_returnflag, round(avg(CASE WHEN l_quantity > 0
+         THEN l_extendedprice / l_quantity END),4) AS avg_unit_price, count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "p12_clipped_ratio" ->
+      """SELECT l_linestatus, round(avg(least(l_extendedprice / l_quantity, 2000.0)),4)
+         AS avg_clipped_unit_price FROM lineitem WHERE l_quantity > 0
+         GROUP BY 1 ORDER BY l_linestatus""",
+    "p13_dow_counts" ->
+      """SELECT strftime(ts, '%a') AS dow, count(*) AS trip_count FROM events
+         GROUP BY 1 ORDER BY dow""",
+    "p14_season_totals" ->
+      """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+                     WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+                     WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
+                     ELSE 'Fall' END AS season,
+         count(*) AS cnt, round(sum(o_totalprice),0) AS total FROM orders
+         GROUP BY 1 ORDER BY season""",
+    "a1_hourly_profile" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr, round(avg(value),4) AS avg_value,
+         count(*) AS cnt FROM events GROUP BY 1 ORDER BY hr""",
+    "a3_busiest_keys" ->
+      """SELECT o_custkey, count(*) AS trip_count FROM orders GROUP BY 1
+         ORDER BY trip_count DESC, o_custkey LIMIT 100""",
+    "a6_rollup_totals" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+         round(sum(o_totalprice),0) AS total FROM orders
+         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "a7_grouped_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice),0) AS sum_price,
+         round(avg(l_extendedprice),4) AS avg_price,
+         round(quantile_cont(l_quantity, 0.5),4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a10_baseline_ratio" ->
+      """SELECT o_orderpriority,
+         round(avg(CASE WHEN o_orderdate < DATE '1998-01-01' THEN o_totalprice END),4) AS baseline_avg,
+         round(avg(o_totalprice),4) AS overall_avg,
+         round(round(avg(o_totalprice),4) /
+           round(avg(CASE WHEN o_orderdate < DATE '1998-01-01' THEN o_totalprice END),4) * 100, 4)
+           AS pct_of_baseline
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "a12_median_by_group" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5),4) AS median_value,
+         count(*) AS cnt FROM events GROUP BY 1 ORDER BY event_type""",
+    "a16_segmentation" ->
+      """SELECT l_linestatus,
+         count(CASE WHEN l_quantity <= 10 THEN 1 END) AS small,
+         count(CASE WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1 END) AS medium,
+         count(CASE WHEN l_quantity > 25 THEN 1 END) AS large,
+         round(min(l_quantity),4) AS min_qty, round(max(l_quantity),4) AS max_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_linestatus""",
+    "a17_value_counts_topk" ->
+      """SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1
+         ORDER BY cnt DESC, p_brand LIMIT 10""",
+    "a18_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY bin""",
+    "a19_revenue_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),0) AS F,
+         round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),0) AS O,
+         round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),0) AS P
+         FROM orders GROUP BY 1 ORDER BY o_year""",
+    "a21_corr_slope" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r,
+         round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity),4) AS ols_slope
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "u1_union_by_name" ->
+      """SELECT 'customer' AS kind, c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+         c_mktsegment AS segment FROM customer
+         UNION ALL
+         SELECT 'supplier' AS kind, s_suppkey AS id, s_name AS name, s_acctbal AS acctbal,
+         NULL AS segment FROM supplier
+         ORDER BY kind, id""",
+    "j1_join_segment" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),0) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "j2_snowflake_dims" ->
+      """SELECT r_name, count(*) AS cnt, round(avg(c_acctbal),4) AS avg_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY r_name""",
+    "j3_semi_topk" ->
+      """WITH topk AS (SELECT o_custkey FROM orders GROUP BY 1
+           ORDER BY count(*) DESC, o_custkey LIMIT 5)
+         SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice),0) AS total
+         FROM orders WHERE o_custkey IN (SELECT o_custkey FROM topk)
+         GROUP BY 1 ORDER BY o_custkey""",
+    "w1_rank_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "w2_lag_deltas" ->
+      """SELECT user_id, round(avg(delta),4) AS avg_delta, count(delta) AS cnt FROM (
+           SELECT user_id, value - lag(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS delta FROM events)
+         GROUP BY 1 ORDER BY user_id""",
+    "w3_rolling_avg" ->
+      """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           round(sum(o_totalprice),0) AS total FROM orders GROUP BY 1)
+         SELECT day, total, round(avg(total) OVER (ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS avg7
+         FROM daily ORDER BY day""",
+    "a15_daily_zscore" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+           FROM events GROUP BY 1)
+         SELECT day, cnt,
+           round((cnt - avg(cnt) OVER ()) / stddev(cnt) OVER (),4) AS z,
+           CASE WHEN z < -1.5 THEN 'Low' WHEN z > 1.5 THEN 'High'
+                ELSE 'Normal' END AS bucket
+         FROM daily ORDER BY day""",
+    "st2_sessionize" ->
+      """WITH flagged AS (SELECT user_id, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         sess AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged),
+         counts AS (SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1,2)
+         SELECT user_id, count(*) AS n_sessions, round(avg(n),4) AS avg_session_events,
+           max(n) AS max_session_events
+         FROM counts GROUP BY 1 ORDER BY user_id""",
+    "st1_windowed_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         count(*) AS cnt FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    "ml2_iqr_anomalies" ->
+      """WITH bounds AS (SELECT event_type,
+           quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+         b2 AS (SELECT event_type, q1 - (q3-q1)*1.5 AS lo, q3 + (q3-q1)*1.5 AS hi FROM bounds)
+         SELECT e.event_type, count(*) AS cnt,
+           count(CASE WHEN e.value < b2.lo OR e.value > b2.hi THEN 1 END) AS n_anomalies,
+           round(any_value(b2.lo),4) AS lo, round(any_value(b2.hi),4) AS hi
+         FROM events e JOIN b2 ON e.event_type = b2.event_type
+         GROUP BY 1 ORDER BY e.event_type""",
+    "t6_quality_by_lang" ->
+      s"""WITH m AS (SELECT lang,
+           len($toks) AS n_tokens,
+           round(CASE WHEN len($toks) > 0 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks) ELSE 0 END, 6) AS stop_r,
+           CASE WHEN len($toks) > 0 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks) ELSE 0 END AS stop_raw,
+           CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text) ELSE 0 END AS punct_raw
+           FROM documents)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens),4) AS avg_tokens,
+           round(avg(stop_r),6) AS avg_stopword_ratio,
+           round(avg(round((least(n_tokens / 50.0, 1.0)
+             + (1.0 - least(punct_raw * 5.0, 1.0))
+             + least(stop_raw * 5.0, 1.0)) / 3.0, 6)),6) AS avg_quality
+         FROM m GROUP BY 1 ORDER BY lang""",
+    "t7_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
+         round(avg(len($toks)),4) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "d1_dup_stats" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+         round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_ratio
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "d2_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+         GROUP BY text ORDER BY doc_id""",
+    "d5_ngram_jaccard_topk" ->
+      s"""WITH sh AS (SELECT doc_id, source,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents)
+         SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "m1_payload_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         round(avg(octet_length(encode(text))),4) AS avg_bytes
+         FROM documents GROUP BY 1 ORDER BY source"""
+    // no oracle (rows-only check): ml1_kmeans (iterative ML),
+    // t5_langid_confusion / t8_fingerprints (hash/heuristic-specific),
+    // d3_minhash_pairs / d4_simhash_pairs (probabilistic signatures),
+    // n1_ann_topk / n2_lsh_top_pairs (float-precision-sensitive ranking),
+    // m2_multimodal_features (stubbed binary decode)
+  )
 }

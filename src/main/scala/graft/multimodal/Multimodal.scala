@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extraction as partition-wise batch transforms.
+  *
+  * The image/audio codecs are not in this environment, so the decode step
+  * is a clearly-marked deterministic STUB ([[stubDecode]]); everything
+  * around it — schema, batching, partition-wise execution, feature
+  * column shapes — is the real Spark plumbing a production pipeline
+  * would use (swap [[stubDecode]] for a JNI/codec call per batch).
+  */
+object Multimodal {
+
+  /** Attach a fake binary payload column (UTF-8 bytes of the text) plus
+    * typed metadata — stands in for e.g. image bytes + (width, height). */
+  def withBinaryPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text")).as("n_bytes"),
+        lit("utf8-fake").as("codec")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("first_byte", IntegerType)))
+
+  /** STUB decoder: deterministic per-byte stats standing in for a real
+    * image/audio decode. Replace the body with the codec call; the
+    * partition-wise iterator shape (one JVM-side batch loop per
+    * partition, no per-row driver round-trips) is the production shape. */
+  def stubDecode(payload: Array[Byte]): (Int, Double, Int) = {
+    // ??? <- real codec goes here; deterministic fake below.
+    val frames = payload.length / 100 + 1
+    val mean = if (payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
+    val first = if (payload.isEmpty) -1 else payload(0) & 0xFF
+    (frames, mean, first)
+  }
+
+  /** Partition-wise feature extraction over the binary column
+    * (`mapPartitions` — the Scala analog of `mapInPandas` batching). */
+  def extractFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (frames, mean, first) = stubDecode(payload)
+        Row(id, payload.length, frames, mean, first)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** SQL-expressible slice of the multimodal metadata (oracle-checkable):
+    * byte length + frame count per doc, aggregated by source. */
+  def payloadStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("n_bytes"), 4).as("avg_bytes"))
+      .orderBy("source")
+}

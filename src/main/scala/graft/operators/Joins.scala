@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join shapes from SURVEY §2.3, sized for a 1000-executor cluster:
+  * dimension joins are explicitly `broadcast` (no shuffle of the fact
+  * side), the fact-fact join shuffles on the join key once, and the
+  * top-k semi-join broadcasts the tiny key set instead of collecting it
+  * to the driver (the reference's `isin(top_ids)` pattern,
+  * `part2.ipynb` cell 13:335, collects — ours stays distributed). */
+object Joins {
+
+  /** J1: fact ⋈ dimension equi-join + aggregate (`part2.ipynb` cell 29's
+    * daily-weather join shape). Customer is small → broadcast. */
+  def ordersBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+      .orderBy("c_mktsegment")
+
+  /** J2: snowflake dimension chain (zone-lookup analog,
+    * `generate_notebooks_auto.py:383-430`) — both dims broadcast; the
+    * fact table never shuffles. */
+  def customersByRegion(customer: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("cnt"), round(avg("c_acctbal"), 4).as("avg_acctbal"))
+      .orderBy("r_name")
+
+  /** J3: restrict to top-k keys via left-semi join (`part2.ipynb` cells
+    * 13/15/21 `isin(top_ids)`). The top-k frame is tiny → broadcast
+    * semi-join; no driver collect. */
+  def topCustomerOrders(orders: DataFrame): DataFrame = {
+    val topK = orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("o_custkey"))
+      .limit(5)
+      .select("o_custkey")
+    orders
+      .join(broadcast(topK), Seq("o_custkey"), "left_semi")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+      .orderBy("o_custkey")
+  }
+}

