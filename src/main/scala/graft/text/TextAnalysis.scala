@@ -125,7 +125,8 @@ object TextAnalysis {
     * text equality. */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(split(text, ""), ch => ascii(ch)),
+      // split("", "") yields [""] — drop empties so "" hashes to the basis
+      transform(filter(split(text, ""), ch => length(ch) > 0), ch => ascii(ch)),
       lit(2166136261L), // FNV-1a 32-bit offset basis
       (h, b) => (h.bitwiseXOR(b.cast("long")) * lit(16777619L))
         .bitwiseAND(lit(0xFFFFFFFFL)))

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog", "en", "s0"), // near dup of 0
+    (3L, "completely different text about spark engines here", "en", "s0"),
+    (4L, "unrelated words that share nothing with others at all", "de", "s1"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps min doc_id per distinct text") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == 2L) // doc 0 has 2 copies
+    assert(!byId.contains(1L))
+  }
+
+  test("shingles: 3-token shingles, short docs fall back to whole text") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("over the lazy"))
+    assert(sh.length == 7) // 9 tokens -> 7 shingles
+    val short = Seq("one two").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("one two"))
+  }
+
+  test("minhash: identical docs agree on the full signature") {
+    val sigs = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    assert(sigs(0L).length == 64)
+  }
+
+  test("minhash LSH surfaces the exact-dup pair with est_jaccard 1.0") {
+    val pairs = Dedup.minhashNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.exists(_._3 == 1.0))
+  }
+
+  test("simhash: identical token sets collide, near-dups are close") {
+    val sh = Dedup.withSimhash(docs)
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, near-dup in (0,1)") {
+    val j = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.0 && j((0L, 2L)) < 1.0)
+    // doc 4 is in another source -> blocked out of comparisons
+    assert(!j.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+}

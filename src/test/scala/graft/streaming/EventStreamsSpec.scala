@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.EventStreams.Event
+
+/** Batch/stream parity: the streaming windowed-count pipeline over a
+  * MemoryStream must produce exactly the batch result on the same data. */
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v)
+
+  private val sample = Seq(
+    ev(0, "2024-01-01 10:05:00", 1, "click", 1.0),
+    ev(1, "2024-01-01 10:45:00", 1, "click", 2.0),
+    ev(2, "2024-01-01 11:05:00", 2, "view", 3.0),
+    ev(3, "2024-01-01 11:20:00", 1, "click", 4.0),
+    ev(4, "2024-01-01 13:00:00", 2, "view", 5.0))
+
+  test("windowed counts: streaming result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = EventStreams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wc_test")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = EventStreams.windowedCounts(sample.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(batch.map(_._3).sum == sample.size)
+  }
+
+  test("stateful sessionization emits closed sessions with correct sizes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then 2h gap, one more
+    mem.addData(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:10:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 12:30:00", 1, "click", 1.0))
+    val q = EventStreams.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sess_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    // first session (2 events) closed by the 2h gap; second still open
+    assert(closed.toSeq == Seq((1L, 2L)))
+  }
+}

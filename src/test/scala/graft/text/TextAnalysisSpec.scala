@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount drops empty tokens from repeated separators") {
+    val n = Seq("a b  c", "", " ", "one").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n == Seq(3, 0, 0, 1))
+  }
+
+  test("stopword ratio and punct ratio") {
+    val r = Seq("the cat and the hat!").toDF("text")
+      .select(TextAnalysis.stopwordRatio(col("text")).as("s"),
+        TextAnalysis.punctRatio(col("text")).as("p"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 3.0 / 5.0) < 1e-9) // the, and, the
+    assert(math.abs(r.getDouble(1) - 1.0 / 20.0) < 1e-9) // '!' of 20 chars
+  }
+
+  test("fingerprint matches a reference FNV-1a/32 implementation") {
+    def fnv(s: String): Long = {
+      var h = 2166136261L
+      s.foreach { c => h = ((h ^ c.toLong) * 16777619L) & 0xFFFFFFFFL }
+      h
+    }
+    val texts = Seq("hello world", "hello worle", "", "a")
+    val got = texts.toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == texts.map(fnv))
+  }
+
+  test("langid picks the language with most marker hits") {
+    val out = Seq(
+      ("d1", "the cat is of the hat"),   // en markers
+      ("d2", "der hund und die katze"),  // de markers
+      ("d3", "xyzzy qwerty"))            // none -> und
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withLangGuess(out)
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("d1") == "en")
+    assert(got("d2") == "de")
+    assert(got("d3") == "und")
+  }
+
+  test("quality score is bounded in [0,1]") {
+    val q = Seq("the quick brown fox and a dog in the yard is it",
+      "!!!???", "x").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
