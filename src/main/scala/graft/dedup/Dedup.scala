@@ -65,21 +65,21 @@ object Dedup {
     (a, b)
   }
 
-  /** doc_id → minhash signature array of length `numHashes`. */
+  /** doc_id → minhash signature array of length `numHashes`.
+    *
+    * Shuffle-free: shingles are hashed once per row (`hs`, kept as a
+    * separate projection so CollapseProject won't duplicate it into all
+    * 64 signature expressions), then each signature element is a
+    * row-local `array_min` over the permuted hashes. The explode +
+    * groupBy(doc_id) formulation would shuffle every (doc, shingle) pair
+    * — at 100 TB that's a corpus-sized shuffle for a purely row-local
+    * computation. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
-                        shingleK: Int = 3): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), explode(shingles(col("text"), shingleK)).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
-    val minCols = (0 until numHashes).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
-    }
-    sh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-  }
+                        shingleK: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.HashExpressions.minhashSignature(
+        graft.functions.HashExpressions.shingleHashes(col("text"), shingleK),
+        numHashes).as("sig"))
 
   /** LSH banding: split the signature into `bands` bands of rows, hash
     * each band, self-join on (band, bandHash) to get candidate pairs,
@@ -87,40 +87,40 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
                       bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(documents, numHashes, shingleK)
+    // The signature frame feeds three consumers (banding + both sides of
+    // the scoring join); persist so the per-document signature pass runs
+    // once — signatures are 8·k bytes/doc, orders of magnitude smaller
+    // than the corpus.
+    val sigs = minhashSignatures(documents, numHashes, shingleK).persist()
+    // Candidate pairs carry only (doc_a, doc_b): the signature arrays are
+    // dropped before the band self-join so the shuffle moves small fixed
+    // keys, and a pair colliding in several bands is deduplicated BEFORE
+    // agreement scoring (not after, which would score it once per band).
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
   }
 
-  /** SimHash 64-bit fingerprint from token hashes: per bit position,
-    * sign of Σ±1 over tokens (Charikar '02). Declarative form: transform
-    * over 64 bit positions folding the token-hash array. */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(filter(split(text, " "), t => length(t) > 0))
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0),
-        (s, h) => s + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
-
+  /** SimHash 64-bit fingerprint from distinct-token hashes: per bit
+    * position, sign of Σ±1 over tokens (Charikar '02). Computed by the
+    * codegen'd [[graft.functions.HashExpressions.SimHash64]] expression —
+    * one tight primitive loop per document. */
   def withSimhash(documents: DataFrame): DataFrame =
-    documents.withColumn("simhash", simhash(col("text")))
+    documents.withColumn("simhash",
+      graft.functions.HashExpressions.simhashText(col("text")))
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks (Hamming ≤3 ⇒ some chunk equal), self-join per chunk,
@@ -146,17 +146,28 @@ object Dedup {
 
   /** Exact n-gram (token k-shingle) Jaccard for pairs within a blocking
     * key (here `source`): |A∩B| / |A∪B| via array builtins. Blocked
-    * self-join — never all-pairs across the corpus. */
+    * self-join — never all-pairs across the corpus. Shingles are hashed
+    * to 64-bit ints before the join, so the O(pairs) intersect/union
+    * work compares fixed-width longs instead of re-hashing strings
+    * (collision odds at 64 bits are negligible for Jaccard). */
   def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 3): DataFrame = {
     val d = documents.select(col("doc_id"), col("source"),
-      shingles(col("text"), shingleK).as("sh"))
-    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      graft.functions.HashExpressions.shingleHashes(col("text"), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), col("n").as("n_b"))
+    // |A∪B| = |A|+|B|-|A∩B| with per-doc sizes precomputed. Arrays are
+    // sorted once per doc, so the O(pairs) inner loop is a codegen'd
+    // merge scan over primitive longs — no per-pair hash sets or boxing.
+    val inter = graft.functions.HashExpressions
+      .intersectCountSorted(col("sh_a"), col("sh_b"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        round(inter.cast("double") / (col("n_a") + col("n_b") - inter), 6)
+          .as("jaccard"))
   }
 
   /** Top-N most similar same-source pairs by exact shingle Jaccard. */

@@ -10,34 +10,60 @@ import org.apache.spark.sql.functions._
   * hyperplane LSH bucketing so candidate generation touches only
   * same-bucket pairs — at 100 TB the full cross-join is infeasible, the
   * bucketed join shuffles on a small integer key. Dot products use
-  * `zip_with` + `aggregate` (codegen'd builtins, no UDF); vectors are
-  * cast to double before arithmetic for cross-engine numeric stability.
+  * `zip_with` + `aggregate` (codegen'd builtins, no UDF).
+  *
+  * Per-vector work (double cast, L2 norm) is computed ONCE before any
+  * pairwise stage and carried through the join — the O(pairs) inner loop
+  * is a single dot product over pre-cast doubles, divided by
+  * pre-computed norms.
   */
 object Similarity {
 
-  /** Cosine similarity of two array columns. */
+  // Codegen'd dot product (tight primitive loop) — the declarative
+  // zip_with+aggregate form evaluates its lambda interpreted per element.
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.HashExpressions.dotProduct(a, b)
+
+  private def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns (self-contained form
+    * for ad-hoc use; the pairwise operators below use the precomputed-
+    * norm path instead). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb))
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val na = l2norm(ad)
+    val nb = l2norm(bd)
+    when(na > 0 && nb > 0, dot(ad, bd) / (na * nb))
   }
+
+  /** vec_id, emb (double), norm — the once-per-vector projection every
+    * pairwise stage starts from. Separate projection stages keep
+    * CollapseProject from re-inlining the cast into each consumer. */
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+      .withColumn("norm", l2norm(col("emb")))
+      .select("vec_id", "emb", "norm")
+
+  private def pairSim(embA: Column, normA: Column, embB: Column, normB: Column): Column =
+    when(normA > 0 && normB > 0, dot(embA, embB) / (normA * normB))
 
   /** Exact brute-force top-k cosine neighbors for the given query ids.
     * Queries are a tiny frame → broadcast; candidates stream through
-    * one pass; ranking is TakeOrdered per query via row_number. */
+    * one pass; ranking is row_number per query (top-k heap per
+    * partition, merged — no global sort of candidates). */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long],
                      k: Int = 5): DataFrame = {
-    val queries = embeddings
+    val prep = prepared(embeddings)
+    val queries = prep
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = embeddings
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = prep
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        pairSim(col("q_emb"), col("q_norm"), col("emb"), col("norm")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -46,49 +72,66 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5)
+    * (splitmix64 of (bit, dim)) — no stored model needed, any executor
+    * derives the same planes. */
+  private[similarity] def planeWeights(dim: Int, bit: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      var z = (bit.toLong * 7919 + d) * 0x9E3779B97F4A7C15L + 0x85EBCA6BL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)).toDouble / 9.223372036854776e18) / 2.0
+    }
+
   /** Random-hyperplane signature (`nBits` sign bits packed into a long).
-    * Deterministic pseudo-random hyperplanes derived from (bit, dim)
-    * via a hash — no stored model needed, any executor recomputes the
-    * same planes. */
+    * Each plane projection is one codegen'd dot product against a
+    * literal weight array — nBits small expressions instead of one
+    * nBits×dim-term expression tree (which costs seconds of Janino
+    * compilation and defeats codegen). */
   def hyperplaneSignature(emb: Column, dim: Int, nBits: Int = 16): Column = {
+    val embD = transform(emb, _.cast("double"))
     val bits = (0 until nBits).map { b =>
-      // plane_b[d] = deterministic pseudo-gaussian-ish weight in [-0.5, 0.5)
-      val dot = (0 until dim).map { d =>
-        val w = ((xxhash64(lit(b * 7919 + d)).cast("double") / 9.223372036854776e18) / 2.0)
-        element_at(emb, d + 1).cast("double") * w
-      }.reduce(_ + _)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(0L)
+      val plane = typedLit(planeWeights(dim, b))
+      when(dot(embD, plane) > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
+
+  private def bucketed(embeddings: DataFrame, dim: Int, nBits: Int): DataFrame =
+    prepared(embeddings)
+      .withColumn("bucket", hyperplaneSignature(col("emb"), dim, nBits))
+      .select("vec_id", "emb", "norm", "bucket")
 
   /** ANN via LSH bucketing: same-signature pairs only. Recall is tunable
     * via nBits / multiple tables; this is the candidate-generation stage
     * of the standard banding scheme. */
   def lshNearNeighbors(embeddings: DataFrame, dim: Int, nBits: Int = 8,
                        minSim: Double = 0.8): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      hyperplaneSignature(col("embedding"), dim, nBits).as("bucket"))
-    val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = sig.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val sig = bucketed(embeddings, dim, nBits)
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 
   /** Embedding near-dup detection: cosine above threshold, LSH-bucketed;
-    * falls back to reporting the top pairs so the operator has output
-    * even on corpora without near-dups. */
+    * reports the top pairs so the operator has output even on corpora
+    * without near-dups. */
   def topCosinePairs(embeddings: DataFrame, dim: Int, n: Int = 20): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      hyperplaneSignature(col("embedding"), dim, 4).as("bucket"))
-    val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = sig.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val sig = bucketed(embeddings, dim, 4)
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+        round(pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b")), 6).as("sim"))
       .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
       .limit(n)
   }
