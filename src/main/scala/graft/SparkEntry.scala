@@ -36,6 +36,8 @@ object SparkEntry {
     "p12_clipped_ratio" -> q((s, d) => Relational.clippedRatio(Tables.lineitem(s, d))),
     "p13_dow_counts" -> q((s, d) => Relational.countsByDow(Tables.events(s, d))),
     "p14_season_totals" -> q((s, d) => Relational.seasonTotals(Tables.orders(s, d))),
+    "t4_dow_ordered" -> q((s, d) => Relational.dowOrderedCounts(Tables.events(s, d))),
+    "p6_sample_profile" -> q((s, d) => Relational.sampleProfile(Tables.events(s, d))),
     // --- aggregations (SURVEY §2.4) ---
     "a1_hourly_profile" -> q((s, d) => Relational.hourlyProfile(Tables.events(s, d))),
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
@@ -142,6 +144,10 @@ object SparkEntry {
     "p13_dow_counts" ->
       """SELECT strftime(ts, '%a') AS dow, count(*) AS trip_count FROM events
          GROUP BY 1 ORDER BY dow""",
+    "t4_dow_ordered" ->
+      """SELECT strftime(ts, '%a') AS dow, count(*) AS trip_count FROM events
+         GROUP BY 1
+         ORDER BY list_position(['Mon','Tue','Wed','Thu','Fri','Sat','Sun'], dow)""",
     "p14_season_totals" ->
       """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
                      WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'

@@ -46,34 +46,17 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * `(a_i * xxhash64(shingle) + b_i) mod p`, min per doc — all
-    * codegen'd builtins (explode → groupBy doc, min over k columns).
-    * Standard MinHash per Broder '97; same construction as
-    * `spark.ml.feature.MinHashLSH`, kept declarative so Catalyst plans
-    * the partial aggregation. */
-  // 2^31 - 1: keeps every (h*a + b) product < 2^63, so the modular
-  // arithmetic stays exact under ANSI mode (no long wraparound).
-  private val MersennePrime = 2147483647L
-  private def perm(i: Int): (Long, Long) = {
-    // Deterministic pseudo-random odd multipliers (splitmix64 on seed i).
-    var z = i.toLong * 0x9E3779B97F4A7C15L + 0x12345678L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    val a = math.abs(z ^ (z >>> 31)) % (MersennePrime - 1) + 1
-    val b = math.abs(z * 0x2545F4914F6CDD1DL) % MersennePrime
-    (a, b)
-  }
-
-  /** doc_id → minhash signature array of length `numHashes`.
+  /** doc_id → minhash signature array of length `numHashes` (MinHash per
+    * Broder '97: k permutations approximated by `(a_i*h + b_i) mod p`,
+    * min per doc — same construction as `spark.ml.feature.MinHashLSH`).
     *
-    * Shuffle-free: shingles are hashed once per row (`hs`, kept as a
-    * separate projection so CollapseProject won't duplicate it into all
-    * 64 signature expressions), then each signature element is a
-    * row-local `array_min` over the permuted hashes. The explode +
-    * groupBy(doc_id) formulation would shuffle every (doc, shingle) pair
-    * — at 100 TB that's a corpus-sized shuffle for a purely row-local
-    * computation. */
+    * Shuffle-free AND row-local: shingling, hashing, and all k minima
+    * run in two codegen'd expressions
+    * ([[graft.functions.HashExpressions.ShingleHashes]] →
+    * [[graft.functions.HashExpressions.MinHashSignature]]) — one pass
+    * over each document, no explode, no groupBy. An explode +
+    * groupBy(doc_id) formulation would shuffle every (doc, shingle)
+    * pair: a corpus-sized shuffle for a purely row-local computation. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
                         shingleK: Int = 3): DataFrame =
     documents.select(col("doc_id"),

@@ -100,6 +100,26 @@ object Relational {
       .agg(count(lit(1)).as("trip_count"))
       .orderBy("dow")
 
+  /** T4: categorical weekday ordering — the reference reindexes pandas
+    * frames to Mon..Sun (`plot_analytics.py:23`); here the sort key is
+    * `array_position` against the ordered day list. */
+  def dowOrderedCounts(events: DataFrame): DataFrame = {
+    val days = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    events
+      .groupBy(date_format(col("ts"), "E").as("dow"))
+      .agg(count(lit(1)).as("trip_count"))
+      .orderBy(array_position(typedlit(days), col("dow")))
+  }
+
+  /** P6: seeded sampling filter (`part2.ipynb` cells 2, 5-6 `df.sample`)
+    * — deterministic per partitioning, so checked rows-only. */
+  def sampleProfile(events: DataFrame, fraction: Double = 0.1): DataFrame =
+    events
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("event_type")
+
   /** P14/A6: month→season bucket + rollup sums
     * (`analytics_summary.py:13-14,32-61`). */
   def seasonTotals(orders: DataFrame): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sinks and dimension sources (SURVEY §2.1 S9–S12).
+  *
+  * The reference writes curated months by hand-building
+  * `{cab}/year=YYYY/month=MM/` paths and `coalesce(1)`-funneling each
+  * month through one task (`spark_jobs/etl_yellow_s3.py:43-56`). Here the
+  * layout comes from `partitionBy` — partition values round-trip through
+  * the file index, so the reference's regex re-parsing of paths
+  * (`analytics_summary.py:36-43`) is unnecessary — and file counts come
+  * from AQE-coalesced shuffles rather than a 1-task write funnel.
+  */
+object CuratedWriter {
+
+  /** S9: partitioned curated write. `maxRecordsPerFile` bounds output
+    * file sizes without a coalesce funnel. */
+  def writeCurated(trips: DataFrame, path: String,
+                   maxRecordsPerFile: Long = 5000000L): Unit =
+    trips.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cab_type", "pickup_year", "pickup_month")
+      .parquet(path)
+
+  /** S10: small aggregate-table write (single file is intentional —
+    * aggregate outputs are tiny). */
+  def writeSummary(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S11: CSV sink with header (`analytics_summary.py:63-75`). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** S12: zone-lookup dimension scan
+    * (`scripts/generate_notebooks_auto.py:383-430`): header CSV with
+    * schema enforcement; intended for `broadcast` joins. */
+  def readZoneLookup(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(graft.taxi.TaxiSchemas.zoneLookup)
+      .csv(path)
+
+  /** Read back a curated tree (partition columns are reconstructed from
+    * the directory layout by the file index). */
+  def readCurated(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

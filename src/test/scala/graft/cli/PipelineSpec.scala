@@ -1,0 +1,91 @@
+package graft.cli
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+import graft.sources.{CuratedWriter, Manifest}
+import graft.operators.SchemaCompare
+import graft.taxi.TaxiSchemas
+
+/** End-to-end lifecycle parity (SURVEY §3): raw yellow parquet → EtlJob
+  * (normalize/clean/partitioned write) → AnalyticsJob (four headline
+  * aggregates), on a temp directory. */
+class PipelineSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def rawYellow = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("1", ts("2024-01-05 08:00:00"), ts("2024-01-05 08:30:00"),
+        1, 6.0, "1", "N", 132, 138, "1",
+        20.0, 1.0, 0.5, 4.0, 0.0, 0.3, 25.8, 2.5, 0.0),
+      Row("2", ts("2024-02-10 18:00:00"), ts("2024-02-10 18:20:00"),
+        2, 3.0, "1", "N", 138, 265, "1",
+        12.0, 1.0, 0.5, 2.0, 0.0, 0.3, 15.8, 2.5, 0.0),
+      // dirty: negative fare -> dropped by cleaning
+      Row("1", ts("2024-01-06 09:00:00"), ts("2024-01-06 09:10:00"),
+        1, 2.0, "1", "N", 1, 2, "1",
+        -5.0, 0.0, 0.0, 0.0, 0.0, 0.0, -5.0, 0.0, 0.0))),
+    TaxiSchemas.yellow)
+
+  test("EtlJob then AnalyticsJob produce the four aggregates end-to-end") {
+    val dir = Files.createTempDirectory("graft-pipeline").toString
+    rawYellow.write.parquet(s"$dir/raw")
+    val n = EtlJob.run(spark, s"$dir/raw", s"$dir/curated", "yellow")
+    assert(n == 2) // dirty row dropped
+    // Hive layout present and partition values round-trip
+    val curated = CuratedWriter.readCurated(spark, s"$dir/curated")
+    assert(curated.columns.contains("pickup_year"))
+    assert(curated.select("pickup_month").distinct().count() == 2)
+
+    AnalyticsJob.run(spark, s"$dir/curated", s"$dir/out", 2024, 2024)
+    val hourly = spark.read.parquet(s"$dir/out/avg_fare_per_mile_by_hour").collect()
+    assert(hourly.map(_.getAs[Long]("trip_count")).sum == 2)
+    val busiest = spark.read.parquet(s"$dir/out/busiest_pickup").collect()
+    assert(busiest.map(r => r.getAs[Int]("pu_zone") -> r.getAs[Long]("trip_count")).toMap ==
+      Map(132 -> 1L, 138 -> 1L))
+    // year filter excludes everything -> empty aggregates, no crash
+    AnalyticsJob.run(spark, s"$dir/curated", s"$dir/out2", 2030, 2031)
+    assert(spark.read.parquet(s"$dir/out2/trips_by_dow").count() == 0)
+  }
+
+  test("CSV sink + zone-lookup dimension scan round-trip") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    import spark.implicits._
+    val zones = Seq((132, "Queens", "JFK Airport", "Airports"),
+      (138, "Queens", "LaGuardia Airport", "Airports"))
+      .toDF("LocationID", "Borough", "Zone", "service_zone")
+    CuratedWriter.writeCsv(zones, s"$dir/zones")
+    val back = CuratedWriter.readZoneLookup(spark, s"$dir/zones")
+    assert(back.schema == TaxiSchemas.zoneLookup)
+    assert(back.count() == 2)
+    assert(back.filter($"LocationID" === 132).select("Zone").head().getString(0)
+      == "JFK Airport")
+  }
+
+  test("manifest: append, read back, count errors") {
+    val path = Files.createTempDirectory("graft-manifest").toString + "/manifest.jsonl"
+    Manifest.append(path, Manifest.Entry("http://x/a.parquet", "2024-01", "yellow", true, 123L))
+    Manifest.append(path, Manifest.Entry("http://x/b.parquet", "2024-02", "yellow", false, 0L,
+      Some("HTTP 503")))
+    val entries = Manifest.read(path)
+    assert(entries.size == 2)
+    assert(entries.head.yearMonth == "2024-01")
+    assert(Manifest.errorCount(path) == 1)
+  }
+
+  test("schema set-compare across the four cab types") {
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    val r = SchemaCompare.compare(Map(
+      "yellow" -> empty(TaxiSchemas.yellow), "green" -> empty(TaxiSchemas.green),
+      "fhv" -> empty(TaxiSchemas.fhv), "fhvhv" -> empty(TaxiSchemas.fhvhv)))
+    assert(r.common.isEmpty) // no column name is shared by ALL four
+    assert(r.onlyIn("fhv").contains("dropOff_datetime"))
+    assert(r.onlyIn("fhvhv").contains("trip_miles"))
+    assert(r.all.contains("tpep_pickup_datetime"))
+  }
+}
