@@ -36,7 +36,9 @@ object GraftSession {
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName(appName)
-        .config("spark.ui.enabled", "false"),
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
       shufflePartitions = math.max(cores, 8)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
