@@ -81,6 +81,18 @@ object SparkEntry {
           sum("n_tokens").as("total_tokens"),
           round(avg("n_tokens"), 4).as("avg_tokens"))
         .orderBy("lang")),
+    "t9_bpeish_tokens" -> q((s, d) =>
+      Tables.documents(s, d)
+        // project both token counts once; the regex runs one time per doc
+        .select(col("lang"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe").as("total_bpe_tokens"),
+          round(avg("n_bpe"), 4).as("avg_bpe_tokens"),
+          round(avg(col("n_bpe") - col("n_ws")), 4).as("avg_subword_surplus"))
+        .orderBy("lang")),
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select("doc_id", "fp").orderBy("doc_id").limit(100)),
@@ -99,6 +111,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     "n2_lsh_top_pairs" -> q((s, d) =>
       Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
+    "n3_ivf_topk" -> q((s, d) =>
+      graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -296,6 +310,15 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          round(avg(len($toks)),4) AS avg_tokens
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "t9_bpeish_tokens" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT)
+           AS total_bpe_tokens,
+         round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))),4)
+           AS avg_bpe_tokens,
+         round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+           - len($toks)),4) AS avg_subword_surplus
          FROM documents GROUP BY 1 ORDER BY lang""",
     "d1_dup_stats" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,

@@ -21,8 +21,10 @@ object Clusters {
     val assembled = new VectorAssembler()
       .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
       .transform(feats)
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .fit(assembled)
+    // maxIter 8: the 2-D log-feature space converges in a handful of
+    // Lloyd's iterations; the default 20 mostly buys repeated no-op jobs.
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features").fit(assembled)
     model.transform(assembled)
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"),

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions.dotProduct
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer partitions the corpus into `nlist` cells; a query probes
+  * only its `nprobe` nearest cells and runs exact cosine inside them.
+  *
+  * The scale shape: centroids are tiny (nlist ≈ √N) and broadcast;
+  * corpus vectors are assigned to cells once (one KMeans fit + one
+  * transform); per query the candidate set shrinks by ~nlist/nprobe.
+  * Complements the hyperplane-LSH path in [[Similarity]] — IVF adapts
+  * to the data distribution, LSH needs no training. */
+object Ivf {
+
+  final case class Index(assignments: DataFrame, centroids: DataFrame)
+
+  /** Fit the coarse quantizer and assign every vector to a cell.
+    * `assignments`: (vec_id, emb double[], norm, cluster);
+    * `centroids`: (cluster, c_emb double[], c_norm). */
+  def buildIndex(embeddings: DataFrame, nlist: Int = 16,
+                 seed: Long = 42L): Index = {
+    val spark = embeddings.sparkSession
+    val prep = embeddings
+      .withColumn("emb", transform(col("embedding"), _.cast("double")))
+      .withColumn("norm", sqrt(dotProduct(col("emb"), col("emb"))))
+      .select("vec_id", "emb", "norm")
+    val withVec = prep.withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(withVec)
+    val assignments = model.transform(withVec)
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("prediction").as("cluster"))
+    val centroidRows = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }
+    import spark.implicits._
+    val centroids = centroidRows.toSeq.toDF("cluster", "c_emb")
+      .withColumn("c_norm", sqrt(dotProduct(col("c_emb"), col("c_emb"))))
+    Index(assignments, centroids)
+  }
+
+  /** Top-k cosine neighbors for `queryIds`, probing `nprobe` cells. */
+  def search(index: Index, queryIds: Seq[Long], k: Int = 5,
+             nprobe: Int = 4): DataFrame = {
+    val queries = index.assignments
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    // rank cells per query by centroid cosine; keep nprobe
+    val byQuery = Window.partitionBy("query_id")
+    val probes = queries
+      .join(broadcast(index.centroids))
+      .withColumn("c_sim",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          dotProduct(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("c_rank",
+        row_number().over(byQuery.orderBy(desc("c_sim"), asc("cluster"))))
+      .filter(col("c_rank") <= nprobe)
+      .select("query_id", "q_emb", "q_norm", "cluster")
+    // exact cosine inside probed cells only
+    val scored = probes
+      .join(index.assignments, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("q_norm") > 0 && col("norm") > 0,
+          dotProduct(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+          .as("sim"))
+    scored
+      .withColumn("rank",
+        row_number().over(byQuery.orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** One-shot convenience used by the gate query. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    search(buildIndex(embeddings, nlist), queryIds, k, nprobe)
+}

@@ -59,14 +59,18 @@ object EventStreams {
       }
   }
 
-  /** Wire the windowed-count pipeline from a parquet directory stream to a
-    * memory sink (integration entry point; tests use MemoryStream). */
+  /** Wire the windowed-count pipeline from a parquet directory stream to
+    * a memory sink — files dropped into `dir` are picked up as
+    * micro-batches. Complete mode re-emits the full aggregate each
+    * batch (fine for a bounded window count); production sinks would
+    * use Append + the watermark. */
   def runFromParquetDir(spark: SparkSession, dir: String, schemaTable: String,
-                        queryName: String = "graft_stream"): Unit = {
+                        queryName: String = "graft_stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(schemaTable).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     windowedCounts(stream)
       .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Complete()).start()
   }
 }

@@ -21,6 +21,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization: runs of letters, runs of digits,
+    * runs of other non-space symbols — the coarse split a byte-pair
+    * tokenizer applies before merges. `regexp_extract_all` is a
+    * codegen'd builtin; the count is what token-budget accounting needs
+    * at corpus scale. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   private val stopwords = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
   /** Stopword fraction of tokens (0 when no tokens). */

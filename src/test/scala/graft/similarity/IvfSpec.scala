@@ -1,0 +1,39 @@
+package graft.similarity
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("IVF finds a planted near-duplicate neighbor") {
+    // 60 random vectors + one near-duplicate of vector 0
+    val rnd = Gen.listOfN(61 * 8, Gen.choose(-1.0, 1.0))
+      .apply(Gen.Parameters.default, Seed(7L)).get.toArray
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => rnd(i * 8 + d).toFloat))
+    }
+    val planted = (60L, base(0)._2.map(v => v * 1.01f + 0.001f))
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val idx = Ivf.buildIndex(emb, nlist = 4)
+    val top = Ivf.search(idx, Seq(0L), k = 3, nprobe = 2).collect()
+    // near-identical vectors land in the same KMeans cell -> rank 1
+    assert(top.head.getAs[Long]("vec_id") == 60L)
+    assert(top.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("IVF with nprobe = nlist equals brute force") {
+    val rnd = Gen.listOfN(40 * 8, Gen.choose(-1.0, 1.0))
+      .apply(Gen.Parameters.default, Seed(11L)).get.toArray
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => rnd(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivf = Ivf.ivfTopK(emb, Seq(1L, 2L), k = 4, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val bf = Similarity.bruteForceTopK(emb, Seq(1L, 2L), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf == bf)
+  }
+}

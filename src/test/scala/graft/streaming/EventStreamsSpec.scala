@@ -41,6 +41,22 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.map(_._3).sum == sample.size)
   }
 
+  test("file-source stream picks up new parquet files incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch1 = sample.take(3)
+    batch1.toDF().write.parquet(s"$dir/in/b1.parquet")
+    val q = EventStreams.runFromParquetDir(spark, s"$dir/in/*.parquet",
+      s"$dir/in/b1.parquet", "file_stream_test")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream_test").collect().map(_.getLong(2)).sum == 3)
+      // a new file arrives -> next micro-batch folds it in
+      sample.drop(3).toDF().write.parquet(s"$dir/in/b2.parquet")
+      q.processAllAvailable()
+      assert(spark.table("file_stream_test").collect().map(_.getLong(2)).sum == 5)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with correct sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
