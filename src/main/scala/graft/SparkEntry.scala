@@ -311,6 +311,33 @@ object SparkEntry {
          CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          round(avg(len($toks)),4) AS avg_tokens
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "t5_langid_confusion" ->
+      s"""WITH m AS (SELECT lang,
+           len(list_filter($toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter($toks, x -> x IN ('der','und','die','ist'))) AS s_de,
+           len(list_filter($toks, x -> x IN ('el','los','que','es'))) AS s_es,
+           len(list_filter($toks, x -> x IN ('le','les','et','est'))) AS s_fr,
+           len(list_filter($toks, x -> x IN ('de','shi','le','he'))) AS s_zh
+           FROM documents),
+         g AS (SELECT lang,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                ELSE 'de' END AS lang_guess FROM m)
+         SELECT lang, lang_guess, count(*) AS cnt FROM g
+         GROUP BY 1,2 ORDER BY lang, lang_guess""",
+    "n1_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT query_id, e.vec_id,
+           list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+         r AS (SELECT query_id, vec_id, sim, row_number() OVER
+           (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim,6) AS sim
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "t9_bpeish_tokens" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT)
@@ -344,10 +371,11 @@ object SparkEntry {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          round(avg(octet_length(encode(text))),4) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY source"""
-    // no oracle (rows-only check): ml1_kmeans (iterative ML),
-    // t5_langid_confusion / t8_fingerprints (hash/heuristic-specific),
-    // d3_minhash_pairs / d4_simhash_pairs (probabilistic signatures),
-    // n1_ann_topk / n2_lsh_top_pairs (float-precision-sensitive ranking),
-    // m2_multimodal_features (stubbed binary decode)
+    // no oracle (rows-only check): ml1_kmeans / n3_ivf_topk (iterative
+    // ML), t8_fingerprints (FNV loop not expressible without BIGINT
+    // wraparound), d3_minhash_pairs / d4_simhash_pairs / n2_lsh_top_pairs
+    // (probabilistic signatures), p6_sample_profile (seeded sampling),
+    // m2_multimodal_features (stubbed binary decode) — each covered by a
+    // ScalaTest spec instead (see COVERAGE.md)
   )
 }
