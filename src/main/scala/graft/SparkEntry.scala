@@ -82,7 +82,7 @@ object SparkEntry {
           round(avg("n_tokens"), 4).as("avg_tokens"))
         .orderBy("lang")),
     "t9_bpeish_tokens" -> q((s, d) =>
-      Tables.documents(s, d)
+      graft.operators.Partitioning.spread(Tables.documents(s, d))
         // project both token counts once; the regex runs one time per doc
         .select(col("lang"),
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),

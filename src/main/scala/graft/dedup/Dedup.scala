@@ -74,7 +74,8 @@ object Dedup {
     // the scoring join); persist so the per-document signature pass runs
     // once — signatures are 8·k bytes/doc, orders of magnitude smaller
     // than the corpus.
-    val sigs = minhashSignatures(documents, numHashes, shingleK).persist()
+    val sigs = minhashSignatures(
+      graft.operators.Partitioning.spread(documents), numHashes, shingleK).persist()
     // Candidate pairs carry only (doc_a, doc_b): the signature arrays are
     // dropped before the band self-join so the shuffle moves small fixed
     // keys, and a pair colliding in several bands is deduplicated BEFORE
@@ -109,7 +110,8 @@ object Dedup {
     * 16-bit chunks (Hamming ≤3 ⇒ some chunk equal), self-join per chunk,
     * verify with popcount of XOR. */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = withSimhash(documents).select("doc_id", "simhash")
+    val sh = withSimhash(graft.operators.Partitioning.spread(documents))
+      .select("doc_id", "simhash")
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -134,7 +136,8 @@ object Dedup {
     * work compares fixed-width longs instead of re-hashing strings
     * (collision odds at 64 bits are negligible for Jaccard). */
   def ngramJaccardPairs(documents: DataFrame, shingleK: Int = 3): DataFrame = {
-    val d = documents.select(col("doc_id"), col("source"),
+    val d = graft.operators.Partitioning.spread(documents)
+      .select(col("doc_id"), col("source"),
       graft.functions.HashExpressions.shingleHashes(col("text"), shingleK).as("sh"))
       .withColumn("n", size(col("sh")))
     val a = d.select(col("source"), col("doc_id").as("doc_a"),
