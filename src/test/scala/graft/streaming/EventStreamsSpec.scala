@@ -41,6 +41,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.map(_._3).sum == sample.size)
   }
 
+  test("watermark finalizes windows and drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(mem.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*) // max ts 13:00 -> watermark 11:00
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-01-01 13:30:00", 9, "view", 0.0)) // advance batch
+      q.processAllAvailable()
+      val emitted = spark.table("wm_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      // the 10:00 window (2 clicks) is below the watermark -> finalized
+      assert(emitted.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      // a late event for the already-finalized 10:00 window is dropped
+      mem.addData(ev(100, "2024-01-01 10:10:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("wm_test").collect()
+        .filter(_.getTimestamp(0).toString == "2024-01-01 10:00:00.0")
+        .map(_.getLong(2)).toSeq
+      assert(after == Seq(2L), "late data must not reopen a finalized window")
+    } finally q.stop()
+  }
+
   test("file-source stream picks up new parquet files incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val batch1 = sample.take(3)
