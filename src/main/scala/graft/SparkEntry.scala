@@ -93,6 +93,7 @@ object SparkEntry {
           round(avg("n_bpe"), 4).as("avg_bpe_tokens"),
           round(avg(col("n_bpe") - col("n_ws")), 4).as("avg_subword_surplus"))
         .orderBy("lang")),
+    "t10_vocab_by_lang" -> q((s, d) => TextAnalysis.vocabByLang(Tables.documents(s, d))),
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select("doc_id", "fp").orderBy("doc_id").limit(100)),
@@ -347,6 +348,10 @@ object SparkEntry {
          round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
            - len($toks)),4) AS avg_subword_surplus
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "t10_vocab_by_lang" ->
+      s"""SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS vocab_exact
+         FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+         GROUP BY 1 ORDER BY lang""",
     "d1_dup_stats" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
          round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_ratio

@@ -127,6 +127,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_guess")
 
+  /** Vocabulary stats per language: exact distinct-token counts via
+    * explode + countDistinct. Exact distinct shuffles every (lang,
+    * token) pair — fine per-language; the 100 TB whole-corpus variant
+    * is [[vocabByLangApprox]]. */
+  def vocabByLang(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab_exact"))
+      .orderBy("lang")
+
+  /** HLL-sketch variant: `approx_count_distinct` keeps per-group state
+    * at a few KB regardless of vocabulary size — the only viable form
+    * when distinct counts are in the billions. rsd 1% is Spark's
+    * near-max precision. */
+  def vocabByLangApprox(documents: DataFrame, rsd: Double = 0.01): DataFrame =
+    documents
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("tok"), rsd).as("vocab_approx"))
+      .orderBy("lang")
+
   /** Document fingerprint: FNV-1a 32-bit rolling hash over the text
     * characters, built from `aggregate` over the char array — pure
     * codegen'd expression, no UDF. 32-bit state in long arithmetic keeps

@@ -50,6 +50,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("d3") == "und")
   }
 
+  test("approx vocabulary count tracks exact within rsd tolerance") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 500}").mkString(" "),
+        if (i % 2 == 0) "en" else "de", "s0")
+    }.toDF("doc_id", "text", "lang", "source")
+    val exact = TextAnalysis.vocabByLang(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = TextAnalysis.vocabByLangApprox(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, v) =>
+      assert(math.abs(approx(lang) - v).toDouble / v < 0.05,
+        s"$lang: approx ${approx(lang)} vs exact $v")
+    }
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = Seq("the quick brown fox and a dog in the yard is it",
       "!!!???", "x").toDF("text")
