@@ -71,6 +71,15 @@ object SparkEntry {
     // --- ML-adjacent (SURVEY A22/A23) ---
     "ml1_kmeans" -> q((s, d) => Clusters.eventClusters(Tables.events(s, d))),
     "ml2_iqr_anomalies" -> q((s, d) => Outliers.iqrAnomalies(Tables.events(s, d))),
+    "ml3_isolation_forest" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      graft.ml.IsolationForest.fit(ev, Seq("value", "hr"), numTrees = 50)
+        .transform(ev)
+        .orderBy(desc("anomaly_score"), asc("event_id"))
+        .select(col("event_id"), round(col("anomaly_score"), 6).as("anomaly_score"))
+        .limit(50)
+    }),
     // --- text analysis (training-data ops) ---
     "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "t6_quality_by_lang" -> q((s, d) => TextAnalysis.qualityByLang(Tables.documents(s, d))),
