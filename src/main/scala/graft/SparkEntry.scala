@@ -64,6 +64,17 @@ object SparkEntry {
     "w3_rolling_avg" -> q((s, d) => Windows.rollingDailyAvg(Tables.orders(s, d))),
     "a15_daily_zscore" -> q((s, d) => Windows.dailyZscore(Tables.events(s, d))),
     "st2_sessionize" -> q((s, d) => Windows.sessionize(Tables.events(s, d))),
+    "w4_asof_join" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin
+        .asOf(errors, clicks, key = "user_id", tsCol = "ts",
+          tiebreak = "event_id", payloadCols = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 4).as("last_click_value"))
+        .orderBy("event_id")
+    }),
     // --- streaming semantics, batch twin (SURVEY §2.9) ---
     "st1_windowed_counts" -> q((s, d) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
@@ -277,6 +288,19 @@ object SparkEntry {
            CASE WHEN z < -1.5 THEN 'Low' WHEN z > 1.5 THEN 'High'
                 ELSE 'Normal' END AS bucket
          FROM daily ORDER BY day""",
+    "w4_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS side, NULL AS v
+             FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS side, value AS v
+             FROM events WHERE event_type = 'click'),
+         lastv AS (SELECT event_id, side, user_id,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, side, event_id ROWS UNBOUNDED PRECEDING) AS v
+           FROM u)
+         SELECT event_id, user_id, round(v, 4) AS last_click_value
+         FROM lastv WHERE side = 1 ORDER BY event_id""",
     "st2_sessionize" ->
       """WITH flagged AS (SELECT user_id, event_id,
            CASE WHEN lag(ts) OVER w IS NULL

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark has no builtin
+  * for. Composed from existing operators per the engine's preference
+  * order: tag both sides, `unionByName`, and per key take the running
+  * `last(..., ignoreNulls)` of the right side's payload ordered by
+  * (ts, side, tiebreak).
+  *
+  * Scale shape: ONE shuffle on the key (the union sorts within key
+  * partitions), versus the naive `left.join(right, r.ts <= l.ts)` +
+  * max-per-row formulation, which is a range join that degenerates to
+  * per-key cross products. Window state is O(1) per partition (running
+  * last), so arbitrarily long histories stream through. */
+object AsOfJoin {
+
+  /** For each `left` row, attach the payload of the latest `right` row
+    * with `right.ts <= left.ts` and the same `key`. `tiebreak` must be
+    * unique per row (keeps ordering engine-independent).
+    * Right-side payload columns come back null when no prior row
+    * exists. */
+  def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+           tiebreak: String, payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(
+      Seq(col(key), col(tsCol), col(tiebreak), lit(0).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts ⇒ a right
+    // row at exactly left.ts is visible to it ("<=" semantics)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("_side"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPayload = payloadCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    withPayload
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+}
