@@ -132,6 +132,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     "n2_lsh_top_pairs" -> q((s, d) =>
       Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
+    "n4_exact_top_pairs" -> q((s, d) =>
+      Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
     "n3_ivf_topk" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     // --- multimodal plumbing (training-data ops) ---
@@ -372,6 +374,12 @@ object SparkEntry {
            (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim,6) AS sim
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "n4_exact_top_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, id_a, id_b LIMIT 20""",
     "t9_bpeish_tokens" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT)

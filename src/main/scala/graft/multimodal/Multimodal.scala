@@ -60,6 +60,60 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize: deterministic byte-stride downsample standing in for an
+    * image resize (keeps every `factor`-th byte). Real codepath would
+    * decode → scale → re-encode inside the same per-partition loop. */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    // ??? <- real resize goes here; deterministic fake below.
+    payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
+  }
+
+  /** Resize stage: payload → downsampled payload + refreshed metadata.
+    * Runs as a codegen-friendly projection around a partition-wise
+    * transform; output schema mirrors [[withBinaryPayload]] so stages
+    * compose (decode → resize → extract). */
+  def resizePayloads(withPayload: DataFrame, factor: Int = 4): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("orig_bytes", IntegerType)))
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), stubResize(payload, factor), payload.length)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("meta", struct(length(col("payload")).as("n_bytes"),
+        lit(s"utf8-fake/resized:$factor").as("codec")))
+  }
+
+  /** Frame-sampling stage: chunk each payload into fixed-size "frames"
+    * and keep every `everyN`-th — the video-keyframe-extraction shape.
+    * Emits one row per kept frame (explode, executor-side; rows never
+    * funnel through the driver), so downstream per-frame feature
+    * extraction parallelizes across the cluster regardless of how few
+    * source documents there are. */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int = 64,
+                   everyN: Int = 2): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        payload.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % everyN == 0 => Row(id, i, chunk)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** SQL-expressible slice of the multimodal metadata (oracle-checkable):
     * byte length + frame count per doc, aggregated by source. */
   def payloadStats(documents: DataFrame): DataFrame =

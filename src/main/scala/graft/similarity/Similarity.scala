@@ -119,6 +119,26 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Exact all-pairs top-n cosine — the verification twin of the
+    * LSH-bucketed [[topCosinePairs]]. O(n²) pairs: correct at any n but
+    * only efficient for corpus slices / validation samples; the scale
+    * paths are [[lshNearNeighbors]] (near-dup) and [[Ivf]] (top-k
+    * search). Ranking uses the unrounded similarity so ties in the
+    * rounded output stay deterministic. */
+  def exactTopPairs(embeddings: DataFrame, n: Int = 20): DataFrame = {
+    val prep = prepared(embeddings)
+    val a = prep.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = prep.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b")).as("sim"))
+      .orderBy(desc("sim"), asc("id_a"), asc("id_b"))
+      .limit(n)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-dup detection: cosine above threshold, LSH-bucketed;
     * reports the top pairs so the operator has output even on corpora
     * without near-dups. */

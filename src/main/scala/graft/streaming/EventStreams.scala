@@ -59,6 +59,38 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on arbitrary key columns (e.g. a document
+    * fingerprint) with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key seen
+    * inside the watermark horizon and evicts older state, so memory is
+    * bounded by arrival rate × horizon rather than total corpus size —
+    * the streaming twin of [[graft.dedup.Dedup.exactDedup]]. On a batch
+    * frame it degrades to plain `dropDuplicates` (global exact dedup). */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
+  /** Watermarked stream-stream inner join: each error event is paired
+    * with the same user's click events from the preceding hour. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so each side's buffered state is evicted once no future
+    * row can match it — the state-bounded form of the as-of/enrichment
+    * join ([[graft.operators.AsOfJoin]] is the batch twin). */
+  def clicksBeforeErrors(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    def side(t: String, prefix: String) = {
+      val f = events.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      if (f.isStreaming) f.withWatermark(s"${prefix}_ts", watermark) else f
+    }
+    side("error", "err").join(side("click", "clk"),
+      col("err_user") === col("clk_user") &&
+        col("clk_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
+        col("clk_ts") <= col("err_ts"))
+  }
+
   /** Wire the windowed-count pipeline from a parquet directory stream to
     * a memory sink — files dropped into `dir` are picked up as
     * micro-batches. Complete mode re-emits the full aggregate each

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+/** The decode step is a stub (no codecs in this environment); these
+  * tests pin the REAL part — schemas, batch shapes, partition-wise
+  * execution, stage composition — so swapping in a codec later can't
+  * silently break the plumbing. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "hello world, a payload long enough to span several frames " + "x" * 200),
+    (1L, "short"),
+    (2L, "")).toDF("doc_id", "text")
+
+  test("resize keeps every Nth byte and refreshes metadata") {
+    val resized = Multimodal.resizePayloads(Multimodal.withBinaryPayload(docs), factor = 4)
+    val r = resized.filter($"doc_id" === 0L).head()
+    val orig = r.getAs[Int]("orig_bytes")
+    val out = r.getAs[Array[Byte]]("payload")
+    assert(out.length == (orig + 3) / 4)
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("codec")
+      .endsWith("resized:4"))
+    // empty payload survives the stage
+    assert(resized.filter($"doc_id" === 2L).head()
+      .getAs[Array[Byte]]("payload").isEmpty)
+  }
+
+  test("frame sampling explodes to every-Nth fixed-size chunks") {
+    val frames = Multimodal.sampleFrames(Multimodal.withBinaryPayload(docs),
+      frameBytes = 64, everyN = 2)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n0 = docs.filter($"doc_id" === 0L).head().getString(1).length
+    val totalFrames0 = (n0 + 63) / 64
+    assert(byDoc(0L) == (totalFrames0 + 1) / 2) // indices 0,2,4,...
+    assert(byDoc(1L) == 1L) // one short frame, index 0 kept
+    assert(!byDoc.contains(2L)) // empty payload -> no frames
+    // kept frames are the even-indexed ones, bytes preserved verbatim
+    val idx = frames.filter($"doc_id" === 0L).collect().map(_.getInt(1)).sorted
+    assert(idx.forall(_ % 2 == 0))
+  }
+
+  test("stages compose: resize then extract features") {
+    val out = Multimodal.extractFeatures(
+      Multimodal.resizePayloads(Multimodal.withBinaryPayload(docs)))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "n_frames", "mean_byte", "first_byte"))
+    assert(out.count() == 3)
+  }
+}

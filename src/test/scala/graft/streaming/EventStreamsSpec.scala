@@ -82,6 +82,58 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates and bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), keyCols = Seq("user_id", "value"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ev(0, "2024-01-01 10:00:00", 1, "click", 7.0),
+        ev(1, "2024-01-01 10:05:00", 1, "click", 7.0), // dup within horizon
+        ev(2, "2024-01-01 10:10:00", 2, "view", 7.0))  // different key
+      q.processAllAvailable()
+      // advance watermark far past 10:00 so key (1, 7.0) is evicted
+      mem.addData(ev(3, "2024-01-01 15:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      // the key recurs after eviction -> emitted again (bounded state,
+      // horizon-scoped dedup semantics)
+      mem.addData(ev(4, "2024-01-01 14:30:00", 1, "click", 7.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).toSet
+      assert(ids == Set(0L, 2L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+
+    // batch twin: plain global dedup
+    val batch = EventStreams.dedupStream(sample.toDF(), keyCols = Seq("event_type"))
+    assert(batch.count() == 2)
+  }
+
+  test("stream-stream join pairs errors with preceding clicks of same user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.clicksBeforeErrors(mem.toDF())
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),  // within 1h of error
+        ev(1, "2024-01-01 08:00:00", 1, "click", 2.0),  // too old
+        ev(2, "2024-01-01 10:20:00", 2, "click", 3.0),  // other user
+        ev(3, "2024-01-01 10:30:00", 1, "error", 0.0),
+        ev(4, "2024-01-01 11:00:00", 1, "click", 4.0))  // after the error
+      q.processAllAvailable()
+      // advance both watermarks so results are emitted
+      mem.addData(ev(9, "2024-01-01 15:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_test").collect()
+        .map(r => (r.getAs[Long]("err_id"), r.getAs[Long]("clk_id"))).toSet
+      assert(pairs == Set((3L, 0L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with correct sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
