@@ -58,6 +58,17 @@ object SparkEntry {
     "j2_snowflake_dims" -> q((s, d) =>
       Joins.customersByRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "j3_semi_topk" -> q((s, d) => Joins.topCustomerOrders(Tables.orders(s, d))),
+    "j4_range_join" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "ts")
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, intervals, "ts", "start_ts", "end_ts")
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("err_id")
+    }),
     // --- windows (SURVEY §2.5/§2.6 upgrades) ---
     "w1_rank_per_group" -> q((s, d) => Windows.topOrdersPerCustomer(Tables.orders(s, d))),
     "w2_lag_deltas" -> q((s, d) => Windows.userValueDeltas(Tables.events(s, d))),
@@ -136,6 +147,9 @@ object SparkEntry {
       Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
     "n3_ivf_topk" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
+    // --- composed training-data prep pipeline ---
+    "tp1_pipeline_summary" -> q((s, d) =>
+      graft.pipeline.TrainingData.summary(Tables.documents(s, d))),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -265,6 +279,13 @@ object SparkEntry {
          SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice),0) AS total
          FROM orders WHERE o_custkey IN (SELECT o_custkey FROM topk)
          GROUP BY 1 ORDER BY o_custkey""",
+    "j4_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, ts AS start_ts,
+           ts + INTERVAL 1 HOUR AS end_ts FROM events WHERE event_type = 'error'),
+         clk AS (SELECT ts FROM events WHERE event_type = 'click')
+         SELECT err_id, count(*) AS n_clicks
+         FROM err JOIN clk ON clk.ts >= err.start_ts AND clk.ts <= err.end_ts
+         GROUP BY 1 ORDER BY err_id""",
     "w1_rank_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -393,6 +414,37 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS vocab_exact
          FROM (SELECT lang, unnest($toks) AS tok FROM documents)
          GROUP BY 1 ORDER BY lang""",
+    "tp1_pipeline_summary" ->
+      s"""WITH dd AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+         m AS (SELECT doc_id, text, len($toks) AS n_tokens,
+           round((least(len($toks) / 50.0, 1.0)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                 ELSE 0 END) * 5.0, 1.0))
+             + least((CASE WHEN len($toks) > 0
+                 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks)
+                 ELSE 0 END) * 5.0, 1.0)) / 3.0, 6) AS quality
+           FROM dd),
+         f AS (SELECT * FROM m WHERE quality >= 0.5),
+         sc AS (SELECT doc_id, n_tokens, quality,
+           len(list_filter($toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter($toks, x -> x IN ('der','und','die','ist'))) AS s_de,
+           len(list_filter($toks, x -> x IN ('el','los','que','es'))) AS s_es,
+           len(list_filter($toks, x -> x IN ('le','les','et','est'))) AS s_fr,
+           len(list_filter($toks, x -> x IN ('de','shi','le','he'))) AS s_zh
+           FROM f),
+         lg AS (SELECT doc_id, n_tokens, quality,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                ELSE 'de' END AS lang_guess FROM sc)
+         SELECT lang_guess, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens),4) AS avg_tokens,
+           round(avg(quality),6) AS avg_quality
+         FROM lg WHERE lang_guess != 'und' GROUP BY 1 ORDER BY lang_guess""",
     "d1_dup_stats" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
          round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_ratio
