@@ -138,6 +138,7 @@ object SparkEntry {
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8).limit(1000)),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
+    "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
     // --- similarity search (training-data ops) ---
     "n1_ann_topk" -> q((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
@@ -464,6 +465,14 @@ object SparkEntry {
              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "d7_segment_dup_stats" ->
+      s"""WITH segs AS (SELECT source,
+           unnest(list_transform(range(0, CAST(ceil(len($toks) / 10.0) AS INT)),
+             i -> array_to_string(($toks)[i*10+1:i*10+10], ' '))) AS segment
+           FROM documents)
+         SELECT source, count(*) AS n_segments, count(DISTINCT segment) AS n_unique,
+           round(1.0 - count(DISTINCT segment)::DOUBLE / count(*), 6) AS dup_ratio
+         FROM segs GROUP BY 1 ORDER BY source""",
     "m1_payload_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

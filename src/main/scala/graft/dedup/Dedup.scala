@@ -35,6 +35,56 @@ object Dedup {
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
       .orderBy("lang")
 
+  /** Non-overlapping `width`-token segments of a document — the
+    * line/window granularity at which boilerplate repeats across
+    * documents that are not whole-doc duplicates (C4/RefinedWeb-style
+    * line-level dedup). Guarded so empty docs yield no segments
+    * (Spark's `sequence(0,-1)` would count DOWN, not return empty). */
+  private def segments(text: Column, width: Int): Column = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val nseg = ceil(size(toks).cast("double") / width).cast("int")
+    when(nseg > 0,
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-corpus segment-duplication profile per source: how much of
+    * each slice of the corpus is repeated `width`-token windows. The
+    * explode shuffles (source, segment) pairs — segment strings are
+    * bounded by `width` tokens, so shuffle width is capped regardless
+    * of document length. */
+  def segmentDupStats(documents: DataFrame, width: Int = 10): DataFrame =
+    documents
+      .select(col("source"), explode(segments(col("text"), width)).as("segment"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_segments"),
+        countDistinct(col("segment")).as("n_unique"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_segments"), 6))
+      .orderBy("source")
+
+  /** Remove every non-first occurrence of each segment corpus-wide
+    * (first = lowest (doc_id, position)) and reassemble the surviving
+    * segments in document order. One shuffle on the segment hash for
+    * first-occurrence election, one on doc_id for reassembly; no
+    * all-pairs stage. */
+  def stripDuplicateSegments(documents: DataFrame, width: Int = 10): DataFrame = {
+    val exploded = documents
+      .select(col("doc_id"), posexplode(segments(col("text"), width)).as(Seq("seg_idx", "segment")))
+    val firsts = exploded
+      .groupBy("segment")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    exploded
+      .join(firsts, "segment")
+      .filter(col("doc_id") === col("first.doc_id") && col("seg_idx") === col("first.seg_idx"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+          s => s.getField("segment")), " ").as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Word k-shingles, distinct per doc. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = filter(split(text, " "), t => length(t) > 0)

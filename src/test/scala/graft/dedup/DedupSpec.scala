@@ -60,6 +60,28 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(4L)))
   }
 
+  test("segment dedup: stats count window dups; strip keeps first occurrence") {
+    // width=4 windows; doc 11 repeats doc 10's first window verbatim at
+    // position 0, then has its own tail window
+    val segDocs = Seq(
+      (10L, "alpha beta gamma delta one two three four", "en", "s0"),
+      (11L, "alpha beta gamma delta five six seven eight", "en", "s0"),
+      (12L, "", "en", "s0")) // empty doc -> no segments, must not crash
+      .toDF("doc_id", "text", "lang", "source")
+
+    val stats = Dedup.segmentDupStats(segDocs, width = 4).collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    assert(r.getAs[Long]("n_segments") == 4)
+    assert(r.getAs[Long]("n_unique") == 3)
+
+    val stripped = Dedup.stripDuplicateSegments(segDocs, width = 4)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(stripped(10L) == "alpha beta gamma delta one two three four")
+    assert(stripped(11L) == "five six seven eight") // dup window removed
+    assert(!stripped.contains(12L)) // nothing survives of an empty doc
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near-dup in (0,1)") {
     val j = Dedup.ngramJaccardPairs(docs)
       .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
