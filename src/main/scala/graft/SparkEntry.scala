@@ -58,6 +58,17 @@ object SparkEntry {
     "j2_snowflake_dims" -> q((s, d) =>
       Joins.customersByRegion(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "j3_semi_topk" -> q((s, d) => Joins.topCustomerOrders(Tables.orders(s, d))),
+    "j5_salted_join" -> q((s, d) =>
+      graft.operators.Skew.saltedJoin(
+          Tables.orders(s, d).withColumnRenamed("o_custkey", "c_custkey"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+        .orderBy("c_mktsegment")),
+    "a25_salted_agg" -> q((s, d) =>
+      graft.operators.Skew.saltedCountSum(Tables.lineitem(s, d), "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), col("cnt"), round(col("total"), 0).as("total"))
+        .orderBy("l_returnflag")),
     "j4_range_join" -> q((s, d) => {
       val ev = Tables.events(s, d)
       val intervals = ev.filter(col("event_type") === "error")
@@ -146,6 +157,8 @@ object SparkEntry {
       Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
     "n4_exact_top_pairs" -> q((s, d) =>
       Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
+    "n5_label_centroids" -> q((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))),
     "n3_ivf_topk" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     // --- composed training-data prep pipeline ---
@@ -280,6 +293,13 @@ object SparkEntry {
          SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice),0) AS total
          FROM orders WHERE o_custkey IN (SELECT o_custkey FROM topk)
          GROUP BY 1 ORDER BY o_custkey""",
+    "j5_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),0) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "a25_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),0) AS total
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "j4_range_join" ->
       """WITH err AS (SELECT event_id AS err_id, ts AS start_ts,
            ts + INTERVAL 1 HOUR AS end_ts FROM events WHERE event_type = 'error'),
@@ -396,6 +416,10 @@ object SparkEntry {
            (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s)
          SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim,6) AS sim
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "n5_label_centroids" ->
+      """SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS c
+         FROM embeddings, range(0, 64) r(i)
+         GROUP BY 1, 2 ORDER BY label, dim""",
     "n4_exact_top_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

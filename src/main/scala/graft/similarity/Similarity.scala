@@ -119,6 +119,18 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Per-group embedding centroid (mean pooling) via posexplode to
+    * (group, dim, x) cells and a standard partial→final average: no
+    * task ever holds a group's full vector set, reducer state is one
+    * running mean per (group, dim) cell, and the shuffle key space is
+    * groups × dims regardless of corpus size. */
+  def labelCentroids(embeddings: DataFrame, groupCol: String = "label"): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .orderBy(groupCol, "dim")
+
   /** Exact all-pairs top-n cosine — the verification twin of the
     * LSH-bucketed [[topCosinePairs]]. O(n²) pairs: correct at any n but
     * only efficient for corpus slices / validation samples; the scale
