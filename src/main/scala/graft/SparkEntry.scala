@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.{Joins, Relational, Windows}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DupGroups}
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
@@ -150,6 +150,7 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8).limit(1000)),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
+    "d8_dup_components" -> q((s, d) => DupGroups.dupComponentSizes(Tables.documents(s, d))),
     // --- similarity search (training-data ops) ---
     "n1_ann_topk" -> q((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
@@ -489,6 +490,28 @@ object SparkEntry {
              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "d8_dup_components" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         near AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+         reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+         exact AS (SELECT d.doc_id AS a, r.rep AS b
+           FROM documents d JOIN reps r ON d.text = r.text WHERE d.doc_id != r.rep),
+         e AS (SELECT a, b FROM exact UNION ALL SELECT a, b FROM near
+               UNION ALL SELECT b, a FROM exact UNION ALL SELECT b, a FROM near),
+         reach(src, node) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
+         lab AS (SELECT node, min(src) AS component FROM reach GROUP BY node)
+         SELECT component, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY component""",
     "d7_segment_dup_stats" ->
       s"""WITH segs AS (SELECT source,
            unnest(list_transform(range(0, CAST(ceil(len($toks) / 10.0) AS INT)),

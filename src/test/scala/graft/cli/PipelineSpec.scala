@@ -52,6 +52,28 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/out2/trips_by_dow").count() == 0)
   }
 
+  test("BatchRunner: one union-by-name plan over divergent cab schemas, missing cab recorded") {
+    val dir = Files.createTempDirectory("graft-batch").toString
+    rawYellow.write.parquet(s"$dir/raw/yellow")
+    // fhv: different timestamp col names, no fare/distance at all
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("B001", ts("2024-03-01 10:00:00"), ts("2024-03-01 10:25:00"),
+          264.0, 265.0, null, "B001"))),
+      TaxiSchemas.fhv).write.parquet(s"$dir/raw/fhv")
+
+    val manifest = s"$dir/manifest.jsonl"
+    val counts = BatchRunner.run(spark, s"$dir/raw", s"$dir/curated",
+      Seq("yellow", "fhv", "green"), Some(manifest))
+    assert(counts == Map("yellow" -> 2L, "fhv" -> 1L)) // dirty yellow row dropped
+    // green had no raw data: skipped, recorded as an error entry
+    assert(Manifest.errorCount(manifest) == 1)
+    assert(Manifest.read(manifest).find(_.cabType == "green").get.error.isDefined)
+    // single curated tree serves all cab types with partition pruning
+    val curated = CuratedWriter.readCurated(spark, s"$dir/curated")
+    assert(curated.select("cab_type").distinct().count() == 2)
+  }
+
   test("CSV sink + zone-lookup dimension scan round-trip") {
     val dir = Files.createTempDirectory("graft-csv").toString
     import spark.implicits._

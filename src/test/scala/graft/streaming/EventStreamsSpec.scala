@@ -137,11 +137,13 @@ class EventStreamsSpec extends SparkTestBase {
   test("checkpointed dedup stream recovers state across restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    // single part-file per batch: with multiple files in one micro-batch
+    // WHICH of two in-batch duplicates survives is a task-order race
     Seq(
       ev(0, "2024-01-01 10:00:00", 1, "click", 7.0),
       ev(1, "2024-01-01 10:05:00", 1, "click", 7.0), // dup, same run
       ev(2, "2024-01-01 10:10:00", 2, "view", 1.0))
-      .toDF().write.parquet(s"$in/b1.parquet")
+      .toDF().coalesce(1).write.parquet(s"$in/b1.parquet")
     val schema = spark.read.parquet(s"$in/b1.parquet").schema
     def start() = EventStreams.dedupStream(
         spark.readStream.schema(schema).parquet(s"$in/*.parquet"),
@@ -151,8 +153,9 @@ class EventStreamsSpec extends SparkTestBase {
 
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
-    assert(spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).toSet
-      == Set(0L, 2L))
+    val afterB1 = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(afterB1.size == 2 && afterB1.contains(2L) &&
+      (afterB1 - 2L).subsetOf(Set(0L, 1L)), s"got $afterB1")
 
     // new file lands while the query is DOWN; the restarted query must
     // drop the cross-restart duplicate — dedup state came back from the
@@ -160,11 +163,11 @@ class EventStreamsSpec extends SparkTestBase {
     Seq(
       ev(3, "2024-01-01 10:20:00", 1, "click", 7.0), // dup of pre-restart key
       ev(4, "2024-01-01 10:25:00", 3, "view", 2.0))
-      .toDF().write.parquet(s"$in/b2.parquet")
+      .toDF().coalesce(1).write.parquet(s"$in/b2.parquet")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val finalIds = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).toSet
-    assert(finalIds == Set(0L, 2L, 4L), s"got $finalIds")
+    assert(finalIds == afterB1 + 4L, s"got $finalIds (3 must be state-deduped)")
   }
 
   test("stateful sessionization emits closed sessions with correct sizes") {
