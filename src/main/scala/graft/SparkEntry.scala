@@ -86,6 +86,7 @@ object SparkEntry {
     "w3_rolling_avg" -> q((s, d) => Windows.rollingDailyAvg(Tables.orders(s, d))),
     "a15_daily_zscore" -> q((s, d) => Windows.dailyZscore(Tables.events(s, d))),
     "st2_sessionize" -> q((s, d) => Windows.sessionize(Tables.events(s, d))),
+    "w5_funnel" -> q((s, d) => Windows.conversionFunnel(Tables.events(s, d))),
     "w4_asof_join" -> q((s, d) => {
       val ev = Tables.events(s, d)
       val errors = ev.filter(col("event_type") === "error")
@@ -95,6 +96,17 @@ object SparkEntry {
           tiebreak = "event_id", payloadCols = Seq("value"))
         .select(col("event_id"), col("user_id"),
           round(col("asof_value"), 4).as("last_click_value"))
+        .orderBy("event_id")
+    }),
+    "w6_asof_forward" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin
+        .asOfForward(errors, clicks, key = "user_id", tsCol = "ts",
+          tiebreak = "event_id", payloadCols = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asofnext_value"), 4).as("next_click_value"))
         .orderBy("event_id")
     }),
     // --- streaming semantics, batch twin (SURVEY §2.9) ---
@@ -346,6 +358,20 @@ object SparkEntry {
            FROM u)
          SELECT event_id, user_id, round(v, 4) AS last_click_value
          FROM lastv WHERE side = 1 ORDER BY event_id""",
+    "w6_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS side, NULL AS v
+             FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS side, value AS v
+             FROM events WHERE event_type = 'click'),
+         nextv AS (SELECT event_id, side, user_id,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, side, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v
+           FROM u)
+         SELECT event_id, user_id, round(v, 4) AS next_click_value
+         FROM nextv WHERE side = 0 ORDER BY event_id""",
     "st2_sessionize" ->
       """WITH flagged AS (SELECT user_id, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -358,6 +384,18 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_sessions, round(avg(n),4) AS avg_session_events,
            max(n) AS max_session_events
          FROM counts GROUP BY 1 ORDER BY user_id""",
+    "w5_funnel" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_from FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS first_to
+           FROM events e JOIN f ON e.user_id = f.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= f.first_from GROUP BY 1)
+         SELECT CAST(hour(first_from) AS INT) AS cohort_hour,
+           count(*) AS n_users, count(first_to) AS n_converted,
+           round(avg((epoch_ms(first_to) - epoch_ms(first_from)) / 60000.0), 4)
+             AS avg_minutes_to_convert
+         FROM f LEFT JOIN c ON f.user_id = c.user_id
+         GROUP BY 1 ORDER BY cohort_hour""",
     "st1_windowed_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
          count(*) AS cnt FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",

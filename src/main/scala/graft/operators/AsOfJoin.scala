@@ -41,4 +41,31 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .drop("_side")
   }
+
+  /** Forward as-of: for each `left` row, the payload of the EARLIEST
+    * `right` row with `right.ts >= left.ts` and the same `key` — the
+    * "next reading after" direction (e.g. first heartbeat after an
+    * alarm). Same one-shuffle union-and-running-window shape as [[asOf]]
+    * with the frame reversed: right rows sort AFTER left rows at equal
+    * ts, and the window takes the first right payload at-or-after the
+    * current row. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                  tiebreak: String, payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(0))
+    val r = right.select(
+      Seq(col(key), col(tsCol), col(tiebreak), lit(1).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"asofnext_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // left rows (side 0) sort before right rows at equal ts ⇒ a right
+    // row at exactly left.ts is visible to it (">=" semantics)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("_side"), col(tiebreak))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val withPayload = payloadCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asofnext_$c", first(col(s"asofnext_$c"), ignoreNulls = true).over(w))
+    }
+    withPayload
+      .filter(col("_side") === 0)
+      .drop("_side")
+  }
 }

@@ -89,4 +89,27 @@ object Windows {
         max("events_in_session").as("max_session_events"))
       .orderBy("user_id")
   }
+
+  /** Two-step conversion funnel (click → purchase), cohorted by the hour
+    * of the user's first click: per cohort, how many clickers, how many
+    * later purchased, and the mean minutes to convert. Two narrow
+    * aggregations + one key-partitioned join — each stage shuffles on
+    * user_id only, so the shape holds at any event volume. */
+  def conversionFunnel(events: DataFrame,
+                       fromType: String = "click",
+                       toType: String = "purchase"): DataFrame = {
+    val first = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("ts").as("first_from"))
+    val converted = events.filter(col("event_type") === toType)
+      .join(first, "user_id")
+      .filter(col("ts") >= col("first_from"))
+      .groupBy("user_id").agg(min("ts").as("first_to"))
+    first.join(converted, Seq("user_id"), "left")
+      .groupBy(hour(col("first_from")).cast("int").as("cohort_hour"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("first_to")).as("n_converted"),
+        round(avg((unix_millis(col("first_to")) - unix_millis(col("first_from"))) / 60000.0),
+          4).as("avg_minutes_to_convert"))
+      .orderBy("cohort_hour")
+  }
 }

@@ -24,6 +24,20 @@ object CuratedWriter {
       .partitionBy("cab_type", "pickup_year", "pickup_month")
       .parquet(path)
 
+  /** Incremental month re-processing: dynamic partition overwrite
+    * replaces ONLY the partitions present in `trips` and leaves the rest
+    * of the curated tree intact — the reference's routine "re-run one
+    * month" operation (`etl_yellow_s3.py` is invoked per month) without
+    * rewriting or risking the other 300+ month partitions. */
+  def writeCuratedIncremental(trips: DataFrame, path: String,
+                              maxRecordsPerFile: Long = 5000000L): Unit =
+    trips.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cab_type", "pickup_year", "pickup_month")
+      .parquet(path)
+
   /** S10: small aggregate-table write (single file is intentional —
     * aggregate outputs are tiny). */
   def writeSummary(df: DataFrame, path: String): Unit =

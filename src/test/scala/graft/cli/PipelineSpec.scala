@@ -74,6 +74,24 @@ class PipelineSpec extends SparkTestBase {
     assert(curated.select("cab_type").distinct().count() == 2)
   }
 
+  test("incremental write replaces only the partitions present in the batch") {
+    val dir = Files.createTempDirectory("graft-incr").toString
+    import graft.taxi.{Cleaning, SchemaNormalizer}
+    val cleaned = Cleaning.withRatios(Cleaning.withTimeFeatures(
+      Cleaning.clean(SchemaNormalizer.toCanonical(rawYellow, "yellow"))))
+    CuratedWriter.writeCurated(cleaned, s"$dir/curated") // months 01 and 02
+    // re-process January only: double the fare
+    import org.apache.spark.sql.functions._
+    val january = cleaned.filter(col("pickup_month") === 1)
+      .withColumn("fare", col("fare") * 2)
+    CuratedWriter.writeCuratedIncremental(january, s"$dir/curated")
+    val back = CuratedWriter.readCurated(spark, s"$dir/curated")
+    // February untouched, January replaced with the new fare
+    assert(back.select("pickup_month").distinct().count() == 2)
+    assert(back.filter(col("pickup_month") === 1).select("fare").head().getDouble(0) == 40.0)
+    assert(back.filter(col("pickup_month") === 2).select("fare").head().getDouble(0) == 12.0)
+  }
+
   test("CSV sink + zone-lookup dimension scan round-trip") {
     val dir = Files.createTempDirectory("graft-csv").toString
     import spark.implicits._
