@@ -509,6 +509,13 @@ object SparkEntry {
            round(avg(n_tokens),4) AS avg_tokens,
            round(avg(quality),6) AS avg_quality
          FROM lg WHERE lang_guess != 'und' GROUP BY 1 ORDER BY lang_guess""",
+    "t8_fingerprints" ->
+      """SELECT doc_id, list_reduce(
+           list_prepend(2166136261::BIGINT,
+             list_transform(list_filter(string_split_regex(text, ''), c -> len(c) > 0),
+               c -> ascii(c)::BIGINT)),
+           (h, b) -> (xor(h, b) * 16777619) & 4294967295) AS fp
+         FROM documents ORDER BY doc_id LIMIT 100""",
     "d1_dup_stats" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
          round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_ratio
@@ -564,9 +571,9 @@ object SparkEntry {
          round(avg(octet_length(encode(text))),4) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY source"""
     // no oracle (rows-only check): ml1_kmeans / n3_ivf_topk (iterative
-    // ML), t8_fingerprints (FNV loop not expressible without BIGINT
-    // wraparound), d3_minhash_pairs / d4_simhash_pairs / n2_lsh_top_pairs
-    // (probabilistic signatures), p6_sample_profile (seeded sampling),
+    // ML), d3_minhash_pairs / d4_simhash_pairs / n2_lsh_top_pairs
+    // (signatures built on Spark-internal xxhash64, not reproducible in
+    // DuckDB), p6_sample_profile (seeded sampling),
     // m2_multimodal_features (stubbed binary decode) — each covered by a
     // ScalaTest spec instead (see COVERAGE.md)
   )
