@@ -565,6 +565,19 @@ object SparkEntry {
          SELECT source, count(*) AS n_segments, count(DISTINCT segment) AS n_unique,
            round(1.0 - count(DISTINCT segment)::DOUBLE / count(*), 6) AS dup_ratio
          FROM segs GROUP BY 1 ORDER BY source""",
+    // the decode STUB is deterministic byte math and the corpus is pure
+    // ASCII (bytes == character codes), so even the stubbed multimodal
+    // features pin to the oracle
+    "m2_multimodal_features" ->
+      """WITH chars AS (SELECT doc_id,
+           list_transform(list_filter(string_split_regex(text, ''), c -> len(c) > 0),
+             c -> ascii(c)::BIGINT) AS bs
+           FROM documents)
+         SELECT doc_id, CAST(len(bs) AS INT) AS n_bytes,
+           CAST(len(bs) // 100 + 1 AS INT) AS n_frames,
+           CASE WHEN len(bs) > 0 THEN list_avg(bs) ELSE 0.0 END AS mean_byte,
+           CASE WHEN len(bs) > 0 THEN CAST(bs[1] AS INT) ELSE -1 END AS first_byte
+         FROM chars ORDER BY doc_id LIMIT 100""",
     "m1_payload_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
