@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.dedup.{Dedup, DupGroups}
+
+/** Distributed operators vs. straightforward single-machine references on
+  * random inputs: the distributed formulation (union+window as-of, label
+  * propagation, first-occurrence election) must be EXACTLY the naive
+  * semantics, independent of partitioning. */
+class OperatorPropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forSeeds[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"gen failed for seed $i")))
+    }
+
+  private val epoch = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  test("as-of join (both directions) equals the naive per-row scan") {
+    val genEvents = Gen.listOfN(40, for {
+      key <- Gen.choose(0, 3)
+      tsOff <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(0.0, 100.0)
+      isLeft <- Gen.oneOf(true, false)
+    } yield (key, tsOff, v, isLeft))
+    forSeeds(genEvents) { evs =>
+      val rows = evs.zipWithIndex.map { case ((k, t, v, l), i) =>
+        (i.toLong, k.toString, new Timestamp(epoch + t * 1000), v, l)
+      }
+      val left = rows.filter(_._5).map(r => (r._1, r._2, r._3, r._4))
+        .toDF("event_id", "key", "ts", "x")
+      val right = rows.filterNot(_._5).map(r => (r._1, r._2, r._3, r._4))
+        .toDF("event_id", "key", "ts", "v")
+
+      val back = AsOfJoin.asOf(left, right, "key", "ts", "event_id", Seq("v"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+      val fwd = AsOfJoin.asOfForward(left, right, "key", "ts", "event_id", Seq("v"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asofnext_v")).map(_.toDouble)).toMap
+
+      val rights = rows.filterNot(_._5)
+      rows.filter(_._5).foreach { l =>
+        val naiveBack = rights.filter(r => r._2 == l._2 && !r._3.after(l._3))
+          .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._4)
+        val naiveFwd = rights.filter(r => r._2 == l._2 && !r._3.before(l._3))
+          .sortBy(r => (r._3.getTime, r._1)).headOption.map(_._4)
+        assert(back(l._1) == naiveBack, s"backward mismatch for ${l._1}")
+        assert(fwd(l._1) == naiveFwd, s"forward mismatch for ${l._1}")
+      }
+    }
+  }
+
+  test("connected components equal a driver-side union-find") {
+    val genGraph = for {
+      n <- Gen.choose(5, 25)
+      m <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2))
+    forSeeds(genGraph) { case (n, edges) =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+
+      val got = DupGroups.connectedComponents(
+          edges.toDF("a", "b"), (0L until n).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("segment strip equals the naive first-occurrence election") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val genDocs = Gen.listOfN(6, Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word)))
+    val width = 2
+    forSeeds(genDocs) { docLists =>
+      val docs = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "s0") }
+        .toDF("doc_id", "text", "lang", "source")
+
+      // naive: chunk, elect first (doc_id, idx) per segment value, reassemble
+      val chunks = docLists.zipWithIndex.flatMap { case (ws, i) =>
+        ws.grouped(width).zipWithIndex.map { case (seg, j) =>
+          (i.toLong, j, seg.mkString(" "))
+        }
+      }
+      val firsts = chunks.groupBy(_._3).map { case (seg, occ) =>
+        seg -> occ.minBy(o => (o._1, o._2))
+      }
+      val expected = chunks
+        .filter(c => firsts(c._3) == c)
+        .groupBy(_._1)
+        .map { case (id, segs) => id -> segs.sortBy(_._2).map(_._3).mkString(" ") }
+
+      val got = Dedup.stripDuplicateSegments(docs, width)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"docs were ${docLists.map(_.mkString(" "))}")
+    }
+  }
+
+  test("funnel invariants: converted never exceeds cohort, cohorts partition clickers") {
+    val genEvents = Gen.listOfN(60, for {
+      user <- Gen.choose(0L, 9L)
+      tsOff <- Gen.choose(0L, 72L * 3600)
+      typ <- Gen.oneOf("click", "purchase", "view")
+    } yield (user, tsOff, typ))
+    forSeeds(genEvents) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, new Timestamp(epoch + t * 1000), u, ty, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = Windows.conversionFunnel(df).collect()
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      }
+      val clickers = evs.filter(_._3 == "click").map(_._1).distinct.size
+      assert(out.map(_.getAs[Long]("n_users")).sum == clickers)
+    }
+  }
+}
