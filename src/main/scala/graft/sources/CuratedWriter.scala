@@ -61,4 +61,12 @@ object CuratedWriter {
     * the directory layout by the file index). */
   def readCurated(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Lenient variant: skip corrupt/truncated objects instead of failing
+    * the job — on a tree of millions of files one bad object is an
+    * operational certainty, and the right failure mode for analytics is
+    * "log and continue", not "kill a 1000-executor stage". Row-accurate
+    * pipelines should reconcile counts against the manifest afterwards. */
+  def readCuratedLenient(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
 }

@@ -106,6 +106,19 @@ class PipelineSpec extends SparkTestBase {
       == "JFK Airport")
   }
 
+  test("lenient read skips a corrupt file; strict read fails") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString + "/data"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    // a truncated/garbage object lands in the tree
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "not a parquet file".getBytes)
+    assert(CuratedWriter.readCuratedLenient(spark, dir).count() == 2)
+    intercept[org.apache.spark.SparkException] {
+      CuratedWriter.readCurated(spark, dir).count()
+    }
+  }
+
   test("manifest: append, read back, count errors") {
     val path = Files.createTempDirectory("graft-manifest").toString + "/manifest.jsonl"
     Manifest.append(path, Manifest.Entry("http://x/a.parquet", "2024-01", "yellow", true, 123L))
