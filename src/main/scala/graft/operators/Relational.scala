@@ -237,6 +237,16 @@ object Relational {
           var_samp(col("l_quantity")), 4).as("ols_slope"))
       .orderBy("l_returnflag")
 
+  /** Heavy hitters via the frequent-items sketch (`stat.freqItems`,
+    * Karp-Shenker-Papadimitriou): one pass, fixed memory per partition,
+    * no shuffle of per-key counts — the sketch twin of the exact
+    * `valueCountsTopK`. Returns a superset of items with frequency ≥
+    * `support` (possible false positives, no false negatives); exact
+    * counts for the candidate set are one cheap semi-joined aggregation
+    * away when needed. */
+  def heavyHitters(df: DataFrame, column: String, support: Double = 0.1): DataFrame =
+    df.stat.freqItems(Array(column), support)
+
   /** U1: union-by-name over divergent schemas — `pd.concat` NaN-fill
     * semantics (`part2.ipynb` cell 2:99) via
     * `unionByName(allowMissingColumns=true)`. */

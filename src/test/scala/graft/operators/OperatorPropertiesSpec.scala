@@ -110,6 +110,18 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("heavy-hitter sketch never misses a planted frequent item") {
+    val genTail = Gen.listOfN(80, Gen.choose(100, 10000))
+    forSeeds(genTail) { tail =>
+      // plant an item at 20% frequency; sketch at support 0.1
+      val planted = List.fill(20)(7)
+      val df = (planted ++ tail).toDF("k")
+      val hits = Relational.heavyHitters(df, "k", support = 0.1)
+        .head().getSeq[Int](0)
+      assert(hits.contains(7), s"sketch $hits lost the planted heavy hitter")
+    }
+  }
+
   test("funnel invariants: converted never exceeds cohort, cohorts partition clickers") {
     val genEvents = Gen.listOfN(60, for {
       user <- Gen.choose(0L, 9L)
