@@ -37,8 +37,17 @@ object BatchRunner {
   def run(spark: SparkSession, input: String, output: String,
           cabTypes: Seq[String], manifestPath: Option[String] = None): Map[String, Long] = {
     val loads = cabTypes.map(loadOne(spark, input, _))
+    def record(l: CabLoad, rows: Option[Long]): Unit = manifestPath.foreach { p =>
+      Manifest.append(p, Manifest.Entry(
+        url = s"$input/${l.cabType}", yearMonth = "*", cabType = l.cabType,
+        downloaded = l.error.isEmpty, sizeBytes = 0L, error = l.error, rows = rows))
+    }
     val frames = loads.flatMap(_.df)
-    require(frames.nonEmpty, s"no readable cab types under $input")
+    if (frames.isEmpty) {
+      // even a total failure must leave its trace in the manifest
+      loads.foreach(record(_, None))
+      throw new IllegalArgumentException(s"no readable cab types under $input")
+    }
     val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val cleaned = Cleaning.withRatios(
       Cleaning.withTimeFeatures(Cleaning.clean(all)))
@@ -46,14 +55,7 @@ object BatchRunner {
     val counts = spark.read.parquet(output)
       .groupBy("cab_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    manifestPath.foreach { p =>
-      loads.foreach { l =>
-        Manifest.append(p, Manifest.Entry(
-          url = s"$input/${l.cabType}", yearMonth = "*", cabType = l.cabType,
-          downloaded = l.error.isEmpty,
-          sizeBytes = counts.getOrElse(l.cabType, 0L), error = l.error))
-      }
-    }
+    loads.foreach(l => record(l, counts.get(l.cabType)))
     counts
   }
 

@@ -41,7 +41,7 @@ object Dedup {
     * line-level dedup). Guarded so empty docs yield no segments
     * (Spark's `sequence(0,-1)` would count DOWN, not return empty). */
   private def segments(text: Column, width: Int): Column = {
-    val toks = filter(split(text, " "), t => length(t) > 0)
+    val toks = graft.text.TextAnalysis.tokens(text)
     val nseg = ceil(size(toks).cast("double") / width).cast("int")
     when(nseg > 0,
       transform(sequence(lit(0), nseg - 1),

@@ -22,11 +22,10 @@ object DupGroups {
     * undirected (either orientation). `nodes`: one `id` column. Returns
     * (id, component) where component = min node id in the component. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     // materialize the edge list once — it is consumed by every
-    // propagation round (join + convergence check), and edge GENERATION
-    // (e.g. the Jaccard pair scan) can be far more expensive than the
-    // rounds themselves
+    // propagation round, and edge GENERATION (e.g. the Jaccard pair
+    // scan) can be far more expensive than the rounds themselves
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -37,16 +36,24 @@ object DupGroups {
       val nbrMin = sym.join(comp, sym("b") === comp("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min("comp").as("nbr_comp"))
+      // the changed flag rides along in the same projection, so the
+      // convergence test below reads the checkpointed result instead of
+      // re-joining this round's frames
       val next = comp.join(nbrMin, comp("id") === nbrMin("nid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("_changed"))
         .localCheckpoint()
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      comp = next
+      converged = next.filter(col("_changed")).isEmpty
+      comp = next.drop("_changed")
       i += 1
     }
+    // partial labels are WRONG labels (one true component reported as
+    // several) — refuse to return them
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
     comp
   }
 

@@ -21,7 +21,9 @@ object AsOfJoin {
     * with `right.ts <= left.ts` and the same `key`. `tiebreak` must be
     * unique per row (keeps ordering engine-independent).
     * Right-side payload columns come back null when no prior row
-    * exists. */
+    * exists. NOTE: right rows whose payload is null are skipped, not
+    * treated as observations — each payload column independently takes
+    * the latest NON-NULL value (matches the oracle's IGNORE NULLS). */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            tiebreak: String, payloadCols: Seq[String]): DataFrame = {
     val l = left.withColumn("_side", lit(1))
@@ -48,7 +50,7 @@ object AsOfJoin {
     * alarm). Same one-shuffle union-and-running-window shape as [[asOf]]
     * with the frame reversed: right rows sort AFTER left rows at equal
     * ts, and the window takes the first right payload at-or-after the
-    * current row. */
+    * current row. Null payloads are skipped, as in [[asOf]]. */
   def asOfForward(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                   tiebreak: String, payloadCols: Seq[String]): DataFrame = {
     val l = left.withColumn("_side", lit(0))

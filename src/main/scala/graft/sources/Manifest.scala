@@ -13,7 +13,8 @@ object Manifest {
 
   final case class Entry(url: String, yearMonth: String, cabType: String,
                          downloaded: Boolean, sizeBytes: Long,
-                         error: Option[String] = None)
+                         error: Option[String] = None,
+                         rows: Option[Long] = None)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -25,9 +26,10 @@ object Manifest {
 
   def append(path: String, e: Entry): Unit = {
     val err = e.error.map(x => "\"" + esc(x) + "\"").getOrElse("null")
+    val rows = e.rows.map(r => s""","rows":$r""").getOrElse("")
     val line = s"""{"url":"${esc(e.url)}","year_month":"${esc(e.yearMonth)}",""" +
       s""""type":"${esc(e.cabType)}","downloaded":${e.downloaded},""" +
-      s""""size_bytes":${e.sizeBytes},"error":$err}""" + "\n"
+      s""""size_bytes":${e.sizeBytes},"error":$err$rows}""" + "\n"
     Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -51,7 +53,8 @@ object Manifest {
           field("type").getOrElse(""),
           field("downloaded").exists(_ == "true"),
           field("size_bytes").map(_.toLong).getOrElse(0L),
-          field("error").filter(_ != "null"))
+          field("error").filter(_ != "null"),
+          field("rows").map(_.toLong))
       }
     }
 

@@ -69,6 +69,15 @@ class PipelineSpec extends SparkTestBase {
     // green had no raw data: skipped, recorded as an error entry
     assert(Manifest.errorCount(manifest) == 1)
     assert(Manifest.read(manifest).find(_.cabType == "green").get.error.isDefined)
+    // successful cabs carry their curated row counts in the rows field
+    assert(Manifest.read(manifest).find(_.cabType == "yellow").get.rows.contains(2L))
+    // a fully unreadable input still records every failure before throwing
+    val m2 = s"$dir/manifest-allfail.jsonl"
+    intercept[IllegalArgumentException] {
+      BatchRunner.run(spark, s"$dir/nonexistent", s"$dir/curated2",
+        Seq("yellow", "fhv"), Some(m2))
+    }
+    assert(Manifest.errorCount(m2) == 2)
     // single curated tree serves all cab types with partition pruning
     val curated = CuratedWriter.readCurated(spark, s"$dir/curated")
     assert(curated.select("cab_type").distinct().count() == 2)
