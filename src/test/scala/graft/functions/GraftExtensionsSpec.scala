@@ -31,6 +31,53 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("interpreted eval equals generated code for every native expression") {
+    // the hand-written doGenCode bodies must agree with nullSafeEval —
+    // Spark switches between them (constant folding, codegen fallback on
+    // compile failure), so any divergence is a silent correctness fork
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog the end"
+    val tLit = Literal.create(text, StringType)
+    def arr[T](s: Seq[T], t: DataType) = Literal.create(s, ArrayType(t))
+    val va = Seq(1.5, -2.0, 3.25); val vb = Seq(4.0, 0.5, -6.0)
+    val la = Seq(1L, 5L, 9L, 11L); val lb = Seq(1L, 9L, 10L, 11L)
+    def norm(v: Any): Any = v match {
+      case a: ArrayData => a.toLongArray().toSeq
+      case s: Seq[_] => s.map(_.asInstanceOf[Long])
+      case other => other
+    }
+    // interpreted path: catalyst Literal children, direct eval
+    val interp = Map(
+      "sh" -> norm(HashExpressions.SimHashText(tLit).eval(InternalRow.empty)),
+      "mh" -> norm(HashExpressions.MinHashSignature(
+        HashExpressions.ShingleHashes(tLit, 3), 8).eval(InternalRow.empty)),
+      "dp" -> HashExpressions.DotProduct(
+        arr(va, DoubleType), arr(vb, DoubleType)).eval(InternalRow.empty),
+      "ic" -> HashExpressions.IntersectCountSorted(
+        arr(la, LongType), arr(lb, LongType)).eval(InternalRow.empty))
+    // generated path: non-literal columns through a real plan
+    val row = Seq((text, va, vb, la, lb)).toDF("t", "va", "vb", "la", "lb")
+      .select(
+        HashExpressions.simhashText(col("t")).as("sh"),
+        HashExpressions.minhashSignature(
+          HashExpressions.shingleHashes(col("t"), 3), 8).as("mh"),
+        HashExpressions.dotProduct(col("va"), col("vb")).as("dp"),
+        HashExpressions.intersectCountSorted(col("la"), col("lb")).as("ic"))
+      .collect().head
+    assert(norm(row.getAs[Long]("sh")) == interp("sh"))
+    assert(norm(row.getAs[Seq[Long]]("mh")) == interp("mh"))
+    assert(row.getAs[Double]("dp") == interp("dp"))
+    assert(row.getAs[Int]("ic") == interp("ic"))
+    // and the values themselves are right
+    assert(row.getAs[Double]("dp") == 1.5 * 4.0 + -2.0 * 0.5 + 3.25 * -6.0)
+    assert(row.getAs[Int]("ic") == 3)
+  }
+
   test("minhash_signature is usable in SQL over shingle_hashes") {
     val sig = spark.sql(
       "SELECT minhash_signature(shingle_hashes('w x y z w x'), 16) AS sig")
