@@ -18,12 +18,14 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       bucketSeconds: Long = 3600L): DataFrame = {
+    // cast accepts TIMESTAMP_NTZ inputs too (exact under the UTC session)
+    def epochS(c: String) = unix_timestamp(col(c).cast("timestamp"))
     val p = points.withColumn("_bucket",
-      (unix_timestamp(col(tsCol)) / bucketSeconds).cast("long"))
+      (epochS(tsCol) / bucketSeconds).cast("long"))
     val i = intervals.withColumn("_bucket",
       explode(sequence(
-        (unix_timestamp(col(startCol)) / bucketSeconds).cast("long"),
-        (unix_timestamp(col(endCol)) / bucketSeconds).cast("long"))))
+        (epochS(startCol) / bucketSeconds).cast("long"),
+        (epochS(endCol) / bucketSeconds).cast("long"))))
     p.join(i, Seq("_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")

