@@ -27,5 +27,14 @@ class DupGroupsSpec extends SparkTestBase {
     val sizes = DupGroups.dupComponentSizes(docs, minJaccard = 0.3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(0L -> 3L, 3L -> 1L))
+
+    // the minhash-edge scale path finds the same exact-dup structure
+    // (near-dup estimates may differ; exact copies always collide)
+    val approx = DupGroups.connectedComponents(
+        DupGroups.dupEdgesApprox(docs, minEstJaccard = 0.95),
+        docs.select(org.apache.spark.sql.functions.col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx(1L) == 0L) // exact copy merged
+    assert(approx(3L) == 3L) // unrelated doc isolated
   }
 }
