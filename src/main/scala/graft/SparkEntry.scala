@@ -148,6 +148,7 @@ object SparkEntry {
           round(avg(col("n_bpe") - col("n_ws")), 4).as("avg_subword_surplus"))
         .orderBy("lang")),
     "t10_vocab_by_lang" -> q((s, d) => TextAnalysis.vocabByLang(Tables.documents(s, d))),
+    "t11_top_bigrams" -> q((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select("doc_id", "fp").orderBy("doc_id").limit(100)),
@@ -509,6 +510,14 @@ object SparkEntry {
            round(avg(n_tokens),4) AS avg_tokens,
            round(avg(quality),6) AS avg_quality
          FROM lg WHERE lang_guess != 'und' GROUP BY 1 ORDER BY lang_guess""",
+    "t11_top_bigrams" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+           SELECT unnest(CASE WHEN len($toks) >= 2
+             THEN list_transform(range(0, len($toks) - 1),
+                    i -> array_to_string(($toks)[i+1:i+2], ' '))
+             ELSE [] END) AS bigram
+           FROM documents)
+         GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50""",
     "t8_fingerprints" ->
       """SELECT doc_id, list_reduce(
            list_prepend(2166136261::BIGINT,

@@ -37,6 +37,15 @@ object TrainingData {
       .select("doc_id", "lang_guess", "n_tokens", "quality")
   }
 
+  /** Weighted mixture construction: sample each source at its own rate
+    * (e.g. "keep 100% of books, 30% of web") in ONE pass via seeded
+    * per-stratum Bernoulli sampling (`sampleBy`) — no per-source jobs,
+    * no shuffle; the sample decision is row-local. Deterministic for a
+    * fixed seed, so mixtures are reproducible across re-runs. */
+  def mixture(documents: DataFrame, weights: Map[String, Double],
+              seed: Long = 42L): DataFrame =
+    documents.stat.sampleBy("source", weights, seed)
+
   /** Per-language yield of the prepared corpus — the acceptance report a
     * data pipeline publishes per snapshot (docs kept, token budget,
     * mean quality). */

@@ -150,6 +150,32 @@ object TextAnalysis {
       .agg(approx_count_distinct(col("tok"), rsd).as("vocab_approx"))
       .orderBy("lang")
 
+  /** Adjacent-token pair (bigram) frequencies — the counting step at the
+    * heart of BPE vocabulary training: each merge round ranks pair
+    * frequencies over the corpus. Row-local bigram construction, then a
+    * partial→final count keyed by the pair string; top-k via
+    * TakeOrderedAndProject. At 100 TB this is the map-side-combine shape
+    * (pair cardinality ≪ corpus size), not an explode-then-sort. */
+  def topBigrams(documents: DataFrame, k: Int = 50): DataFrame = {
+    // tokenize in its own projection so CollapseProject cannot re-inline
+    // the split into every consumer; pair via zip_with over the two
+    // shifted slices (one pass over the array, no per-index element_at)
+    val withToks = documents.select(tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val bigrams = when(n >= 2,
+      zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    withToks
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(k)
+  }
+
   /** Document fingerprint: FNV-1a 32-bit rolling hash over the text
     * characters, built from `aggregate` over the char array — pure
     * codegen'd expression, no UDF. 32-bit state in long arithmetic keeps

@@ -32,6 +32,22 @@ class TrainingDataSpec extends SparkTestBase {
     assert(s("en")._2 == good.split(" ").count(_.nonEmpty))
   }
 
+  test("mixture samples each source at its weight, reproducibly") {
+    val corpus = (0 until 2000).map { i =>
+      (i.toLong, s"doc $i", if (i % 2 == 0) "web" else "books")
+    }.toDF("doc_id", "text", "source")
+    val mixed = TrainingData.mixture(corpus, Map("web" -> 0.2, "books" -> 0.9))
+    val bySource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bernoulli sampling: expect 200±margin web, 900±margin books
+    assert(bySource("web") > 120 && bySource("web") < 280, s"web=${bySource("web")}")
+    assert(bySource("books") > 820 && bySource("books") < 980, s"books=${bySource("books")}")
+    // fixed seed -> identical mixture on re-run
+    val again = TrainingData.mixture(corpus, Map("web" -> 0.2, "books" -> 0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("quality threshold is honored") {
     // with an impossible threshold nothing survives
     assert(TrainingData.prepare(docs, minQuality = 1.1).isEmpty)
