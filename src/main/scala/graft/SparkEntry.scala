@@ -51,6 +51,18 @@ object SparkEntry {
     "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     // --- set ops / joins (SURVEY §2.3, §2.7) ---
+    "u2_snapshot_diff" -> q((s, d) => {
+      val orders = Tables.orders(s, d)
+      // deterministic synthetic snapshots: old = keys not divisible by 7,
+      // new = keys not divisible by 5, with every 3rd key's price bumped
+      val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")))
+      graft.operators.SnapshotDiff.diffCounts(oldSnap, newSnap,
+        "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+    }),
     "u1_union_by_name" -> q((s, d) =>
       Relational.unionByNameEntities(Tables.customer(s, d), Tables.supplier(s, d))),
     "j1_join_segment" -> q((s, d) =>
@@ -285,6 +297,22 @@ object SparkEntry {
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r,
          round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity),4) AS ols_slope
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "u2_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 7 != 0),
+         n AS (SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice * 1.1, 2)
+                ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 != 0),
+         d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+           END AS status
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT status, count(*) AS cnt FROM d WHERE status IS NOT NULL
+         GROUP BY 1 ORDER BY status""",
     "u1_union_by_name" ->
       """SELECT 'customer' AS kind, c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
          c_mktsegment AS segment FROM customer

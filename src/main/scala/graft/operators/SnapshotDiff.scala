@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-based diff of two table snapshots — the change-data-capture
+  * primitive batch pipelines need when a source republishes full
+  * snapshots (the reference's TLC monthly files are exactly that: a
+  * month can be re-downloaded with corrections).
+  *
+  * One full-outer join on the key classifies every row as added,
+  * removed, changed, or unchanged — a single shuffle per side; with both
+  * snapshots bucketed by the key the exchanges vanish entirely
+  * ([[graft.sources.Bucketing]]). Payload comparison is null-safe
+  * (`<=>`), so a column flipping to/from NULL counts as a change.
+  */
+object SnapshotDiff {
+
+  /** (key, status) per non-identical row, status ∈ added | removed |
+    * changed. `compareCols` are the payload columns that define
+    * "changed"; unchanged rows are dropped (at snapshot scale they are
+    * the overwhelming majority — never materialize them). */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+           compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(key).as("_k"),
+      struct(compareCols.map(col): _*).as("_old"))
+    val n = newSnap.select(col(key).as("_k2"),
+      struct(compareCols.map(col): _*).as("_new"))
+    o.join(n, col("_k") === col("_k2"), "full_outer")
+      .select(coalesce(col("_k"), col("_k2")).as(key),
+        when(col("_k").isNull, "added")
+          .when(col("_k2").isNull, "removed")
+          .when(!(col("_old") <=> col("_new")), "changed")
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  /** Aggregate diff report: row counts per status. */
+  def diffCounts(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                 compareCols: Seq[String]): DataFrame =
+    diff(oldSnap, newSnap, key, compareCols)
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+      .orderBy("status")
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class SnapshotDiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("classifies added, removed, changed; drops unchanged; null-safe compare") {
+    val oldSnap = Seq(
+      (1L, Some("a"), 10.0), // unchanged
+      (2L, Some("b"), 20.0), // payload change
+      (3L, Some("c"), 30.0), // removed
+      (4L, None: Option[String], 40.0)) // null -> value change
+      .toDF("k", "s", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, Some("b"), 21.0),
+      (4L, Some("x"), 40.0),
+      (5L, Some("e"), 50.0)) // added
+      .toDF("k", "s", "v")
+    val d = SnapshotDiff.diff(oldSnap, newSnap, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "changed", 5L -> "added"))
+    val counts = SnapshotDiff.diffCounts(oldSnap, newSnap, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L))
+  }
+}
