@@ -27,8 +27,13 @@ object Bench {
     // long-running service would see. A query that fails both attempts
     // must be visible in the JSON itself — a time-to-failure entry would
     // make a broken query look FAST.
+    // optional prefix filter (comma-separated) for targeted scale probes,
+    // e.g. SPARK_GRAFT_ONLY=t,d runs only text and dedup queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

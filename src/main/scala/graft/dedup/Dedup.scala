@@ -116,9 +116,21 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of rows, hash
     * each band, self-join on (band, bandHash) to get candidate pairs,
-    * then estimate Jaccard as signature agreement fraction. */
+    * then estimate Jaccard as signature agreement fraction.
+    *
+    * Degenerate-cluster guard: a bucket of b near-identical docs emits
+    * b²/2 pairs per band — a crawl dump where one page has 100k copies
+    * would explode candidate generation (measured: a 100-copy-per-doc
+    * corpus produced ~400M banded pairs and took down the probe JVM).
+    * Buckets larger than `maxBucket` (default 64 — beyond any plausible organic near-dup cluster) therefore emit STAR pairs (every
+    * member ↔ the bucket's min doc_id): linear in bucket size, and
+    * component-preserving for downstream dup-grouping
+    * ([[DupGroups.connectedComponents]] recovers the full cluster
+    * through the hub). Direct pairwise estimates between non-hub members
+    * of oversized buckets are intentionally not enumerated. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
-                      bands: Int = 16, shingleK: Int = 3): DataFrame = {
+                      bands: Int = 16, shingleK: Int = 3,
+                      maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
     // The signature frame feeds three consumers (banding + both sides of
     // the scoring join); persist so the per-document signature pass runs
@@ -135,11 +147,19 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "band_hash"))
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+    val withSize = banded.join(buckets, Seq("band", "band_hash"))
+    val small = withSize.filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+    val candSmall = small.as("a")
+      .join(small.as("b"), Seq("band", "band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    val candStar = withSize
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = candSmall.union(candStar).distinct()
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

@@ -51,6 +51,23 @@ class DedupSpec extends SparkTestBase {
     assert(p01.exists(_._3 == 1.0))
   }
 
+  test("minhash oversized buckets degrade to star pairs around the min doc") {
+    // 5 identical docs with maxBucket=3: every band bucket holds all 5,
+    // so the star mode kicks in — each non-min doc pairs with doc 0 only
+    val many = (0L until 5L).map(i => (i, "same text in every copy here", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    import org.apache.spark.sql.functions.col
+    val starPairs = Dedup.minhashNearDups(many, maxBucket = 3)
+    val pairs = starPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    // the full clique is still recovered transitively by dup grouping
+    val comp = DupGroups.connectedComponents(
+        starPairs.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        many.select(col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(0L))
+  }
+
   test("simhash: identical token sets collide, near-dups are close") {
     val sh = Dedup.withSimhash(docs)
       .select("doc_id", "simhash")
