@@ -178,21 +178,38 @@ object Dedup {
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks (Hamming ≤3 ⇒ some chunk equal), self-join per chunk,
-    * verify with popcount of XOR. */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * verify with popcount of XOR. Oversized chunk-buckets degrade to
+    * star pairs around the bucket's min doc, exactly as in
+    * [[minhashNearDups]] — the same degenerate-cluster blowup applies
+    * (b²/2 pairs per bucket per band). */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 64): DataFrame = {
     val sh = withSimhash(graft.operators.Partitioning.spread(documents))
       .select("doc_id", "simhash")
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val a = banded.select(col("band"), col("chunk"),
+    val buckets = banded.groupBy("band", "chunk")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+    val withSize = banded.join(buckets, Seq("band", "chunk"))
+    val small = withSize.filter(col("bsz") <= maxBucket)
+    val a = small.select(col("band"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"),
+    val b = small.select(col("band"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
+    val candSmall = a.join(b, Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+    // star pairs need the hub's simhash re-attached for verification
+    val hubs = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val candStar = withSize
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col("simhash").as("sh_b"))
+      .join(hubs, "doc_a")
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+    candSmall.union(candStar).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
