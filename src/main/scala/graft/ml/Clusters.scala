@@ -18,8 +18,11 @@ object Clusters {
       col("event_id"),
       log1p(col("value")).as("f_value"),
       hour(col("ts")).cast("double").as("f_hour"))
+    // skip, don't crash: one null/NaN row (null value, or value < -1
+    // making log1p NaN) must not kill the clustering job
     val assembled = new VectorAssembler()
       .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
+      .setHandleInvalid("skip")
       .transform(feats)
     // maxIter 8: the 2-D log-feature space converges in a handful of
     // Lloyd's iterations; the default 20 mostly buys repeated no-op jobs.

@@ -22,9 +22,13 @@ object IsolationForest {
   final case class Split(feature: Int, threshold: Double,
                          lo: Node, hi: Node) extends Node
 
-  /** Average unsuccessful-search path length in a BST of n nodes. */
+  /** Average unsuccessful-search path length in a BST of n nodes.
+    * n = 2 is exactly 1 (the asymptotic form would give 0.154 and bias
+    * scores high for rows landing in 2-row leaves — matches the
+    * reference implementations' special case). */
   def c(n: Double): Double =
     if (n <= 1.0) 0.0
+    else if (n <= 2.0) 1.0
     else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
 
   final case class Model(trees: Seq[Node], sampleSize: Int,
@@ -44,19 +48,36 @@ object IsolationForest {
     }
 
     /** Score every row (partition-wise; the model rides along as a
-      * broadcast-sized closure). Null features score as NaN. */
+      * broadcast-sized closure). Rows with null / non-numeric / NaN
+      * features get a NULL score — NaN would silently rank them as the
+      * MOST anomalous (NaN compares greater than every number in Spark
+      * SQL and sorts first under desc). */
     def transform(df: DataFrame, scoreCol: String = "anomaly_score"): DataFrame = {
       val spark = df.sparkSession
-      val cols = featureCols
       val model = this
+      val n = featureCols.size
+      // SQL casts (null on non-numeric strings) instead of getAs[Number],
+      // which would crash scoring on string-typed feature columns
+      val withCasts = df.select(df.columns.map(col) ++
+        featureCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"_f$i") }: _*)
       val outSchema = StructType(df.schema.fields :+
-        StructField(scoreCol, DoubleType, nullable = false))
-      val idx = cols.map(df.schema.fieldIndex)
-      val rdd = df.rdd.mapPartitions { it =>
+        StructField(scoreCol, DoubleType, nullable = true))
+      val width = df.columns.length
+      val rdd = withCasts.rdd.mapPartitions { it =>
         it.map { r =>
-          val x = idx.map(i =>
-            if (r.isNullAt(i)) Double.NaN else r.getAs[Number](i).doubleValue).toArray
-          Row.fromSeq(r.toSeq :+ (if (x.exists(_.isNaN)) Double.NaN else model.score(x)))
+          val x = new Array[Double](n)
+          var bad = false
+          var i = 0
+          while (i < n) {
+            if (r.isNullAt(width + i)) bad = true
+            else {
+              x(i) = r.getDouble(width + i)
+              if (x(i).isNaN) bad = true
+            }
+            i += 1
+          }
+          val score: Any = if (bad) null else model.score(x)
+          Row.fromSeq(r.toSeq.take(width) :+ score)
         }
       }
       spark.createDataFrame(rdd, outSchema)
@@ -119,9 +140,14 @@ object IsolationForest {
   def detect(df: DataFrame, featureCols: Seq[String],
              contamination: Double = 0.02, numTrees: Int = 100,
              seed: Long = 42L): DataFrame = {
-    val scored = fit(df, featureCols, numTrees, seed = seed).transform(df)
+    // persist: approxQuantile is an action over the scored frame, and the
+    // caller's first action would otherwise re-run the 100-tree scoring
+    val scored = fit(df, featureCols, numTrees, seed = seed).transform(df).cache()
     val threshold = scored.stat
       .approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001).head
-    scored.withColumn("is_anomaly", col("anomaly_score") >= threshold)
+    // null scores (null-feature rows) are NOT anomalies, not "greater
+    // than threshold"
+    scored.withColumn("is_anomaly",
+      col("anomaly_score").isNotNull && col("anomaly_score") >= threshold)
   }
 }

@@ -15,6 +15,13 @@ object Partitioning {
 
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles reads the FILE INDEX only — df.rdd.getNumPartitions
+    // under AQE would eagerly execute every upstream stage just to read
+    // a count, then re-execute them when the repartitioned frame runs.
+    // Non-file-backed frames (joins, aggregates) report no input files
+    // and pass through untouched: their parallelism already comes from
+    // shuffle partitioning.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 }

@@ -34,9 +34,14 @@ object Ivf {
     val withVec = prep.withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").fit(withVec)
+    // persist: search() consumes assignments on BOTH sides of its join
+    // (query lookup + probed cells) — without this the corpus scan +
+    // KMeans transform re-executes per consumer, defeating the
+    // "assigned once" design
     val assignments = model.transform(withVec)
       .select(col("vec_id"), col("emb"), col("norm"),
         col("prediction").as("cluster"))
+      .persist()
     val centroidRows = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, sorted table registered in the session
-    * catalog (bucketBy requires `saveAsTable`). */
+    * catalog (bucketBy requires `saveAsTable`). The repartition on the
+    * bucket key first is load-bearing: without it EVERY input task
+    * writes one file per bucket it holds data for (up to tasks×buckets
+    * small files — a 2000-partition fact at 32 buckets would emit 64k
+    * files); with it each bucket is exactly one file. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 32): Unit =
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -34,28 +34,60 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
   }
 
-  /** Gap-based sessionization with explicit state + processing-time
-    * timeout — the streaming twin of [[graft.operators.Windows.sessionize]]. */
-  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+  /** Gap-based sessionization with explicit state + EVENT-TIME timeout:
+    * when the watermark passes an idle user's last event + gap, the open
+    * session is emitted and its state removed — without the timeout a
+    * user who never returns would hold state forever (unbounded growth)
+    * and their final session would never be output. Batch input takes a
+    * plain flatMapGroups that flushes the trailing session, matching
+    * [[graft.operators.Windows.sessionize]] session counts. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
-    events
+    if (!events.isStreaming) {
+      events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var st = SessionState(0L, Long.MinValue)
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          if (st.count > 0 && t - st.lastTs > gapMs) {
+            out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
+            st = SessionState(0L, Long.MinValue)
+          }
+          st = SessionState(st.count + 1, t)
+        }
+        if (st.count > 0) out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
+        out.iterator
+      }
+    } else events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (st.count > 0 && t - st.lastTs > gapMs) {
-              out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
-              st = SessionState(0L, Long.MinValue)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(st.lastTs), st.count))
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (st.count > 0 && t - st.lastTs > gapMs) {
+                out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
+                st = SessionState(0L, Long.MinValue)
+              }
+              st = SessionState(st.count + 1, t)
             }
-            st = SessionState(st.count + 1, t)
+            state.update(st)
+            // fire once the watermark passes the gap after the last
+            // event (timeout ts must stay ahead of the watermark)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

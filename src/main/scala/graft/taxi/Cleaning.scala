@@ -42,12 +42,15 @@ object Cleaning {
   def clippedRatio(num: Column, den: Column, cap: Double): Column =
     when(den > 0, least(num / den, lit(cap)))
 
-  /** P14 month→season (`scripts/analytics_summary.py:13-14`). */
+  /** P14 month→season (`scripts/analytics_summary.py:13-14`). A null
+    * month stays null — a bare `otherwise("Fall")` would catch the
+    * null fall-through and silently inflate Fall aggregates for rows
+    * with no date. */
   def season(month: Column): Column =
     when(month.isin(12, 1, 2), "Winter")
       .when(month.isin(3, 4, 5), "Spring")
       .when(month.isin(6, 7, 8), "Summer")
-      .otherwise("Fall")
+      .when(month.isNotNull, "Fall")
 
   /** P2 timestamp sanity: both present, dropoff after pickup
     * (`utils.py:54-58`). */

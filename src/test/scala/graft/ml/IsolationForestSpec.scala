@@ -38,6 +38,25 @@ class IsolationForestSpec extends SparkTestBase {
     assert(flagged >= 2 && flagged <= 30)
   }
 
+  test("null/string features score null and are never flagged or top-ranked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val withBad = data.withColumn("x",
+      when(col("id") === 0L, lit(null)).otherwise(col("x")))
+    val out = IsolationForest.detect(withBad, Seq("x", "y"), numTrees = 20)
+    val badRow = out.filter(col("id") === 0L).head()
+    assert(badRow.isNullAt(badRow.fieldIndex("anomaly_score")))
+    assert(!badRow.getAs[Boolean]("is_anomaly"))
+    // desc ordering must not put the null-feature row first (NaN would)
+    val top = out.orderBy(desc("anomaly_score")).head()
+    assert(top.getAs[Long]("id") != 0L)
+    // string-typed feature column: casts, not ClassCastException
+    val stringed = data.withColumn("x", col("x").cast("string"))
+    val scored = IsolationForest.fit(stringed, Seq("x", "y"), numTrees = 10)
+      .transform(stringed)
+    assert(scored.filter(col("anomaly_score").isNull).count() == 0)
+  }
+
   test("fit is deterministic for a fixed seed") {
     val a = IsolationForest.fit(data, Seq("x", "y"), numTrees = 20)
       .transform(data).select("anomaly_score").collect().map(_.getDouble(0)).toSeq

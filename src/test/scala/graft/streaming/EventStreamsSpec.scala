@@ -181,10 +181,30 @@ class EventStreamsSpec extends SparkTestBase {
     val q = EventStreams.sessionizeStream(mem.toDS())
       .writeStream.format("memory").queryName("sess_test")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val closed = spark.table("sess_test").collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
-    // first session (2 events) closed by the 2h gap; second still open
-    assert(closed.toSeq == Seq((1L, 2L)))
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sess_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      // first session (2 events) closed by the 2h gap; second still open
+      assert(closed.toSeq == Seq((1L, 2L)))
+      // watermark passes 12:30 + gap -> the idle user's open session is
+      // emitted by the event-time timeout and its state evicted
+      mem.addData(ev(9, "2024-01-01 16:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-01 16:00:01", 9, "view", 0.0)) // extra batch
+      q.processAllAvailable()
+      val after = spark.table("sess_test").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => r.getAs[Long]("n_events")).sorted.toSeq
+      assert(after == Seq(1L, 2L), s"timed-out open session must flush, got $after")
+    } finally q.stop()
+
+    // batch twin flushes the trailing session too
+    val batch = EventStreams.sessionizeStream(Seq(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:10:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 12:30:00", 1, "click", 1.0)).toDS())
+      .collect().map(s => s.n_events).sorted.toSeq
+    assert(batch == Seq(1L, 2L))
   }
 }
