@@ -374,6 +374,55 @@ object HashExpressions {
   def dotProduct(a: Column, b: Column): Column =
     toCol(DotProduct(exprOf(a), exprOf(b)))
 
+  /** array<string> tokens → array<int>: per input set, how many tokens
+    * are members. ONE pass over the token array for all sets — the
+    * declarative form (`size(filter(toks, isin(...)))` per set) runs an
+    * interpreted lambda per token PER SET; language ID + stopword
+    * scoring together need six sets, so this collapses six interpreted
+    * scans into one hash-lookup loop. CodegenFallback: the loop body is
+    * the work; per-row dispatch is negligible. */
+  case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "token_set_counts"
+
+    @transient private lazy val lookup = {
+      val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+      sets.zipWithIndex.foreach { case (set, i) =>
+        set.foreach { s =>
+          val k = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) Array(i) else prev :+ i)
+        }
+      }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](sets.size)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        val hit = lookup.get(arr.getUTF8String(j))
+        if (hit != null) {
+          var k = 0
+          while (k < hit.length) { counts(hit(k)) += 1; k += 1 }
+        }
+        j += 1
+      }
+      new GenericArrayData(counts.map(c => c: Any))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
+      copy(child = newChild)
+  }
+
+  def tokenSetCounts(toks: Column, sets: Seq[Seq[String]]): Column =
+    toCol(TokenSetCounts(exprOf(toks), sets))
+
   def intersectCountSorted(a: Column, b: Column): Column =
     toCol(IntersectCountSorted(exprOf(a), exprOf(b)))
 }

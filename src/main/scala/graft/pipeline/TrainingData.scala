@@ -22,19 +22,35 @@ import graft.text.TextAnalysis
 object TrainingData {
 
   /** Surviving documents: one copy per distinct text (lowest doc_id),
-    * quality ≥ `minQuality`, confident language guess. */
+    * quality ≥ `minQuality`, confident language guess.
+    *
+    * Stage order is score-then-elect, NOT dedup-then-score: every metric
+    * here (tokens, quality, language) is a pure function of the text, so
+    * exact copies carry identical metrics and filtering before or after
+    * electing a representative is equivalent — but electing over a
+    * 128-bit content hash means the shuffle moves ~40 bytes per doc
+    * (hash + metrics) instead of the full payload. A groupBy(text) would
+    * push the entire corpus through the exchange; this shape never
+    * shuffles a document body at all. */
   def prepare(documents: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val deduped = documents
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val scored = deduped
+    val scored = documents
+      // one tokenization per document feeds every metric below
       .select(col("doc_id"), col("text"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      .filter(col("quality") >= minQuality)
-    TextAnalysis.withLangGuess(scored)
-      .filter(col("lang_guess") =!= "und")
-      .select("doc_id", "lang_guess", "n_tokens", "quality")
+        md5(col("text").cast("binary")).as("_h"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("_h"), col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        TextAnalysis.qualityScoreOf(col("_toks"), col("text")).as("quality"),
+        TextAnalysis.langGuessOf(col("_toks")).as("lang_guess"))
+      .filter(col("quality") >= minQuality && col("lang_guess") =!= "und")
+    // min(struct) elects the lowest doc_id per content hash and carries
+    // that row's (copy-invariant) metrics with it
+    scored
+      .groupBy("_h")
+      .agg(min(struct(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        col("quality"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.lang_guess").as("lang_guess"),
+        col("rep.n_tokens").as("n_tokens"), col("rep.quality").as("quality"))
   }
 
   /** Weighted mixture construction: sample each source at its own rate

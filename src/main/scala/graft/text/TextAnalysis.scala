@@ -35,48 +35,73 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
-  /** Stopword fraction of tokens (0 when no tokens). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  // ---- token-column variants -------------------------------------------
+  // Every metric below is a function of the token array; computing the
+  // array ONCE in its own projection and deriving all metrics from it
+  // avoids re-running split+filter per metric (the text family's hot
+  // path: quality + language ID alone would tokenize ~9× per row).
+  // Spark's CollapseProject keeps the tokens projection separate because
+  // the array is referenced by many non-cheap consumers.
+
+  /** Stopword fraction over a precomputed token array (single native
+    * set-membership pass, no interpreted per-token lambda). */
+  def stopwordRatioOf(toks: Column): Column = {
     val n = size(toks)
-    when(n > 0, size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / n)
-      .otherwise(0.0)
+    val cnt = element_at(
+      graft.functions.HashExpressions.tokenSetCounts(toks, Seq(stopwords)), 1)
+    when(n > 0, cnt.cast("double") / n).otherwise(0.0)
   }
 
-  /** Mean token length. */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** Mean token length over a precomputed token array. */
+  def avgTokenLenOf(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
       .otherwise(0.0)
-  }
 
-  /** Non-alphanumeric-and-space character fraction. */
+  /** Quality heuristic over a precomputed token array (same formula and
+    * rounding as [[qualityScore]] — pinned by the t6/tp1 oracles). */
+  def qualityScoreOf(toks: Column, text: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatioOf(toks) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+  // ----------------------------------------------------------------------
+
+  /** Stopword fraction of tokens (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = avgTokenLenOf(tokens(text))
+
+  /** Non-alphanumeric-and-space character fraction. `translate` deletes
+    * the allowed alphabet in one codegen'd pass — same count as the
+    * regex `[^a-z0-9 ]` form but without per-row regex execution (the
+    * prior hot spot of quality scoring at corpus scale). */
+  private val allowedChars = "abcdefghijklmnopqrstuvwxyz0123456789 "
   def punctRatio(text: Column): Column =
     when(length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
-        length(text))
+      length(translate(text, allowedChars, "")).cast("double") / length(text))
       .otherwise(0.0)
 
   /** Composite quality heuristic in [0,1]: penalize very short docs, high
     * punctuation, and stopword-free (unnatural) text — the standard
     * length/punct/stopword trio of pretraining-data filters. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3.0, 6)
-  }
+  def qualityScore(text: Column): Column = qualityScoreOf(tokens(text), text)
 
-  /** Per-document metrics projection. */
+  /** Per-document metrics projection (tokenizes once; see the
+    * token-column variants above). */
   def docMetrics(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"), col("lang"), col("source"),
-      tokenCount(col("text")).as("n_tokens"),
-      length(col("text")).as("len_chars"),
-      round(avgTokenLen(col("text")), 6).as("avg_token_len"),
-      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      qualityScore(col("text")).as("quality"))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("_toks"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(col("_toks")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        round(avgTokenLenOf(col("_toks")), 6).as("avg_token_len"),
+        round(stopwordRatioOf(col("_toks")), 6).as("stopword_ratio"),
+        qualityScoreOf(col("_toks"), col("text")).as("quality"))
 
   /** Aggregate quality profile by language. */
   def qualityByLang(documents: DataFrame): DataFrame =
@@ -102,22 +127,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "est"),
     "zh" -> Seq("de", "shi", "le", "he"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    langMarkers.toSeq.sortBy(_._1).map { case (l, markers) =>
-      l -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+  /** All language marker counts from ONE native pass over the tokens
+    * (five interpreted filter-lambdas otherwise). */
+  def langScoresOf(toks: Column): Seq[(String, Column)] = {
+    val ordered = langMarkers.toSeq.sortBy(_._1)
+    val cnts = graft.functions.HashExpressions.tokenSetCounts(toks, ordered.map(_._2))
+    ordered.zipWithIndex.map { case ((l, _), i) => l -> element_at(cnts, i + 1) }
+  }
+
+  def langScores(text: Column): Seq[(String, Column)] = langScoresOf(tokens(text))
+
+  /** Language guess from a precomputed token array; no marker hits →
+    * "und". array_max on (score, lang) structs: max score, then max lang
+    * code — deterministic. */
+  def langGuessOf(toks: Column): Column = {
+    val best = langScoresOf(toks).map { case (l, s) =>
+      struct(s.as("score"), lit(l).as("lang"))
     }
+    val top = array_max(array(best: _*))
+    when(top.getField("score") > 0, top.getField("lang")).otherwise("und")
   }
 
   /** Guess language per doc; docs with no marker hits get "und". */
   def withLangGuess(documents: DataFrame): DataFrame = {
-    val scores = langScores(col("text"))
-    val best = scores.map { case (l, s) => struct(s.as("score"), lit(l).as("lang")) }
-    // array_max on (score, lang) structs: max score, then max lang code —
-    // deterministic. Guess "und" when the best score is 0.
-    val top = array_max(array(best: _*))
-    documents.withColumn("lang_guess",
-      when(top.getField("score") > 0, top.getField("lang")).otherwise("und"))
+    // tokenize once in a dedicated projection, then guess
+    val cols = documents.columns
+    documents
+      .withColumn("_lg_toks", tokens(col("text")))
+      .select(cols.map(col) :+ langGuessOf(col("_lg_toks")).as("lang_guess"): _*)
   }
 
   /** Language-ID confusion summary (guessed vs labeled). */
