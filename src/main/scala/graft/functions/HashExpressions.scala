@@ -423,6 +423,36 @@ object HashExpressions {
   def tokenSetCounts(toks: Column, sets: Seq[Seq[String]]): Column =
     toCol(TokenSetCounts(exprOf(toks), sets))
 
+  /** string → FNV-1a/32 over UTF-16 code units, masked into a long —
+    * bit-identical to the declarative
+    * `aggregate(transform(split(text,''), ascii), basis, ...)` form
+    * (split("") yields one code unit per element; `ascii` returns its
+    * value), but one tight char loop instead of an interpreted lambda
+    * per character. */
+  case class Fnv1a32(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fnv1a32"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var h = 2166136261L
+      var i = 0
+      while (i < s.length) {
+        h = ((h ^ s.charAt(i).toLong) * 16777619L) & 0xFFFFFFFFL
+        i += 1
+      }
+      h
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Fnv1a32 =
+      copy(child = newChild)
+  }
+
+  def fnv1a32(text: Column): Column = toCol(Fnv1a32(exprOf(text)))
+
   def intersectCountSorted(a: Column, b: Column): Column =
     toCol(IntersectCountSorted(exprOf(a), exprOf(b)))
 }

@@ -222,6 +222,11 @@ object TextAnalysis {
     * first (8 bytes/doc), groupBy fingerprint, confirm collisions by
     * text equality. */
   def fingerprint(text: Column): Column =
+    graft.functions.HashExpressions.fnv1a32(text)
+
+  /** The declarative formulation [[fingerprint]] replaced (kept for the
+    * equivalence spec): interpreted lambda per character. */
+  def fingerprintDeclarative(text: Column): Column =
     aggregate(
       // split("", "") yields [""] — drop empties so "" hashes to the basis
       transform(filter(split(text, ""), ch => length(ch) > 0), ch => ascii(ch)),

@@ -34,6 +34,11 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .collect().map(_.getLong(0)).toSeq
     assert(got == texts.map(fnv))
+    // native expression == the declarative aggregate form it replaced
+    val decl = texts.toDF("text")
+      .select(TextAnalysis.fingerprintDeclarative(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(decl == got)
   }
 
   test("langid picks the language with most marker hits") {
