@@ -29,6 +29,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // streaming state off-heap: the default HDFS-backed store keeps
+      // every key in executor heap — dedup/session state over a large
+      // key space OOMs long before 100 TB; RocksDB spills to local disk
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Local session for tests / CLI runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
