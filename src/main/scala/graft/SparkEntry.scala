@@ -51,6 +51,16 @@ object SparkEntry {
     "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     // --- set ops / joins (SURVEY §2.3, §2.7) ---
+    // full SQL-string path: temp views + spark.sql, same Catalyst plans
+    // as the DataFrame API (the engine's second query surface)
+    "sql1_segment_priority" -> q((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+                 round(sum(o_totalprice), 0) AS total
+               FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+               GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
     "u2_snapshot_diff" -> q((s, d) => {
       val orders = Tables.orders(s, d)
       // deterministic synthetic snapshots: old = keys not divisible by 7,
@@ -297,6 +307,11 @@ object SparkEntry {
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),6) AS r,
          round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity),4) AS ols_slope
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "sql1_segment_priority" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 0) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "u2_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
            WHERE o_orderkey % 7 != 0),
