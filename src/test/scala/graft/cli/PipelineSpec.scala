@@ -83,6 +83,22 @@ class PipelineSpec extends SparkTestBase {
     assert(curated.select("cab_type").distinct().count() == 2)
   }
 
+  test("curated reads prune partitions: month filter reaches PartitionFilters") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    import graft.taxi.{Cleaning, SchemaNormalizer}
+    import org.apache.spark.sql.functions._
+    val cleaned = Cleaning.withRatios(Cleaning.withTimeFeatures(
+      Cleaning.clean(SchemaNormalizer.toCanonical(rawYellow, "yellow"))))
+    CuratedWriter.writeCurated(cleaned, s"$dir/curated")
+    val q = CuratedWriter.readCurated(spark, s"$dir/curated")
+      .filter(col("pickup_month") === 1)
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("pickup_month"), s"partition filter missing: $pf")
+    // and the pruned read returns only January
+    assert(q.select("pickup_month").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("incremental write replaces only the partitions present in the batch") {
     val dir = Files.createTempDirectory("graft-incr").toString
     import graft.taxi.{Cleaning, SchemaNormalizer}

@@ -110,6 +110,21 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentile (scale path) tracks the exact median within bound") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val both = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx"))
+      .collect()
+    both.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      // rank-error accuracy 1000 => well under 1% value error on this data
+      assert(math.abs(a - e) <= math.max(0.01 * math.abs(e), 1e-6),
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("heavy-hitter sketch never misses a planted frequent item") {
     val genTail = Gen.listOfN(80, Gen.choose(100, 10000))
     forSeeds(genTail) { tail =>
