@@ -57,6 +57,31 @@ object CuratedWriter {
       .schema(graft.taxi.TaxiSchemas.zoneLookup)
       .csv(path)
 
+  /** Small-file compaction: rewrite a parquet tree with merged files.
+    * Streaming sinks and frequent incremental writes accrete thousands
+    * of tiny files, and scans then pay a per-file open/footer cost that
+    * can exceed the read itself. Partitioned trees repartition on the
+    * partition columns (all rows of a partition collapse into one task
+    * → one file, `maxRecordsPerFile` re-splitting oversized ones);
+    * unpartitioned trees merge `mergeFactor` input files per output.
+    * Writes to a NEW path — swapping is the caller's atomic move; never
+    * compact in place. Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              partitionCols: Seq[String] = Nil, mergeFactor: Int = 16,
+              maxRecordsPerFile: Long = 5000000L): Int = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(inPath)
+    val shaped =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(math.max(1, df.inputFiles.length / mergeFactor))
+    val writer = shaped.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outPath)
+    spark.read.parquet(outPath).inputFiles.length
+  }
+
   /** Read back a curated tree (partition columns are reconstructed from
     * the directory layout by the file index). */
   def readCurated(spark: SparkSession, path: String): DataFrame =

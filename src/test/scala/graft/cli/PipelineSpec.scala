@@ -131,6 +131,25 @@ class PipelineSpec extends SparkTestBase {
       == "JFK Airport")
   }
 
+  test("compaction merges small files and preserves partition layout") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    import spark.implicits._
+    // 200 rows scattered over 32 tasks -> 32 small files
+    (0 until 200).map(i => (i.toLong, i % 3)).toDF("id", "k")
+      .repartition(32).write.parquet(s"$dir/flat")
+    assert(spark.read.parquet(s"$dir/flat").inputFiles.length > 16)
+    val nFlat = CuratedWriter.compact(spark, s"$dir/flat", s"$dir/flat_c")
+    assert(nFlat <= 2)
+    assert(spark.read.parquet(s"$dir/flat_c").count() == 200)
+
+    // partitioned tree: many files per partition -> one file per partition
+    (0 until 200).map(i => (i.toLong, i % 3)).toDF("id", "k")
+      .repartition(16).write.partitionBy("k").parquet(s"$dir/part")
+    val nPart = CuratedWriter.compact(spark, s"$dir/part", s"$dir/part_c", Seq("k"))
+    assert(nPart == 3, s"expected one file per partition, got $nPart")
+    assert(spark.read.parquet(s"$dir/part_c").groupBy("k").count().count() == 3)
+  }
+
   test("lenient read skips a corrupt file; strict read fails") {
     val dir = Files.createTempDirectory("graft-corrupt").toString + "/data"
     import spark.implicits._
