@@ -250,7 +250,8 @@ object SparkEntry {
          GROUP BY 1
          ORDER BY list_position(['Mon','Tue','Wed','Thu','Fri','Sat','Sun'], dow)""",
     "p14_season_totals" ->
-      """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+      """SELECT CASE WHEN o_orderdate IS NULL THEN NULL
+                     WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
                      WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
                      WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
                      ELSE 'Fall' END AS season,

@@ -79,8 +79,12 @@ object DupGroups {
     * scale the exact pair scan costs ~11 s vs ~4 s for the banded
     * estimate, and the gap is quadratic in corpus size. */
   def dupEdgesApprox(documents: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val reps = documents.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-    val exact = documents.join(reps, "text")
+    // exact-star election over the 128-bit content hash: grouping and
+    // joining on md5 moves ~16 bytes per doc through the exchanges where
+    // text-keyed grouping would shuffle the whole corpus payload
+    val hashed = documents.select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+    val reps = hashed.groupBy("_h").agg(min(col("doc_id")).as("rep"))
+    val exact = hashed.join(reps, "_h")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
     val near = Dedup.minhashNearDups(documents)

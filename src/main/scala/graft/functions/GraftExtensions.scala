@@ -46,5 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_count_sorted"),
       info("intersect_count_sorted", "_FUNC_(a, b) - common-element count of two sorted long arrays"),
       (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fnv1a32"),
+      info("fnv1a32", "_FUNC_(text) - FNV-1a/32 fingerprint over code points, as a long"),
+      (args: Seq[Expression]) => Fnv1a32(args.head)))
+    // token_set_counts is not SQL-registered: its set-list parameter has
+    // no literal SQL syntax; use the Column API.
   }
 }

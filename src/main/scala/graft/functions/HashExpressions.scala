@@ -423,12 +423,13 @@ object HashExpressions {
   def tokenSetCounts(toks: Column, sets: Seq[Seq[String]]): Column =
     toCol(TokenSetCounts(exprOf(toks), sets))
 
-  /** string → FNV-1a/32 over UTF-16 code units, masked into a long —
+  /** string → FNV-1a/32 over Unicode CODE POINTS, masked into a long —
     * bit-identical to the declarative
-    * `aggregate(transform(split(text,''), ascii), basis, ...)` form
-    * (split("") yields one code unit per element; `ascii` returns its
-    * value), but one tight char loop instead of an interpreted lambda
-    * per character. */
+    * `aggregate(transform(split(text,''), ascii), basis, ...)` form:
+    * regex split("") divides between code points (a surrogate pair stays
+    * one element) and `ascii` returns `codePointAt(0)`. Iterating UTF-16
+    * units instead would fold the two surrogates of any non-BMP char
+    * separately and diverge from the oracle. */
   case class Fnv1a32(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -441,8 +442,9 @@ object HashExpressions {
       var h = 2166136261L
       var i = 0
       while (i < s.length) {
-        h = ((h ^ s.charAt(i).toLong) * 16777619L) & 0xFFFFFFFFL
-        i += 1
+        val cp = s.codePointAt(i)
+        h = ((h ^ cp.toLong) * 16777619L) & 0xFFFFFFFFL
+        i += Character.charCount(cp)
       }
       h
     }

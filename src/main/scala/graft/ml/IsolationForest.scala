@@ -141,8 +141,12 @@ object IsolationForest {
              contamination: Double = 0.02, numTrees: Int = 100,
              seed: Long = 42L): DataFrame = {
     // persist: approxQuantile is an action over the scored frame, and the
-    // caller's first action would otherwise re-run the 100-tree scoring
-    val scored = fit(df, featureCols, numTrees, seed = seed).transform(df).cache()
+    // caller's first action would otherwise re-run the 100-tree scoring.
+    // MEMORY_AND_DISK evicts/spills under pressure; a caller scoring many
+    // frames in one long session should unpersist the returned frame's
+    // parent when done with it.
+    val scored = fit(df, featureCols, numTrees, seed = seed).transform(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val threshold = scored.stat
       .approxQuantile("anomaly_score", Array(1.0 - contamination), 0.001).head
     // null scores (null-feature rows) are NOT anomalies, not "greater

@@ -15,13 +15,21 @@ object Partitioning {
 
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles reads the FILE INDEX only — df.rdd.getNumPartitions
-    // under AQE would eagerly execute every upstream stage just to read
-    // a count, then re-execute them when the repartitioned frame runs.
+    // File index + plan statistics only — df.rdd.getNumPartitions under
+    // AQE would eagerly execute upstream stages just to read a count.
     // Non-file-backed frames (joins, aggregates) report no input files
-    // and pass through untouched: their parallelism already comes from
-    // shuffle partitioning.
+    // and pass through: their parallelism comes from shuffle
+    // partitioning. Few LARGE files also pass through — the reader
+    // splits them into ~sizeInBytes/maxPartitionBytes tasks already, so
+    // keying on file count alone would force a pointless full shuffle.
     val files = df.inputFiles.length
-    if (files > 0 && files < target) df.repartition(target) else df
+    if (files == 0) df
+    else {
+      val maxPart = math.max(1L,
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      val estSplits = math.max(files.toLong,
+        (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart).toLong)
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 }

@@ -26,10 +26,14 @@ object SnapshotDiff {
       struct(compareCols.map(col): _*).as("_old"))
     val n = newSnap.select(col(key).as("_k2"),
       struct(compareCols.map(col): _*).as("_new"))
-    o.join(n, col("_k") === col("_k2"), "full_outer")
+    // null-safe key equality AND presence flags: with a plain === a
+    // null-key row never matches and `_k IS NULL` misreads side
+    // membership, so a REMOVED null-key row would be reported as added
+    o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), col("_k") <=> col("_k2"), "full_outer")
       .select(coalesce(col("_k"), col("_k2")).as(key),
-        when(col("_k").isNull, "added")
-          .when(col("_k2").isNull, "removed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
           .when(!(col("_old") <=> col("_new")), "changed")
           .as("status"))
       .filter(col("status").isNotNull)

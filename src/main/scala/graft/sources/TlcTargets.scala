@@ -18,7 +18,7 @@ object TlcTargets {
   private val href = """href=["']([^"']+\.parquet)["']""".r
   // the reference's filename convention: <cab>_tripdata_YYYY-MM.parquet,
   // tolerant of _ / - between year and month (regex `(20\d{2})[-_]?([01]\d)`)
-  private val namePat = """([a-z]+)_tripdata_(20\d{2})[-_]?([01]\d)\.parquet""".r
+  private val namePat = """([a-z]+)_tripdata_(20\d{2})[-_]?(0[1-9]|1[0-2])\.parquet""".r
 
   /** All parquet hrefs on a landing page, in document order, deduped. */
   def parquetLinks(html: String): Seq[String] = {

@@ -79,7 +79,10 @@ object EventStreams {
                 out += SessionOut(userId, new Timestamp(st.lastTs), st.count)
                 st = SessionState(0L, Long.MinValue)
               }
-              st = SessionState(st.count + 1, t)
+              // never let a late-but-within-watermark event REWIND
+              // lastTs: a rewound frontier would fake a gap against the
+              // next in-order event and split the session spuriously
+              st = SessionState(st.count + 1, math.max(st.lastTs, t))
             }
             state.update(st)
             // fire once the watermark passes the gap after the last

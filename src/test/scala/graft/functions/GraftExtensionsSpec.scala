@@ -12,12 +12,14 @@ class GraftExtensionsSpec extends SparkTestBase {
            simhash_text('the quick brown fox') AS sh,
            size(shingle_hashes('a b c d e')) AS n_shingles,
            dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-           intersect_count_sorted(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic
+           intersect_count_sorted(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS ic,
+           fnv1a32('a') AS fp
       """).collect().head
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[Int]("n_shingles") == 3) // 5 tokens -> 3 shingles of 3
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Int]("ic") == 2)
+    assert(r.getAs[Long]("fp") == ((2166136261L ^ 'a'.toLong) * 16777619L & 0xFFFFFFFFL))
   }
 
   test("SQL simhash equals the Column-API simhash") {

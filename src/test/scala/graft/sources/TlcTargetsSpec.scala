@@ -26,6 +26,9 @@ class TlcTargetsSpec extends AnyFunSuite {
     assert(ts.map(t => (t.cabType, t.year, t.month)) ==
       Seq(("yellow", 2024, 1), ("green", 2024, 2), ("fhvhv", 2023, 12)))
     assert(TlcTargets.classify("https://x/zones.parquet").isEmpty)
+    // invalid months never become download targets
+    assert(TlcTargets.classify("https://x/yellow_tripdata_2024-13.parquet").isEmpty)
+    assert(TlcTargets.classify("https://x/yellow_tripdata_2024-00.parquet").isEmpty)
   }
 
   test("discover filters by cab set and year range") {

@@ -26,10 +26,17 @@ class TextAnalysisSpec extends SparkTestBase {
   test("fingerprint matches a reference FNV-1a/32 implementation") {
     def fnv(s: String): Long = {
       var h = 2166136261L
-      s.foreach { c => h = ((h ^ c.toLong) * 16777619L) & 0xFFFFFFFFL }
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = ((h ^ cp.toLong) * 16777619L) & 0xFFFFFFFFL
+        i += Character.charCount(cp)
+      }
       h
     }
-    val texts = Seq("hello world", "hello worle", "", "a")
+    // includes a non-BMP char: native must fold CODE POINTS like the
+    // declarative split+ascii form, not UTF-16 units
+    val texts = Seq("hello world", "hello worle", "", "a", "hi 😀 end")
     val got = texts.toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .collect().map(_.getLong(0)).toSeq
