@@ -47,6 +47,12 @@ object SparkEntry {
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
     "a16_segmentation" -> q((s, d) => Relational.segmentation(Tables.lineitem(s, d))),
     "a17_value_counts_topk" -> q((s, d) => Relational.valueCountsTopK(Tables.part(s, d))),
+    "p17_like_filter" -> q((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").contains("red") || col("p_name").startsWith("blue"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(avg("p_retailprice"), 4).as("avg_price"))
+        .orderBy("p_brand")),
     "a18_histogram" -> q((s, d) => Relational.histogram(Tables.lineitem(s, d))),
     "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
@@ -292,6 +298,10 @@ object SparkEntry {
          count(CASE WHEN l_quantity > 25 THEN 1 END) AS large,
          round(min(l_quantity),4) AS min_qty, round(max(l_quantity),4) AS max_qty
          FROM lineitem GROUP BY 1 ORDER BY l_linestatus""",
+    "p17_like_filter" ->
+      """SELECT p_brand, count(*) AS cnt, round(avg(p_retailprice), 4) AS avg_price
+         FROM part WHERE p_name LIKE '%red%' OR p_name LIKE 'blue%'
+         GROUP BY 1 ORDER BY p_brand""",
     "a17_value_counts_topk" ->
       """SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1
          ORDER BY cnt DESC, p_brand LIMIT 10""",
