@@ -27,12 +27,17 @@ object Bench {
     // long-running service would see. A query that fails both attempts
     // must be visible in the JSON itself — a time-to-failure entry would
     // make a broken query look FAST.
-    // optional prefix filter (comma-separated) for targeted scale probes,
-    // e.g. SPARK_GRAFT_ONLY=t,d runs only text and dedup queries
+    // optional family filter (comma-separated) for targeted scale probes:
+    // a token matches its query when it equals the name, is an
+    // underscore-delimited prefix ("d7" → d7_segment_dup_stats), or
+    // equals the family's leading letters ("t" → t5…/t11…, but NOT
+    // tp1_pipeline_summary, whose family is "tp")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def matches(n: String, p: String): Boolean =
+      n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
       .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -50,16 +50,41 @@ object Dedup {
   }
 
   /** Cross-corpus segment-duplication profile per source: how much of
-    * each slice of the corpus is repeated `width`-token windows. The
-    * explode shuffles (source, segment) pairs — segment strings are
-    * bounded by `width` tokens, so shuffle width is capped regardless
-    * of document length. */
+    * each slice of the corpus is repeated `width`-token windows.
+    *
+    * The distinct runs over `xxhash64(segment)` — an 8-byte key — so the
+    * partial-distinct shuffle moves fixed-width longs instead of raw
+    * ~width-token strings (corpus-proportional volume; measured 30% of
+    * the whole bench before this). 64-bit collisions are negligible at
+    * profiling scales but not guaranteed absent at 10^12 segments, so
+    * the documented 100 TB path is [[segmentDupStatsApprox]] (HLL, no
+    * distinct shuffle at all), mirroring
+    * [[graft.text.TextAnalysis.vocabByLangApprox]]. */
   def segmentDupStats(documents: DataFrame, width: Int = 10): DataFrame =
     documents
-      .select(col("source"), explode(segments(col("text"), width)).as("segment"))
+      .select(col("source"),
+        explode(segments(col("text"), width)).as("segment"))
+      .select(col("source"), xxhash64(col("segment")).as("seg_hash"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_segments"),
-        countDistinct(col("segment")).as("n_unique"))
+        countDistinct(col("seg_hash")).as("n_unique"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_segments"), 6))
+      .orderBy("source")
+
+  /** 100 TB twin of [[segmentDupStats]]: `approx_count_distinct` (HLL++)
+    * replaces the exact distinct, so the aggregation is a pure partial →
+    * final combine on `source` — constant reducer state per group, no
+    * per-segment shuffle rows at all. */
+  def segmentDupStatsApprox(documents: DataFrame, width: Int = 10,
+                            rsd: Double = 0.01): DataFrame =
+    documents
+      .select(col("source"),
+        explode(segments(col("text"), width)).as("segment"))
+      .select(col("source"), xxhash64(col("segment")).as("seg_hash"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_segments"),
+        approx_count_distinct(col("seg_hash"), rsd).as("n_unique"))
       .withColumn("dup_ratio",
         round(lit(1.0) - col("n_unique").cast("double") / col("n_segments"), 6))
       .orderBy("source")

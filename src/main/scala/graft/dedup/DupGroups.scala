@@ -62,8 +62,12 @@ object DupGroups {
     * quadratic clique materialization) plus near-dup pairs with exact
     * n-gram Jaccard ≥ `minJaccard`. */
   def dupEdges(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // null-safe join: groupBy already groups null texts together, but a
+    // plain === join would drop them, leaving multiple null-text docs
+    // ungrouped — diverging from exactDedup's groupBy semantics
     val reps = documents.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
-    val exact = documents.join(reps, "text")
+      .withColumnRenamed("text", "_rep_text")
+    val exact = documents.join(reps, col("text") <=> col("_rep_text"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
     val near = Dedup.ngramJaccardPairs(documents)
@@ -81,8 +85,13 @@ object DupGroups {
   def dupEdgesApprox(documents: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
     // exact-star election over the 128-bit content hash: grouping and
     // joining on md5 moves ~16 bytes per doc through the exchanges where
-    // text-keyed grouping would shuffle the whole corpus payload
-    val hashed = documents.select(md5(col("text").cast("binary")).as("_h"), col("doc_id"))
+    // text-keyed grouping would shuffle the whole corpus payload.
+    // md5(NULL) is NULL — coalesce to a non-hex sentinel (md5 output is
+    // pure hex, so no collision) so null-text docs form a group too,
+    // matching exactDedup's groupBy semantics.
+    val hashed = documents.select(
+      coalesce(md5(col("text").cast("binary")), lit("null-text")).as("_h"),
+      col("doc_id"))
     val reps = hashed.groupBy("_h").agg(min(col("doc_id")).as("rep"))
     val exact = hashed.join(reps, "_h")
       .filter(col("doc_id") =!= col("rep"))

@@ -19,7 +19,13 @@ object SnapshotDiff {
   /** (key, status) per non-identical row, status ∈ added | removed |
     * changed. `compareCols` are the payload columns that define
     * "changed"; unchanged rows are dropped (at snapshot scale they are
-    * the overwhelming majority — never materialize them). */
+    * the overwhelming majority — never materialize them).
+    *
+    * CONTRACT: `key` must be unique within each snapshot (it is the
+    * snapshot's primary key). Duplicate keys would turn the full-outer
+    * join many-to-many — N×M rows per key with misleading statuses.
+    * Sources that can republish a key (e.g. corrected re-uploads) should
+    * collapse to one row per key first ([[dedupKeys]]). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
            compareCols: Seq[String]): DataFrame = {
     val o = oldSnap.select(col(key).as("_k"),
@@ -37,6 +43,18 @@ object SnapshotDiff {
           .when(!(col("_old") <=> col("_new")), "changed")
           .as("status"))
       .filter(col("status").isNotNull)
+  }
+
+  /** Collapse a snapshot to one row per key (last-writer-wins by
+    * `orderCol` descending, ties broken arbitrarily-but-deterministically
+    * via max_by) — the normalization step that makes a re-published
+    * source satisfy [[diff]]'s unique-key contract. One shuffle on the
+    * key, same partitioning the diff join reuses. */
+  def dedupKeys(snap: DataFrame, key: String, orderCol: String): DataFrame = {
+    val payload = snap.columns.filter(_ != key).toSeq
+    snap.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("_p"))
+      .select(col(key) +: payload.map(c => col(s"_p.$c").as(c)): _*)
   }
 
   /** Aggregate diff report: row counts per status. */

@@ -60,7 +60,11 @@ object Typed {
         round(sum($"o_totalprice"), 0).as[Double],
         new ExactMedianOf[Order](_.o_totalprice).toColumn)
       .map { case (status, n, total, med) =>
-        StatusProfile(status, n, total, math.rint(med * 10000) / 10000)
+        // HALF_UP to match Spark round() engine-wide (math.rint is
+        // half-to-even and would diverge on an exact .5 tie)
+        val med4 = if (med.isNaN) med
+          else BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        StatusProfile(status, n, total, med4)
       }
   }
 }

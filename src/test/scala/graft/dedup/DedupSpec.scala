@@ -92,6 +92,11 @@ class DedupSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_segments") == 4)
     assert(r.getAs[Long]("n_unique") == 3)
 
+    // the HLL twin agrees exactly at small cardinality (sparse-mode HLL)
+    val approx = Dedup.segmentDupStatsApprox(segDocs, width = 4).collect().head
+    assert(approx.getAs[Long]("n_segments") == 4)
+    assert(approx.getAs[Long]("n_unique") == 3)
+
     val stripped = Dedup.stripDuplicateSegments(segDocs, width = 4)
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(stripped(10L) == "alpha beta gamma delta one two three four")

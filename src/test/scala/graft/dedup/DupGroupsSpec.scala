@@ -37,4 +37,20 @@ class DupGroupsSpec extends SparkTestBase {
     assert(approx(1L) == 0L) // exact copy merged
     assert(approx(3L) == 3L) // unrelated doc isolated
   }
+
+  test("null-text docs form one exact-dup group in both edge builders") {
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s0"),
+      (1L, null.asInstanceOf[String], "en", "s0"),
+      (2L, null.asInstanceOf[String], "en", "s0"),
+      (3L, "some real content here about engines", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val nodes = docs.select(org.apache.spark.sql.functions.col("doc_id").as("id"))
+    for (edges <- Seq(DupGroups.dupEdges(docs), DupGroups.dupEdgesApprox(docs))) {
+      val comp = DupGroups.connectedComponents(edges, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+        "null-text docs must group together, matching exactDedup's groupBy")
+    }
+  }
 }

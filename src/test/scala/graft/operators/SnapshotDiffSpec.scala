@@ -25,4 +25,14 @@ class SnapshotDiffSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L))
   }
+
+  test("dedupKeys collapses republished keys last-writer-wins") {
+    val snap = Seq(
+      (1L, "v1", 100L), (1L, "v2", 200L), // republished: keep seq 200
+      (2L, "w1", 50L))
+      .toDF("k", "payload", "seq")
+    val out = SnapshotDiff.dedupKeys(snap, "k", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "v2", 2L -> "w1"))
+  }
 }
