@@ -39,7 +39,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
       .map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -49,6 +49,15 @@ object Bench {
           None
         }
       }
+      var times = (1 to 2).flatMap(_ => once())
+      // Concurrent host load (the driver runs sbt alongside the bench)
+      // can inflate a run 5-40×, and best-of-two still reports the
+      // inflated floor when BOTH runs land under load. If the two runs
+      // disagree badly on a non-trivial query, take a third sample —
+      // one extra second of bench time buys round-over-round signal.
+      if (times.length == 2 && times.min > 1.0 &&
+          (times.max - times.min) / times.min > 0.5)
+        times = times ++ once()
       if (times.isEmpty) failed += name
       name -> times.minOption.getOrElse(-1.0)
     }

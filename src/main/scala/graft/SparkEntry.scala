@@ -210,7 +210,16 @@ object SparkEntry {
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
-        .orderBy("doc_id").limit(100))
+        .orderBy("doc_id").limit(100)),
+    // real codec round-trip: PNG-encode deterministic pixels executor-side,
+    // ImageIO-decode them back; the oracle recomputes the expected decode
+    // output from the same integer pixel formula — no codec needed there
+    "m3_real_decode" -> q((s, d) =>
+      Multimodal.decodeImageFeatures(Multimodal.withImagePayload(
+          Tables.documents(s, d).filter(col("doc_id") < 100)))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"))
+        .orderBy("doc_id"))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -645,7 +654,16 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          round(avg(octet_length(encode(text))),4) AS avg_bytes
-         FROM documents GROUP BY 1 ORDER BY source"""
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "m3_real_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+         px AS (SELECT doc_id, ((doc_id*31 + x.range*7 + y.range*13) % 256) AS p
+           FROM ids, range(0,16) x, range(0,16) y
+           WHERE x.range < doc_id % 16 + 1 AND y.range < (doc_id // 16) % 16 + 1)
+         SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS width,
+           CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
+           round(avg(p), 6) AS mean_px
+         FROM px GROUP BY doc_id ORDER BY doc_id"""
     // no oracle (rows-only check): ml1_kmeans / n3_ivf_topk (iterative
     // ML), d3_minhash_pairs / d4_simhash_pairs / n2_lsh_top_pairs
     // (signatures built on Spark-internal xxhash64, not reproducible in

@@ -49,4 +49,28 @@ class MultimodalSpec extends SparkTestBase {
       Seq("doc_id", "n_bytes", "n_frames", "mean_byte", "first_byte"))
     assert(out.count() == 3)
   }
+
+  test("real PNG round-trip: decode recovers generated dims and pixels") {
+    val ids = Seq(0L, 7L, 15L, 16L, 164L, 255L).toDF("doc_id")
+    val decoded = Multimodal.decodeImageFeatures(Multimodal.withImagePayload(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    for (id <- Seq(0L, 7L, 15L, 16L, 164L, 255L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      val expMean = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixel(id, x, y)).sum.toDouble / (w * h)
+      val (dw, dh, mean) = decoded(id)
+      assert(dw == w && dh == h, s"dims for doc $id")
+      assert(math.abs(mean - expMean) < 1e-9, s"mean pixel for doc $id")
+    }
+  }
+
+  test("image payloads are genuine PNGs (magic bytes + codec metadata)") {
+    val row = Multimodal.withImagePayload(Seq(42L).toDF("doc_id")).head()
+    val bytes = row.getAs[Array[Byte]]("payload")
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    assert(row.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("codec") == "png/gray8")
+  }
 }
