@@ -56,6 +56,8 @@ object SparkEntry {
     "a18_histogram" -> q((s, d) => Relational.histogram(Tables.lineitem(s, d))),
     "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
+    "a26_heavy_hitters" -> q((s, d) =>
+      Relational.verifiedHeavyHitters(Tables.events(s, d), "user_id", support = 0.008)),
     // --- set ops / joins (SURVEY §2.3, §2.7) ---
     // full SQL-string path: temp views + spark.sql, same Catalyst plans
     // as the DataFrame API (the engine's second query surface)
@@ -190,6 +192,7 @@ object SparkEntry {
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8).limit(1000)),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
+    "d6_strip_dup_segments" -> q((s, d) => Dedup.stripDuplicateSegments(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
     "d8_dup_components" -> q((s, d) => DupGroups.dupComponentSizes(Tables.documents(s, d))),
     // --- similarity search (training-data ops) ---
@@ -203,6 +206,46 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, d))),
     "n3_ivf_topk" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
+    // --- taxi end-to-end path (SURVEY §3): raw-schema frames synthesized
+    // deterministically from `events`, run through the CLI's own
+    // EtlJob.transform (SchemaNormalizer detection + every Cleaning
+    // constant), then the AnalyticsJob aggregates — each pinned to a
+    // DuckDB oracle that regenerates the identical raw rows ---
+    "x1_taxi_hourly_fare" -> q((s, d) => {
+      val t = cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d)), "yellow")
+      cli.AnalyticsJob.hourlyFare(t)
+        .select(col("pickup_hour"),
+          round(col("avg_fare_per_mile"), 4).as("avg_fare_per_mile"),
+          col("trip_count"))
+    }),
+    "x2_taxi_trips_by_dow" -> q((s, d) =>
+      cli.AnalyticsJob.tripsByDow(
+        cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d)), "yellow"))),
+    "x3_taxi_busiest_pickup" -> q((s, d) =>
+      cli.AnalyticsJob.busiestZones(
+        cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d)), "yellow"),
+        "pu_zone")),
+    "x4_taxi_busiest_dropoff" -> q((s, d) =>
+      cli.AnalyticsJob.busiestZones(
+        cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d)), "yellow"),
+        "do_zone")),
+    "x5_taxi_multi_schema_union" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val frames = Seq(
+        cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(
+          ev.filter(col("event_type") === "click")), "yellow"),
+        cli.EtlJob.transform(taxi.TaxiFixture.fhvFromEvents(
+          ev.filter(col("event_type") === "view")), "fhv"),
+        cli.EtlJob.transform(taxi.TaxiFixture.fhvhvFromEvents(
+          ev.filter(col("event_type") === "purchase")), "fhvhv"))
+      taxi.SchemaNormalizer.unionCanonical(frames)
+        .groupBy("cab_type")
+        .agg(count(lit(1)).as("n_trips"),
+          count(when(col("fare").isNull, 1)).as("n_null_fare"),
+          count(when(col("distance_mi").isNull, 1)).as("n_null_dist"),
+          round(sum(coalesce(col("total"), lit(0.0))), 2).as("total_sum"))
+        .orderBy("cab_type")
+    }),
     // --- composed training-data prep pipeline ---
     "tp1_pipeline_summary" -> q((s, d) =>
       graft.pipeline.TrainingData.summary(Tables.documents(s, d))),
@@ -224,6 +267,28 @@ object SparkEntry {
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
   private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** DuckDB regeneration of [[graft.taxi.TaxiFixture.yellowFromEvents]]
+    * followed by the [[graft.taxi.Cleaning]] constants — the shared CTE
+    * prefix of the x1–x4 taxi-path oracles. */
+  private val taxiYellowCleaned =
+    """WITH raw AS (SELECT
+         ts AS pickup_ts,
+         ts + to_minutes(event_id % 1500) AS dropoff_ts,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE ((event_id * 7) % 620 - 10)::DOUBLE END AS distance_mi,
+         CASE WHEN event_id % 89 = 0 THEN NULL
+              ELSE ((event_id * 13) % 210 - 10)::DOUBLE END AS fare,
+         CAST(user_id % 260 + 1 AS INT) AS pu_zone,
+         CAST((user_id + event_id) % 260 + 1 AS INT) AS do_zone
+       FROM events),
+     cl AS (SELECT *, date_diff('second', pickup_ts, dropoff_ts) / 60.0 AS duration_min
+       FROM raw
+       WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL AND dropoff_ts > pickup_ts
+         AND date_diff('second', pickup_ts, dropoff_ts) / 60.0 > 0.5
+         AND date_diff('second', pickup_ts, dropoff_ts) / 60.0 < 1440
+         AND (distance_mi IS NULL OR (distance_mi > 0 AND distance_mi < 500))
+         AND (fare IS NULL OR fare >= 0))"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -655,6 +720,59 @@ object SparkEntry {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          round(avg(octet_length(encode(text))),4) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY source""",
+    "x1_taxi_hourly_fare" ->
+      s"""$taxiYellowCleaned
+         SELECT CAST(hour(pickup_ts) AS INT) AS pickup_hour,
+           round(avg(CASE WHEN distance_mi > 0 THEN fare / distance_mi END), 4)
+             AS avg_fare_per_mile,
+           count(*) AS trip_count
+         FROM cl GROUP BY 1 ORDER BY pickup_hour""",
+    "x2_taxi_trips_by_dow" ->
+      s"""$taxiYellowCleaned
+         SELECT strftime(pickup_ts, '%a') AS pickup_dow, count(*) AS trip_count
+         FROM cl GROUP BY 1 ORDER BY pickup_dow""",
+    "x3_taxi_busiest_pickup" ->
+      s"""$taxiYellowCleaned
+         SELECT pu_zone, count(*) AS trip_count FROM cl GROUP BY 1
+         ORDER BY trip_count DESC, pu_zone LIMIT 100""",
+    "x4_taxi_busiest_dropoff" ->
+      s"""$taxiYellowCleaned
+         SELECT do_zone, count(*) AS trip_count FROM cl GROUP BY 1
+         ORDER BY trip_count DESC, do_zone LIMIT 100""",
+    "x5_taxi_multi_schema_union" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value, ts,
+           ts + to_minutes(event_id % 1500) AS dropoff_ts,
+           date_diff('second', ts, ts + to_minutes(event_id % 1500)) / 60.0 AS dur,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE ((event_id * 7) % 620 - 10)::DOUBLE END AS dist,
+           CASE WHEN event_id % 89 = 0 THEN NULL
+                ELSE ((event_id * 13) % 210 - 10)::DOUBLE END AS fare
+         FROM events),
+         ok AS (SELECT * FROM base
+           WHERE ts IS NOT NULL AND dropoff_ts > ts AND dur > 0.5 AND dur < 1440),
+         y AS (SELECT 'yellow' AS cab_type, dist AS distance_mi, fare,
+             coalesce(fare, 0) + value AS total
+           FROM ok WHERE event_type = 'click'
+             AND (dist IS NULL OR (dist > 0 AND dist < 500))
+             AND (fare IS NULL OR fare >= 0)),
+         f AS (SELECT 'fhv' AS cab_type, NULL::DOUBLE AS distance_mi,
+             NULL::DOUBLE AS fare, NULL::DOUBLE AS total
+           FROM ok WHERE event_type = 'view'),
+         h AS (SELECT 'fhvhv' AS cab_type, dist AS distance_mi, fare,
+             coalesce(fare, 0) + (event_id % 7) + (event_id % 3) + (event_id % 9)
+               + (event_id % 11)
+               + coalesce(CASE WHEN event_id % 13 = 0 THEN NULL
+                               ELSE event_id % 5 END, 0)
+               + (event_id % 23) AS total
+           FROM ok WHERE event_type = 'purchase'
+             AND (dist IS NULL OR (dist > 0 AND dist < 500))
+             AND (fare IS NULL OR fare >= 0)),
+         u AS (SELECT * FROM y UNION ALL SELECT * FROM f UNION ALL SELECT * FROM h)
+         SELECT cab_type, count(*) AS n_trips,
+           count(CASE WHEN fare IS NULL THEN 1 END) AS n_null_fare,
+           count(CASE WHEN distance_mi IS NULL THEN 1 END) AS n_null_dist,
+           round(sum(coalesce(total, 0)), 2) AS total_sum
+         FROM u GROUP BY 1 ORDER BY cab_type""",
     "m3_real_decode" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
          px AS (SELECT doc_id, ((doc_id*31 + x.range*7 + y.range*13) % 256) AS p

@@ -25,11 +25,17 @@ object EtlJob {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
     }.toMap
 
+  /** The full raw→curated transform chain (normalize → clean → derive),
+    * factored out so correctness gates exercise the exact code path the
+    * CLI runs, not a parallel reimplementation. */
+  def transform(raw: org.apache.spark.sql.DataFrame, cabType: String): org.apache.spark.sql.DataFrame =
+    Cleaning.withRatios(
+      Cleaning.withTimeFeatures(Cleaning.clean(
+        SchemaNormalizer.toCanonical(raw, cabType))))
+
   def run(spark: SparkSession, input: String, output: String, cabType: String): Long = {
     val raw = spark.read.parquet(input)
-    val canonical = SchemaNormalizer.toCanonical(raw, cabType)
-    val cleaned = Cleaning.withRatios(
-      Cleaning.withTimeFeatures(Cleaning.clean(canonical)))
+    val cleaned = transform(raw, cabType)
     CuratedWriter.writeCurated(cleaned, output)
     // row count from the write's own metrics would need a listener; a
     // cheap count on the curated output reads footers only.

@@ -247,6 +247,26 @@ object Relational {
   def heavyHitters(df: DataFrame, column: String, support: Double = 0.1): DataFrame =
     df.stat.freqItems(Array(column), support)
 
+  /** Sketch-then-verify heavy hitters: the one-pass KSP sketch proposes a
+    * candidate superset (no false negatives for frequency > `support`),
+    * then ONE semi-joined aggregation over just the candidate values
+    * computes exact counts and drops the false positives. The result is
+    * the EXACT set {v : freq(v) > support·N} — oracle-pinnable — while
+    * the full-table work stays sketch-shaped: no per-key shuffle of the
+    * whole key space, only the (tiny, broadcast) candidate set hits the
+    * exact-count aggregation. */
+  def verifiedHeavyHitters(df: DataFrame, column: String, support: Double): DataFrame = {
+    val cands = heavyHitters(df, column, support)
+      .select(explode(col(s"${column}_freqItems")).as(column))
+    val counts = df.join(broadcast(cands), Seq(column), "left_semi")
+      .groupBy(column).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") * support)
+      .select(col(column), col("cnt"))
+      .orderBy(desc("cnt"), col(column))
+  }
+
   /** U1: union-by-name over divergent schemas — `pd.concat` NaN-fill
     * semantics (`part2.ipynb` cell 2:99) via
     * `unionByName(allowMissingColumns=true)`. */
