@@ -256,12 +256,22 @@ object SparkEntry {
     // --- dedup (training-data ops) ---
     "d1_dup_stats" -> q((s, d) => Dedup.dupStatsByLang(Tables.documents(s, d))),
     "d2_exact_dedup" -> q((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    // reproducible mode: FNV-based signatures + raw band-slice keys, so
+    // the oracle rebuilds the ENTIRE pipeline (shingle hash → permuted
+    // minhash → banding → star guard → agreement score) bit-for-bit
     "d3_minhash_pairs" -> q((s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d))
+      Dedup.minhashNearDups(Tables.documents(s, d), reproducible = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
     "d4_simhash_pairs" -> q((s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8).limit(1000)),
+      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8,
+        reproducible = true).limit(1000)),
+    // xxhash64-signature scale path (engine default — not reproducible
+    // outside Spark, so rows-only)
+    "d9_minhash_xxh" -> q((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
     "d6_strip_dup_segments" -> q((s, d) => Dedup.stripDuplicateSegments(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
@@ -358,6 +368,23 @@ object SparkEntry {
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
   private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** The engine's minhash permutation constants, inlined into the d3
+    * oracle so DuckDB applies the identical `(a·h + b) mod p` family. */
+  private val permValues: String = (0 until 64).map { j =>
+    val (a, b) = graft.functions.HashExpressions.perm(j)
+    s"($j, $a, $b)"
+  }.mkString(", ")
+
+  /** FNV-1a/32 fold over a string's characters (DuckDB lambda) — the
+    * SQL mirror of the engine's reproducible-mode shingle/token hash
+    * (byte-wise UTF-8, which equals this per-character fold on the
+    * all-ASCII gate corpus). */
+  private def fnvSql(expr: String, basis: Long): String =
+    s"""list_reduce(list_prepend($basis::BIGINT,
+       list_transform(list_filter(string_split_regex($expr, ''), c -> len(c) > 0),
+         c -> ascii(c)::BIGINT)),
+       (h, b) -> (xor(h, b) * 16777619) & 4294967295)"""
 
   /** DuckDB regeneration of [[graft.taxi.TaxiFixture.yellowFromEvents]]
     * followed by the [[graft.taxi.Cleaning]] constants — the shared CTE
@@ -828,6 +855,85 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
          HAVING count(*) > (SELECT count(*) FROM events) * 0.008
          ORDER BY cnt DESC, user_id""",
+    // full independent reimplementation of the reproducible minhash-LSH
+    // pipeline: FNV shingle hashes -> (a·h+b) mod p signatures (engine
+    // constants inlined) -> 16-band banding on raw slices -> oversize-
+    // bucket star guard -> pair dedup -> agreement scoring
+    "d3_minhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         hs AS (SELECT doc_id, list_transform(s, g -> ${fnvSql("g", 2166136261L)}) AS hl
+           FROM sh),
+         perm AS (SELECT * FROM (VALUES $permValues) p(j, a, b)),
+         sigv AS (SELECT doc_id, j,
+             min((a * (h % 2147483647) + b) % 2147483647) AS v
+           FROM (SELECT doc_id, unnest(hl) AS h FROM hs), perm
+           GROUP BY doc_id, j),
+         sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+         banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
+           FROM sig, range(0, 16) r(b)),
+         bsz AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+           FROM banded GROUP BY 1, 2),
+         wsz AS (SELECT banded.doc_id, banded.band, banded.key, bsz.n, bsz.rep
+           FROM banded JOIN bsz USING (band, key)),
+         cand_small AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM (SELECT * FROM wsz WHERE n <= 64) a
+           JOIN (SELECT * FROM wsz WHERE n <= 64) b USING (band, key)
+           WHERE a.doc_id < b.doc_id),
+         cand_star AS (SELECT rep AS doc_a, doc_id AS doc_b
+           FROM wsz WHERE n > 64 AND doc_id != rep),
+         cands AS (SELECT DISTINCT doc_a, doc_b FROM
+           (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star)),
+         est AS (SELECT doc_a, doc_b,
+             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 64
+               AS est_jaccard
+           FROM cands
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
+    // independent reimplementation of the reproducible simhash pipeline:
+    // packed dual-FNV 63-bit token hashes -> per-bit vote -> 16-bit
+    // chunk banding -> star guard -> popcount verify
+    "d4_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toks)) AS t FROM documents),
+         th AS (SELECT DISTINCT doc_id,
+             ${fnvSql("t", 2166136261L)} |
+             ((${fnvSql("t", 3561277584L)} & 2147483647) << 32) AS h
+           FROM tok),
+         bits AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, range(0, 63) r(j) GROUP BY 1, 2),
+         shv AS (SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS simhash
+           FROM bits GROUP BY 1),
+         banded AS (SELECT doc_id, simhash, b AS band,
+             (simhash >> (b*16)) & 65535 AS chunk
+           FROM shv, range(0, 4) r(b)),
+         bsz AS (SELECT band, chunk, count(*) AS n, min(doc_id) AS rep
+           FROM banded GROUP BY 1, 2),
+         wsz AS (SELECT banded.doc_id, banded.simhash, banded.band, banded.chunk,
+             bsz.n, bsz.rep
+           FROM banded JOIN bsz USING (band, chunk)),
+         cand_small AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM (SELECT * FROM wsz WHERE n <= 64) a
+           JOIN (SELECT * FROM wsz WHERE n <= 64) b USING (band, chunk)
+           WHERE a.doc_id < b.doc_id),
+         cand_star AS (SELECT w.rep AS doc_a, w.doc_id AS doc_b,
+             h.simhash AS sa, w.simhash AS sb
+           FROM wsz w JOIN shv h ON h.doc_id = w.rep
+           WHERE w.n > 64 AND w.doc_id != w.rep),
+         cands AS (SELECT DISTINCT doc_a, doc_b, sa, sb FROM
+           (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star))
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cands WHERE bit_count(xor(sa, sb)) <= 8
+         ORDER BY doc_a, doc_b LIMIT 1000""",
     "d6_strip_dup_segments" ->
       s"""WITH segs AS (SELECT doc_id,
            unnest(range(0, CAST(ceil(len($toks) / 10.0) AS INT))) AS seg_idx,

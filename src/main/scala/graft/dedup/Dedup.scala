@@ -133,10 +133,11 @@ object Dedup {
     * groupBy(doc_id) formulation would shuffle every (doc, shingle)
     * pair: a corpus-sized shuffle for a purely row-local computation. */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 64,
-                        shingleK: Int = 3): DataFrame =
+                        shingleK: Int = 3, reproducible: Boolean = false): DataFrame =
     documents.select(col("doc_id"),
       graft.functions.HashExpressions.minhashSignature(
-        graft.functions.HashExpressions.shingleHashes(col("text"), shingleK),
+        graft.functions.HashExpressions.shingleHashes(col("text"), shingleK,
+          fnv = reproducible),
         numHashes).as("sig"))
 
   /** LSH banding: split the signature into `bands` bands of rows, hash
@@ -155,22 +156,31 @@ object Dedup {
     * of oversized buckets are intentionally not enumerated. */
   def minhashNearDups(documents: DataFrame, numHashes: Int = 64,
                       bands: Int = 16, shingleK: Int = 3,
-                      maxBucket: Int = 64): DataFrame = {
+                      maxBucket: Int = 64,
+                      reproducible: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // The signature frame feeds three consumers (banding + both sides of
     // the scoring join); persist so the per-document signature pass runs
     // once — signatures are 8·k bytes/doc, orders of magnitude smaller
     // than the corpus.
     val sigs = minhashSignatures(
-      graft.operators.Partitioning.spread(documents), numHashes, shingleK).persist()
+      graft.operators.Partitioning.spread(documents), numHashes, shingleK,
+      reproducible).persist()
     // Candidate pairs carry only (doc_a, doc_b): the signature arrays are
     // dropped before the band self-join so the shuffle moves small fixed
     // keys, and a pair colliding in several bands is deduplicated BEFORE
     // agreement scoring (not after, which would score it once per band).
+    // Band key: xxhash64 of the band slice (8 bytes — the scale default)
+    // or, in reproducible mode, the raw slice array itself (rows·8
+    // bytes, collision-free, and replicable by any engine that can
+    // compare arrays).
+    val bandCols: Seq[Column] =
+      if (reproducible) (0 until bands).map(b => slice(col("sig"), b * rows + 1, rows))
+      else (0 until bands).map(b =>
+        array(xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))))
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))): _*)))
+      posexplode(array(bandCols: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
     val buckets = banded.groupBy("band", "band_hash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
@@ -197,9 +207,9 @@ object Dedup {
     * position, sign of Σ±1 over tokens (Charikar '02). Computed by the
     * codegen'd [[graft.functions.HashExpressions.SimHash64]] expression —
     * one tight primitive loop per document. */
-  def withSimhash(documents: DataFrame): DataFrame =
+  def withSimhash(documents: DataFrame, reproducible: Boolean = false): DataFrame =
     documents.withColumn("simhash",
-      graft.functions.HashExpressions.simhashText(col("text")))
+      graft.functions.HashExpressions.simhashText(col("text"), fnv = reproducible))
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks (Hamming ≤3 ⇒ some chunk equal), self-join per chunk,
@@ -208,8 +218,9 @@ object Dedup {
     * [[minhashNearDups]] — the same degenerate-cluster blowup applies
     * (b²/2 pairs per bucket per band). */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 64): DataFrame = {
-    val sh = withSimhash(graft.operators.Partitioning.spread(documents))
+                      maxBucket: Int = 64,
+                      reproducible: Boolean = false): DataFrame = {
+    val sh = withSimhash(graft.operators.Partitioning.spread(documents), reproducible)
       .select("doc_id", "simhash")
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

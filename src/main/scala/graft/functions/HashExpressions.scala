@@ -35,6 +35,32 @@ object HashExpressions {
   private def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
 
+  /** FNV-1a/32 offset bases for the reproducible hash mode: the standard
+    * basis plus a second, distinct basis so two independent 32-bit
+    * streams can be packed into one wide hash. */
+  val FnvBasisA = 2166136261L
+  val FnvBasisB = 3561277584L // 0x811C9DC5 ^ 0x55555555
+
+  private def fnv1a32Bytes(bytes: Array[Byte], from: Int, until: Int, basis: Long): Long = {
+    var h = basis
+    var i = from
+    while (i < until) { h = ((h ^ (bytes(i) & 0xFF)) * 16777619L) & 0xFFFFFFFFL; i += 1 }
+    h
+  }
+
+  /** Reproducible 63-bit token/shingle hash: two FNV-1a/32 streams packed
+    * as `a | ((b & 0x7FFFFFFF) << 32)`. Bit 63 is always clear, keeping
+    * every derived value nonnegative — chosen so a SQL oracle (64-bit
+    * signed integers, overflow-checked) can replicate the construction
+    * exactly. The engine default remains xxHash64 (wider, faster); this
+    * mode trades a collision bit for cross-engine bit-reproducibility
+    * of signatures (e.g. deduping against an index another system
+    * built). Byte-wise over UTF-8 — equals a per-code-point fold for
+    * ASCII corpora, which is what SQL `ascii()` recipes compute. */
+  private def fnv63(bytes: Array[Byte], from: Int, until: Int): Long =
+    fnv1a32Bytes(bytes, from, until, FnvBasisA) |
+      ((fnv1a32Bytes(bytes, from, until, FnvBasisB) & 0x7FFFFFFFL) << 32)
+
   /** array<long> raw shingle hashes → array<long> minhash signature. */
   case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -199,7 +225,7 @@ object HashExpressions {
     * declarative form evaluates interpreted per shingle, this runs once
     * per row. Short docs (< k tokens) hash the whole token join;
     * tokenless docs hash the empty string (matching `concat_ws`). */
-  case class ShingleHashes(child: Expression, k: Int)
+  case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -234,7 +260,8 @@ object HashExpressions {
           len += tokLen
           t += 1
         }
-        XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        if (fnv) fnv1a32Bytes(buf, 0, len, FnvBasisA)
+        else XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
       }
       val out: Array[Long] =
         if (n < k) Array(hashShingle(0, n))
@@ -262,7 +289,7 @@ object HashExpressions {
   /** string text → 64-bit SimHash over DISTINCT whitespace tokens, in
     * one JVM pass (tokenize + dedup + bit counting). Equivalent to
     * `SimHash64(array_distinct(filter(split(text,' '), _ != '')))`. */
-  case class SimHashText(child: Expression)
+  case class SimHashText(child: Expression, fnv: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -279,8 +306,9 @@ object HashExpressions {
         if (i < bytes.length) {
           val s = i
           while (i < bytes.length && bytes(i) != ' ') i += 1
-          val h = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, i - s, 42L)
+          val h = if (fnv) fnv63(bytes, s, i)
+            else XXH64.hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, i - s, 42L)
           if (seen.add(h)) {
             var j = 0
             while (j < 64) {
@@ -362,11 +390,11 @@ object HashExpressions {
   def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column =
     toCol(MinHashSignature(exprOf(shingleHashes), numHashes))
 
-  def shingleHashes(text: Column, k: Int = 3): Column =
-    toCol(ShingleHashes(exprOf(text), k))
+  def shingleHashes(text: Column, k: Int = 3, fnv: Boolean = false): Column =
+    toCol(ShingleHashes(exprOf(text), k, fnv))
 
-  def simhashText(text: Column): Column =
-    toCol(SimHashText(exprOf(text)))
+  def simhashText(text: Column, fnv: Boolean = false): Column =
+    toCol(SimHashText(exprOf(text), fnv))
 
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(exprOf(tokens)))
