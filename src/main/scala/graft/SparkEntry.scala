@@ -335,6 +335,8 @@ object SparkEntry {
       val frames = Seq(
         cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(
           ev.filter(col("event_type") === "click")), "yellow"),
+        cli.EtlJob.transform(taxi.TaxiFixture.greenFromEvents(
+          ev.filter(col("event_type") === "signup")), "green"),
         cli.EtlJob.transform(taxi.TaxiFixture.fhvFromEvents(
           ev.filter(col("event_type") === "view")), "fhv"),
         cli.EtlJob.transform(taxi.TaxiFixture.fhvhvFromEvents(
@@ -346,6 +348,21 @@ object SparkEntry {
           count(when(col("distance_mi").isNull, 1)).as("n_null_dist"),
           round(sum(coalesce(col("total"), lit(0.0))), 2).as("total_sum"))
         .orderBy("cab_type")
+    }),
+    // J2's literal reference form (`generate_notebooks_auto.py:383-430`):
+    // cleaned trips × the zone-lookup CSV dimension, broadcast-joined on
+    // pickup zone, borough-level rollup — exercises the S12 CSV scan
+    // (readZoneLookup's enforced schema) end to end, not just in units
+    "x6_zone_borough_join" -> q((s, d) => {
+      val zones = sources.CuratedWriter.readZoneLookup(s, taxi.TaxiFixture.zoneLookupCsv())
+      val trips = cli.EtlJob.transform(
+        taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d)), "yellow")
+      trips.join(broadcast(zones), trips("pu_zone") === zones("LocationID"))
+        .groupBy("Borough")
+        .agg(count(lit(1)).as("trip_count"),
+          round(sum(coalesce(col("fare"), lit(0.0))), 2).as("fare_sum"),
+          round(avg("distance_mi"), 4).as("avg_distance"))
+        .orderBy("Borough")
     }),
     // --- composed training-data prep pipeline ---
     "tp1_pipeline_summary" -> q((s, d) =>
@@ -989,6 +1006,17 @@ object SparkEntry {
       s"""$taxiYellowCleaned
          SELECT do_zone, count(*) AS trip_count FROM cl GROUP BY 1
          ORDER BY trip_count DESC, do_zone LIMIT 100""",
+    "x6_zone_borough_join" ->
+      s"""$taxiYellowCleaned,
+         zones AS (SELECT i AS LocationID,
+           (['EWR','Manhattan','Brooklyn','Queens','Bronx','Staten Island'])[i % 6 + 1]
+             AS Borough
+           FROM range(1, 266) r(i))
+         SELECT Borough, count(*) AS trip_count,
+           round(sum(coalesce(fare, 0)), 2) AS fare_sum,
+           round(avg(distance_mi), 4) AS avg_distance
+         FROM cl JOIN zones ON cl.pu_zone = zones.LocationID
+         GROUP BY 1 ORDER BY Borough""",
     "x5_taxi_multi_schema_union" ->
       """WITH base AS (SELECT event_id, user_id, event_type, value, ts,
            ts + to_minutes(event_id % 1500) AS dropoff_ts,
@@ -1005,6 +1033,11 @@ object SparkEntry {
            FROM ok WHERE event_type = 'click'
              AND (dist IS NULL OR (dist > 0 AND dist < 500))
              AND (fare IS NULL OR fare >= 0)),
+         g AS (SELECT 'green' AS cab_type, dist AS distance_mi, fare,
+             coalesce(fare, 0) + value AS total
+           FROM ok WHERE event_type = 'signup'
+             AND (dist IS NULL OR (dist > 0 AND dist < 500))
+             AND (fare IS NULL OR fare >= 0)),
          f AS (SELECT 'fhv' AS cab_type, NULL::DOUBLE AS distance_mi,
              NULL::DOUBLE AS fare, NULL::DOUBLE AS total
            FROM ok WHERE event_type = 'view'),
@@ -1017,7 +1050,8 @@ object SparkEntry {
            FROM ok WHERE event_type = 'purchase'
              AND (dist IS NULL OR (dist > 0 AND dist < 500))
              AND (fare IS NULL OR fare >= 0)),
-         u AS (SELECT * FROM y UNION ALL SELECT * FROM f UNION ALL SELECT * FROM h)
+         u AS (SELECT * FROM y UNION ALL SELECT * FROM g
+               UNION ALL SELECT * FROM f UNION ALL SELECT * FROM h)
          SELECT cab_type, count(*) AS n_trips,
            count(CASE WHEN fare IS NULL THEN 1 END) AS n_null_fare,
            count(CASE WHEN distance_mi IS NULL THEN 1 END) AS n_null_dist,

@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated filter, same matching rule as Bench —
+    // dev-loop tool for re-verifying just the gates being worked on
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def matches(n: String, p: String): Boolean =
+      n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

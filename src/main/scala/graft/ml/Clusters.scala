@@ -18,9 +18,15 @@ object Clusters {
     * explains at least 85% of total variance, and no cluster collapsed
     * empty. */
   def qualityReport(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
-    val feats = events.select(
-      log1p(col("value")).as("f_value"),
-      hour(col("ts")).cast("double").as("f_hour"))
+    // Explicit domain filter matching the oracle's WHERE clause: value = -1
+    // gives log1p(-1) = -Infinity, which VectorAssembler's
+    // handleInvalid("skip") does NOT drop (skip removes only null/NaN), so
+    // relying on assembler semantics would desync the gate on such a row.
+    val feats = events
+      .filter(col("value").isNotNull && col("value") > -1 && col("ts").isNotNull)
+      .select(
+        log1p(col("value")).as("f_value"),
+        hour(col("ts")).cast("double").as("f_hour"))
     val assembled = new VectorAssembler()
       .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
       .setHandleInvalid("skip")

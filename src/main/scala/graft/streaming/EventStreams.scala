@@ -138,18 +138,31 @@ object EventStreams {
                          keyCols: Seq[String], tsCol: String = "ts",
                          watermark: String = "2 hours",
                          inputFiles: Int = 4): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
-    batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
-    val schema = spark.read.parquet(s"$dir/in").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val dir = dirPath.toString
     val sink = s"graft_st_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = dedupStream(stream, keyCols, tsCol, watermark)
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode(OutputMode.Append()).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(sink)
+    try {
+      batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val q = dedupStream(stream, keyCols, tsCol, watermark)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append()).start()
+      try { q.processAllAvailable() } finally q.stop()
+      // Eager localCheckpoint detaches the result from both the memory
+      // sink's temp view and the on-disk input/checkpoint, so neither
+      // leaks past this call (repeated gate/bench runs used to accrete
+      // /tmp dirs + catalog views for the life of the session).
+      spark.table(sink).localCheckpoint(eager = true)
+    } finally {
+      try spark.catalog.dropTempView(sink) catch { case _: Throwable => () }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
   }
 
   /** Wire the windowed-count pipeline from a parquet directory stream to

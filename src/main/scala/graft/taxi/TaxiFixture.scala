@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object TaxiFixture {
 
+  /** Boroughs in `LocationID % 6` order — mirrored by the x6 oracle's
+    * DuckDB list literal (1-based index there, 0-based here). */
+  private val boroughs =
+    Seq("EWR", "Manhattan", "Brooklyn", "Queens", "Bronx", "Staten Island")
+
+  /** Write a deterministic `taxi_zone_lookup.csv` twin (LocationID →
+    * Borough/Zone/service_zone, reference
+    * `scripts/generate_notebooks_auto.py:383-430`) and return its path.
+    * Pure arithmetic per row, so the SQL oracle regenerates the same
+    * dimension from `range(1, 266)` — this is what lets the
+    * CSV-scan → broadcast-join path be oracle-pinned end to end. */
+  def zoneLookupCsv(): String = {
+    val path = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_taxi_zone_lookup.csv")
+    val rows = (1 to 265).map { id =>
+      val b = boroughs(id % 6)
+      val sz = if (id % 6 == 0) "EWR" else "Boro Zone"
+      s"$id,$b,Zone $id,$sz"
+    }
+    val csv = ("LocationID,Borough,Zone,service_zone" +: rows).mkString("", "\n", "\n")
+    java.nio.file.Files.write(path, csv.getBytes("UTF-8"))
+    path.toString
+  }
+
   private def durMin: Column = (col("event_id") % 1500).cast("int")
   private def dropoffTs: Column =
     col("ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), durMin, lit(0))
@@ -45,6 +69,28 @@ object TaxiFixture {
       fareAmt.as("fare_amount"),
       col("value").as("tip_amount"),
       (coalesce(fareAmt, lit(0.0)) + col("value")).as("total_amount"))
+
+  /** Green-schema raw frame (`lpep_` timestamp prefix + `trip_type` /
+    * `ehail_fee`, reference `cab_wise_analysis.ipynb` cell 6; schema
+    * [[TaxiSchemas.green]]). Shares yellow's value arithmetic so the
+    * oracle's green branch reuses the yellow CTE — what differs is the
+    * COLUMN NAMES, which is exactly what SchemaNormalizer's lpep_
+    * detection path must absorb. */
+  def greenFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("V"), (col("event_id") % 3).cast("string")).as("VendorID"),
+      col("ts").as("lpep_pickup_datetime"),
+      dropoffTs.as("lpep_dropoff_datetime"),
+      (col("event_id") % 5 + 1).cast("int").as("passenger_count"),
+      distance.as("trip_distance"),
+      puZone.as("PULocationID"),
+      doZone.as("DOLocationID"),
+      fareAmt.as("fare_amount"),
+      col("value").as("tip_amount"),
+      (coalesce(fareAmt, lit(0.0)) + col("value")).as("total_amount"),
+      (col("event_id") % 2 + 1).cast("int").as("trip_type"),
+      when(col("event_id") % 19 === 0, lit(null))
+        .otherwise((col("event_id") % 4).cast("double")).as("ehail_fee"))
 
   /** FHV-schema raw frame — exercises the `PUlocationID` (lowercase l)
     * and `dropOff_datetime` (camel O) detection traps; no fare or
