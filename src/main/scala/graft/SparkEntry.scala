@@ -117,6 +117,25 @@ object SparkEntry {
       graft.operators.SnapshotDiff.diffCounts(oldSnap, newSnap,
         "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
     }),
+    // persistent bucketed layout end to end: both join sides written
+    // bucketBy(8) on the key, then the co-located join (SortMergeJoin
+    // with ZERO Exchange — asserted in BucketingSpec) must reproduce the
+    // plain shuffled join's result exactly. At 100 TB this is the layout
+    // that amortizes a repeated fact-fact join's shuffle across jobs.
+    "b1_bucketed_join" -> q((s, d) => {
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        "graft_b1_orders", "o_custkey", buckets = 8)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "graft_b1_customer", "o_custkey", buckets = 8)
+      graft.sources.Bucketing
+        .coLocatedJoin(s, "graft_b1_orders", "graft_b1_customer", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
+        .orderBy("c_mktsegment")
+    }),
     "u1_union_by_name" -> q((s, d) =>
       Relational.unionByNameEntities(Tables.customer(s, d), Tables.supplier(s, d))),
     "j1_join_segment" -> q((s, d) =>
@@ -249,6 +268,18 @@ object SparkEntry {
           round(avg(col("n_bpe") - col("n_ws")), 4).as("avg_subword_surplus"))
         .orderBy("lang")),
     "t10_vocab_by_lang" -> q((s, d) => TextAnalysis.vocabByLang(Tables.documents(s, d))),
+    // HLL vocabulary twin with the same 3·rsd error-bound contract as d10
+    "t12_vocab_approx" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = TextAnalysis.vocabByLang(docs)
+        .select(col("lang"), col("n_tokens"), col("vocab_exact"))
+      val approx = TextAnalysis.vocabByLangApprox(docs, rsd = 0.01)
+      exact.join(approx, "lang")
+        .select(col("lang"), col("n_tokens"), col("vocab_exact"),
+          (abs(col("vocab_approx") - col("vocab_exact"))
+            <= col("vocab_exact") * 0.03).as("approx_within_3rsd"))
+        .orderBy("lang")
+    }),
     "t11_top_bigrams" -> q((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
@@ -266,13 +297,54 @@ object SparkEntry {
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8,
         reproducible = true).limit(1000)),
-    // xxhash64-signature scale path (engine default — not reproducible
-    // outside Spark, so rows-only)
-    "d9_minhash_xxh" -> q((s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
+    // xxhash64-signature scale path, pinned via invariants: its pair set
+    // must cover every pair the reproducible FNV pipeline finds (the
+    // oracle re-derives that count independently), and every pair it
+    // emits must be a TRUE near-dup by exact shingle Jaccard (≥0.5 —
+    // measured 0.9 on the fixture; MinHash est≥0.5 over 64 hashes puts
+    // a J<0.2 false positive at Chernoff-negligible odds, so the bound
+    // holds with wide margin under any hash family)
+    "d9_minhash_xxh" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val xxh = Dedup.minhashNearDups(docs).filter(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val fnv = Dedup.minhashNearDups(docs, reproducible = true)
+        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+      val sh = docs.select(col("doc_id"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val inter = graft.functions.HashExpressions
+        .intersectCountSorted(col("sh_a"), col("sh_b"))
+      val trueJ = xxh
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("n").as("n_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("n").as("n_b")), "doc_b")
+        .select((inter.cast("double") / (col("n_a") + col("n_b") - inter))
+          .as("true_j"))
+      fnv.agg(count(lit(1)).as("n_fnv_pairs"))
+        .crossJoin(fnv.join(xxh, Seq("doc_a", "doc_b"), "left_anti")
+          .agg((count(lit(1)) === 0).as("xxh_covers_all_fnv_pairs")))
+        .crossJoin(trueJ.agg(
+          coalesce(min("true_j") >= 0.5, lit(true))
+            .as("xxh_pairs_are_true_neardups")))
+    }),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
+    // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
+    // against the exact twin: per source, the sketch estimate must land
+    // within 3·rsd of the oracle-computed exact distinct count
+    "d10_segment_dup_approx" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.segmentDupStats(docs)
+        .select(col("source"), col("n_segments"), col("n_unique"))
+      val approx = Dedup.segmentDupStatsApprox(docs, rsd = 0.01)
+        .select(col("source"), col("n_unique").as("n_unique_approx"))
+      exact.join(approx, "source")
+        .select(col("source"), col("n_segments"), col("n_unique"),
+          (abs(col("n_unique_approx") - col("n_unique"))
+            <= col("n_unique") * 0.03).as("approx_within_3rsd"))
+        .orderBy("source")
+    }),
     "d6_strip_dup_segments" -> q((s, d) => Dedup.stripDuplicateSegments(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
     "d8_dup_components" -> q((s, d) => DupGroups.dupComponentSizes(Tables.documents(s, d))),
@@ -285,12 +357,23 @@ object SparkEntry {
     "n2_lsh_top_pairs" -> q((s, d) =>
       Similarity.lshNearNeighbors(plantClones(Tables.embeddings(s, d), 25),
           dim = 64, nBits = 8, minSim = 0.99)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"),
+          // fixture-sanity guard (oracle demands literal true): every
+          // emitted pair must clear the 0.99 threshold with margin, so a
+          // regenerated fixture whose planted pairs sit near the
+          // threshold fails LOUDLY instead of flaking on float knife
+          // edges between DuckDB's and the engine's cosine
+          (col("sim") >= 0.9999).as("margin_ok"))
         .orderBy("id_a", "id_b")),
-    // adaptive-width LSH top-pairs on the organic corpus (bucketing
-    // depends on corpus-sized signature width → rows-only)
+    // adaptive-width LSH over the planted-clone corpus: the top-20 pairs
+    // by rounded cosine are exactly the 20 lowest-id planted clones
+    // (organic pairs max ≈0.51, clones ≈1.0), so the whole adaptive
+    // candidate path — corpus-sized signature width → bucket self-join →
+    // rounded ranking — pins to an exact all-pairs oracle; one missed
+    // planted pair shifts the id set and fails the gate
     "n6_lsh_adaptive_pairs" -> q((s, d) =>
-      Similarity.topCosinePairs(Tables.embeddings(s, d), dim = 64, n = 20)),
+      Similarity.topCosinePairs(plantClones(Tables.embeddings(s, d), 25),
+        dim = 64, n = 20)),
     "n4_exact_top_pairs" -> q((s, d) =>
       Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
     "n5_label_centroids" -> q((s, d) =>
@@ -301,12 +384,39 @@ object SparkEntry {
     "n3_ivf_topk" -> q((s, d) =>
       graft.similarity.Ivf.ivfTopK(plantClones(Tables.embeddings(s, d), 10),
           0L until 10L, k = 1)
-        .select(col("query_id"), col("vec_id"), col("sim"))
+        .select(col("query_id"), col("vec_id"), col("sim"),
+          // same fixture-sanity guard as n2: the found clone's cosine
+          // must clear ≈1 with margin, rejecting near-threshold fixtures
+          (col("sim") >= 0.9999).as("margin_ok"))
         .orderBy("query_id")),
-    // k=5 IVF search on the organic corpus (probe-set pruning on
-    // unclustered data → rows-only; recall bound asserted in IvfSpec)
-    "n7_ivf_top5" -> q((s, d) =>
-      graft.similarity.Ivf.ivfTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
+    // k=5 IVF invariant gate on the organic corpus, probing 8 of 16
+    // cells (half the index pruned). The embeddings are near-random
+    // (no cluster structure — the adversarial case for IVF), so the
+    // oracle demands a recall floor with margin rather than perfection:
+    // recall@5 vs in-engine brute force ≥ 0.6 (measured 0.80 at
+    // nprobe=8; 0.62 at the default nprobe=4), plus every reported sim
+    // must equal the exact cosine of its (query, vec) pair — a routing
+    // or scoring bug fails either boolean loudly
+    "n7_ivf_top5" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = graft.similarity.Ivf.ivfTopK(emb, 0L until 10L, k = 5,
+        nlist = 16, nprobe = 8)
+      val exact = Similarity.bruteForceTopK(emb, 0L until 10L, k = 5)
+      val hits = ivf.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+      val truth = ivf
+        .join(emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          "query_id")
+        .join(emb.select(col("vec_id"), col("embedding").as("v_emb")), "vec_id")
+        .select((round(Similarity.cosine(col("q_emb"), col("v_emb")), 6)
+          === col("sim")).cast("int").as("ok"))
+      ivf.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(hits.agg((count(lit(1)) >= 30).as("recall_ge_06")))
+        .crossJoin(truth.agg((min("ok") === 1).as("sims_match_exact")))
+    }),
     // --- taxi end-to-end path (SURVEY §3): raw-schema frames synthesized
     // deterministically from `events`, run through the CLI's own
     // EtlJob.transform (SchemaNormalizer detection + every Cleaning
@@ -386,12 +496,50 @@ object SparkEntry {
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
   private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
-  /** The engine's minhash permutation constants, inlined into the d3
-    * oracle so DuckDB applies the identical `(a·h + b) mod p` family. */
-  private val permValues: String = (0 until 64).map { j =>
-    val (a, b) = graft.functions.HashExpressions.perm(j)
-    s"($j, $a, $b)"
-  }.mkString(", ")
+  /** FROZEN minhash permutation constants `(j, a, b)` — the d3/d9 oracles
+    * pin these literals rather than calling
+    * `HashExpressions.perm(j)` at oracle-build time, so a bug in the
+    * engine's `perm` derivation can no longer mirror itself into the
+    * oracle invisibly. `HashExpressionsSpec` asserts `perm(j)` still
+    * produces exactly this table; if the engine constants ever drift,
+    * that spec (and the d3 gate) fail loudly instead of silently
+    * re-pinning. */
+  private[graft] val frozenPerms: Seq[(Int, Long, Long)] = Seq(
+    (0, 163283986L, 599261665L), (1, 894950490L, 798416384L),
+    (2, 1234311778L, 1286703461L), (3, 1204144324L, 835965923L),
+    (4, 1591944210L, 934522291L), (5, 496203189L, 1079763666L),
+    (6, 2013059713L, 763241338L), (7, 746696472L, 1670600315L),
+    (8, 2037706278L, 1456254455L), (9, 516379148L, 1266701751L),
+    (10, 1286444250L, 530699185L), (11, 219055890L, 2128274514L),
+    (12, 1772079176L, 818901099L), (13, 80209275L, 1149784844L),
+    (14, 1467146236L, 1735514601L), (15, 1203512295L, 1926977025L),
+    (16, 388782684L, 534172481L), (17, 200570785L, 2078724062L),
+    (18, 1304827311L, 2103803232L), (19, 332159529L, 201429023L),
+    (20, 1473283524L, 2092569640L), (21, 45072279L, 2068864278L),
+    (22, 31963117L, 1182366910L), (23, 659079707L, 1911013943L),
+    (24, 522913559L, 1194348314L), (25, 934817184L, 86284078L),
+    (26, 1493243116L, 868736356L), (27, 1645819368L, 435216821L),
+    (28, 853803872L, 331112215L), (29, 1096496025L, 1272982335L),
+    (30, 1274128037L, 2103828645L), (31, 1275158464L, 1296052558L),
+    (32, 849526002L, 1546027064L), (33, 1915924980L, 1963378267L),
+    (34, 232454059L, 419849167L), (35, 676603111L, 625827947L),
+    (36, 928317676L, 90987604L), (37, 1624604410L, 1035515163L),
+    (38, 1054936882L, 1560969530L), (39, 309330196L, 1634664623L),
+    (40, 42903836L, 1358305000L), (41, 150569540L, 1224228600L),
+    (42, 218095997L, 1801611204L), (43, 1338672062L, 671157322L),
+    (44, 1692438929L, 963027102L), (45, 1517017084L, 116331389L),
+    (46, 1412931510L, 2110630082L), (47, 2002925590L, 612410542L),
+    (48, 1779782007L, 1989166832L), (49, 1882834961L, 1713136369L),
+    (50, 1275721061L, 534497003L), (51, 848934912L, 587829961L),
+    (52, 262816073L, 941441090L), (53, 583168701L, 1616806787L),
+    (54, 1723249811L, 1684086747L), (55, 906268517L, 182186222L),
+    (56, 1068860728L, 423243344L), (57, 1706090348L, 2126124163L),
+    (58, 1166561870L, 954863350L), (59, 506852712L, 915470398L),
+    (60, 1373239334L, 1643822982L), (61, 38466389L, 1943661824L),
+    (62, 557655106L, 1957733589L), (63, 1855394319L, 1464982281L))
+
+  private val permValues: String =
+    frozenPerms.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
 
   /** FNV-1a/32 fold over a string's characters (DuckDB lambda) — the
     * SQL mirror of the engine's reproducible-mode shingle/token hash
@@ -402,6 +550,47 @@ object SparkEntry {
        list_transform(list_filter(string_split_regex($expr, ''), c -> len(c) > 0),
          c -> ascii(c)::BIGINT)),
        (h, b) -> (xor(h, b) * 16777619) & 4294967295)"""
+
+  /** The reproducible minhash-LSH pipeline as DuckDB CTEs (shared by the
+    * d3 pair gate and the d9 invariant gate): FNV shingle hashes →
+    * frozen-constant `(a·h+b) mod p` signatures → 16-band banding on raw
+    * slices → oversize-bucket star guard → pair dedup → agreement
+    * scoring. Ends with the `est(doc_a, doc_b, est_jaccard)` CTE. */
+  private lazy val minhashFnvPipeline: String =
+    s"""WITH sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         hs AS (SELECT doc_id, list_transform(s, g -> ${fnvSql("g", 2166136261L)}) AS hl
+           FROM sh),
+         perm AS (SELECT * FROM (VALUES $permValues) p(j, a, b)),
+         sigv AS (SELECT doc_id, j,
+             min((a * (h % 2147483647) + b) % 2147483647) AS v
+           FROM (SELECT doc_id, unnest(hl) AS h FROM hs), perm
+           GROUP BY doc_id, j),
+         sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+         banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
+           FROM sig, range(0, 16) r(b)),
+         bsz AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+           FROM banded GROUP BY 1, 2),
+         wsz AS (SELECT banded.doc_id, banded.band, banded.key, bsz.n, bsz.rep
+           FROM banded JOIN bsz USING (band, key)),
+         cand_small AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM (SELECT * FROM wsz WHERE n <= 64) a
+           JOIN (SELECT * FROM wsz WHERE n <= 64) b USING (band, key)
+           WHERE a.doc_id < b.doc_id),
+         cand_star AS (SELECT rep AS doc_a, doc_id AS doc_b
+           FROM wsz WHERE n > 64 AND doc_id != rep),
+         cands AS (SELECT DISTINCT doc_a, doc_b FROM
+           (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star)),
+         est AS (SELECT doc_a, doc_b,
+             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 64
+               AS est_jaccard
+           FROM cands
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b)"""
 
   /** DuckDB regeneration of [[graft.taxi.TaxiFixture.yellowFromEvents]]
     * followed by the [[graft.taxi.Cleaning]] constants — the shared CTE
@@ -556,6 +745,12 @@ object SparkEntry {
          NULL AS segment FROM supplier
          ORDER BY kind, id""",
     "j1_join_segment" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),0) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    // the bucketed layout must change the PLAN (no Exchange), never the
+    // ANSWER — pinned to the identical plain-join aggregate
+    "b1_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice),0) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
@@ -735,10 +930,27 @@ object SparkEntry {
                AS DOUBLE[])
            FROM embeddings WHERE vec_id < 25)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim,
+           true AS margin_ok
          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
          ORDER BY id_a, id_b""",
+    "n6_lsh_adaptive_pairs" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             CAST(list_transform(embedding, (x, i) ->
+               CAST(x * (1 + 0.0001 * ((vec_id + i - 1) % 3 - 1)) AS FLOAT))
+               AS DOUBLE[])
+           FROM embeddings WHERE vec_id < 25)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         ORDER BY sim DESC, id_a, id_b LIMIT 20""",
+    "n7_ivf_top5" ->
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
+         true AS recall_ge_06, true AS sims_match_exact""",
     "n3_ivf_topk" ->
       """WITH cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
            CAST(list_transform(embedding, (x, i) ->
@@ -746,7 +958,8 @@ object SparkEntry {
              AS DOUBLE[]) AS c_emb
            FROM embeddings WHERE vec_id < 10)
          SELECT vec_id AS query_id, vec_id + 10000 AS vec_id,
-           round(list_cosine_similarity(emb, c_emb), 6) AS sim
+           round(list_cosine_similarity(emb, c_emb), 6) AS sim,
+           true AS margin_ok
          FROM cl ORDER BY query_id""",
     "n1_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -873,46 +1086,24 @@ object SparkEntry {
          HAVING count(*) > (SELECT count(*) FROM events) * 0.008
          ORDER BY cnt DESC, user_id""",
     // full independent reimplementation of the reproducible minhash-LSH
-    // pipeline: FNV shingle hashes -> (a·h+b) mod p signatures (engine
+    // pipeline: FNV shingle hashes -> (a·h+b) mod p signatures (frozen
     // constants inlined) -> 16-band banding on raw slices -> oversize-
     // bucket star guard -> pair dedup -> agreement scoring
     "d3_minhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id,
-           list_distinct(CASE WHEN len($toks) >= 3
-             THEN list_transform(range(0, len($toks) - 2),
-                    i -> array_to_string(($toks)[i+1:i+3], ' '))
-             ELSE [array_to_string($toks, ' ')] END) AS s
-           FROM documents),
-         hs AS (SELECT doc_id, list_transform(s, g -> ${fnvSql("g", 2166136261L)}) AS hl
-           FROM sh),
-         perm AS (SELECT * FROM (VALUES $permValues) p(j, a, b)),
-         sigv AS (SELECT doc_id, j,
-             min((a * (h % 2147483647) + b) % 2147483647) AS v
-           FROM (SELECT doc_id, unnest(hl) AS h FROM hs), perm
-           GROUP BY doc_id, j),
-         sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
-         banded AS (SELECT doc_id, b AS band, sig[b*4+1 : b*4+4] AS key
-           FROM sig, range(0, 16) r(b)),
-         bsz AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
-           FROM banded GROUP BY 1, 2),
-         wsz AS (SELECT banded.doc_id, banded.band, banded.key, bsz.n, bsz.rep
-           FROM banded JOIN bsz USING (band, key)),
-         cand_small AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM (SELECT * FROM wsz WHERE n <= 64) a
-           JOIN (SELECT * FROM wsz WHERE n <= 64) b USING (band, key)
-           WHERE a.doc_id < b.doc_id),
-         cand_star AS (SELECT rep AS doc_a, doc_id AS doc_b
-           FROM wsz WHERE n > 64 AND doc_id != rep),
-         cands AS (SELECT DISTINCT doc_a, doc_b FROM
-           (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star)),
-         est AS (SELECT doc_a, doc_b,
-             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE / 64
-               AS est_jaccard
-           FROM cands
-           JOIN sig sa ON sa.doc_id = doc_a
-           JOIN sig sb ON sb.doc_id = doc_b)
+      s"""$minhashFnvPipeline
          SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
+    // invariant gate over the xxhash64 scale path: the FNV pair count is
+    // re-derived by the full independent pipeline above; the booleans are
+    // demanded true — engine-side they are computed from the actual
+    // xxhash64 pair set (superset coverage + exact-Jaccard verification),
+    // so a hash-family regression or banding bug fails the gate loudly
+    "d9_minhash_xxh" ->
+      s"""$minhashFnvPipeline
+         SELECT count(*) AS n_fnv_pairs,
+           true AS xxh_covers_all_fnv_pairs,
+           true AS xxh_pairs_are_true_neardups
+         FROM est WHERE est_jaccard >= 0.5""",
     // independent reimplementation of the reproducible simhash pipeline:
     // packed dual-FNV 63-bit token hashes -> per-bit vote -> 16-bit
     // chunk banding -> star guard -> popcount verify
@@ -969,6 +1160,21 @@ object SparkEntry {
          SELECT source, count(*) AS n_segments, count(DISTINCT segment) AS n_unique,
            round(1.0 - count(DISTINCT segment)::DOUBLE / count(*), 6) AS dup_ratio
          FROM segs GROUP BY 1 ORDER BY source""",
+    // exact side re-derived independently; the sketch-error boolean is
+    // demanded true (engine computes |approx-exact| <= 3·rsd·exact)
+    "d10_segment_dup_approx" ->
+      s"""WITH segs AS (SELECT source,
+           unnest(list_transform(range(0, CAST(ceil(len($toks) / 10.0) AS INT)),
+             i -> array_to_string(($toks)[i*10+1:i*10+10], ' '))) AS segment
+           FROM documents)
+         SELECT source, count(*) AS n_segments, count(DISTINCT segment) AS n_unique,
+           true AS approx_within_3rsd
+         FROM segs GROUP BY 1 ORDER BY source""",
+    "t12_vocab_approx" ->
+      s"""SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS vocab_exact,
+           true AS approx_within_3rsd
+         FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+         GROUP BY 1 ORDER BY lang""",
     // the decode STUB is deterministic byte math and the corpus is pure
     // ASCII (bytes == character codes), so even the stubbed multimodal
     // features pin to the oracle
@@ -1068,10 +1274,10 @@ object SparkEntry {
          FROM px GROUP BY doc_id ORDER BY doc_id"""
     // no oracle (rows-only check): ml3_isolation_forest / ml4_kmeans_profile
     // (per-row scores of iterative/seeded ML — their machine-checked
-    // invariant twins ml5/ml1 ARE pinned), n6_lsh_adaptive_pairs /
-    // n7_ivf_top5 (approximate search on unclustered data — pinned twins
-    // n2/n3 run on planted near-dups), p18_sample_raw (RNG profile —
-    // invariant twin p6 is pinned), d3/d4 (xxhash64 signatures) — each
+    // invariant twins ml5/ml1 ARE pinned) and p18_sample_raw (RNG
+    // profile — invariant twin p6 is pinned). Everything else, including
+    // the xxhash64 scale path (d9) and the approximate-search paths
+    // (n6/n7), is pinned or invariant-gated above. Each rows-only gate is
     // covered by a ScalaTest spec as well (see COVERAGE.md)
   )
 }

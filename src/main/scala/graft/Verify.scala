@@ -10,7 +10,11 @@ object Verify {
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false"),
+        .config("spark.ui.enabled", "false")
+        // bucketed-table gates use saveAsTable; keep the warehouse (and
+        // its Derby metastore) out of the repo working directory
+        .config("spark.sql.warehouse.dir",
+          Files.createTempDirectory("graft-warehouse").toString),
       shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
