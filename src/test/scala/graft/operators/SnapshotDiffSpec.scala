@@ -26,6 +26,22 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(counts == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L))
   }
 
+  test("republished keys violate diff's contract until normalized by dedupKeys") {
+    val oldSnap = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "payload", "seq")
+    // new snapshot republishes key 1 with a correction (two rows)
+    val newRepub = Seq((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("k", "payload", "seq")
+    // raw diff goes many-to-many on key 1: one row per (old, new) pairing
+    val raw = SnapshotDiff.diff(oldSnap, newRepub, "k", Seq("payload"))
+      .filter($"k" === 1L).count()
+    assert(raw == 1L) // 1 pairing survives the filter ('a'=='a' unchanged dropped, 'a'->'a2' changed)
+    // normalized via dedupKeys (last-writer-wins) the diff is well-defined
+    val d = SnapshotDiff.diff(oldSnap,
+        SnapshotDiff.dedupKeys(newRepub, "k", "seq"), "k", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "changed", 3L -> "added"))
+  }
+
   test("dedupKeys collapses republished keys last-writer-wins") {
     val snap = Seq(
       (1L, "v1", 100L), (1L, "v2", 200L), // republished: keep seq 200
