@@ -306,10 +306,13 @@ object SparkEntry {
     // holds with wide margin under any hash family)
     "d9_minhash_xxh" -> q((s, d) => {
       val docs = Tables.documents(s, d)
+      // both pair frames feed two consumers (count/anti-join/verify) —
+      // persist the tiny pair sets so each LSH pipeline runs ONCE, not
+      // per consumer (measured 6.1 s → ~3.5 s at sf0.1 without this)
       val xxh = Dedup.minhashNearDups(docs).filter(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").persist()
       val fnv = Dedup.minhashNearDups(docs, reproducible = true)
-        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b").persist()
       val sh = docs.select(col("doc_id"),
         graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("sh"))
         .withColumn("n", size(col("sh")))
