@@ -74,6 +74,15 @@ object SparkEntry {
     }),
     // raw seeded-sample profile (RNG-dependent → rows-only)
     "p18_sample_raw" -> q((s, d) => Relational.sampleProfile(Tables.events(s, d))),
+    // deterministic hash-based sampling: the keep set is a pure function
+    // of the key (FNV-1a of the stringified user_id), so unlike the
+    // RNG path this is FULLY pinned — the oracle recomputes the same
+    // hash and must select the identical rows
+    "p19_hash_sample" -> q((s, d) =>
+      Relational.hashSample(Tables.events(s, d), "user_id", pct = 10)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("event_type")),
     // --- aggregations (SURVEY §2.4) ---
     "a1_hourly_profile" -> q((s, d) => Relational.hourlyProfile(Tables.events(s, d))),
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
@@ -284,6 +293,24 @@ object SparkEntry {
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select("doc_id", "fp").orderBy("doc_id").limit(100)),
+    // Gopher repetition rules: duplicate-window fraction + top-bigram
+    // dominance per doc, rolled up per language with flag counts
+    "t13_repetition" -> q((s, d) =>
+      TextAnalysis.repetitionByLang(Tables.documents(s, d))),
+    // C4-style PII scrub over deterministically injected emails/IPs: the
+    // oracle re-runs the same injection + RE2-compatible redaction and
+    // demands zero residual raw-PII matches after the pass
+    "t14_pii_scrub" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withPii = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit(""))))
+      graft.text.Scrub.piiStats(graft.text.Scrub.scrubPii(withPii))
+    }),
     // --- dedup (training-data ops) ---
     "d1_dup_stats" -> q((s, d) => Dedup.dupStatsByLang(Tables.documents(s, d))),
     "d2_exact_dedup" -> q((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -351,6 +378,14 @@ object SparkEntry {
     "d6_strip_dup_segments" -> q((s, d) => Dedup.stripDuplicateSegments(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
     "d8_dup_components" -> q((s, d) => DupGroups.dupComponentSizes(Tables.documents(s, d))),
+    // test-set decontamination: eval = every 97th doc; any training doc
+    // sharing an 8-token shingle with it is dropped (broadcast semi/anti
+    // joins — the eval shingle set is the only broadcast state)
+    "d11_decontaminate" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Decontaminate.report(docs,
+        docs.filter(col("doc_id") % 97 === 0), k = 8)
+    }),
     // --- similarity search (training-data ops) ---
     "n1_ann_topk" -> q((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L until 10L, k = 5)),
@@ -911,6 +946,77 @@ object SparkEntry {
                 ELSE 'de' END AS lang_guess FROM m)
          SELECT lang, lang_guess, count(*) AS cnt FROM g
          GROUP BY 1,2 ORDER BY lang, lang_guess""",
+    "p19_hash_sample" ->
+      s"""SELECT event_type, count(*) AS cnt, round(avg(value),4) AS avg_value
+         FROM events
+         WHERE ${fnvSql("CAST(user_id AS VARCHAR)", 2166136261L)} % 100 < 10
+         GROUP BY 1 ORDER BY event_type""",
+    "t13_repetition" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+         w AS (SELECT doc_id, lang,
+           CASE WHEN len(tk) > 0
+             THEN list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS INT)),
+                    i -> array_to_string(tk[i*10+1:i*10+10], ' '))
+             ELSE [] END AS ws,
+           CASE WHEN len(tk) >= 2
+             THEN list_transform(range(0, len(tk) - 1),
+                    i -> array_to_string(tk[i+1:i+2], ' '))
+             ELSE [] END AS bgs
+           FROM t),
+         rl AS (SELECT doc_id, lang,
+           CASE WHEN len(ws) > 0
+             THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) ELSE 0.0 END AS wdf,
+           len(bgs) AS nbg FROM w),
+         tb AS (SELECT doc_id, max(c) AS topc FROM (
+             SELECT doc_id, bg, count(*) AS c
+             FROM (SELECT doc_id, unnest(bgs) AS bg FROM w) GROUP BY 1, 2)
+           GROUP BY 1),
+         j AS (SELECT rl.lang, rl.wdf,
+           CASE WHEN rl.nbg > 0 THEN tb.topc::DOUBLE / rl.nbg ELSE 0.0 END AS tbf
+           FROM rl LEFT JOIN tb ON rl.doc_id = tb.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(wdf), 6) AS avg_win_dup_frac,
+           round(avg(tbf), 6) AS avg_top_bigram_frac,
+           count(CASE WHEN wdf > 0.3 OR tbf > 0.2 THEN 1 END) AS n_flagged
+         FROM j GROUP BY 1 ORDER BY lang""",
+    "t14_pii_scrub" ->
+      """WITH w AS (SELECT source, text ||
+           CASE WHEN doc_id % 7 = 0
+             THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+             THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS text
+           FROM documents),
+         s AS (SELECT source, regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+             AS text FROM w)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '<EMAIL>'))) AS BIGINT)
+             AS n_email_redacted,
+           CAST(sum(len(regexp_extract_all(text, '<IP>'))) AS BIGINT)
+             AS n_ip_redacted,
+           CAST(sum(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
+             AS n_residual_pii
+         FROM s GROUP BY 1 ORDER BY source""",
+    "d11_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(range(0, len(t) - 7),
+                    i -> array_to_string(t[i+1:i+8], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         bad AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN ev USING (g)),
+         kept AS (SELECT lang, count(*) AS n_kept FROM sh
+           WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY 1),
+         base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT base.lang AS lang, n_docs, coalesce(n_kept, 0) AS n_kept,
+           n_docs - coalesce(n_kept, 0) AS n_dropped
+         FROM base LEFT JOIN kept ON base.lang = kept.lang
+         ORDER BY 1""",
     "ml1_kmeans" ->
       """SELECT 4 AS k, count(*) AS n_points,
          round(avg(ln(1 + value)), 6) AS avg_f_value,

@@ -120,6 +120,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
       .orderBy("event_type")
 
+  /** Deterministic hash-based sampling: keep rows whose
+    * `fnv1a32(key) mod 100` falls under `pct`. The keep/drop decision is
+    * a pure function of the key — unlike seeded-RNG `sample` (P6) it is
+    * stable across retries, repartitioning, and engine versions,
+    * consistent for a key ACROSS tables (sample users, not rows), and
+    * exactly reproducible by any engine with the same hash — which is
+    * what lets this be a fully pinned gate where p6 needs invariant
+    * bounds. At 100 TB this is the only sampling form that survives
+    * speculative re-execution without ghost rows. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(
+      pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
+        lit(100L)) < pct)
+
   /** P14/A6: month→season bucket + rollup sums
     * (`analytics_summary.py:13-14,32-61`). */
   def seasonTotals(orders: DataFrame): DataFrame = {

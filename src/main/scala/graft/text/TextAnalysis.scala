@@ -236,4 +236,64 @@ object TextAnalysis {
 
   def withFingerprint(documents: DataFrame): DataFrame =
     documents.withColumn("fp", fingerprint(col("text")))
+
+  /** Within-document repetition signals — the Gopher repetition rules
+    * (Rae et al. 2021, table A1): the fraction of duplicate
+    * `width`-token windows in a document, and the fraction of the
+    * document's bigram occurrences taken by its single most frequent
+    * bigram. Adds `win_dup_frac` and `top_bigram_frac` per document.
+    *
+    * The window-duplication fraction is purely row-local
+    * (array_distinct over the window list). The per-document bigram
+    * mode cannot be row-local without O(n²) per-row set scans, so it is
+    * a count keyed by (doc_id, bigram) with map-side combine followed
+    * by a max per doc_id — two narrow-key shuffles, never a corpus
+    * self-join. */
+  def withRepetitionStats(documents: DataFrame, width: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(col("toks"))
+    val nw = ceil(n.cast("double") / width).cast("int")
+    val wins = when(nw > 0,
+      transform(sequence(lit(0), nw - 1),
+        i => array_join(slice(col("toks"), i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = when(n >= 2,
+      zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val base = documents.withColumn("toks", toks)
+      .withColumn("wins", wins).withColumn("bigrams", bigrams)
+      .withColumn("win_dup_frac",
+        when(size(col("wins")) > 0,
+          lit(1.0) - size(array_distinct(col("wins"))).cast("double")
+            / size(col("wins")))
+          .otherwise(lit(0.0)))
+      .withColumn("n_bigrams", size(col("bigrams")))
+    val topBg = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg"))
+    base
+      .join(topBg, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bg").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .drop("toks", "wins", "bigrams", "n_bigrams", "top_bg")
+  }
+
+  /** Corpus-level repetition profile with Gopher-style flag counts:
+    * a document is flagged when over 30% of its windows are duplicates
+    * or one bigram takes over 20% of bigram occurrences. */
+  def repetitionByLang(documents: DataFrame, width: Int = 10): DataFrame =
+    withRepetitionStats(documents, width)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("win_dup_frac"), 6).as("avg_win_dup_frac"),
+        round(avg("top_bigram_frac"), 6).as("avg_top_bigram_frac"),
+        count(when(col("win_dup_frac") > 0.3 || col("top_bigram_frac") > 0.2, 1))
+          .as("n_flagged"))
+      .orderBy("lang")
 }

@@ -1,0 +1,41 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val w = ('a' to 'z').map(_.toString)
+  private def sent(idx: Int*): String = idx.map(w).mkString(" ")
+
+  test("drops docs sharing a k-shingle with eval, keeps disjoint docs") {
+    // eval doc = tokens a..l; train doc 1 embeds 8 consecutive tokens of
+    // it (c..j) inside other text; doc 2 shares only 7 consecutive (< k);
+    // doc 3 is disjoint
+    val eval = Seq((100L, "en", sent(0 to 11: _*))).toDF("doc_id", "lang", "text")
+    val train = Seq(
+      (1L, "en", "x y " + sent(2 to 9: _*) + " z"),
+      (2L, "en", "x y " + sent(2 to 8: _*) + " z"),
+      (3L, "en", sent(13 to 25: _*)))
+      .toDF("doc_id", "lang", "text")
+    val kept = Decontaminate.decontaminate(train, eval, k = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    val rep = Decontaminate.report(train, eval, k = 8).collect()
+    assert(rep.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq(("en", 3L, 2L, 1L)))
+  }
+
+  test("short documents are caught via their whole-text shingle") {
+    val eval = Seq((100L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+    val train = Seq(
+      (1L, "en", "alpha beta gamma"),        // exact short dup
+      (2L, "en", "alpha beta delta"))        // differs
+      .toDF("doc_id", "lang", "text")
+    val kept = Decontaminate.decontaminate(train, eval, k = 8)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+}

@@ -155,4 +155,27 @@ class OperatorPropertiesSpec extends SparkTestBase {
       assert(out.map(_.getAs[Long]("n_users")).sum == clickers)
     }
   }
+
+  test("hashSample: deterministic, partition-independent, key-consistent") {
+    val keys = (1L to 500L)
+    val t1 = keys.map(k => (k, s"a$k")).toDF("user_id", "payload")
+    val sampled = Relational.hashSample(t1, "user_id", 10)
+      .select("user_id").as[Long].collect().toSet
+    // partition-independent: same keep set at any parallelism
+    val re = Relational.hashSample(t1.repartition(7), "user_id", 10)
+      .select("user_id").as[Long].collect().toSet
+    assert(sampled == re)
+    // key-consistent across tables: a second table with other payloads
+    // keeps exactly the same user_ids (sample users, not rows)
+    val t2 = keys.map(k => (k, k * 2.0)).toDF("user_id", "other")
+    val s2 = Relational.hashSample(t2, "user_id", 10)
+      .select("user_id").as[Long].collect().toSet
+    assert(sampled == s2)
+    // monotone in pct: the 10% sample is a subset of the 20% sample
+    val s20 = Relational.hashSample(t1, "user_id", 20)
+      .select("user_id").as[Long].collect().toSet
+    assert(sampled.subsetOf(s20))
+    // rough size sanity (FNV over ~uniform keys): 10% ± wide slack
+    assert(sampled.size > 20 && sampled.size < 130)
+  }
 }

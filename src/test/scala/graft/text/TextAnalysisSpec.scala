@@ -84,4 +84,34 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(_.getDouble(0))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("repetition stats: duplicate windows and dominant bigram") {
+    // doc 1: two identical 2-token windows ("a b" ×2) → dup frac 0.5;
+    // bigrams of "a b a b": (a b)(b a)(a b) → top "a b" = 2/3
+    // doc 2: 4 distinct tokens → dup frac 0; 3 distinct bigrams → 1/3
+    // doc 3: single token → no windows dup (1 window, distinct), no bigrams → 0
+    val d = Seq(
+      (1L, "en", "a b a b"),
+      (2L, "en", "p q r s"),
+      (3L, "en", "solo"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.withRepetitionStats(d, width = 2)
+      .orderBy("doc_id")
+      .select("win_dup_frac", "top_bigram_frac")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(math.abs(out(0)._1 - 0.5) < 1e-9)
+    assert(math.abs(out(0)._2 - 2.0 / 3.0) < 1e-9)
+    assert(out(1) == ((0.0, 1.0 / 3.0)))
+    assert(out(2) == ((0.0, 0.0)))
+  }
+
+  test("repetitionByLang flags dup-heavy docs") {
+    val d = Seq(
+      (1L, "en", Seq.fill(10)("spam spam spam").mkString(" ")), // heavy repetition
+      (2L, "en", ('a' to 'z').map(_.toString).mkString(" ")))   // no repetition
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.repetitionByLang(d, width = 3).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_flagged") == 1L)
+  }
 }
