@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -11,14 +13,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile =
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
+    // Clear the previous run's artifact FIRST: a crashed run must leave no
+    // file rather than a stale one the driver would misattribute to this
+    // round.
+    try Files.deleteIfExists(outFile) catch { case _: Throwable => () }
+    val warehouse = Files.createTempDirectory("graft-warehouse")
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.ui.enabled", "false")
-        // bucketed-table gates use saveAsTable; keep the warehouse (and
-        // its Derby metastore) out of the repo working directory
-        .config("spark.sql.warehouse.dir",
-          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
+        // bucketed-table gates use saveAsTable; point the warehouse at a
+        // temp dir so table data never lands in the repo working
+        // directory (these sessions use the in-memory catalog — no Hive
+        // metastore exists to relocate)
+        .config("spark.sql.warehouse.dir", warehouse.toString),
       shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,17 +41,12 @@ object Bench {
     // long-running service would see. A query that fails both attempts
     // must be visible in the JSON itself — a time-to-failure entry would
     // make a broken query look FAST.
-    // optional family filter (comma-separated) for targeted scale probes:
-    // a token matches its query when it equals the name, is an
-    // underscore-delimited prefix ("d7" → d7_segment_dup_stats), or
-    // equals the family's leading letters ("t" → t5…/t11…, but NOT
-    // tp1_pipeline_summary, whose family is "tp")
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def matches(n: String, p: String): Boolean =
-      n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p
+    val onlyRaw = sys.env.get("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.onlyFilter(onlyRaw)
+    val isSubset = SparkEntry.queries.keys.exists(n => !selected(n))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
+      .filter { case (n, _) => selected(n) }
       .map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -75,12 +80,14 @@ object Bench {
     // Also persist to a file: the driver parses the stdout tail, and with
     // ~90 per-query entries the single JSON line can fall outside the
     // captured window ("parsed": null in BENCH_r03.json). A file read is
-    // robust to any stdout truncation.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // robust to any stdout truncation. A SPARK_GRAFT_ONLY subset probe
+    // must NOT clobber the driver's full-round artifact.
+    if (!isSubset)
+      try Files.write(outFile, (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
+    // the per-run temp warehouse holds full copies of the bucketed gate
+    // tables — must not accumulate across rounds
+    Fs.deleteRecursively(warehouse)
   }
 }

@@ -38,13 +38,17 @@ object GraftSession {
   /** Local session for tests / CLI runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    // JVM-exit cleanup: every test/CLI JVM otherwise leaves its temp
+    // warehouse (incl. full bucketed-table copies) behind in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Fs.deleteRecursively(warehouse) catch { case _: Throwable => () }))
     val s = tune(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName(appName)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir",
-          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
+        .config("spark.sql.warehouse.dir", warehouse.toString),
       shufflePartitions = math.max(cores, 8)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,21 @@ object SparkEntry {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** `SPARK_GRAFT_ONLY` parsing shared by [[Verify]] and [[Bench]] (one
+    * definition so the two tools can never probe different gate sets):
+    * comma-separated tokens; a token matches a query when it equals the
+    * name, is an underscore-delimited prefix ("d7" →
+    * d7_segment_dup_stats), or equals the family's leading letters
+    * ("t" → t5…/t11…, but NOT tp1…, whose family is "tp"). A blank or
+    * empty value means NO filter — an exported-but-empty variable must
+    * not silently select zero queries. */
+  private[graft] def onlyFilter(raw: Option[String]): String => Boolean = {
+    val toks = raw.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    n => toks.forall(_.exists(p =>
+      n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p))
+  }
+
   /** Deterministic near-duplicate planting for the similarity gates: for
     * each `vec_id < n`, add a clone at `vec_id + 10000` with every
     * component scaled by `1 + 1e-4·((vec_id+i) mod 3 − 1)` — pure
@@ -352,12 +367,19 @@ object SparkEntry {
           col("n").as("n_b")), "doc_b")
         .select((inter.cast("double") / (col("n_a") + col("n_b") - inter))
           .as("true_j"))
-      fnv.agg(count(lit(1)).as("n_fnv_pairs"))
+      // eager localCheckpoint materializes the single invariant row NOW,
+      // so both cached pair frames can be released immediately instead of
+      // occupying the block manager for the life of the session
+      val out = fnv.agg(count(lit(1)).as("n_fnv_pairs"))
         .crossJoin(fnv.join(xxh, Seq("doc_a", "doc_b"), "left_anti")
           .agg((count(lit(1)) === 0).as("xxh_covers_all_fnv_pairs")))
         .crossJoin(trueJ.agg(
           coalesce(min("true_j") >= 0.5, lit(true))
             .as("xxh_pairs_are_true_neardups")))
+        .localCheckpoint(eager = true)
+      xxh.unpersist()
+      fnv.unpersist()
+      out
     }),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked

@@ -7,25 +7,24 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warehouse = Files.createTempDirectory("graft-warehouse")
     val spark = GraftSession.tune(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.ui.enabled", "false")
-        // bucketed-table gates use saveAsTable; keep the warehouse (and
-        // its Derby metastore) out of the repo working directory
-        .config("spark.sql.warehouse.dir",
-          Files.createTempDirectory("graft-warehouse").toString),
+        // bucketed-table gates use saveAsTable; point the warehouse at a
+        // temp dir so table data never lands in the repo working
+        // directory (in-memory catalog — no Hive metastore exists)
+        .config("spark.sql.warehouse.dir", warehouse.toString),
       shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated filter, same matching rule as Bench —
+    // optional filter shared with Bench (SparkEntry.onlyFilter) —
     // dev-loop tool for re-verifying just the gates being worked on
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def matches(n: String, p: String): Boolean =
-      n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p
+    val selected = SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
+      .filter { case (n, _) => selected(n) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -49,5 +48,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    Fs.deleteRecursively(warehouse)
   }
 }

@@ -38,16 +38,11 @@ object Dedup {
   /** Non-overlapping `width`-token segments of a document — the
     * line/window granularity at which boilerplate repeats across
     * documents that are not whole-doc duplicates (C4/RefinedWeb-style
-    * line-level dedup). Guarded so empty docs yield no segments
-    * (Spark's `sequence(0,-1)` would count DOWN, not return empty). */
-  private def segments(text: Column, width: Int): Column = {
-    val toks = graft.text.TextAnalysis.tokens(text)
-    val nseg = ceil(size(toks).cast("double") / width).cast("int")
-    when(nseg > 0,
-      transform(sequence(lit(0), nseg - 1),
-        i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * line-level dedup). Window construction shared with the repetition
+    * filters ([[graft.text.TextAnalysis.tokenWindows]]). */
+  private def segments(text: Column, width: Int): Column =
+    graft.text.TextAnalysis.tokenWindows(
+      graft.text.TextAnalysis.tokens(text), width)
 
   /** Cross-corpus segment-duplication profile per source: how much of
     * each slice of the corpus is repeated `width`-token windows.

@@ -17,16 +17,21 @@ object Clusters {
     * demand without re-running Lloyd's: the trained within-cluster SSE
     * explains at least 85% of total variance, and no cluster collapsed
     * empty. */
-  def qualityReport(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
-    // Explicit domain filter matching the oracle's WHERE clause: value = -1
-    // gives log1p(-1) = -Infinity, which VectorAssembler's
-    // handleInvalid("skip") does NOT drop (skip removes only null/NaN), so
-    // relying on assembler semantics would desync the gate on such a row.
-    val feats = events
+  /** Shared feature domain + construction for BOTH clustering entry
+    * points. The explicit filter matches the ml1 oracle's WHERE clause:
+    * value = -1 gives log1p(-1) = -Infinity, which VectorAssembler's
+    * handleInvalid("skip") does NOT drop (skip removes only null/NaN),
+    * so relying on assembler semantics would poison a fit — and desync
+    * the gate — on such a row. */
+  private def features(events: DataFrame, extra: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events
       .filter(col("value").isNotNull && col("value") > -1 && col("ts").isNotNull)
-      .select(
+      .select(extra ++ Seq(
         log1p(col("value")).as("f_value"),
-        hour(col("ts")).cast("double").as("f_hour"))
+        hour(col("ts")).cast("double").as("f_hour")): _*)
+
+  def qualityReport(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
+    val feats = features(events, Seq.empty)
     val assembled = new VectorAssembler()
       .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
       .setHandleInvalid("skip")
@@ -64,10 +69,7 @@ object Clusters {
   /** Cluster events on (log1p(value), hour) and report per-cluster sizes
     * and centroids — deterministic given the fixed seed. */
   def eventClusters(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
-    val feats = events.select(
-      col("event_id"),
-      log1p(col("value")).as("f_value"),
-      hour(col("ts")).cast("double").as("f_hour"))
+    val feats = features(events, Seq(col("event_id")))
     // skip, don't crash: one null/NaN row (null value, or value < -1
     // making log1p NaN) must not kill the clustering job
     val assembled = new VectorAssembler()

@@ -158,10 +158,7 @@ object EventStreams {
       spark.table(sink).localCheckpoint(eager = true)
     } finally {
       try spark.catalog.dropTempView(sink) catch { case _: Throwable => () }
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+      graft.Fs.deleteRecursively(dirPath)
     }
   }
 

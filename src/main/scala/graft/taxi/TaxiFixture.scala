@@ -32,15 +32,22 @@ object TaxiFixture {
     * dimension from `range(1, 266)` — this is what lets the
     * CSV-scan → broadcast-join path be oracle-pinned end to end. */
   def zoneLookupCsv(): String = {
-    val path = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_taxi_zone_lookup.csv")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val path = dir.resolve("graft_taxi_zone_lookup.csv")
     val rows = (1 to 265).map { id =>
       val b = boroughs(id % 6)
       val sz = if (id % 6 == 0) "EWR" else "Boro Zone"
       s"$id,$b,Zone $id,$sz"
     }
     val csv = ("LocationID,Borough,Zone,service_zone" +: rows).mkString("", "\n", "\n")
-    java.nio.file.Files.write(path, csv.getBytes("UTF-8"))
+    // write-to-temp + atomic move: a plain truncate-then-write would race
+    // a concurrent reader (e.g. Bench's second iteration scanning while
+    // Verify rewrites) into seeing a half-written zone table
+    val tmp = Files.createTempFile(dir, "graft_taxi_zone_lookup", ".tmp")
+    Files.write(tmp, csv.getBytes("UTF-8"))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     path.toString
   }
 

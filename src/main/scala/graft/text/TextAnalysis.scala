@@ -21,6 +21,32 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Non-overlapping `width`-token windows of a token array, joined back
+    * to strings — the shared line/segment granularity used by segment
+    * dedup ([[graft.dedup.Dedup]]) and the repetition filters. Guarded so
+    * empty docs yield NO windows (Spark's `sequence(0,-1)` would count
+    * DOWN, not return empty). */
+  def tokenWindows(toks: Column, width: Int): Column = {
+    val nseg = ceil(size(toks).cast("double") / width).cast("int")
+    when(nseg > 0,
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Adjacent-token bigram strings via one zip_with over two shifted
+    * slices (no per-index element_at) — shared by [[topBigrams]] and the
+    * repetition filters. */
+  def bigramsOf(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 2,
+      zip_with(
+        slice(toks, lit(1), n - 1),
+        slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** BPE-ish subword pre-tokenization: runs of letters, runs of digits,
     * runs of other non-space symbols — the coarse split a byte-pair
     * tokenizer applies before merges. `regexp_extract_all` is a
@@ -198,15 +224,8 @@ object TextAnalysis {
     // the split into every consumer; pair via zip_with over the two
     // shifted slices (one pass over the array, no per-index element_at)
     val withToks = documents.select(tokens(col("text")).as("toks"))
-    val n = size(col("toks"))
-    val bigrams = when(n >= 2,
-      zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
     withToks
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(bigramsOf(col("toks"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
@@ -250,21 +269,9 @@ object TextAnalysis {
     * by a max per doc_id — two narrow-key shuffles, never a corpus
     * self-join. */
   def withRepetitionStats(documents: DataFrame, width: Int = 10): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(col("toks"))
-    val nw = ceil(n.cast("double") / width).cast("int")
-    val wins = when(nw > 0,
-      transform(sequence(lit(0), nw - 1),
-        i => array_join(slice(col("toks"), i * width + 1, lit(width)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val bigrams = when(n >= 2,
-      zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
-    val base = documents.withColumn("toks", toks)
-      .withColumn("wins", wins).withColumn("bigrams", bigrams)
+    val base = documents.withColumn("toks", tokens(col("text")))
+      .withColumn("wins", tokenWindows(col("toks"), width))
+      .withColumn("bigrams", bigramsOf(col("toks")))
       .withColumn("win_dup_frac",
         when(size(col("wins")) > 0,
           lit(1.0) - size(array_distinct(col("wins"))).cast("double")
