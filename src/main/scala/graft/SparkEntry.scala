@@ -118,6 +118,29 @@ object SparkEntry {
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     "a26_heavy_hitters" -> q((s, d) =>
       Relational.verifiedHeavyHitters(Tables.events(s, d), "user_id", support = 0.008)),
+    // the sketch quantile (100 TB path for A12/A7's exact percentiles)
+    // checked by its own contract: percentile_approx(accuracy=10000)
+    // bounds RANK error at 1e-4, so the count of rows below/at the
+    // approx median must bracket the 50% rank within ±1% (wide margin
+    // over the sketch bound + per-value tie mass); the exact median is
+    // pinned numerically alongside
+    "a27_quantile_approx" -> q((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      val g = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_exact"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("median_approx"),
+        count(lit(1)).as("n"))
+      li.join(g, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first("median_exact").as("median_exact"),
+          sum(when(col("l_quantity") < col("median_approx"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("l_quantity") <= col("median_approx"), 1L).otherwise(0L)).as("le"),
+          max("n").as("n"))
+        .select(col("l_returnflag"), col("median_exact"),
+          (col("lt") <= col("n") * 0.51 && col("le") >= col("n") * 0.49)
+            .as("approx_rank_in_bounds"))
+        .orderBy("l_returnflag")
+    }),
     // --- set ops / joins (SURVEY §2.3, §2.7) ---
     // full SQL-string path: temp views + spark.sql, same Catalyst plans
     // as the DataFrame API (the engine's second query surface)
@@ -407,6 +430,27 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.dedup.Decontaminate.report(docs,
         docs.filter(col("doc_id") % 97 === 0), k = 8)
+    }),
+    // Bloom-filter scale variant machine-checked against the exact path:
+    // the oracle re-derives the exact contaminated-id count; the engine
+    // proves the bloom id set covers it (false negatives impossible) and
+    // that fp over-removal stays under 1% of the corpus (fpp=1e-6 →
+    // expected ≈0)
+    "d12_decontaminate_bloom" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val exact = graft.dedup.Decontaminate.contaminatedIds(docs, evalSet, 8).persist()
+      val bloom = graft.dedup.Decontaminate.contaminatedIdsBloom(docs, evalSet, 8).persist()
+      val nDocs = docs.count()
+      val out = exact.agg(count(lit(1)).as("n_exact_contaminated"))
+        .crossJoin(exact.join(bloom, Seq("doc_id"), "left_anti")
+          .agg((count(lit(1)) === 0).as("bloom_covers_exact")))
+        .crossJoin(bloom.join(exact, Seq("doc_id"), "left_anti")
+          .agg((count(lit(1)) <= nDocs / 100).as("overremoval_le_1pct")))
+        .localCheckpoint(eager = true)
+      exact.unpersist()
+      bloom.unpersist()
+      out
     }),
     // --- similarity search (training-data ops) ---
     "n1_ann_topk" -> q((s, d) =>
@@ -1039,6 +1083,22 @@ object SparkEntry {
            n_docs - coalesce(n_kept, 0) AS n_dropped
          FROM base LEFT JOIN kept ON base.lang = kept.lang
          ORDER BY 1""",
+    "d12_decontaminate_bloom" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(range(0, len(t) - 7),
+                    i -> array_to_string(t[i+1:i+8], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         bad AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN ev USING (g))
+         SELECT count(*) AS n_exact_contaminated,
+           true AS bloom_covers_exact, true AS overremoval_le_1pct
+         FROM bad""",
+    "a27_quantile_approx" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5),4) AS median_exact,
+         true AS approx_rank_in_bounds
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "ml1_kmeans" ->
       """SELECT 4 AS k, count(*) AS n_points,
          round(avg(ln(1 + value)), 6) AS avg_f_value,

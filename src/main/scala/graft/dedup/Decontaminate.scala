@@ -35,6 +35,42 @@ object Decontaminate {
       .distinct()
   }
 
+  /** Bloom-filter variant of [[contaminatedIds]] for eval sets too large
+    * to broadcast as an exact string set: the eval shingles are folded
+    * into a Bloom filter (bits ∝ n·ln(1/fpp) — a few MB for millions of
+    * shingles), broadcast once, and probed per corpus shingle.
+    *
+    * Error direction is the SAFE one for decontamination: false
+    * positives over-remove training docs (bounded by `fpp` per probe),
+    * false negatives cannot happen — every truly contaminated doc is
+    * caught. `fpp` defaults to 1e-6 because a doc makes ~one probe per
+    * token: at 1e-2 a 50-shingle doc would be spuriously flagged with
+    * probability ≈ 0.4, at 1e-6 ≈ 5e-5. The per-shingle membership probe
+    * is a Scala UDF by necessity — Spark exposes no public native
+    * bloom-membership expression (`might_contain` is internal) — and sits
+    * behind the row-local shingle explode, not in a scan hot path. */
+  def contaminatedIdsBloom(docs: DataFrame, evalDocs: DataFrame, k: Int = 8,
+                           fpp: Double = 1e-6): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(Dedup.shingles(col("text"), k)).as("sh"))
+    // Floor the sizing: Spark's BloomFilter uses Murmur double hashing,
+    // whose false-positive rate floors at ~1e-4 when the bit array is
+    // small REGARDLESS of the requested fpp (measured: 240 items at
+    // fpp=1e-6 → 1.8e-4 actual; at 1e-12 → 9.5e-5; sized for 4096 items
+    // → 0 in 10^6 probes). Overprovisioning to ≥4096 items costs a few
+    // KB and restores the fpp contract for small eval sets; large eval
+    // sets are past the floor anyway.
+    val expected = math.max(4096L, evalSh.distinct().count())
+    val bf = evalSh.stat.bloomFilter("sh", expected, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("sh"))
+      .filter(might(col("sh")))
+      .select("doc_id")
+      .distinct()
+  }
+
   /** The decontaminated training corpus. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, k: Int = 8): DataFrame =
     docs.join(broadcast(contaminatedIds(docs, evalDocs, k)), Seq("doc_id"), "left_anti")

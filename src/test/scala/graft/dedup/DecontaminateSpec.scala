@@ -7,7 +7,7 @@ import graft.SparkTestBase
 class DecontaminateSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val w = ('a' to 'z').map(_.toString)
+  private val w = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b").toIndexedSeq
   private def sent(idx: Int*): String = idx.map(w).mkString(" ")
 
   test("drops docs sharing a k-shingle with eval, keeps disjoint docs") {
@@ -26,6 +26,27 @@ class DecontaminateSpec extends SparkTestBase {
     val rep = Decontaminate.report(train, eval, k = 8).collect()
     assert(rep.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       == Seq(("en", 3L, 2L, 1L)))
+  }
+
+  test("bloom variant never misses an exactly-contaminated doc") {
+    val eval = Seq(
+      (100L, "en", sent(0 to 11: _*)),
+      (101L, "en", sent(30 to 45: _*)))
+      .toDF("doc_id", "lang", "text")
+    val train = (1 to 40).map { i =>
+      // every 4th doc embeds an 8-token run of an eval doc
+      val t = if (i % 4 == 0) "x y " + sent(2 to 9: _*) + s" z$i"
+              else sent(i % 20 + 50 to i % 20 + 60: _*) + s" u$i"
+      (i.toLong, "en", t)
+    }.toDF("doc_id", "lang", "text")
+    val exact = Decontaminate.contaminatedIds(train, eval, k = 8)
+      .as[Long].collect().toSet
+    val bloom = Decontaminate.contaminatedIdsBloom(train, eval, k = 8)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(bloom), s"bloom missed ${exact -- bloom}")
+    // at fpp=1e-6 over ~hundreds of probes, over-removal should be nil
+    assert((bloom -- exact).size <= 1)
   }
 
   test("short documents are caught via their whole-text shingle") {
