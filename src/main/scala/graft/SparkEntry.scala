@@ -581,6 +581,18 @@ object SparkEntry {
     // --- composed training-data prep pipeline ---
     "tp1_pipeline_summary" -> q((s, d) =>
       graft.pipeline.TrainingData.summary(Tables.documents(s, d))),
+    // deterministic exact-quota mixture: member identity pinned via
+    // per-source id aggregates (sum/min/max of chosen doc_ids) — the
+    // oracle reproduces the same (fnv1a32(id), id) ranking and must
+    // select the identical documents; src3's over-quota exercises the
+    // keep-all clamp
+    "tp2_mixture_quota" -> q((s, d) =>
+      graft.pipeline.TrainingData.mixtureByQuota(Tables.documents(s, d),
+          Map("src0" -> 10, "src1" -> 5, "src2" -> 25, "src3" -> 40))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("source")),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -1216,6 +1228,18 @@ object SparkEntry {
            round(avg(n_tokens),4) AS avg_tokens,
            round(avg(quality),6) AS avg_quality
          FROM lg WHERE lang_guess != 'und' GROUP BY 1 ORDER BY lang_guess""",
+    "tp2_mixture_quota" ->
+      s"""WITH ranked AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)}, doc_id) AS rk
+           FROM documents),
+         quota AS (SELECT * FROM (VALUES ('src0', 10), ('src1', 5),
+           ('src2', 25), ('src3', 40)) q(source, n)),
+         kept AS (SELECT ranked.source AS source, doc_id FROM ranked
+           JOIN quota ON ranked.source = quota.source WHERE rk <= quota.n)
+         SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum,
+           min(doc_id) AS id_min, max(doc_id) AS id_max
+         FROM kept GROUP BY 1 ORDER BY source""",
     "t11_top_bigrams" ->
       s"""SELECT bigram, count(*) AS cnt FROM (
            SELECT unnest(CASE WHEN len($toks) >= 2

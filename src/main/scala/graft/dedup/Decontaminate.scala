@@ -20,16 +20,23 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** doc_ids of training documents sharing ≥1 `k`-token shingle with
-    * `evalDocs`. Shingles are the same distinct word-window construction
-    * the MinHash path uses ([[Dedup.shingles]]); documents shorter than
-    * `k` tokens contribute their whole text as one shingle, so
-    * short-document exact dups are still caught. */
+    * `evalDocs`. Matching runs on 8-byte FNV shingle HASHES, not shingle
+    * strings — the exploded corpus side carries fixed-width longs and
+    * the broadcast eval set shrinks ~10× (measured 52 s → string probes
+    * vs ~17 s hashed at 500k docs); a 64-bit collision can only
+    * over-remove (safe direction), at negligible odds. FNV mode keeps
+    * the match DuckDB-reproducible for the gate oracle. Documents
+    * shorter than `k` tokens contribute their whole text as one
+    * shingle, so short-document exact dups are still caught
+    * ([[graft.functions.HashExpressions.ShingleHashes]] semantics). */
   def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, k: Int = 8): DataFrame = {
     val evalSh = evalDocs
-      .select(explode(Dedup.shingles(col("text"), k)).as("sh"))
+      .select(explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k, fnv = true)).as("sh"))
       .distinct()
     docs
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"), explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k, fnv = true)).as("sh"))
       .join(broadcast(evalSh), "sh")
       .select("doc_id")
       .distinct()
@@ -52,7 +59,8 @@ object Decontaminate {
   def contaminatedIdsBloom(docs: DataFrame, evalDocs: DataFrame, k: Int = 8,
                            fpp: Double = 1e-6): DataFrame = {
     val evalSh = evalDocs
-      .select(explode(Dedup.shingles(col("text"), k)).as("sh"))
+      .select(explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k, fnv = true)).as("sh"))
     // Floor the sizing: Spark's BloomFilter uses Murmur double hashing,
     // whose false-positive rate floors at ~1e-4 when the bit array is
     // small REGARDLESS of the requested fpp (measured: 240 items at
@@ -63,9 +71,11 @@ object Decontaminate {
     val expected = math.max(4096L, evalSh.distinct().count())
     val bf = evalSh.stat.bloomFilter("sh", expected, fpp)
     val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val might = udf((h: java.lang.Long) =>
+      h != null && bfB.value.mightContainLong(h))
     docs
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("sh"))
+      .select(col("doc_id"), explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k, fnv = true)).as("sh"))
       .filter(might(col("sh")))
       .select("doc_id")
       .distinct()

@@ -286,6 +286,73 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** text → occurrence count of the document's most frequent k-token
+    * shingle, computed ROW-LOCALLY in one JVM pass: hash every shingle
+    * position (NO dedup, unlike [[ShingleHashes]]), sort the longs, and
+    * return the longest equal run. 0 when the document has fewer than k
+    * tokens. 64-bit collisions merging two distinct shingles' runs are
+    * negligible at document sizes.
+    *
+    * This is the shuffle-free form of "per-document n-gram mode count"
+    * (the Gopher top-bigram repetition rule): the explode → groupBy
+    * (doc, shingle) → max formulation shuffles corpus×tokens rows —
+    * measured 39 s at 500k docs where this pass is ~6 s. */
+  case class MaxShingleRunCount(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "max_shingle_run_count"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      while (i < bytes.length) {
+        while (i < bytes.length && bytes(i) == ' ') i += 1
+        if (i < bytes.length) {
+          starts.add(i)
+          while (i < bytes.length && bytes(i) != ' ') i += 1
+          ends.add(i)
+        }
+      }
+      val n = starts.size()
+      if (n < k) return 0
+      var buf = new Array[Byte](256)
+      def hashShingle(from: Int, until: Int): Long = {
+        var len = 0
+        var t = from
+        while (t < until) {
+          val tokLen = ends.get(t) - starts.get(t)
+          val need = len + tokLen + 1
+          if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          if (t > from) { buf(len) = ' '; len += 1 }
+          System.arraycopy(bytes, starts.get(t), buf, len, tokLen)
+          len += tokLen
+          t += 1
+        }
+        XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      }
+      val arr = new Array[Long](n - k + 1)
+      var s = 0
+      while (s <= n - k) { arr(s) = hashShingle(s, s + k); s += 1 }
+      java.util.Arrays.sort(arr)
+      var best = 1
+      var run = 1
+      var r = 1
+      while (r < arr.length) {
+        if (arr(r) == arr(r - 1)) { run += 1; if (run > best) best = run }
+        else run = 1
+        r += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MaxShingleRunCount =
+      copy(child = newChild)
+  }
+
   /** string text → 64-bit SimHash over DISTINCT whitespace tokens, in
     * one JVM pass (tokenize + dedup + bit counting). Equivalent to
     * `SimHash64(array_distinct(filter(split(text,' '), _ != '')))`. */
@@ -392,6 +459,9 @@ object HashExpressions {
 
   def shingleHashes(text: Column, k: Int = 3, fnv: Boolean = false): Column =
     toCol(ShingleHashes(exprOf(text), k, fnv))
+
+  def maxShingleRunCount(text: Column, k: Int): Column =
+    toCol(MaxShingleRunCount(exprOf(text), k))
 
   def simhashText(text: Column, fnv: Boolean = false): Column =
     toCol(SimHashText(exprOf(text), fnv))

@@ -62,6 +62,33 @@ object TrainingData {
               seed: Long = 42L): DataFrame =
     documents.stat.sampleBy("source", weights, seed)
 
+  /** Deterministic EXACT-quota mixture: per source, keep the
+    * `quotas(source)` documents with the smallest
+    * `(fnv1a32(doc_id), doc_id)` — an unbiased pseudo-random subset with
+    * exact sizes, where Bernoulli [[mixture]] only hits quotas in
+    * expectation. The keep set is a pure function of the ids, so the
+    * same mixture is selected on every re-run, by every engine with the
+    * same hash (fully oracle-pinnable), and under speculative task
+    * re-execution. Sources absent from `quotas` are dropped.
+    *
+    * Cost: one rank window per source (a per-source sort). At extreme
+    * per-source cardinalities the scale variant is threshold selection —
+    * keep `hash < t` with `t` chosen from a quantile sketch of the
+    * hashes ([[graft.operators.Relational.hashSample]] is the fixed-rate
+    * form) — trading exactness of the quota for a sort-free plan. */
+  def mixtureByQuota(documents: DataFrame, quotas: Map[String, Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(graft.functions.HashExpressions.fnv1a32(col("doc_id").cast("string")),
+        col("doc_id"))
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
+      when(col("source") === s, lit(q)).otherwise(acc)
+    }
+    documents
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quotaCol)
+      .drop("_rk")
+  }
+
   /** Per-language yield of the prepared corpus — the acceptance report a
     * data pipeline publishes per snapshot (docs kept, token budget,
     * mean quality). */

@@ -52,4 +52,24 @@ class TrainingDataSpec extends SparkTestBase {
     // with an impossible threshold nothing survives
     assert(TrainingData.prepare(docs, minQuality = 1.1).isEmpty)
   }
+
+  test("mixtureByQuota: exact sizes, clamped over-quota, deterministic") {
+    import org.apache.spark.sql.functions._
+    val corpus = (1L to 100L).map(i =>
+      (i, if (i <= 60) "web" else "books", s"doc $i text"))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingData.mixtureByQuota(corpus,
+      Map("web" -> 10, "books" -> 200)) // books over-quota → keep all 40
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("web" -> 10L, "books" -> 40L))
+    // deterministic and partition-independent
+    val again = TrainingData.mixtureByQuota(corpus.repartition(13),
+      Map("web" -> 10, "books" -> 200))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // unlisted sources are dropped
+    assert(TrainingData.mixtureByQuota(corpus, Map("web" -> 5))
+      .filter(col("source") === "books").isEmpty)
+  }
 }
