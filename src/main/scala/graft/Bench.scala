@@ -15,10 +15,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile =
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
+    val onlyRaw = sys.env.get("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.onlyFilter(onlyRaw)
+    val isSubset = SparkEntry.queries.keys.exists(n => !selected(n))
     // Clear the previous run's artifact FIRST: a crashed run must leave no
     // file rather than a stale one the driver would misattribute to this
-    // round.
-    try Files.deleteIfExists(outFile) catch { case _: Throwable => () }
+    // round. Subset probes (SPARK_GRAFT_ONLY) never touch the artifact at
+    // all — neither delete nor rewrite — so a dev probe between driver
+    // runs can't destroy the last full-round file.
+    if (!isSubset)
+      try Files.deleteIfExists(outFile) catch { case _: Throwable => () }
     val warehouse = Files.createTempDirectory("graft-warehouse")
     val spark = GraftSession.tune(
       SparkSession.builder()
@@ -41,9 +47,6 @@ object Bench {
     // long-running service would see. A query that fails both attempts
     // must be visible in the JSON itself — a time-to-failure entry would
     // make a broken query look FAST.
-    val onlyRaw = sys.env.get("SPARK_GRAFT_ONLY")
-    val selected = SparkEntry.onlyFilter(onlyRaw)
-    val isSubset = SparkEntry.queries.keys.exists(n => !selected(n))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => selected(n) }
@@ -77,11 +80,18 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // Also persist to a file: the driver parses the stdout tail, and with
-    // ~90 per-query entries the single JSON line can fall outside the
-    // captured window ("parsed": null in BENCH_r03.json). A file read is
-    // robust to any stdout truncation. A SPARK_GRAFT_ONLY subset probe
-    // must NOT clobber the driver's full-round artifact.
+    // The driver captures only the TAIL of stdout and parses JSON lines
+    // from it; with ~90 per-query entries the full line above is ~3 KB and
+    // its head falls outside the window ("parsed": null in BENCH_r03/r04).
+    // Emit a second, compact summary line LAST so a complete parseable
+    // line always sits inside any tail capture; the full per-query map
+    // stays in the long line above and in the file artifact.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"$outFile"}"""
+    println(compact)
+    // Also persist to a file: robust to any stdout truncation. A
+    // SPARK_GRAFT_ONLY subset probe must NOT clobber the driver's
+    // full-round artifact.
     if (!isSubset)
       try Files.write(outFile, (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }

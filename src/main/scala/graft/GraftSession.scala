@@ -35,14 +35,27 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  // JVM-exit cleanup: every test/CLI JVM otherwise leaves its temp
+  // warehouse (incl. full bucketed-table copies) behind in /tmp. ONE
+  // static hook drains a queue of warehouse paths — per-call hooks would
+  // accumulate an unbounded thread per local() in a long-lived driver.
+  private val warehousesToClean =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = warehousesToClean.poll()
+      while (p != null) {
+        try Fs.deleteRecursively(p) catch { case _: Throwable => () }
+        p = warehousesToClean.poll()
+      }
+    }))
+
   /** Local session for tests / CLI runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse")
-    // JVM-exit cleanup: every test/CLI JVM otherwise leaves its temp
-    // warehouse (incl. full bucketed-table copies) behind in /tmp
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try Fs.deleteRecursively(warehouse) catch { case _: Throwable => () }))
+    cleanupHookInstalled
+    warehousesToClean.add(warehouse)
     val s = tune(
       SparkSession.builder()
         .master(s"local[$cores]")

@@ -1237,7 +1237,7 @@ object SparkEntry {
            ('src2', 25), ('src3', 40)) q(source, n)),
          kept AS (SELECT ranked.source AS source, doc_id FROM ranked
            JOIN quota ON ranked.source = quota.source WHERE rk <= quota.n)
-         SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum,
+         SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
     "t11_top_bigrams" ->

@@ -68,8 +68,15 @@ object Decontaminate {
     // → 0 in 10^6 probes). Overprovisioning to ≥4096 items costs a few
     // KB and restores the fpp contract for small eval sets; large eval
     // sets are past the floor anyway.
-    val expected = math.max(4096L, evalSh.distinct().count())
-    val bf = evalSh.stat.bloomFilter("sh", expected, fpp)
+    // Two actions read evalSh (the sizing count and the filter build);
+    // persist so the eval shingle pipeline — the expensive side this
+    // variant exists for — materializes once.
+    evalSh.persist()
+    val bf =
+      try {
+        val expected = math.max(4096L, evalSh.distinct().count())
+        evalSh.stat.bloomFilter("sh", expected, fpp)
+      } finally evalSh.unpersist()
     val bfB = docs.sparkSession.sparkContext.broadcast(bf)
     val might = udf((h: java.lang.Long) =>
       h != null && bfB.value.mightContainLong(h))

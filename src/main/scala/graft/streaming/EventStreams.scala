@@ -158,7 +158,9 @@ object EventStreams {
       spark.table(sink).localCheckpoint(eager = true)
     } finally {
       try spark.catalog.dropTempView(sink) catch { case _: Throwable => () }
-      graft.Fs.deleteRecursively(dirPath)
+      // guarded: a cleanup failure (e.g. a file briefly pinned by the
+      // just-stopped stream) must not mask the original query exception
+      try graft.Fs.deleteRecursively(dirPath) catch { case _: Throwable => () }
     }
   }
 

@@ -28,6 +28,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    # The driver hashes values exactly, so an int on one side vs a float
+    # on the other (e.g. DuckDB HUGEINT -> pandas float64) is a FAIL there
+    # even when numerically equal ("1234" vs "1234.0"). Mirror that.
+    import numbers
+    a_int = isinstance(a, numbers.Integral)
+    b_int = isinstance(b, numbers.Integral)
+    if a_int != b_int and (isinstance(a, float) or isinstance(b, float)):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         try:
             af, bf = float(a), float(b)
