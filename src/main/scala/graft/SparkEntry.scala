@@ -593,6 +593,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("source")),
+    // --- sequence packing / split / quantization (training-data ops) ---
+    // concat-then-chunk packing profile at 512-token sequences: the
+    // global token cumsum runs through the two-pass distributed prefix
+    // sum (per-partition offsets, no data-sized single-task window); the
+    // oracle replays the same chunking with a plain window cumsum
+    "pk1_sequence_packing" -> q((s, d) =>
+      graft.pipeline.Packing.sequenceProfile(Tables.documents(s, d), 512,
+        graft.text.TextAnalysis.tokenCount(col("text"))).limit(50)),
+    // hash-banded train/val/test split: membership is a pure function of
+    // doc_id, so the oracle re-derives the identical split and the gate
+    // pins per-split membership via id aggregates
+    "sp1_hash_split" -> q((s, d) =>
+      graft.pipeline.TrainingData.splitByHash(Tables.documents(s, d))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("split")),
+    // int8 quantization audit: the quantized values themselves are
+    // pinned (exact integer q_sum/min/max per vector) plus the
+    // scale/2 reconstruction bound — the oracle replays the identical
+    // double arithmetic (floor(x/scale + 0.5)) over the same vectors
+    "e1_int8_quant" -> q((s, d) =>
+      graft.similarity.Quantize.reconstructionAudit(Tables.embeddings(s, d))
+        .orderBy("vec_id").limit(100)),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -1240,6 +1264,45 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "pk1_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         c AS (SELECT doc_id, n,
+           CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           FROM t)
+         SELECT CAST(cb // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS id_min, max(doc_id) AS id_max,
+           CAST(sum(CASE WHEN (cb + greatest(n, 1) - 1) // 512 > cb // 512
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         FROM c GROUP BY 1 ORDER BY seq_id LIMIT 50""",
+    "sp1_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+           ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 100 AS band
+           FROM documents),
+         s AS (SELECT doc_id, CASE WHEN band < 90 THEN 'train'
+           WHEN band < 95 THEN 'val' ELSE 'test' END AS split FROM b)
+         SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           min(doc_id) AS id_min, max(doc_id) AS id_max
+         FROM s GROUP BY 1 ORDER BY split""",
+    "e1_int8_quant" ->
+      """WITH d AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS mx FROM d),
+         s AS (SELECT vec_id, v,
+           CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale FROM m),
+         q AS (SELECT vec_id, v, scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+           FROM s)
+         SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           list_max(list_transform(range(1, len(qv) + 1),
+             i -> abs(v[i] - qv[i] * scale))) <= scale * 0.5 + 1e-12
+             AS within_half_scale
+         FROM q ORDER BY vec_id LIMIT 100""",
     "t11_top_bigrams" ->
       s"""SELECT bigram, count(*) AS cnt FROM (
            SELECT unnest(CASE WHEN len($toks) >= 2

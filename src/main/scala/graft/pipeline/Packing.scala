@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training corpora: concatenate the token
+  * stream in a deterministic document order and cut it every `seqLen`
+  * tokens ("concat-then-chunk"), so every training sequence is exactly
+  * full and a document can straddle a sequence boundary.
+  *
+  * The primitive underneath is a GLOBAL running sum of token counts in
+  * document order. The naive Spark form — `sum().over(Window.orderBy(id))`
+  * — funnels the whole table through ONE task (Spark warns
+  * `No Partition Defined`); at 100 TB that is the plan that never
+  * finishes. [[withGlobalCumsumBefore]] instead computes the classic
+  * two-pass distributed prefix sum:
+  *
+  *   1. range-repartition by the order key (so partition p holds a
+  *      contiguous key range, all ranges ordered p0 < p1 < ...),
+  *   2. per-partition totals (one row per partition) get an exclusive
+  *      running offset via a window over the PARTITION IDS — a
+  *      single-task window over ~`shuffle.partitions` metadata rows,
+  *      not over the data,
+  *   3. broadcast the offsets back and add the within-partition running
+  *      sum (parallel across partitions).
+  *
+  * Reference analogue: the reference pipelines batch by row count per
+  * file (`src/etl/transform.py` chunking); packing by token budget is
+  * the training-data generalization.
+  */
+object Packing {
+
+  /** Adds `outCol` = sum of `valueCol` over all rows STRICTLY before the
+    * row in ascending `orderCol` order (exclusive prefix sum), without a
+    * global single-partition window. `orderCol` must be unique — ties
+    * would make "before" ambiguous and the result nondeterministic. */
+  def withGlobalCumsumBefore(df: DataFrame, valueCol: Column,
+                             orderCol: String,
+                             outCol: String = "cum_before"): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = "_graft_pid"
+    val parts = df
+      .repartitionByRange(nParts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn(pid, spark_partition_id())
+    // one row per partition — the only single-task window runs over this
+    // metadata-sized frame, never over the data
+    val offsets = parts
+      .groupBy(pid).agg(sum(valueCol).as("_psum"))
+      .withColumn("_offset",
+        coalesce(sum("_psum").over(Window.orderBy(pid)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(pid), col("_offset"))
+    val within = Window.partitionBy(pid).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .join(broadcast(offsets), pid)
+      .withColumn(outCol,
+        coalesce(sum(valueCol).over(within), lit(0L)) + col("_offset"))
+      .drop(pid, "_offset")
+  }
+
+  /** Doc-level packing map for chunked sequences of `seqLen` tokens over
+    * the corpus token stream in ascending `orderCol` order: which
+    * sequence each document starts in (`seq_first`), ends in
+    * (`seq_last`), and how many sequences it spans. Zero-token documents
+    * are pinned to the sequence at their stream position. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    tokenCount: Column, orderCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val withN = docs.withColumn("n_tokens", tokenCount.cast("long"))
+    withGlobalCumsumBefore(withN, col("n_tokens"), orderCol)
+      .withColumn("seq_first", floor(col("cum_before") / seqLen))
+      .withColumn("seq_last",
+        floor((col("cum_before") + greatest(col("n_tokens"), lit(1L)) - 1) / seqLen))
+      .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
+  }
+
+  /** Per-sequence packing profile: for each output sequence (keyed by the
+    * sequence a document STARTS in), how many documents start there and
+    * their token mass — the audit a packing job publishes so truncation/
+    * straddle rates are visible before training. */
+  def sequenceProfile(docs: DataFrame, seqLen: Int,
+                      tokenCount: Column, orderCol: String = "doc_id"): DataFrame =
+    packSequences(docs, seqLen, tokenCount, orderCol)
+      .groupBy(col("seq_first").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        min(orderCol).as("id_min"),
+        max(orderCol).as("id_max"),
+        sum(when(col("n_seqs_spanned") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+      .orderBy("seq_id")
+}

@@ -89,6 +89,26 @@ object TrainingData {
       .drop("_rk")
   }
 
+  /** Deterministic stratified train/val/test split: each document's
+    * split is a pure row-local function of its id — `fnv1a32(id) mod
+    * 100` banded by the requested percentages — so the split is
+    * reproducible across re-runs, engines, and speculative task retries,
+    * needs no shuffle or state, and a document can never migrate between
+    * splits as the corpus grows (new ids land in bands, existing ids
+    * keep theirs). Percentages: `[0,trainPct)` → train,
+    * `[trainPct,trainPct+valPct)` → val, rest → test. */
+  def splitByHash(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val band = graft.functions.HashExpressions
+      .fnv1a32(col(idCol).cast("string")) % 100
+    documents.withColumn("split",
+      when(band < trainPct, "train")
+        .when(band < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Per-language yield of the prepared corpus — the acceptance report a
     * data pipeline publishes per snapshot (docs kept, token budget,
     * mean quality). */

@@ -72,4 +72,22 @@ class TrainingDataSpec extends SparkTestBase {
     assert(TrainingData.mixtureByQuota(corpus, Map("web" -> 5))
       .filter(col("source") === "books").isEmpty)
   }
+
+  test("splitByHash partitions every doc, stably under repartition") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = TrainingData.splitByHash(corpus, trainPct = 80, valPct = 10)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000L)
+    // roughly proportional (hash-banded, so ±few % at n=1000)
+    assert(counts("train") > 700L && counts("test") < 200L)
+    // membership is a pure function of the id: partitioning can't move docs
+    val again = TrainingData.splitByHash(corpus.repartition(17), 80, 10)
+      .filter(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val first = split.filter(col("split") === "val")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
 }
