@@ -102,6 +102,8 @@ object SparkEntry {
     "a1_hourly_profile" -> q((s, d) => Relational.hourlyProfile(Tables.events(s, d))),
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
     "a6_rollup_totals" -> q((s, d) => Relational.rollupTotals(Tables.orders(s, d))),
+    "a28_cube_totals" -> q((s, d) => Relational.cubeTotals(Tables.lineitem(s, d))),
+    "w7_quartile_ranks" -> q((s, d) => Windows.quartileRanks(Tables.orders(s, d))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -152,6 +154,21 @@ object SparkEntry {
                FROM v_orders JOIN v_customer ON o_custkey = c_custkey
                GROUP BY 1, 2 ORDER BY 1, 2""")
     }),
+    // the SparkSessionExtensions surface end to end: SQL text resolved
+    // through the injected native functions (fnv1a32, shingle_hashes),
+    // pinned against the oracle's independent reimplementation. The
+    // shingle COUNT is hash-family-agnostic (ShingleHashes dedups by
+    // hash; the oracle dedups the shingle strings), so the xxhash64
+    // default is gateable even though the oracle cannot compute xxh64.
+    "sql2_native_funcs" -> q((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("v_documents")
+      s.sql("""SELECT lang, count(*) AS n_docs,
+                 CAST(sum(fnv1a32(CAST(doc_id AS STRING)) % 97) AS BIGINT)
+                   AS id_hash_sum,
+                 CAST(sum(size(shingle_hashes(text, 3))) AS BIGINT)
+                   AS n_shingles
+               FROM v_documents GROUP BY lang ORDER BY lang""")
+    }),
     "u2_snapshot_diff" -> q((s, d) => {
       val orders = Tables.orders(s, d)
       // deterministic synthetic snapshots: old = keys not divisible by 7,
@@ -197,6 +214,25 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
         .orderBy("c_mktsegment")),
+    // full-outer join with unmatched rows engineered on BOTH sides
+    // (filtered key subsets), membership pinned via side-tagged id sums
+    "j6_full_outer" -> q((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, "matched")
+            .when(col("o_orderkey").isNull, "customer_only")
+            .otherwise("order_only").as("side"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("o_orderkey"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("key_sum"),
+          sum(coalesce(col("o_orderkey"), lit(0L))).as("order_sum"))
+        .orderBy("side")
+    }),
     "a25_salted_agg" -> q((s, d) =>
       graft.operators.Skew.saltedCountSum(Tables.lineitem(s, d), "l_returnflag", "l_quantity")
         .select(col("l_returnflag"), col("cnt"), round(col("total"), 0).as("total"))
@@ -252,10 +288,38 @@ object SparkEntry {
     // the runtime actually deduped — without it every event would land)
     "st3_stream_dedup" -> q((s, d) =>
       graft.streaming.EventStreams.dedupThroughStream(s, Tables.events(s, d),
-          Seq("user_id", "event_type"), "ts", "1000 hours")
+          Seq("user_id", "event_type"), "ts", "1000 hours",
+          statePartitions = Some(8))
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_rows"))
         .orderBy("event_type")),
+    // the real runtime again, for AGGREGATION: file micro-batches →
+    // windowed counts → Complete-mode memory sink. The final complete
+    // output equals the batch aggregate regardless of file arrival
+    // order, so the gate is fully pinned to the same oracle as st1
+    "st4_stream_windowed" -> q((s, d) =>
+      graft.streaming.EventStreams.throughStream(s, Tables.events(s, d),
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))(
+          df => graft.streaming.EventStreams.windowedCounts(df))
+        .orderBy("window_start", "event_type")),
+    // and for STREAM-STREAM JOIN: clicks-before-errors inner join with a
+    // watermark wider than the 30-day data span, so no row is ever
+    // evicted as late and the emitted pair set is exactly the batch
+    // join's — pinned via exact id-sum aggregates over all pairs
+    "st5_stream_join" -> q((s, d) =>
+      graft.streaming.EventStreams.throughStream(s,
+          // pre-filter to the two joined types before the stream source —
+          // the source-side predicate pushdown a production topic/stream
+          // would apply; 60% less micro-batch volume and join state
+          Tables.events(s, d).filter(col("event_type").isin("error", "click")),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          statePartitions = Some(8))(
+          df => graft.streaming.EventStreams.clicksBeforeErrors(df,
+            watermark = "87600 hours"))
+        .agg(count(lit(1)).as("n_pairs"), sum("err_id").as("err_id_sum"),
+          sum("clk_id").as("clk_id_sum"),
+          countDistinct("err_user").as("n_users"))),
     // --- ML-adjacent (SURVEY A22/A23) ---
     // clustering quality report: feature stats pinned exactly; the SSE
     // and non-collapse checks run in Spark, the oracle demands they held
@@ -359,6 +423,23 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), reproducible = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
+    // near-dup pairs cross-validated by a SECOND similarity family:
+    // character-level edit distance over 120-char prefixes (bounded so
+    // the O(len²) DP stays cheap; the pair set is already tiny). Pinned
+    // exactly — both engines implement standard unit-cost Levenshtein
+    "d13_neardup_editdist" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, reproducible = true)
+        .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+      val prefix = docs.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("pfx"))
+      pairs
+        .join(prefix.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+        .join(prefix.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("lev"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8,
         reproducible = true).limit(1000)),
@@ -812,6 +893,34 @@ object SparkEntry {
          round(sum(o_totalprice),0) AS total FROM orders
          GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "a28_cube_totals" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         round(sum(l_quantity),0) AS sum_qty FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "w7_quartile_ranks" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pr
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey))
+         SELECT o_orderpriority, quartile, count(*) AS cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(max(pr),6) AS max_pr
+         FROM r GROUP BY 1,2 ORDER BY 1,2""",
+    "j6_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+         o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         f AS (SELECT CASE
+             WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 'matched'
+             WHEN o_orderkey IS NULL THEN 'customer_only'
+             ELSE 'order_only' END AS side,
+           COALESCE(c_custkey, o_custkey) AS k, o_orderkey
+           FROM c FULL OUTER JOIN o ON c_custkey = o_custkey)
+         SELECT side, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(sum(COALESCE(o_orderkey, 0)) AS BIGINT) AS order_sum
+         FROM f GROUP BY 1 ORDER BY side""",
     "a7_grouped_stats" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice),0) AS sum_price,
          round(avg(l_extendedprice),4) AS avg_price,
@@ -1002,6 +1111,19 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(DISTINCT user_id) AS n_rows
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "st4_stream_windowed" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+         count(*) AS cnt FROM events GROUP BY 1,2 ORDER BY window_start, event_type""",
+    "st5_stream_join" ->
+      """WITH e AS (SELECT event_id AS eid, user_id AS u, ts AS et
+           FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS cid, user_id AS u, ts AS ct
+           FROM events WHERE event_type = 'click')
+         SELECT count(*) AS n_pairs, CAST(sum(eid) AS BIGINT) AS err_id_sum,
+           CAST(sum(cid) AS BIGINT) AS clk_id_sum,
+           count(DISTINCT u) AS n_users
+         FROM e JOIN c USING (u)
+         WHERE ct >= et - INTERVAL 1 HOUR AND ct <= et""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
@@ -1264,6 +1386,18 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "sql2_native_funcs" ->
+      s"""WITH sh AS (SELECT doc_id, lang,
+           len(list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END)) AS ns
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 97) AS BIGINT)
+             AS id_hash_sum,
+           CAST(sum(ns) AS BIGINT) AS n_shingles
+         FROM sh GROUP BY lang ORDER BY lang""",
     "pk1_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
          c AS (SELECT doc_id, n,
@@ -1371,6 +1505,16 @@ object SparkEntry {
       s"""$minhashFnvPipeline
          SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
+    "d13_neardup_editdist" ->
+      s"""$minhashFnvPipeline
+         SELECT est.doc_a AS doc_a, est.doc_b AS doc_b,
+           CAST(levenshtein(substring(da.text, 1, 120),
+                            substring(db.text, 1, 120)) AS BIGINT) AS lev
+         FROM est
+         JOIN documents da ON est.doc_a = da.doc_id
+         JOIN documents db ON est.doc_b = db.doc_id
+         WHERE est.est_jaccard >= 0.5
+         ORDER BY doc_a, doc_b""",
     // invariant gate over the xxhash64 scale path: the FNV pair count is
     // re-derived by the full independent pipeline above; the booleans are
     // demanded true — engine-side they are computed from the actual

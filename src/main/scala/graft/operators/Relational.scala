@@ -153,6 +153,16 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
 
+  /** CUBE over both grouping dimensions — every (flag, status) cell
+    * plus both one-dimension margins plus the grand total in ONE
+    * aggregation pass (Catalyst expands the grouping sets map-side; no
+    * per-margin rescan). Superset of [[rollupTotals]]'s hierarchy. */
+  def cubeTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 0).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** A1: avg + count by hour (`analytics_yellow_s3.py:15-18`). */
   def hourlyProfile(events: DataFrame): DataFrame =
     events

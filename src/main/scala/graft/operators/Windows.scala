@@ -72,6 +72,23 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Quartile assignment + percentile rank per group over a UNIQUE sort
+    * key (price, then key as tiebreak — ntile splits ties by window
+    * order, so a non-unique ordering would be nondeterministic across
+    * engines). Aggregated to per-(group, quartile) cells with exact
+    * membership evidence (`key_sum`). */
+  def quartileRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"),
+        round(max("pr"), 6).as("max_pr"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Sessionization via gap detection: a new session starts after a gap
     * > `gapMinutes` — the batch twin of the streaming
     * `mapGroupsWithState` sessionizer in [[graft.streaming.EventStreams]]. */

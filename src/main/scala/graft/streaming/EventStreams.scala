@@ -126,30 +126,43 @@ object EventStreams {
         col("clk_ts") <= col("err_ts"))
   }
 
-  /** Drive [[dedupStream]] through the REAL streaming runtime end to end:
-    * spill `batch` to a parquet directory, re-read it as a file-source
-    * stream in bounded micro-batches (`maxFilesPerTrigger`), dedup with
-    * watermark-bounded state, and drain the append-mode sink. Returns
-    * the sink contents as a batch DataFrame once the stream is fully
-    * processed. Which duplicate survives depends on micro-batch arrival
-    * order (genuinely racy across files) — callers must aggregate
-    * survivor-agnostically (counts per key class, never payloads). */
-  def dedupThroughStream(spark: SparkSession, batch: DataFrame,
-                         keyCols: Seq[String], tsCol: String = "ts",
-                         watermark: String = "2 hours",
-                         inputFiles: Int = 4): DataFrame = {
-    val dirPath = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+  /** Drive ANY stream transform through the REAL streaming runtime end
+    * to end: spill `batch` to a parquet directory, re-read it as a
+    * file-source stream in bounded micro-batches (`maxFilesPerTrigger=1`
+    * → `inputFiles` triggers), apply `transform`, and drain a memory
+    * sink in `mode`. Returns the sink contents as a batch DataFrame once
+    * the stream is fully processed, detached (eager localCheckpoint)
+    * from the temp input/checkpoint dirs, which are removed. Micro-batch
+    * arrival order across files is NOT deterministic — callers must
+    * either aggregate order-agnostically or use a transform whose final
+    * output is order-independent (aggregations in Complete mode, inner
+    * joins with a watermark wider than the data span). */
+  def throughStream(spark: SparkSession, batch: DataFrame,
+                    mode: OutputMode, inputFiles: Int = 4,
+                    statePartitions: Option[Int] = None)
+                   (transform: DataFrame => DataFrame): DataFrame = {
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_stream_run")
     val dir = dirPath.toString
-    val sink = s"graft_st_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val sink = s"graft_st_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // A streaming query's state-store count is frozen from
+    // spark.sql.shuffle.partitions at FIRST start — for stateful ops
+    // every micro-batch pays a per-store commit (×2 sides for a join),
+    // so stores must be sized to arrival rate, not to the session's
+    // batch-shuffle width (32 stores × tiny batches = pure overhead;
+    // a high-throughput deployment raises it back). Set-and-restore
+    // around the start so batch queries keep the session default.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
       val schema = spark.read.parquet(s"$dir/in").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
-      val q = dedupStream(stream, keyCols, tsCol, watermark)
+      statePartitions.foreach(n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+      val q = transform(stream)
         .writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", s"$dir/ckpt")
-        .outputMode(OutputMode.Append()).start()
+        .outputMode(mode).start()
       try { q.processAllAvailable() } finally q.stop()
       // Eager localCheckpoint detaches the result from both the memory
       // sink's temp view and the on-disk input/checkpoint, so neither
@@ -157,12 +170,28 @@ object EventStreams {
       // /tmp dirs + catalog views for the life of the session).
       spark.table(sink).localCheckpoint(eager = true)
     } finally {
+      // restored only after the query is fully stopped — the streaming
+      // runtime captures shuffle.partitions into checkpoint metadata
+      // when the first micro-batch is planned (async wrt start())
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       try spark.catalog.dropTempView(sink) catch { case _: Throwable => () }
       // guarded: a cleanup failure (e.g. a file briefly pinned by the
       // just-stopped stream) must not mask the original query exception
       try graft.Fs.deleteRecursively(dirPath) catch { case _: Throwable => () }
     }
   }
+
+  /** [[dedupStream]] through the real runtime via [[throughStream]].
+    * Which duplicate survives depends on micro-batch arrival order
+    * (genuinely racy across files) — callers must aggregate
+    * survivor-agnostically (counts per key class, never payloads). */
+  def dedupThroughStream(spark: SparkSession, batch: DataFrame,
+                         keyCols: Seq[String], tsCol: String = "ts",
+                         watermark: String = "2 hours",
+                         inputFiles: Int = 4,
+                         statePartitions: Option[Int] = None): DataFrame =
+    throughStream(spark, batch, OutputMode.Append(), inputFiles, statePartitions)(
+      dedupStream(_, keyCols, tsCol, watermark))
 
   /** Wire the windowed-count pipeline from a parquet directory stream to
     * a memory sink — files dropped into `dir` are picked up as

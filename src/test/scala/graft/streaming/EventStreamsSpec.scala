@@ -170,6 +170,32 @@ class EventStreamsSpec extends SparkTestBase {
     assert(finalIds == afterB1 + 4L, s"got $finalIds (3 must be state-deduped)")
   }
 
+  test("throughStream: Complete-mode aggregate equals the batch result") {
+    val batch = sample.toDF()
+    val viaStream = EventStreams.throughStream(spark, batch,
+        org.apache.spark.sql.streaming.OutputMode.Complete(), inputFiles = 3)(
+        df => EventStreams.windowedCounts(df))
+      .orderBy("window_start", "event_type")
+    val direct = EventStreams.windowedCounts(batch)
+      .orderBy("window_start", "event_type")
+    assert(viaStream.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("throughStream: wide-watermark stream-stream join equals batch join") {
+    val data = Seq(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:30:00", 1, "error", 0.0), // pairs with 0
+      ev(2, "2024-01-01 12:00:00", 1, "error", 0.0), // no click in window
+      ev(3, "2024-01-01 12:30:00", 2, "click", 1.0),
+      ev(4, "2024-01-01 12:45:00", 2, "error", 0.0), // pairs with 3
+      ev(5, "2024-01-01 13:50:00", 2, "error", 0.0)) // 3 is >1h before
+    val pairs = EventStreams.throughStream(spark, data.toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append(), inputFiles = 3)(
+        df => EventStreams.clicksBeforeErrors(df, watermark = "365 days"))
+      .select("err_id", "clk_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 0L), (4L, 3L)))
+  }
+
   test("stateful sessionization emits closed sessions with correct sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
