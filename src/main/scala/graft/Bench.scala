@@ -86,8 +86,12 @@ object Bench {
     // Emit a second, compact summary line LAST so a complete parseable
     // line always sits inside any tail capture; the full per-query map
     // stays in the long line above and in the file artifact.
+    // subset probes don't write (or own) the artifact — advertising its
+    // path would attribute a stale full-round per-query map to this run
+    val fileRef =
+      if (isSubset) """"subset":true""" else s""""queries_file":"$outFile""""
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"$outFile"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir",$fileRef}"""
     println(compact)
     // Also persist to a file: robust to any stdout truncation. A
     // SPARK_GRAFT_ONLY subset probe must NOT clobber the driver's

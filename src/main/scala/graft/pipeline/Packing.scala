@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   * finishes. [[withGlobalCumsumBefore]] instead computes the classic
   * two-pass distributed prefix sum:
   *
-  *   1. range-repartition by the order key (so partition p holds a
-  *      contiguous key range, all ranges ordered p0 < p1 < ...),
-  *   2. per-partition totals (one row per partition) get an exclusive
-  *      running offset via a window over the PARTITION IDS — a
+  *   1. bucket rows by literal quantile boundaries of the order key
+  *      (bucket b holds a contiguous key range, b0 < b1 < ...),
+  *   2. per-bucket totals (one row per bucket) get an exclusive
+  *      running offset via a window over the BUCKET IDS — a
   *      single-task window over ~`shuffle.partitions` metadata rows,
   *      not over the data,
-  *   3. broadcast the offsets back and add the within-partition running
-  *      sum (parallel across partitions).
+  *   3. broadcast the offsets back and add the within-bucket running
+  *      sum (parallel across buckets).
   *
   * Reference analogue: the reference pipelines batch by row count per
   * file (`src/etl/transform.py` chunking); packing by token budget is
@@ -33,33 +33,48 @@ object Packing {
 
   /** Adds `outCol` = sum of `valueCol` over all rows STRICTLY before the
     * row in ascending `orderCol` order (exclusive prefix sum), without a
-    * global single-partition window. `orderCol` must be unique — ties
-    * would make "before" ambiguous and the result nondeterministic. */
+    * global single-partition window. `orderCol` must be a unique,
+    * non-null NUMERIC key — ties would make "before" ambiguous and the
+    * result nondeterministic.
+    *
+    * Bucketing uses quantile boundaries computed ONCE and inlined as
+    * literals, so bucket membership is a pure function of the row. A
+    * `spark_partition_id()`-after-`repartitionByRange` formulation would
+    * be subtly wrong: the plan is consumed twice (offset aggregation +
+    * probe side), and if exchange reuse is ever defeated the two
+    * executions re-sample range boundaries independently — a
+    * boundary-straddling row would get one bucket in the offsets job
+    * and another at probe time, silently corrupting the sum. */
   def withGlobalCumsumBefore(df: DataFrame, valueCol: Column,
                              orderCol: String,
                              outCol: String = "cum_before"): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pid = "_graft_pid"
-    val parts = df
-      .repartitionByRange(nParts, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn(pid, spark_partition_id())
-    // one row per partition — the only single-task window runs over this
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else df.stat.approxQuantile(orderCol, probs, 0.001 / nParts)
+    // bucket = count of boundaries strictly below the key — a when-chain
+    // over ≤ nParts literal comparisons, codegen'd row-locally
+    val bucketCol = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(orderCol).cast("double") > b, 1L).otherwise(0L)
+    }
+    val parts = df.withColumn("_graft_bkt", bucketCol)
+    // one row per bucket — the only single-task window runs over this
     // metadata-sized frame, never over the data
     val offsets = parts
-      .groupBy(pid).agg(sum(valueCol).as("_psum"))
+      .groupBy("_graft_bkt").agg(sum(valueCol).as("_psum"))
       .withColumn("_offset",
-        coalesce(sum("_psum").over(Window.orderBy(pid)
+        coalesce(sum("_psum").over(Window.orderBy("_graft_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(pid), col("_offset"))
-    val within = Window.partitionBy(pid).orderBy(orderCol)
+      .select(col("_graft_bkt"), col("_offset"))
+    val within = Window.partitionBy("_graft_bkt").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     parts
-      .join(broadcast(offsets), pid)
+      .join(broadcast(offsets), "_graft_bkt")
       .withColumn(outCol,
         coalesce(sum(valueCol).over(within), lit(0L)) + col("_offset"))
-      .drop(pid, "_offset")
+      .drop("_graft_bkt", "_offset")
   }
 
   /** Doc-level packing map for chunked sequences of `seqLen` tokens over

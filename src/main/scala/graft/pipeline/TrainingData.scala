@@ -89,14 +89,20 @@ object TrainingData {
       .drop("_rk")
   }
 
-  /** Deterministic stratified train/val/test split: each document's
+  /** Deterministic hash-banded train/val/test split: each document's
     * split is a pure row-local function of its id — `fnv1a32(id) mod
     * 100` banded by the requested percentages — so the split is
     * reproducible across re-runs, engines, and speculative task retries,
     * needs no shuffle or state, and a document can never migrate between
     * splits as the corpus grows (new ids land in bands, existing ids
     * keep theirs). Percentages: `[0,trainPct)` → train,
-    * `[trainPct,trainPct+valPct)` → val, rest → test. */
+    * `[trainPct,trainPct+valPct)` → val, rest → test.
+    *
+    * NOT stratified: proportions hold only in expectation GLOBALLY — a
+    * small stratum (rare source/language) can land entirely in one
+    * split by hash chance. When per-stratum exactness matters, draw the
+    * held-out sets with [[mixtureByQuota]] (exact per-source counts)
+    * and keep the remainder as train. */
   def splitByHash(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5,
                   idCol: String = "doc_id"): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,

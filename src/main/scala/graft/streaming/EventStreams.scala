@@ -149,8 +149,11 @@ object EventStreams {
     // every micro-batch pays a per-store commit (×2 sides for a join),
     // so stores must be sized to arrival rate, not to the session's
     // batch-shuffle width (32 stores × tiny batches = pure overhead;
-    // a high-throughput deployment raises it back). Set-and-restore
-    // around the start so batch queries keep the session default.
+    // a high-throughput deployment raises it back). The set-and-restore
+    // mutates SESSION-global conf, so the whole run is serialized on a
+    // lock: two interleaved calls would otherwise capture each other's
+    // temporary value as "previous" and corrupt the session default.
+    confLock.synchronized {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
@@ -179,7 +182,10 @@ object EventStreams {
       // just-stopped stream) must not mask the original query exception
       try graft.Fs.deleteRecursively(dirPath) catch { case _: Throwable => () }
     }
+    }
   }
+
+  private val confLock = new Object
 
   /** [[dedupStream]] through the real runtime via [[throughStream]].
     * Which duplicate survives depends on micro-batch arrival order
