@@ -459,9 +459,11 @@ object SparkEntry {
         .select("doc_a", "doc_b").persist()
       val fnv = Dedup.minhashNearDups(docs, reproducible = true)
         .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b").persist()
+      // consumed by BOTH sides of the trueJ join — persist so the scan +
+      // shingle pass runs once, not twice
       val sh = docs.select(col("doc_id"),
         graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("sh"))
-        .withColumn("n", size(col("sh")))
+        .withColumn("n", size(col("sh"))).persist()
       val inter = graft.functions.HashExpressions
         .intersectCountSorted(col("sh_a"), col("sh_b"))
       val trueJ = xxh
@@ -483,6 +485,7 @@ object SparkEntry {
         .localCheckpoint(eager = true)
       xxh.unpersist()
       fnv.unpersist()
+      sh.unpersist()
       out
     }),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
@@ -682,6 +685,12 @@ object SparkEntry {
     "pk1_sequence_packing" -> q((s, d) =>
       graft.pipeline.Packing.sequenceProfile(Tables.documents(s, d), 512,
         graft.text.TextAnalysis.tokenCount(col("text"))).limit(50)),
+    // RAG-style overlapping chunking (128 chars, 40 overlap): per-doc
+    // chunk accounting pinned — counts, covered character mass, and the
+    // clipped-tail min/max, all replayed by the oracle's range+substring
+    "pc1_chunk_profile" -> q((s, d) =>
+      graft.pipeline.Packing.chunkProfile(Tables.documents(s, d), 128, 40)
+        .limit(100)),
     // hash-banded train/val/test split: membership is a pure function of
     // doc_id, so the oracle re-derives the identical split and the gate
     // pins per-split membership via id aggregates
@@ -1410,6 +1419,20 @@ object SparkEntry {
            CAST(sum(CASE WHEN (cb + greatest(n, 1) - 1) // 512 > cb // 512
              THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
          FROM c GROUP BY 1 ORDER BY seq_id LIMIT 50""",
+    "pc1_chunk_profile" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS L FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+         n AS (SELECT doc_id, text,
+           GREATEST(CAST(ceil((L - 40) / 88.0) AS BIGINT), 1) AS nc FROM t),
+         ch AS (SELECT doc_id,
+             unnest(list_transform(range(0, nc),
+               i -> substring(text, CAST(i * 88 AS BIGINT) + 1, 128))) AS chunk
+           FROM n)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(len(chunk)) AS BIGINT) AS chunk_chars,
+           CAST(min(len(chunk)) AS BIGINT) AS min_chunk,
+           CAST(max(len(chunk)) AS BIGINT) AS max_chunk
+         FROM ch GROUP BY 1 ORDER BY doc_id LIMIT 100""",
     "sp1_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
            ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 100 AS band

@@ -93,6 +93,48 @@ object Packing {
       .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** Overlapping fixed-width character chunks per document (the RAG /
+    * context-window preprocessing step): chunk i covers
+    * `[i·stride, i·stride + chunkChars)` with `stride = chunkChars −
+    * overlap`, last chunk clipped at the text end. Entirely row-local
+    * (`sequence` → `posexplode` → `substring` — codegen'd builtins, no
+    * UDF, no shuffle): chunking 100 TB is a pure map stage that
+    * parallelizes per input split. Empty/null texts yield no chunks. */
+  def chunkDocuments(docs: DataFrame, chunkChars: Int, overlap: Int = 0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars, got chunk=$chunkChars overlap=$overlap")
+    val stride = chunkChars - overlap
+    val nChunks = // ceil((len - overlap) / stride), min 1 for non-empty text
+      greatest(ceil((length(col(textCol)) - overlap) / lit(stride.toDouble)), lit(1L))
+        .cast("long")
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_id", "_i")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        substring_index_safe(col(textCol), col("_i") * stride, chunkChars)
+          .as("chunk"))
+  }
+
+  // 1-based substring over a computed offset (functions.substring takes
+  // only literal pos/len; the expr form accepts columns)
+  private def substring_index_safe(text: Column, from0: Column, len: Int): Column =
+    text.substr(from0.cast("int") + 1, lit(len))
+
+  /** Chunk audit: per document, how many chunks and the exact character
+    * mass they cover (with overlap double-counted) — the accounting a
+    * chunking job publishes to prove nothing was dropped. */
+  def chunkProfile(docs: DataFrame, chunkChars: Int, overlap: Int = 0): DataFrame =
+    chunkDocuments(docs, chunkChars, overlap)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("chunk_chars"),
+        min(length(col("chunk"))).as("min_chunk"),
+        max(length(col("chunk"))).as("max_chunk"))
+      .orderBy("doc_id")
+
   /** Per-sequence packing profile: for each output sequence (keyed by the
     * sequence a document STARTS in), how many documents start there and
     * their token mass — the audit a packing job publishes so truncation/

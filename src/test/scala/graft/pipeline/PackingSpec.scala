@@ -44,6 +44,31 @@ class PackingSpec extends SparkTestBase {
     assert(out == Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("chunkDocuments: overlapping windows cover the text, tail clipped") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(docs, chunkChars = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk")
+      .as[(Long, Long, String)].collect().toSeq
+    // doc 1 (len 10, stride 2): starts 0,2,4,6 -> last covers [6,10)
+    assert(chunks == Seq(
+      (1L, 0L, "abcd"), (1L, 1L, "cdef"), (1L, 2L, "efgh"), (1L, 3L, "ghij"),
+      (2L, 0L, "abc")))
+  }
+
+  test("chunkDocuments: zero overlap partitions the text exactly") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdefghi")).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, 4).orderBy("doc_id", "chunk_id")
+      .select("chunk").as[String].collect().toSeq
+    assert(out == Seq("abcd", "efgh", "abcd", "efgh", "i"))
+    // coverage accounting: zero-overlap chunk mass equals text length
+    val prof = Packing.chunkProfile(docs, 4)
+      .select("doc_id", "n_chunks", "chunk_chars").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(prof == Seq((1L, 2L, 8L), (2L, 3L, 9L)))
+  }
+
   test("sequenceProfile counts docs and straddlers per starting sequence") {
     val docs = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 2L)).toDF("doc_id", "nt")
     val prof = Packing.sequenceProfile(docs, 4, col("nt"))
