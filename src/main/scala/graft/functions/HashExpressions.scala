@@ -228,6 +228,10 @@ object HashExpressions {
   case class ShingleHashes(child: Expression, k: Int, fnv: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    // CodegenFallback by choice: the body allocates span lists and a
+    // growable buffer — an array-producing expression already sits at a
+    // codegen pipeline boundary (the consumer is an explode/aggregate),
+    // so a generated copy of this loop would buy nothing measurable.
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
@@ -359,6 +363,9 @@ object HashExpressions {
   case class SimHashText(child: Expression, fnv: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    // CodegenFallback by choice: needs a per-row hash set for token
+    // dedup plus a 64-slot counter array — object-allocating bodies gain
+    // nothing from a generated copy of the same loop.
 
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash_text"
@@ -528,9 +535,7 @@ object HashExpressions {
     * one element) and `ascii` returns `codePointAt(0)`. Iterating UTF-16
     * units instead would fold the two surrogates of any non-BMP char
     * separately and diverge from the oracle. */
-  case class Fnv1a32(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  case class Fnv1a32(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "fnv1a32"
@@ -546,6 +551,30 @@ object HashExpressions {
       }
       h
     }
+
+    // real doGenCode (not CodegenFallback): this expression sits in the
+    // per-row hot path of hash sampling, split banding, and quota
+    // ranking — falling back would break whole-stage codegen around
+    // every such filter. The generated loop mirrors nullSafeEval
+    // exactly (code-point fold, 32-bit masked).
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        s"""
+        String $s = $c.toString();
+        long $h = 2166136261L;
+        int $i = 0;
+        while ($i < $s.length()) {
+          int $cp = $s.codePointAt($i);
+          $h = (($h ^ (long) $cp) * 16777619L) & 0xFFFFFFFFL;
+          $i += java.lang.Character.charCount($cp);
+        }
+        ${ev.value} = $h;
+        """
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Fnv1a32 =
       copy(child = newChild)

@@ -61,7 +61,8 @@ class GraftExtensionsSpec extends SparkTestBase {
       "dp" -> HashExpressions.DotProduct(
         arr(va, DoubleType), arr(vb, DoubleType)).eval(InternalRow.empty),
       "ic" -> HashExpressions.IntersectCountSorted(
-        arr(la, LongType), arr(lb, LongType)).eval(InternalRow.empty))
+        arr(la, LongType), arr(lb, LongType)).eval(InternalRow.empty),
+      "fp" -> HashExpressions.Fnv1a32(tLit).eval(InternalRow.empty))
     // generated path: non-literal columns through a real plan
     val row = Seq((text, va, vb, la, lb)).toDF("t", "va", "vb", "la", "lb")
       .select(
@@ -69,12 +70,21 @@ class GraftExtensionsSpec extends SparkTestBase {
         HashExpressions.minhashSignature(
           HashExpressions.shingleHashes(col("t"), 3), 8).as("mh"),
         HashExpressions.dotProduct(col("va"), col("vb")).as("dp"),
-        HashExpressions.intersectCountSorted(col("la"), col("lb")).as("ic"))
+        HashExpressions.intersectCountSorted(col("la"), col("lb")).as("ic"),
+        HashExpressions.fnv1a32(col("t")).as("fp"))
       .collect().head
     assert(norm(row.getAs[Long]("sh")) == interp("sh"))
     assert(norm(row.getAs[Seq[Long]]("mh")) == interp("mh"))
     assert(row.getAs[Double]("dp") == interp("dp"))
     assert(row.getAs[Int]("ic") == interp("ic"))
+    assert(row.getAs[Long]("fp") == interp("fp"))
+    // non-BMP input: the code-point fold must not split surrogate pairs
+    val emoji = "a😀b" // a 😀 b
+    val eLit = Literal.create(emoji, StringType)
+    val eInterp = HashExpressions.Fnv1a32(eLit).eval(InternalRow.empty)
+    val eGen = Seq(Tuple1(emoji)).toDF("t")
+      .select(HashExpressions.fnv1a32(col("t"))).collect().head.getLong(0)
+    assert(eGen == eInterp)
     // and the values themselves are right
     assert(row.getAs[Double]("dp") == 1.5 * 4.0 + -2.0 * 0.5 + 3.25 * -6.0)
     assert(row.getAs[Int]("ic") == 3)
