@@ -103,6 +103,8 @@ object SparkEntry {
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
     "a6_rollup_totals" -> q((s, d) => Relational.rollupTotals(Tables.orders(s, d))),
     "a28_cube_totals" -> q((s, d) => Relational.cubeTotals(Tables.lineitem(s, d))),
+    "k1_key_skew" -> q((s, d) =>
+      Relational.keySkewReport(Tables.events(s, d), "user_id")),
     "w7_quartile_ranks" -> q((s, d) => Windows.quartileRanks(Tables.orders(s, d))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
@@ -902,6 +904,13 @@ object SparkEntry {
          round(sum(o_totalprice),0) AS total FROM orders
          GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "k1_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS mx, avg(cnt) AS av FROM c)
+         SELECT user_id, cnt, round(cnt / (1.0 * total), 6) AS share,
+           n_keys, round(mx / av, 4) AS max_over_avg
+         FROM c, t ORDER BY cnt DESC, user_id LIMIT 5""",
     "a28_cube_totals" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
          round(sum(l_quantity),0) AS sum_qty FROM lineitem

@@ -153,6 +153,25 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
       .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
 
+  /** Key-distribution skew report: the top-`topK` heaviest keys with
+    * their share of all rows, plus the global key count and the
+    * max/mean group-size ratio — the numbers that decide whether a join
+    * on this key needs [[Skew.saltedJoin]], a broadcast, or nothing.
+    * One partial→final count per key plus a 1-row broadcast; the heavy
+    * tail never leaves the executors ([[heavyHitters]] is the sketch
+    * twin when even the per-key count is too wide). */
+  def keySkewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("_total"),
+      count(lit(1)).as("n_keys"), max("cnt").as("_max"), avg("cnt").as("_avg"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(key), col("cnt"),
+        round(col("cnt") / col("_total"), 6).as("share"),
+        col("n_keys"),
+        round(col("_max") / col("_avg"), 4).as("max_over_avg"))
+      .orderBy(desc("cnt"), col(key)).limit(topK)
+  }
+
   /** CUBE over both grouping dimensions — every (flag, status) cell
     * plus both one-dimension margins plus the grand total in ONE
     * aggregation pass (Catalyst expands the grouping sets map-side; no

@@ -32,4 +32,15 @@ class SkewSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toSet
     assert(salted == plain)
   }
+
+  test("keySkewReport surfaces the hot key with correct share and ratio") {
+    val top = Relational.keySkewReport(skewed, "key", topK = 2).collect()
+    assert(top.head.getString(0) == "hot")
+    assert(top.head.getLong(1) == 900L)
+    assert(top.head.getDouble(2) == 0.9) // share of 1000 rows
+    // 8 distinct keys (hot + k0..k6), max/avg = 900 / 125 = 7.2
+    assert(top.head.getLong(3) == 8L)
+    assert(top.head.getDouble(4) == 7.2)
+    assert(top.length == 2)
+  }
 }
