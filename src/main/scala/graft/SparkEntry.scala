@@ -404,6 +404,12 @@ object SparkEntry {
     // C4-style PII scrub over deterministically injected emails/IPs: the
     // oracle re-runs the same injection + RE2-compatible redaction and
     // demands zero residual raw-PII matches after the pass
+    // TF-IDF keyword extraction: ranks by the unrounded score (term
+    // tiebreak), reports rounded — both engines compute the identical
+    // double product tf·ln((N+1)/(df+1))
+    "t15_tfidf_top_terms" -> q((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d))
+        .filter(col("doc_id") < 50)),
     "t14_pii_scrub" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       val withPii = docs.withColumn("text", concat(col("text"),
@@ -1469,6 +1475,19 @@ object SparkEntry {
              i -> abs(v[i] - qv[i] * scale))) <= scale * 0.5 + 1e-12
              AS within_half_scale
          FROM q ORDER BY vec_id LIMIT 100""",
+    "t15_tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln((nd.n_docs + 1.0) / (dfx.df + 1.0)) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((nd.n_docs + 1.0) / (dfx.df + 1.0)) DESC,
+                 tf.term) AS rk
+           FROM tf JOIN dfx USING (term), nd)
+         SELECT doc_id, term, round(score, 6) AS tfidf, rk
+         FROM sc WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""",
     "t11_top_bigrams" ->
       s"""SELECT bigram, count(*) AS cnt FROM (
            SELECT unnest(CASE WHEN len($toks) >= 2

@@ -232,6 +232,32 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword/topic
+    * extraction pass (`tf · ln((N+1)/(df+1))`, smoothed IDF).
+    *
+    * Shuffle shape at 100 TB: one explode to (doc, term) with map-side
+    * combine into per-doc term counts, a vocabulary-sized document-
+    * frequency aggregate, a shuffle join on the term key (vocabulary ≪
+    * corpus; broadcast it when it fits), and a per-doc top-k window.
+    * Ranking uses the UNROUNDED score with the term as tiebreak, so
+    * rank order is reproducible; the reported score is rounded. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val score = col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(score.desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), round(score, 6).as("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Document fingerprint: FNV-1a 32-bit rolling hash over the text
     * characters, built from `aggregate` over the char array — pure
     * codegen'd expression, no UDF. 32-bit state in long arithmetic keeps

@@ -114,4 +114,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_docs") == 2L)
     assert(r.getAs[Long]("n_flagged") == 1L)
   }
+
+  test("tfidf ranks a document's distinctive term above ubiquitous ones") {
+    import spark.implicits._
+    // "common" appears in every doc (low idf); each doc has one unique
+    // term repeated twice (high tf, minimal df)
+    val d = Seq(
+      (0L, "common alpha alpha common"),
+      (1L, "common beta beta"),
+      (2L, "common gamma gamma")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(0L -> "alpha", 1L -> "beta", 2L -> "gamma"))
+    // smoothed idf of the everywhere-term: ln(4/4) = 0
+    val all = TextAnalysis.tfidfTopTerms(d, k = 2)
+      .filter($"term" === "common").select("tfidf").as[Double].collect()
+    assert(all.forall(_ == 0.0))
+  }
 }
