@@ -432,13 +432,18 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
     // near-dup pairs cross-validated by a SECOND similarity family:
-    // character-level edit distance over 120-char prefixes (bounded so
-    // the O(len²) DP stays cheap; the pair set is already tiny). Pinned
-    // exactly — both engines implement standard unit-cost Levenshtein
+    // character-level edit distance over 120-char prefixes. BOTH
+    // dimensions are bounded BEFORE the O(len²) DP runs: 120-char
+    // prefixes cap the per-pair cost, and a deterministic id-ordered
+    // top-1000 caps the pair count (TakeOrderedAndProject on 16-byte
+    // rows) — at 10× corpus the near-dup pair set is 250k pairs and an
+    // uncapped audit measured 38 s doing nothing but Levenshtein.
+    // Pinned exactly — both engines implement unit-cost Levenshtein
     "d13_neardup_editdist" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, reproducible = true)
         .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b").limit(1000)
       val prefix = docs.select(col("doc_id"),
         substring(col("text"), 1, 120).as("pfx"))
       pairs
@@ -1557,14 +1562,15 @@ object SparkEntry {
          SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
     "d13_neardup_editdist" ->
-      s"""$minhashFnvPipeline
-         SELECT est.doc_a AS doc_a, est.doc_b AS doc_b,
+      s"""$minhashFnvPipeline,
+         p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
+               ORDER BY doc_a, doc_b LIMIT 1000)
+         SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
            CAST(levenshtein(substring(da.text, 1, 120),
                             substring(db.text, 1, 120)) AS BIGINT) AS lev
-         FROM est
-         JOIN documents da ON est.doc_a = da.doc_id
-         JOIN documents db ON est.doc_b = db.doc_id
-         WHERE est.est_jaccard >= 0.5
+         FROM p
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
          ORDER BY doc_a, doc_b""",
     // invariant gate over the xxhash64 scale path: the FNV pair count is
     // re-derived by the full independent pipeline above; the booleans are
