@@ -158,8 +158,19 @@ object EventStreams {
     try {
       batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
       val schema = spark.read.parquet(s"$dir/in").schema
-      val stream = spark.readStream.schema(schema)
+      val raw = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      // Watermarks reject TIMESTAMP_NTZ event-time columns
+      // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written by
+      // other engines (e.g. an oracle/probe corpus from DuckDB) reads
+      // back as NTZ. Normalize to TIMESTAMP — the session is pinned to
+      // UTC, so the wall-clock reinterpretation is identity.
+      val stream = schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .foldLeft(raw) { (df, f) =>
+          df.withColumn(f.name, col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        }
       statePartitions.foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
       val q = transform(stream)
