@@ -720,6 +720,47 @@ object SparkEntry {
     "e1_int8_quant" -> q((s, d) =>
       graft.similarity.Quantize.reconstructionAudit(Tables.embeddings(s, d))
         .orderBy("vec_id").limit(100)),
+    // --- sink round-trips (S9/S11/S12 get CORRECTNESS rows) ---
+    // partitioned parquet sink end to end: write documents partitioned
+    // by source, read ONE partition back (directory pruning), and pin
+    // byte fidelity of the payload via an fnv sum over the text
+    "io1_partitioned_roundtrip" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_io1")
+      try {
+        graft.sources.CuratedWriter.writePartitioned(
+          docs, s"$dir/docs", Seq("source"))
+        s.read.parquet(s"$dir/docs")
+          .filter(col("source") === "src1")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+            sum(length(col("text"))).as("chars"),
+            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
+              .as("text_fnv_sum"))
+          .orderBy("lang")
+          .localCheckpoint(true) // materialize BEFORE the dir is removed
+      } finally Fs.deleteRecursively(dir)
+    }),
+    // CSV sink + schema-enforced scan round trip (quoting/escaping must
+    // preserve the text bytes exactly — same fnv-sum pin)
+    "io2_csv_roundtrip" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(length(col("text")) > 0) // CSV cannot distinguish ""/null
+      val dir = java.nio.file.Files.createTempDirectory("graft_io2")
+      try {
+        graft.sources.CuratedWriter.writeCsv(docs, s"$dir/csv")
+        s.read.option("header", "true")
+          .schema("doc_id BIGINT, source STRING, text STRING")
+          .csv(s"$dir/csv")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
+              .as("text_fnv_sum"))
+          .orderBy("source")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(dir)
+    }),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -1427,6 +1468,15 @@ object SparkEntry {
              AS id_hash_sum,
            CAST(sum(ns) AS BIGINT) AS n_shingles
          FROM sh GROUP BY lang ORDER BY lang""",
+    "io1_partitioned_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars,
+         CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents WHERE source = 'src1' GROUP BY 1 ORDER BY lang""",
+    "io2_csv_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents WHERE len(text) > 0 GROUP BY 1 ORDER BY source""",
     "pk1_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
          c AS (SELECT doc_id, n,

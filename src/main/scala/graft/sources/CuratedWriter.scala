@@ -38,6 +38,19 @@ object CuratedWriter {
       .partitionBy("cab_type", "pickup_year", "pickup_month")
       .parquet(path)
 
+  /** The [[writeCurated]] layout pattern for ANY table: overwrite-mode
+    * partitioned parquet with bounded file sizes. Partition columns
+    * become directory keys, so downstream filters on them prune at the
+    * file index — the layout decision that makes a one-partition query
+    * touch 1/Nth of a 100 TB tree. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
   /** S10: small aggregate-table write (single file is intentional —
     * aggregate outputs are tiny). */
   def writeSummary(df: DataFrame, path: String): Unit =
