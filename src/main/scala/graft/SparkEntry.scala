@@ -741,6 +741,29 @@ object SparkEntry {
           .localCheckpoint(true) // materialize BEFORE the dir is removed
       } finally Fs.deleteRecursively(dir)
     }),
+    // dynamic partition overwrite end to end: re-process ONE source
+    // (uppercased text) into the tree; that partition must change and
+    // every other partition must remain byte-identical to the original —
+    // the oracle replays the per-source expectation over the raw table
+    "io3_incremental_overwrite" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_io3")
+      try {
+        val path = s"$dir/docs"
+        graft.sources.CuratedWriter.writePartitioned(docs, path, Seq("source"))
+        graft.sources.CuratedWriter.writePartitionedIncremental(
+          docs.filter(col("source") === "src2")
+            .withColumn("text", upper(col("text"))),
+          path, Seq("source"))
+        s.read.parquet(path)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
+              .as("text_fnv_sum"))
+          .orderBy("source")
+          .localCheckpoint(true)
+      } finally Fs.deleteRecursively(dir)
+    }),
     // CSV sink + schema-enforced scan round trip (quoting/escaping must
     // preserve the text bytes exactly — same fnv-sum pin)
     "io2_csv_roundtrip" -> q((s, d) => {
@@ -1473,6 +1496,11 @@ object SparkEntry {
          CAST(sum(len(text)) AS BIGINT) AS chars,
          CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
          FROM documents WHERE source = 'src1' GROUP BY 1 ORDER BY lang""",
+    "io3_incremental_overwrite" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(${fnvSql("CASE WHEN source = 'src2' THEN upper(text) ELSE text END",
+           2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents GROUP BY 1 ORDER BY source""",
     "io2_csv_roundtrip" ->
       s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum

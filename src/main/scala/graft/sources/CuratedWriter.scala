@@ -51,6 +51,21 @@ object CuratedWriter {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** [[writeCuratedIncremental]] generalized: dynamic partition
+    * overwrite replaces ONLY the partitions present in `df`, leaving
+    * every other partition of the tree untouched — the "re-process one
+    * slice" operation that never rewrites (or risks) the rest of a
+    * 100 TB layout. */
+  def writePartitionedIncremental(df: DataFrame, path: String,
+                                  cols: Seq[String],
+                                  maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
   /** S10: small aggregate-table write (single file is intentional —
     * aggregate outputs are tiny). */
   def writeSummary(df: DataFrame, path: String): Unit =
