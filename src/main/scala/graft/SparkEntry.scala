@@ -25,6 +25,25 @@ object SparkEntry {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** Run `f` against a fresh temp dir and eagerly materialize its result
+    * (localCheckpoint) BEFORE the dir is removed — the safety invariant
+    * every sink round-trip gate needs, kept in one place. */
+  private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString).localCheckpoint(true)
+    finally Fs.deleteRecursively(dir)
+  }
+
+  /** Membership + payload-byte pin per group: row count, id sum,
+    * character mass, and an fnv sum over the text. */
+  private def fnvSummary(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(length(col("text"))).as("chars"),
+        sum(graft.functions.HashExpressions.fnv1a32(col("text")))
+          .as("text_fnv_sum"))
+      .orderBy(groupCol)
+
   /** `SPARK_GRAFT_ONLY` parsing shared by [[Verify]] and [[Bench]] (one
     * definition so the two tools can never probe different gate sets):
     * comma-separated tokens; a token matches a query when it equals the
@@ -721,68 +740,42 @@ object SparkEntry {
       graft.similarity.Quantize.reconstructionAudit(Tables.embeddings(s, d))
         .orderBy("vec_id").limit(100)),
     // --- sink round-trips (S9/S11/S12 get CORRECTNESS rows) ---
+    // shared scaffold: withTempDir materializes the result (eager
+    // localCheckpoint) BEFORE the directory is removed, and fnvSummary
+    // pins membership + payload bytes per group in one agg
     // partitioned parquet sink end to end: write documents partitioned
     // by source, read ONE partition back (directory pruning), and pin
     // byte fidelity of the payload via an fnv sum over the text
-    "io1_partitioned_roundtrip" -> q((s, d) => {
+    "io1_partitioned_roundtrip" -> q((s, d) => withTempDir("graft_io1") { dir =>
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_io1")
-      try {
-        graft.sources.CuratedWriter.writePartitioned(
-          docs, s"$dir/docs", Seq("source"))
-        s.read.parquet(s"$dir/docs")
-          .filter(col("source") === "src1")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
-            sum(length(col("text"))).as("chars"),
-            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
-              .as("text_fnv_sum"))
-          .orderBy("lang")
-          .localCheckpoint(true) // materialize BEFORE the dir is removed
-      } finally Fs.deleteRecursively(dir)
+      graft.sources.CuratedWriter.writePartitioned(docs, s"$dir/docs", Seq("source"))
+      fnvSummary(s.read.parquet(s"$dir/docs")
+        .filter(col("source") === "src1"), "lang")
     }),
     // dynamic partition overwrite end to end: re-process ONE source
     // (uppercased text) into the tree; that partition must change and
     // every other partition must remain byte-identical to the original —
     // the oracle replays the per-source expectation over the raw table
-    "io3_incremental_overwrite" -> q((s, d) => {
+    "io3_incremental_overwrite" -> q((s, d) => withTempDir("graft_io3") { dir =>
       val docs = Tables.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_io3")
-      try {
-        val path = s"$dir/docs"
-        graft.sources.CuratedWriter.writePartitioned(docs, path, Seq("source"))
-        graft.sources.CuratedWriter.writePartitionedIncremental(
-          docs.filter(col("source") === "src2")
-            .withColumn("text", upper(col("text"))),
-          path, Seq("source"))
-        s.read.parquet(path)
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
-            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
-              .as("text_fnv_sum"))
-          .orderBy("source")
-          .localCheckpoint(true)
-      } finally Fs.deleteRecursively(dir)
+      val path = s"$dir/docs"
+      graft.sources.CuratedWriter.writePartitioned(docs, path, Seq("source"))
+      graft.sources.CuratedWriter.writePartitionedIncremental(
+        docs.filter(col("source") === "src2")
+          .withColumn("text", upper(col("text"))),
+        path, Seq("source"))
+      fnvSummary(s.read.parquet(path), "source")
     }),
-    // CSV sink + schema-enforced scan round trip (quoting/escaping must
-    // preserve the text bytes exactly — same fnv-sum pin)
-    "io2_csv_roundtrip" -> q((s, d) => {
+    // CSV sink + fidelity scan round trip: trimming off on both sides
+    // and multiLine on read, so the text bytes are ACTUALLY preserved
+    // (not preserved-by-corpus-luck) — same fnv-sum pin
+    "io2_csv_roundtrip" -> q((s, d) => withTempDir("graft_io2") { dir =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"))
         .filter(length(col("text")) > 0) // CSV cannot distinguish ""/null
-      val dir = java.nio.file.Files.createTempDirectory("graft_io2")
-      try {
-        graft.sources.CuratedWriter.writeCsv(docs, s"$dir/csv")
-        s.read.option("header", "true")
-          .schema("doc_id BIGINT, source STRING, text STRING")
-          .csv(s"$dir/csv")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
-            sum(graft.functions.HashExpressions.fnv1a32(col("text")))
-              .as("text_fnv_sum"))
-          .orderBy("source")
-          .localCheckpoint(true)
-      } finally Fs.deleteRecursively(dir)
+      graft.sources.CuratedWriter.writeCsv(docs, s"$dir/csv")
+      fnvSummary(graft.sources.CuratedWriter.readCsv(s, s"$dir/csv",
+        "doc_id BIGINT, source STRING, text STRING"), "source")
     }),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
@@ -1498,11 +1491,13 @@ object SparkEntry {
          FROM documents WHERE source = 'src1' GROUP BY 1 ORDER BY lang""",
     "io3_incremental_overwrite" ->
       s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars,
          CAST(sum(${fnvSql("CASE WHEN source = 'src2' THEN upper(text) ELSE text END",
            2166136261L)}) AS BIGINT) AS text_fnv_sum
          FROM documents GROUP BY 1 ORDER BY source""",
     "io2_csv_roundtrip" ->
       s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars,
          CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
          FROM documents WHERE len(text) > 0 GROUP BY 1 ORDER BY source""",
     "pk1_sequence_packing" ->

@@ -18,11 +18,8 @@ object CuratedWriter {
     * file sizes without a coalesce funnel. */
   def writeCurated(trips: DataFrame, path: String,
                    maxRecordsPerFile: Long = 5000000L): Unit =
-    trips.write
-      .mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cab_type", "pickup_year", "pickup_month")
-      .parquet(path)
+    writePartitioned(trips, path,
+      Seq("cab_type", "pickup_year", "pickup_month"), maxRecordsPerFile)
 
   /** Incremental month re-processing: dynamic partition overwrite
     * replaces ONLY the partitions present in `trips` and leaves the rest
@@ -31,12 +28,8 @@ object CuratedWriter {
     * rewriting or risking the other 300+ month partitions. */
   def writeCuratedIncremental(trips: DataFrame, path: String,
                               maxRecordsPerFile: Long = 5000000L): Unit =
-    trips.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cab_type", "pickup_year", "pickup_month")
-      .parquet(path)
+    writePartitionedIncremental(trips, path,
+      Seq("cab_type", "pickup_year", "pickup_month"), maxRecordsPerFile)
 
   /** The [[writeCurated]] layout pattern for ANY table: overwrite-mode
     * partitioned parquet with bounded file sizes. Partition columns
@@ -71,10 +64,29 @@ object CuratedWriter {
   def writeSummary(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** S11: CSV sink with header (`analytics_summary.py:63-75`). */
+  /** S11: CSV sink with header (`analytics_summary.py:63-75`).
+    * Whitespace trimming is OFF: Spark's CSV writer strips leading/
+    * trailing whitespace by default, which silently corrupts text
+    * payloads (pandas `to_csv`, the reference sink, preserves them).
+    * Read the result back with [[readCsv]] — plain `spark.read.csv`
+    * re-trims and splits quoted embedded newlines. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("header", "true").csv(path)
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  /** Fidelity-preserving scan of a [[writeCsv]] output: no whitespace
+    * trimming, quoted newlines kept inside one record (`multiLine`). */
+  def readCsv(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("multiLine", "true")
+      .schema(schema)
+      .csv(path)
 
   /** S12: zone-lookup dimension scan
     * (`scripts/generate_notebooks_auto.py:383-430`): header CSV with

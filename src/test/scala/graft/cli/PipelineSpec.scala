@@ -131,6 +131,20 @@ class PipelineSpec extends SparkTestBase {
       == "JFK Airport")
   }
 
+  test("CSV round trip preserves edge whitespace and embedded newlines") {
+    // the three payloads Spark's DEFAULT csv writer/reader corrupt:
+    // writer-side trimming eats edge whitespace, and a multiLine-less
+    // read splits a quoted newline into two broken records
+    val dir = Files.createTempDirectory("graft-csv-fid").toString
+    import spark.implicits._
+    val rows = Seq((1L, "  leading"), (2L, "trailing  "), (3L, "has\nnewline"))
+      .toDF("id", "text")
+    CuratedWriter.writeCsv(rows, s"$dir/t")
+    val back = CuratedWriter.readCsv(spark, s"$dir/t", "id BIGINT, text STRING")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "  leading", 2L -> "trailing  ", 3L -> "has\nnewline"))
+  }
+
   test("compaction merges small files and preserves partition layout") {
     val dir = Files.createTempDirectory("graft-compact").toString
     import spark.implicits._

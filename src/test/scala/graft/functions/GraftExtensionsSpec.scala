@@ -63,8 +63,13 @@ class GraftExtensionsSpec extends SparkTestBase {
       "ic" -> HashExpressions.IntersectCountSorted(
         arr(la, LongType), arr(lb, LongType)).eval(InternalRow.empty),
       "fp" -> HashExpressions.Fnv1a32(tLit).eval(InternalRow.empty))
-    // generated path: non-literal columns through a real plan
+    // generated path: non-literal columns through a plan that ACTUALLY
+    // codegens — without the repartition, ConvertToLocalRelation
+    // collapses Project-over-LocalRelation via the INTERPRETED
+    // projection and doGenCode never runs (verified: optimizedPlan
+    // becomes a pre-evaluated LocalRelation)
     val row = Seq((text, va, vb, la, lb)).toDF("t", "va", "vb", "la", "lb")
+      .repartition(1)
       .select(
         HashExpressions.simhashText(col("t")).as("sh"),
         HashExpressions.minhashSignature(
@@ -82,7 +87,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     val emoji = "a😀b" // a 😀 b
     val eLit = Literal.create(emoji, StringType)
     val eInterp = HashExpressions.Fnv1a32(eLit).eval(InternalRow.empty)
-    val eGen = Seq(Tuple1(emoji)).toDF("t")
+    val eGen = Seq(Tuple1(emoji)).toDF("t").repartition(1)
       .select(HashExpressions.fnv1a32(col("t"))).collect().head.getLong(0)
     assert(eGen == eInterp)
     // and the values themselves are right
