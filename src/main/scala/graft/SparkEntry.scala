@@ -440,6 +440,42 @@ object SparkEntry {
             lit(".1"))).otherwise(lit(""))))
       graft.text.Scrub.piiStats(graft.text.Scrub.scrubPii(withPii))
     }),
+    // C4 line filter over a deterministically line-structured corpus:
+    // ' a ' → '.\n' gives every doc real line boundaries (the fixture
+    // text has none), and two injected markers exercise the DOC-level
+    // drop rules ("lorem ipsum", '{') independently of the line rules;
+    // keep counts, character mass, and an fnv sum over the cleaned
+    // text of survivors are all oracle-pinned
+    "t16_c4_line_filter" -> q((s, d) => {
+      val lined = Tables.documents(s, d).withColumn("text", concat(
+        regexp_replace(col("text"), lit(" a "), lit(".\n")),
+        when(col("doc_id") % 97 === 0, lit("\nlorem ipsum dolor."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 89 === 0, lit("\nvar x = { js }."))
+          .otherwise(lit(""))))
+      TextAnalysis.c4FilterStats(lined)
+    }),
+    // NFC normalization (native expression): decomposed accents are
+    // injected into every fifth doc (the corpus is pure ASCII), and the
+    // composed output is pinned by length delta + fnv sum — both engines
+    // implement Unicode NFC, so the pin is exact
+    "t17_nfc_normalize" -> q((s, d) => {
+      val seasoned = Tables.documents(s, d).withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit(" cafe\u0301 nai\u0308ve")) // decomposed: NFC must compose
+          .otherwise(lit(""))))
+      seasoned
+        .select(col("source"),
+          length(col("text")).as("raw_len"),
+          graft.functions.TextNormalize.nfcNormalize(col("text")).as("norm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("raw_len").as("chars_raw"),
+          sum(length(col("norm"))).as("chars_nfc"),
+          sum(graft.functions.HashExpressions.fnv1a32(col("norm")))
+            .as("norm_fnv_sum"))
+        .orderBy("source")
+    }),
     // --- dedup (training-data ops) ---
     "d1_dup_stats" -> q((s, d) => Dedup.dupStatsByLang(Tables.documents(s, d))),
     "d2_exact_dedup" -> q((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -472,6 +508,19 @@ object SparkEntry {
           levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("lev"))
         .orderBy("doc_a", "doc_b")
     }),
+    // SemDeDup over the planted-clone corpus: the within-cluster pair
+    // scan must remove EXACTLY the 25 planted clones (kept twin = the
+    // original, cosine ≈ 1; organic max ≈ 0.51 stays), pinned to an
+    // exact ALL-pairs oracle — so a clone split from its original by
+    // the cluster assignment, a threshold slip, or a wrong keeper
+    // election all fail loudly; margin_ok rejects drifted fixtures
+    "d14_semantic_dedup" -> q((s, d) =>
+      graft.similarity.SemDedup.removals(
+          plantClones(Tables.embeddings(s, d), 25), tau = 0.95)
+        .select(col("removed_id"), col("kept_id"),
+          round(col("sim"), 6).as("sim"),
+          (col("sim") >= 0.9999).as("margin_ok"))
+        .orderBy("removed_id")),
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8,
         reproducible = true).limit(1000)),
@@ -776,6 +825,15 @@ object SparkEntry {
       graft.sources.CuratedWriter.writeCsv(docs, s"$dir/csv")
       fnvSummary(graft.sources.CuratedWriter.readCsv(s, s"$dir/csv",
         "doc_id BIGINT, source STRING, text STRING"), "source")
+    }),
+    // JSONL sink round trip: the corpus-interchange format — lossless
+    // for every payload (escaped control chars, null ≠ ""), so the
+    // whole table round-trips with no filter and the same fnv pin
+    "io4_jsonl_roundtrip" -> q((s, d) => withTempDir("graft_io4") { dir =>
+      graft.sources.CuratedWriter.writeJsonl(Tables.documents(s, d), s"$dir/docs")
+      fnvSummary(graft.sources.CuratedWriter.readJsonl(s, s"$dir/docs",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
+        "source")
     }),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
@@ -1311,6 +1369,49 @@ object SparkEntry {
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
              AS n_residual_pii
          FROM s GROUP BY 1 ORDER BY source""",
+    "t16_c4_line_filter" ->
+      s"""WITH lined AS (SELECT source,
+           replace(text, ' a ', '.' || chr(10))
+           || CASE WHEN doc_id % 97 = 0
+                THEN chr(10) || 'lorem ipsum dolor.' ELSE '' END
+           || CASE WHEN doc_id % 89 = 0
+                THEN chr(10) || 'var x = { js }.' ELSE '' END AS text
+           FROM documents),
+         f AS (SELECT source, text,
+           len(string_split(text, chr(10))) AS lines_in,
+           list_filter(string_split(text, chr(10)), l ->
+             regexp_matches(l, '[.!?"]$$')
+             AND len(list_filter(string_split(l, ' '), t -> len(t) > 0)) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM lined),
+         g AS (SELECT source, lines_in, len(kept) AS lines_kept,
+           array_to_string(kept, chr(10)) AS clean_text,
+           len(kept) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{') AS doc_kept
+           FROM f)
+         SELECT source, count(*) AS docs_in,
+           count(CASE WHEN doc_kept THEN 1 END) AS docs_kept,
+           CAST(sum(lines_in) AS BIGINT) AS lines_in,
+           CAST(sum(lines_kept) AS BIGINT) AS lines_kept,
+           CAST(sum(CASE WHEN doc_kept THEN len(clean_text) ELSE 0 END)
+             AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN doc_kept
+             THEN ${fnvSql("clean_text", 2166136261L)} ELSE 0 END)
+             AS BIGINT) AS clean_fnv_sum
+         FROM g GROUP BY 1 ORDER BY source""",
+    "t17_nfc_normalize" ->
+      s"""WITH w AS (SELECT source, text ||
+           CASE WHEN doc_id % 5 = 0
+             THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+             ELSE '' END AS text
+           FROM documents),
+         n AS (SELECT source, len(text) AS raw_len,
+           nfc_normalize(text) AS norm FROM w)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(raw_len) AS BIGINT) AS chars_raw,
+           CAST(sum(len(norm)) AS BIGINT) AS chars_nfc,
+           CAST(sum(${fnvSql("norm", 2166136261L)}) AS BIGINT) AS norm_fnv_sum
+         FROM n GROUP BY 1 ORDER BY source""",
     "d11_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
          sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(t) >= 8
@@ -1383,6 +1484,23 @@ object SparkEntry {
            round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
          ORDER BY sim DESC, id_a, id_b LIMIT 20""",
+    "d14_semantic_dedup" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             CAST(list_transform(embedding, (x, i) ->
+               CAST(x * (1 + 0.0001 * ((vec_id + i - 1) % 3 - 1)) AS FLOAT))
+               AS DOUBLE[])
+           FROM embeddings WHERE vec_id < 25),
+         pairs AS (
+           SELECT a.vec_id AS kept_id, b.vec_id AS removed_id,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+           FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+         SELECT removed_id, min(kept_id) AS kept_id,
+           round(max(sim), 6) AS sim, max(sim) >= 0.9999 AS margin_ok
+         FROM pairs WHERE sim >= 0.95
+         GROUP BY removed_id ORDER BY removed_id""",
     "n7_ivf_top5" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
          true AS recall_ge_06, true AS sims_match_exact""",
@@ -1500,6 +1618,11 @@ object SparkEntry {
          CAST(sum(len(text)) AS BIGINT) AS chars,
          CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
          FROM documents WHERE len(text) > 0 GROUP BY 1 ORDER BY source""",
+    "io4_jsonl_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars,
+         CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents GROUP BY 1 ORDER BY source""",
     "pk1_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
          c AS (SELECT doc_id, n,

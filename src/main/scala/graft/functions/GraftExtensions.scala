@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv1a32"),
       info("fnv1a32", "_FUNC_(text) - FNV-1a/32 fingerprint over code points, as a long"),
       (args: Seq[Expression]) => Fnv1a32(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "_FUNC_(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => TextNormalize.NfcNormalize(args.head)))
     // token_set_counts is not SQL-registered: its set-list parameter has
     // no literal SQL syntax; use the Column API.
   }

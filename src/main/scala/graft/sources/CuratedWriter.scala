@@ -88,6 +88,19 @@ object CuratedWriter {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines sink: one JSON object per line. Unlike CSV, JSONL
+    * round-trips every payload losslessly with no option juggling —
+    * control characters are escaped, null and "" stay distinct — so
+    * it's the interchange format for text corpora (every public crawl
+    * distribution ships as JSONL). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Schema-enforced scan of a [[writeJsonl]] output (schema given
+    * explicitly: inference would re-scan the data and can widen types). */
+  def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S12: zone-lookup dimension scan
     * (`scripts/generate_notebooks_auto.py:383-430`): header CSV with
     * schema enforcement; intended for `broadcast` joins. */

@@ -324,4 +324,52 @@ object TextAnalysis {
         count(when(col("win_dup_frac") > 0.3 || col("top_bigram_frac") > 0.2, 1))
           .as("n_flagged"))
       .orderBy("lang")
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2, the "Colossal
+    * Clean Crawled Corpus" heuristics, thresholds scaled to corpus):
+    * a LINE survives when it ends in terminal punctuation (`. ! ? "`),
+    * has at least `minWords` whitespace words, and doesn't mention
+    * javascript; a DOCUMENT survives when at least `minLines` of its
+    * lines survived and the raw text contains neither "lorem ipsum"
+    * nor a curly brace. Adds `lines_in`, `lines_kept`, `clean_text`
+    * (surviving lines re-joined), and `doc_kept`.
+    *
+    * Entirely row-local — split/filter/array_join higher-order
+    * functions inside whole-stage codegen, zero shuffle — so the
+    * filter streams over a 100 TB crawl at scan speed. */
+  def c4LineFilter(documents: DataFrame, minWords: Int = 3,
+                   minLines: Int = 2): DataFrame = {
+    val keptLines = filter(split(col("text"), "\n"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(tokens(l)) >= minWords &&
+        !lower(l).contains("javascript"))
+    documents
+      .withColumn("lines_in", size(split(col("text"), "\n")))
+      .withColumn("kept", keptLines)
+      .withColumn("lines_kept", size(col("kept")))
+      .withColumn("clean_text", array_join(col("kept"), "\n"))
+      .withColumn("doc_kept",
+        col("lines_kept") >= minLines &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{"))
+      .drop("kept")
+  }
+
+  /** Per-source census of a [[c4LineFilter]] pass: document and line
+    * keep counts plus character mass and an FNV sum over the cleaned
+    * text of surviving documents (byte-level pin of `clean_text`). */
+  def c4FilterStats(documents: DataFrame, minWords: Int = 3,
+                    minLines: Int = 2): DataFrame =
+    c4LineFilter(documents, minWords, minLines)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_in"),
+        count(when(col("doc_kept"), 1)).as("docs_kept"),
+        sum("lines_in").as("lines_in"),
+        sum("lines_kept").as("lines_kept"),
+        sum(when(col("doc_kept"), length(col("clean_text"))).otherwise(lit(0L)))
+          .as("chars_kept"),
+        sum(when(col("doc_kept"),
+          graft.functions.HashExpressions.fnv1a32(col("clean_text")))
+          .otherwise(lit(0L))).as("clean_fnv_sum"))
+      .orderBy("source")
 }

@@ -145,6 +145,18 @@ class PipelineSpec extends SparkTestBase {
     assert(back == Map(1L -> "  leading", 2L -> "trailing  ", 3L -> "has\nnewline"))
   }
 
+  test("JSONL round trip preserves whitespace, newlines, and null vs empty") {
+    val dir = Files.createTempDirectory("graft-jsonl-fid").toString
+    import spark.implicits._
+    val rows = Seq((1L, "  leading"), (2L, "has\nnewline"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    CuratedWriter.writeJsonl(rows, s"$dir/t")
+    val back = CuratedWriter.readJsonl(spark, s"$dir/t", "id BIGINT, text STRING")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back == Map(1L -> Some("  leading"), 2L -> Some("has\nnewline"),
+      3L -> Some(""), 4L -> None))
+  }
+
   test("compaction merges small files and preserves partition layout") {
     val dir = Files.createTempDirectory("graft-compact").toString
     import spark.implicits._

@@ -33,6 +33,29 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("nfc_normalize composes decomposed accents (interp = codegen = SQL)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    val dec = "cafe\u0301 nai\u0308ve plain" // decomposed
+    val comp = "caf\u00e9 na\u00efve plain" // precomposed
+    val interp = TextNormalize.NfcNormalize(Literal.create(dec, StringType))
+      .eval(InternalRow.empty).toString
+    assert(interp == comp)
+    val gen = Seq(Tuple1(dec)).toDF("t").repartition(1)
+      .select(TextNormalize.nfcNormalize(col("t")).as("n"))
+      .as[String].collect().head
+    assert(gen == comp)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$dec') AS n")
+      .as[String].collect().head
+    assert(viaSql == comp)
+    // already-NFC fast path: content unchanged, no recomposition drift
+    assert(TextNormalize.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(comp)).toString == comp)
+  }
+
   test("interpreted eval equals generated code for every native expression") {
     // the hand-written doGenCode bodies must agree with nullSafeEval —
     // Spark switches between them (constant folding, codegen fallback on

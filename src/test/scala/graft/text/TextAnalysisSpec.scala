@@ -131,4 +131,32 @@ class TextAnalysisSpec extends SparkTestBase {
       .filter($"term" === "common").select("tfidf").as[Double].collect()
     assert(all.forall(_ == 0.0))
   }
+
+  test("c4LineFilter applies each line rule independently") {
+    val doc =
+      "good line stays here.\n" +    // kept
+        "no terminal punctuation\n" + // dropped: no . ! ? "
+        "too short.\n" +              // dropped: < 3 words
+        "we like javascript a lot.\n" + // dropped: javascript
+        "ends with a question?"       // kept
+    val row = Seq((1L, doc, "src")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.c4LineFilter(row).collect().head
+    assert(got.getAs[Int]("lines_in") == 5)
+    assert(got.getAs[Int]("lines_kept") == 2)
+    assert(got.getAs[String]("clean_text")
+      == "good line stays here.\nends with a question?")
+    assert(got.getAs[Boolean]("doc_kept"))
+  }
+
+  test("c4LineFilter doc rules: lorem ipsum, braces, min kept lines") {
+    val docs = Seq(
+      (1L, "first good line here.\nsecond good line here.", "s"),
+      (2L, "first good line here.\nhas Lorem Ipsum in it.", "s"),
+      (3L, "first good line here.\ncurly { brace } line here.", "s"),
+      (4L, "only one good line here.", "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.c4LineFilter(docs)
+      .filter(col("doc_kept")).select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
 }
