@@ -341,6 +341,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum("err_id").as("err_id_sum"),
           sum("clk_id").as("clk_id_sum"),
           countDistinct("err_user").as("n_users"))),
+    // and for STREAM-STATIC enrichment: each micro-batch broadcast-joins
+    // the static customer snapshot (stateless — no watermark or join
+    // state), Complete-mode profile by segment; the final output equals
+    // the batch join+agg regardless of arrival order, so fully pinned
+    "st6_stream_static_join" -> q((s, d) =>
+      graft.streaming.EventStreams.throughStream(s, Tables.events(s, d),
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))(
+          df => graft.streaming.EventStreams.enrichedSegmentCounts(
+            df, Tables.customer(s, d)))
+        .orderBy("c_mktsegment")),
     // --- ML-adjacent (SURVEY A22/A23) ---
     // clustering quality report: feature stats pinned exactly; the SSE
     // and non-collapse checks run in Spark, the oracle demands they held
@@ -1268,6 +1279,12 @@ object SparkEntry {
            count(DISTINCT u) AS n_users
          FROM e JOIN c USING (u)
          WHERE ct >= et - INTERVAL 1 HOUR AND ct <= et""",
+    "st6_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+           round(sum(value), 4) AS value_sum
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3

@@ -126,6 +126,23 @@ object EventStreams {
         col("clk_ts") <= col("err_ts"))
   }
 
+  /** Stream-static enrichment join + profile: each micro-batch joins
+    * the static dimension snapshot — STATELESS on the stream side (no
+    * watermark, no join state store; the static side is broadcast to
+    * every micro-batch), which is why this is the production shape for
+    * enriching an event stream against a slowly-changing dimension —
+    * then a Complete-mode aggregate profiles the stream by the
+    * dimension attribute. Works identically on a batch frame (the
+    * batch twin the oracle replays). */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum("event_id").as("event_id_sum"),
+        round(sum("value"), 4).as("value_sum"))
+
   /** Drive ANY stream transform through the REAL streaming runtime end
     * to end: spill `batch` to a parquet directory, re-read it as a
     * file-source stream in bounded micro-batches (`maxFilesPerTrigger=1`

@@ -196,6 +196,24 @@ class EventStreamsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 0L), (4L, 3L)))
   }
 
+  test("throughStream: stream-static enrichment join equals batch join") {
+    // dim covers users 1 and 2 with distinct segments; user 3's events
+    // must drop out of the inner join on both paths
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"), (9L, "FURNITURE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val data = sample :+ ev(5, "2024-01-01 14:00:00", 3, "click", 6.0)
+    val viaStream = EventStreams.throughStream(spark, data.toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Complete(), inputFiles = 3)(
+        df => EventStreams.enrichedSegmentCounts(df, dim))
+      .orderBy("c_mktsegment")
+    val direct = EventStreams.enrichedSegmentCounts(data.toDF(), dim)
+      .orderBy("c_mktsegment")
+    assert(viaStream.collect().toSeq == direct.collect().toSeq)
+    // the unmatched user and unmatched dim row are both absent
+    assert(viaStream.select("c_mktsegment").as[String].collect().toSeq
+      == Seq("AUTOMOBILE", "BUILDING"))
+  }
+
   test("stateful sessionization emits closed sessions with correct sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
