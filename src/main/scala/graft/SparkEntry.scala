@@ -769,6 +769,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("source")),
+    // deterministic token-budget prefix draw over the fnv-shuffled
+    // stream — the cumsum runs through the distributed prefix sum
+    // (per-partition offsets), and the kept set is a pure function of
+    // ids+texts, so the oracle replays it with a window cumsum
+    "tp3_token_budget" -> q((s, d) =>
+      graft.pipeline.TrainingData.tokenBudgetSample(Tables.documents(s, d), 15000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("n_tokens").as("tok_sum"))
+        .orderBy("source")),
+    // central length-band trim: exact global p5/p95 token-count bounds
+    // (single-row agg broadcast back), membership pinned per language
+    "t18_length_band" -> q((s, d) =>
+      graft.pipeline.TrainingData.trimToLengthBand(Tables.documents(s, d), 0.05, 0.95)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
+    // deterministic fnv-mod shard assignment: per-shard membership and
+    // byte mass pinned exactly (the balance report a sharded training
+    // export publishes)
+    "sh1_shard_profile" -> q((s, d) =>
+      graft.pipeline.TrainingData.shardProfile(Tables.documents(s, d), 8)),
+    // per-stratum keep rates resolved row-locally; kept membership is a
+    // pure function of (doc_id, source) so fully pinned — src2 at 100%
+    // and the 5% default exercise both clamp ends
+    "p20_stratified_sample" -> q((s, d) =>
+      graft.operators.Relational.stratifiedHashSample(Tables.documents(s, d),
+          "doc_id", "source",
+          Map("src0" -> 50, "src1" -> 10, "src2" -> 100, "src3" -> 25),
+          defaultPct = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("source")),
+    // single-pass column profiler (exact countDistinct → Expand, the
+    // oracle-pinnable form; approx twin is the 100 TB path)
+    "pr1_column_profile" -> q((s, d) =>
+      graft.operators.Profile.columnProfile(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+          round(col("min_num"), 4).as("min_num"),
+          round(col("max_num"), 4).as("max_num"),
+          col("min_str"), col("max_str"))),
+    // Bloom pre-filtered fact⋈dim join: false positives are re-verified
+    // by the join itself, so the result is EXACTLY the plain join the
+    // oracle runs — what the gate pins is that the shuffle-reduction
+    // path loses nothing
+    "j7_bloom_prefilter" -> q((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      graft.operators.BloomJoin.bloomPrefilteredJoin(
+          Tables.orders(s, d), dim, "o_custkey", "c_custkey", 1L << 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"),
+          sum("o_orderkey").as("key_sum"))
+        .orderBy("o_orderpriority")
+    }),
     // --- sequence packing / split / quantization (training-data ops) ---
     // concat-then-chunk packing profile at 512-token sequences: the
     // global token cumsum runs through the two-pass distributed prefix
@@ -1607,6 +1665,78 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "tp3_token_budget" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} * 1073741824
+             + (doc_id % 1073741824) AS ord
+           FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb FROM t)
+         SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         FROM c WHERE COALESCE(cb, 0) + n_tokens <= 15000
+         GROUP BY 1 ORDER BY source""",
+    "t18_length_band" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+           CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+           quantile_cont(n_tokens, 0.95) AS hi FROM t)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM t, b WHERE n_tokens >= lo AND n_tokens <= hi
+         GROUP BY 1 ORDER BY lang""",
+    "sh1_shard_profile" ->
+      s"""SELECT CAST(${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 8 AS INT)
+           AS shard,
+         count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1 ORDER BY shard""",
+    "p20_stratified_sample" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         min(doc_id) AS id_min, max(doc_id) AS id_max
+         FROM documents
+         WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 100 <
+           CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
+             WHEN 'src2' THEN 100 WHEN 'src3' THEN 25 ELSE 5 END
+         GROUP BY 1 ORDER BY source""",
+    "pr1_column_profile" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           round(CAST(min(o_custkey) AS DOUBLE), 4) AS min_num,
+           round(CAST(max(o_custkey) AS DOUBLE), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           count(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderpriority), max(o_orderpriority)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+           count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+           count(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 4),
+           round(CAST(max(o_totalprice) AS DOUBLE), 4),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM orders
+         ORDER BY "column"""",
+    "j7_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "sql2_native_funcs" ->
       s"""WITH sh AS (SELECT doc_id, lang,
            len(list_distinct(CASE WHEN len($toks) >= 3

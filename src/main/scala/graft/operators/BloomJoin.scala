@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pre-filter — the shuffle-reduction pattern for
+  * fact⋈dim joins where the dim side is selective but too large (or the
+  * join too complex) for a plain broadcast-hash join to cover: build a
+  * Bloom filter over the dim keys, broadcast the few MB of bits, and
+  * drop non-matching fact rows BEFORE the join shuffle. At 100 TB the
+  * filter removes the dominant cost — shuffling fact rows that can
+  * never match — while the join itself re-verifies every survivor, so
+  * Bloom false positives cannot reach the output: the result is exactly
+  * the plain join (which is what the gate pins).
+  *
+  * Spark's own runtime row-level Bloom injection
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default in
+  * 4.x) covers shuffle-join cases Catalyst can prove; this operator is
+  * the explicit form for when the planner can't — a pre-aggregated or
+  * multi-stage fact input, or a dim defined by an arbitrary sub-plan.
+  */
+object BloomJoin {
+
+  /** Inner-join `fact` to `dim` on `factKey = dimKey`, pre-filtering the
+    * fact side through a Bloom filter of the dim keys. `expectedKeys`
+    * sizes the filter (overprovisioned to ≥4096 — Spark's Bloom
+    * implementation floors its false-positive rate when the bit array
+    * is tiny, see dedup.Decontaminate). */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+                           factKey: String, dimKey: String,
+                           expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.select(col(dimKey).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bfB.value.mightContainLong(k))
+    fact.filter(might(col(factKey).cast("long")))
+      .join(dim, fact(factKey) === dim(dimKey))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the "what is in this table" pass every
+  * ingestion pipeline runs before trusting a new drop of data. The
+  * reference eyeballs `df.describe()`/`df.info()` per notebook
+  * (`part2.ipynb` cell 2, `cab_wise_analysis.ipynb` cell 3); here the
+  * profile is a single declarative plan over any column subset.
+  *
+  * Scale shape: ONE scan of the table computes every per-column measure
+  * as aggregates of the same pass (count/null-count/min/max are plain
+  * partial→final combines). Exact `countDistinct` over k columns makes
+  * Catalyst plan an Expand (k rows per input row) — still one scan, and
+  * the exact form is what the oracle can pin. At 100 TB the
+  * `exact = false` twin swaps in `approx_count_distinct` (HLL, constant
+  * reducer state, no Expand) — same plan otherwise, the documented
+  * scale path.
+  */
+object Profile {
+
+  /** One row per profiled column: row count, null count, distinct count,
+    * and min/max. Numeric columns report `min_num`/`max_num` (doubles);
+    * all columns report lexical `min_str`/`max_str` cast AFTER
+    * aggregation so numeric extremes stay numerically ordered. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    exact: Boolean = true): DataFrame = {
+    val numericTypes =
+      Set("double", "float", "decimal", "long", "integer", "short", "byte")
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def isNum(c: String) = numericTypes.exists(fields(c).typeName.startsWith)
+    def distinctOf(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    // every measure for every column in one agg row → stack() reshapes
+    // driver-free to the long per-column layout
+    val measures: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        distinctOf(c).as(s"${c}__distinct"),
+        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__min_num"),
+        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__max_num"),
+        (if (isNum(c)) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"${c}__min_str"),
+        (if (isNum(c)) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"${c}__max_str"))
+    }
+    val one = df.agg(measures.head, measures.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, " +
+        s"`${c}__min_num`, `${c}__max_num`, `${c}__min_str`, `${c}__max_str`"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(column, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+      .orderBy("column")
+  }
+}

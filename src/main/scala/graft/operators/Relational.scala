@@ -134,6 +134,23 @@ object Relational {
       pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
         lit(100L)) < pct)
 
+  /** Stratified [[hashSample]]: a different keep-rate per stratum value
+    * (e.g. "100% of books, 10% of web") resolved row-locally from a
+    * literal when-chain — one pass, no shuffle, no per-stratum jobs,
+    * and the same determinism/cross-table-consistency contract as
+    * [[hashSample]]. Strata absent from `pctByStratum` fall back to
+    * `defaultPct`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           pctByStratum: Map[String, Int],
+                           defaultPct: Int = 0): DataFrame = {
+    val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (sv, p)) => when(col(strataCol) === sv, lit(p)).otherwise(acc)
+    }
+    df.filter(
+      pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
+        lit(100L)) < pct)
+  }
+
   /** P14/A6: month→season bucket + rollup sums
     * (`analytics_summary.py:13-14,32-61`). */
   def seasonTotals(orders: DataFrame): DataFrame = {

@@ -115,6 +115,82 @@ object TrainingData {
         .otherwise("test"))
   }
 
+  /** Deterministic shard assignment for training-data output layout:
+    * `shard = fnv1a32(id) mod nShards`, a pure row-local function of the
+    * id — shards are reproducible across re-runs and engines, stable
+    * under speculative re-execution, and a document never migrates
+    * between shards as the corpus grows. Downstream,
+    * `repartition(col("shard")).write.partitionBy("shard")` gives one
+    * writer task per shard with no small-file explosion. */
+  def shardBy(documents: DataFrame, nShards: Int,
+              idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    documents.withColumn("shard",
+      pmod(graft.functions.HashExpressions.fnv1a32(col(idCol).cast("string")),
+        lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Per-shard balance report (doc counts, id checksum, byte volume) —
+    * the check that shard sizes are uniform enough that no single
+    * training-reader stalls the epoch. One row-local hash + one
+    * partial→final aggregate over `nShards` keys. */
+  def shardProfile(documents: DataFrame, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame =
+    shardBy(documents, nShards, idCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(idCol)).as("id_sum"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy("shard")
+
+  /** Deterministic token-budget subsample: visit documents in
+    * pseudo-random order — ascending `(fnv1a32(id), id)` — and keep each
+    * document whose token count still fits the remaining budget-prefix,
+    * i.e. the longest prefix of the shuffled stream with cumulative
+    * tokens ≤ `budgetTokens`. An unbiased "take N tokens of corpus"
+    * draw that is exactly reproducible (pure function of ids + texts),
+    * unlike a Bernoulli rate which only hits the budget in expectation.
+    *
+    * The cumulative sum runs through
+    * [[graft.pipeline.Packing.withGlobalCumsumBefore]] — per-partition
+    * offsets, no data-sized single-task window — so the plan holds at
+    * corpus scale. The composite order key packs the 32-bit hash above
+    * the id's low 30 bits; ids must fit 2^30 (at larger id spaces widen
+    * the key to a 64-bit hash expression). */
+  def tokenBudgetSample(documents: DataFrame, budgetTokens: Long,
+                        idCol: String = "doc_id"): DataFrame = {
+    val ord = (graft.functions.HashExpressions
+      .fnv1a32(col(idCol).cast("string")) * lit(1L << 30) +
+      pmod(col(idCol), lit(1L << 30))).as("_ord")
+    val withN = documents
+      .withColumn("_ord", ord)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Packing.withGlobalCumsumBefore(withN, col("n_tokens"), "_ord")
+      .filter(col("cum_before") + col("n_tokens") <= budgetTokens)
+      .drop("_ord", "cum_before")
+  }
+
+  /** Trim the corpus to the central token-length band: keep documents
+    * whose token count lies within the global `[lo, hi]` quantiles —
+    * the standard "drop the pathological tails" pass (empty shells and
+    * mega-documents both poison training batches). Exact interpolated
+    * percentiles (one single-row aggregate, broadcast back as a
+    * crossJoin of one row); at extreme scale swap `percentile` for
+    * `percentile_approx` — same plan, sketch-bounded state (the
+    * a27 gate pins that sketch's rank-error contract). */
+  def trimToLengthBand(documents: DataFrame, lo: Double = 0.05,
+                       hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"invalid band [$lo, $hi]")
+    val withN = documents
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val bounds = withN.agg(
+      expr(s"percentile(n_tokens, $lo)").as("_lo"),
+      expr(s"percentile(n_tokens, $hi)").as("_hi"))
+    withN.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("_lo") && col("n_tokens") <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** Per-language yield of the prepared corpus — the acceptance report a
     * data pipeline publishes per snapshot (docs kept, token budget,
     * mean quality). */

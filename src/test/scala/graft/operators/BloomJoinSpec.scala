@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom pre-filtered join equals the plain join exactly") {
+    val fact = (1L to 2000L).map(k => (k, k % 100, s"f$k"))
+      .toDF("row_id", "fk", "payload")
+    val dim = Seq((3L, "a"), (7L, "b"), (42L, "c"))
+      .toDF("dk", "dim_name")
+    val out = BloomJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk", 1024)
+      .select("row_id", "dim_name")
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .select("row_id", "dim_name")
+    val a = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = plain.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.size == 60) // 3 matching keys × 20 fact rows each
+  }
+
+  test("the pre-filter actually removes non-matching fact rows") {
+    val fact = (1L to 1000L).map(k => (k, k)).toDF("row_id", "fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    // count rows surviving JUST the bloom filter (before the join):
+    // with fpp=0.01 on 3 keys the filter must pass ≪ all 1000
+    val bf = dim.stat.bloomFilter("dk", 4096, 0.01)
+    val passed = fact.filter(r => bf.mightContainLong(r.getLong(1))).count()
+    assert(passed < 50, s"bloom passed $passed of 1000")
+    val joined = BloomJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk", 4096)
+    assert(joined.count() == 3)
+  }
+}

@@ -178,4 +178,25 @@ class OperatorPropertiesSpec extends SparkTestBase {
     // rough size sanity (FNV over ~uniform keys): 10% ± wide slack
     assert(sampled.size > 20 && sampled.size < 130)
   }
+
+  test("stratifiedHashSample: per-stratum rates, consistent with hashSample") {
+    val t = (1L to 600L).map(k =>
+      (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c"))
+      .toDF("user_id", "stratum")
+    val out = Relational.stratifiedHashSample(t, "user_id", "stratum",
+      Map("a" -> 100, "b" -> 10), defaultPct = 0)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100% stratum keeps everything, 0% default drops all of c
+    assert(byStratum("a") == 200L)
+    assert(!byStratum.contains("c"))
+    assert(byStratum("b") > 2 && byStratum("b") < 50)
+    // a stratum sampled at pct p keeps exactly hashSample(p)'s keys —
+    // the same cross-table key consistency contract
+    val bKeys = out.filter($"stratum" === "b")
+      .select("user_id").as[Long].collect().toSet
+    val flat = Relational.hashSample(t.filter($"stratum" === "b"), "user_id", 10)
+      .select("user_id").as[Long].collect().toSet
+    assert(bKeys == flat)
+  }
 }

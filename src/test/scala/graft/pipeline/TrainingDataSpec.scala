@@ -90,4 +90,46 @@ class TrainingDataSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(again == first)
   }
+
+  test("shardBy covers every shard, stably under repartition") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sharded = TrainingData.shardBy(corpus, 8)
+    val counts = sharded.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    assert(counts.values.sum == 500L)
+    val again = TrainingData.shardBy(corpus.repartition(13), 8)
+      .filter(col("shard") === 3).select("doc_id").as[Long].collect().toSet
+    val first = sharded.filter(col("shard") === 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("tokenBudgetSample keeps the longest shuffled prefix within budget") {
+    import org.apache.spark.sql.functions._
+    // 3-token docs; budget 30 tokens → exactly 10 docs regardless of order
+    val corpus = (1L to 100L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val kept = TrainingData.tokenBudgetSample(corpus, 30L)
+    assert(kept.count() == 10L)
+    assert(kept.agg(sum("n_tokens")).head.getLong(0) == 30L)
+    // deterministic and partition-independent
+    val again = TrainingData.tokenBudgetSample(corpus.repartition(7), 30L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    // zero budget keeps nothing; huge budget keeps everything
+    assert(TrainingData.tokenBudgetSample(corpus, 0L).isEmpty)
+    assert(TrainingData.tokenBudgetSample(corpus, 1000000L).count() == 100L)
+  }
+
+  test("trimToLengthBand drops both tails") {
+    import org.apache.spark.sql.functions._
+    // lengths 1..100 tokens: p5=~5.95, p95=~95.05 → keep 6..95
+    val corpus = (1 to 100).map(n => (n.toLong, ("tok " * n).trim))
+      .toDF("doc_id", "text")
+    val kept = TrainingData.trimToLengthBand(corpus, 0.05, 0.95)
+      .select("n_tokens").as[Long].collect()
+    assert(kept.min >= 6L && kept.max <= 95L)
+    assert(kept.length == 90)
+  }
 }
