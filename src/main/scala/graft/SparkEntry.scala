@@ -490,6 +490,33 @@ object SparkEntry {
     // --- dedup (training-data ops) ---
     "d1_dup_stats" -> q((s, d) => Dedup.dupStatsByLang(Tables.documents(s, d))),
     "d2_exact_dedup" -> q((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    // normalization-insensitive dedup, keep-longest election: every 10th
+    // doc gets an UPPERCASED double-spaced twin injected — the twin is
+    // strictly longer, so the election must keep IT (and the grouped
+    // id/length sums prove which copy won each group)
+    "d15_norm_dedup" -> q((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(regexp_replace(col("text"), " ", "  ")).as("text"))
+      Dedup.dedupNormalizedKeepLongest(docs.unionByName(variants))
+        .groupBy("n_variants")
+        .agg(count(lit(1)).as("n_groups"), sum("doc_id").as("id_sum"),
+          sum("text_len").as("len_sum"))
+        .orderBy("n_variants")
+    }),
+    // Morton/z-order layout key: literal bit interleaving, pinned per
+    // z-range bucket (the file-level min/max a 2-D predicate prunes on)
+    "z1_zorder_bucket" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .select(graft.operators.ZOrder.zorderKey2(
+          pmod(col("l_partkey"), lit(256L)), pmod(col("l_suppkey"), lit(256L)),
+          bits = 8).as("zkey"),
+          col("l_orderkey"))
+        .groupBy(floor(col("zkey") / 256).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"), min("zkey").as("z_min"),
+          max("zkey").as("z_max"), sum("l_orderkey").as("key_sum"))
+        .orderBy("z_bucket")),
     // reproducible mode: FNV-based signatures + raw band-slice keys, so
     // the oracle rebuilds the ENTIRE pipeline (shingle hash → permuted
     // minhash → banding → star guard → agreement score) bit-for-bit
@@ -972,6 +999,14 @@ object SparkEntry {
     * SQL mirror of the engine's reproducible-mode shingle/token hash
     * (byte-wise UTF-8, which equals this per-character fold on the
     * all-ASCII gate corpus). */
+  /** Morton bit-interleave of two integer expressions as plain DuckDB
+    * shift/mask arithmetic — the SQL mirror of
+    * [[graft.operators.ZOrder.zorderKey2]]. */
+  private def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+
   private def fnvSql(expr: String, basis: Long): String =
     s"""list_reduce(list_prepend($basis::BIGINT,
        list_transform(list_filter(string_split_regex($expr, ''), c -> len(c) > 0),
@@ -1858,6 +1893,29 @@ object SparkEntry {
     "d2_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
          GROUP BY text ORDER BY doc_id""",
+    "d15_norm_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, upper(replace(text, ' ', '  '))
+           FROM documents WHERE doc_id % 10 = 0),
+         k AS (SELECT doc_id, text,
+           regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM aug),
+         r AS (SELECT doc_id, len(text) AS text_len,
+           row_number() OVER (PARTITION BY norm
+             ORDER BY len(text) DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY norm) AS n_variants FROM k)
+         SELECT n_variants, count(*) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(text_len) AS BIGINT) AS len_sum
+         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY n_variants""",
+    "z1_zorder_bucket" ->
+      s"""WITH z AS (SELECT
+           ${zorderSql("l_partkey % 256", "l_suppkey % 256", 8)} AS zkey,
+           l_orderkey FROM lineitem)
+         SELECT CAST(floor(zkey / 256) AS BIGINT) AS z_bucket,
+           count(*) AS n_rows, min(zkey) AS z_min, max(zkey) AS z_max,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+         FROM z GROUP BY 1 ORDER BY z_bucket""",
     "d5_ngram_jaccard_topk" ->
       s"""WITH sh AS (SELECT doc_id, source,
            list_distinct(CASE WHEN len($toks) >= 3

@@ -25,6 +25,33 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Normalization-insensitive exact dedup with a keep-longest election:
+    * documents that agree after lowercasing and whitespace collapse are
+    * one group (web corpora are full of re-serialized copies that differ
+    * only in case/spacing), and the group's KEPT form is the longest
+    * original text (ties → lowest doc_id) — the copy that preserves the
+    * most formatting signal, where [[exactDedup]]'s min-id election is
+    * byte-identity only.
+    *
+    * Scale shape: normalization is row-local codegen'd string work; the
+    * election is one `max(struct(len, -id))` groupBy — partial→final,
+    * no window sort. At 100 TB, group on `md5(norm)` (16 bytes) instead
+    * of shipping normalized payloads through the exchange — same
+    * election, constant-width shuffle keys. */
+  def dedupNormalizedKeepLongest(documents: DataFrame,
+                                 hashKeys: Boolean = false): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val keyed = documents.withColumn("_k",
+      if (hashKeys) md5(norm.cast("binary")) else norm)
+    keyed
+      .groupBy("_k")
+      .agg(count(lit(1)).as("n_variants"),
+        max(struct(length(col("text")).as("len"), (-col("doc_id")).as("nid")))
+          .as("win"))
+      .select((-col("win.nid")).as("doc_id"), col("win.len").as("text_len"),
+        col("n_variants"))
+  }
+
   /** Exact-dup profile by language: total vs distinct texts. */
   def dupStatsByLang(documents: DataFrame): DataFrame =
     documents

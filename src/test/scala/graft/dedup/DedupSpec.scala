@@ -112,4 +112,27 @@ class DedupSpec extends SparkTestBase {
     // doc 4 is in another source -> blocked out of comparisons
     assert(!j.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
+
+  test("normalized dedup elects the longest variant, ties to lowest id") {
+    import org.apache.spark.sql.functions.col
+    val variants = Seq(
+      (1L, "Hello   World"),  // same group after lower+collapse
+      (2L, "hello world"),
+      (3L, "HELLO  WORLD extra"), // longer text, own group
+      (4L, "hello world"),    // tie with 2 on length → lowest id wins
+      (5L, "unrelated")).toDF("doc_id", "text")
+    val out = Dedup.dedupNormalizedKeepLongest(variants)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // group {1,2,4}: "Hello   World" is 13 chars, the longest → id 1 kept
+    assert(out.keySet == Set(1L, 3L, 5L))
+    assert(out(1L) == ((13, 3L)))
+    // hashed-key variant elects identically
+    val hashed = Dedup.dedupNormalizedKeepLongest(variants, hashKeys = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hashed == out.keySet)
+    // deterministic under repartition
+    val again = Dedup.dedupNormalizedKeepLongest(variants.repartition(7))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.keySet)
+  }
 }

@@ -55,4 +55,27 @@ class PlanSpec extends SparkTestBase {
     val codegen = qe.explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(codegen.contains("WholeStageCodegen"))
   }
+
+  test("column profiler reads the table exactly once") {
+    val plan = planOf(Profile.columnProfile(Tables.orders(spark, sf),
+      Seq("o_custkey", "o_orderstatus")))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one scan, plan had $scans")
+    // exact multi-column distinct goes through Expand (the documented
+    // one-scan trade); the approx twin must NOT need it
+    assert(plan.contains("Expand"))
+    val approx = planOf(Profile.columnProfile(Tables.orders(spark, sf),
+      Seq("o_custkey", "o_orderstatus"), exact = false))
+    assert(!approx.contains("Expand"))
+    assert(approx.linesIterator.count(_.contains("FileScan parquet")) == 1)
+  }
+
+  test("bloom pre-filter keeps the dim join broadcast") {
+    import org.apache.spark.sql.functions.col
+    val dim = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+    val plan = planOf(BloomJoin.bloomPrefilteredJoin(
+      Tables.orders(spark, sf), dim, "o_custkey", "c_custkey", 4096))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
