@@ -125,6 +125,27 @@ object SparkEntry {
     "k1_key_skew" -> q((s, d) =>
       Relational.keySkewReport(Tables.events(s, d), "user_id")),
     "w7_quartile_ranks" -> q((s, d) => Windows.quartileRanks(Tables.orders(s, d))),
+    // cohort retention over the sparse high-value stream (value > 120 ≈
+    // p91 keeps ~6 events/user, spreading first-seen dates where every
+    // user's FULL stream starts day 1); grid is (cohort × offset) —
+    // bounded by days², fully pinned
+    "w8_retention_cohorts" -> q((s, d) =>
+      graft.operators.Windows.retentionCohorts(
+          Tables.events(s, d).filter(col("value") > 120), maxOffsetDays = 7)
+        // dates → strings at the gate boundary (driver compare treats
+        // DATE columns engine-specifically; same convention as a15)
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("offset_days"), col("n_users"))
+        .orderBy("cohort", "offset_days")),
+    // calendar gap-fill + forward-fill over a deliberately sparse daily
+    // series (value > 240 ≈ p99): gap days must appear, carry the last
+    // observation, and be flagged — all pinned
+    "w9_resample_ffill" -> q((s, d) =>
+      graft.operators.Windows.resampleDailyFfill(
+          Tables.events(s, d).filter(col("value") > 240), "event_type")
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("avg_value"), col("filled_value"), col("is_gap"))
+        .orderBy("event_type", "day")),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -1157,6 +1178,33 @@ object SparkEntry {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            round(max(pr),6) AS max_pr
          FROM r GROUP BY 1,2 ORDER BY 1,2""",
+    "w8_retention_cohorts" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day
+           FROM events WHERE value > 120),
+         f AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(datediff('day', cohort, day) AS INT) AS offset_days,
+           count(DISTINCT user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         WHERE datediff('day', cohort, day) <= 7
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "w9_resample_ffill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           round(avg(value),4) AS avg_value
+           FROM events WHERE value > 240 GROUP BY 1,2),
+         b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY 1),
+         grid AS (SELECT event_type,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM b),
+         j AS (SELECT g.event_type, g.day, d.avg_value
+           FROM grid g LEFT JOIN daily d USING (event_type, day))
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           avg_value IS NULL AS is_gap
+         FROM j ORDER BY event_type, day""",
     "j6_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
          o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0),

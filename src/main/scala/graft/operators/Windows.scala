@@ -134,4 +134,47 @@ object Windows {
           4).as("avg_minutes_to_convert"))
       .orderBy("cohort_hour")
   }
+
+  /** Cohort retention matrix: users cohorted by first-activity date, and
+    * per (cohort, day-offset) the count of distinct users active again
+    * that day — the grid every product-analytics report draws. Two
+    * shuffles, both on `user_id` (the first-seen aggregate and the
+    * activity join are co-partitioned, so Catalyst reuses the exchange);
+    * the distinct-count aggregate then shuffles (cohort, offset) keys —
+    * bounded by days², never by event volume. */
+  def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val activity = events.select(col("user_id"),
+      to_date(col("ts").cast("timestamp")).as("day"))
+    val firstSeen = activity.groupBy("user_id").agg(min("day").as("cohort"))
+    activity
+      .join(firstSeen, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort")))
+      .filter(col("offset_days") <= maxOffsetDays)
+      .groupBy("cohort", "offset_days")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  /** Calendar gap-fill with forward-fill: per group, aggregate to a
+    * daily series, expand to the group's full [min, max] date range
+    * (`sequence` + explode — row-local), and carry the last observation
+    * forward across missing days. The window runs over PRE-AGGREGATED
+    * one-row-per-day frames (same contract as [[dailyZscore]]) — per
+    * group it is calendar-bounded, never event-bounded, so the sort is
+    * metadata-sized at any fact volume. Gap days keep `avg_value` null,
+    * report the carried `filled_value`, and are flagged. */
+  def resampleDailyFfill(events: DataFrame, groupCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), to_date(col("ts").cast("timestamp")).as("day"))
+      .agg(round(avg("value"), 4).as("avg_value"))
+    val grid = daily.groupBy(groupCol)
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+      .select(col(groupCol),
+        explode(expr("sequence(_d0, _d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(groupCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(groupCol, "day"), "left")
+      .withColumn("filled_value", last("avg_value", ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("avg_value").isNull)
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("retentionCohorts: offsets count distinct return visits per cohort") {
+    // u1 first seen day 1, returns day 2 (twice — must count once) and day 9
+    // (beyond maxOffset 7 → dropped); u2 first seen day 2, returns day 3;
+    // u3 first seen day 2, never returns
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2, 3)), (1L, ts(2, 9)), (1L, ts(9)),
+      (2L, ts(2)), (2L, ts(3)),
+      (3L, ts(2)))
+      .toDF("user_id", "ts")
+    val out = Windows.retentionCohorts(events, maxOffsetDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-02", 0) -> 2L, ("2024-01-02", 1) -> 1L))
+  }
+
+  test("resampleDailyFfill: gap days appear, carry forward, and are flagged") {
+    // group "a": days 1 and 4 observed → days 2,3 are gaps carrying day 1
+    val events = Seq(
+      ("a", ts(1), 10.0), ("a", ts(1, 6), 20.0), ("a", ts(4), 40.0),
+      ("b", ts(2), 7.0))
+      .toDF("event_type", "ts", "value")
+    val rows = Windows.resampleDailyFfill(events, "event_type")
+      .orderBy("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      ("a", "2024-01-01", Some(15.0), 15.0, false),
+      ("a", "2024-01-02", None, 15.0, true),
+      ("a", "2024-01-03", None, 15.0, true),
+      ("a", "2024-01-04", Some(40.0), 40.0, false),
+      ("b", "2024-01-02", Some(7.0), 7.0, false)))
+  }
+}
