@@ -137,6 +137,10 @@ object SparkEntry {
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("offset_days"), col("n_users"))
         .orderBy("cohort", "offset_days")),
+    // first-order (from → to) transition counts over per-user streams,
+    // unique sort key so the pairing is engine-stable — fully pinned
+    "w10_transition_matrix" -> q((s, d) =>
+      graft.operators.Windows.transitionMatrix(Tables.events(s, d))),
     // calendar gap-fill + forward-fill over a deliberately sparse daily
     // series (value > 240 ≈ p99): gap days must appear, carry the last
     // observation, and be flagged — all pinned
@@ -861,6 +865,24 @@ object SparkEntry {
           round(col("min_num"), 4).as("min_num"),
           round(col("max_num"), 4).as("max_num"),
           col("min_str"), col("max_str"))),
+    // the profiler's 100 TB twin under contract: HLL distinct counts
+    // must land within 3·rsd of the exact profile (t12/a27 pattern —
+    // the oracle computes the exact side and DEMANDS the booleans)
+    "pr2_profile_approx" -> q((s, d) => {
+      val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+      val exact = graft.operators.Profile.columnProfile(Tables.orders(s, d), cols)
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("n_distinct").as("distinct_exact"))
+      val approx = graft.operators.Profile
+        .columnProfile(Tables.orders(s, d), cols, exact = false)
+        .select(col("column"), col("n_distinct").as("distinct_approx"))
+      exact.join(approx, "column")
+        .select(col("column"), col("n_rows"), col("n_null"), col("distinct_exact"),
+          (abs(col("distinct_approx") - col("distinct_exact"))
+            <= greatest(col("distinct_exact") * 0.15, lit(2L)))
+            .as("approx_within_bound"))
+        .orderBy("column")
+    }),
     // Bloom pre-filtered fact⋈dim join: false positives are re-verified
     // by the join itself, so the result is EXACTLY the plain join the
     // oracle runs — what the gate pins is that the shuffle-reduction
@@ -1178,6 +1200,32 @@ object SparkEntry {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            round(max(pr),6) AS max_pr
          FROM r GROUP BY 1,2 ORDER BY 1,2""",
+    "w10_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+         FROM s WHERE next_type IS NOT NULL
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "pr2_profile_approx" ->
+      """SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT o_custkey) AS distinct_exact,
+           true AS approx_within_bound
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+           count(DISTINCT o_orderpriority), true
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+           count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+           count(DISTINCT o_orderstatus), true
+         FROM orders
+         ORDER BY "column"""",
     "w8_retention_cohorts" ->
       """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day
            FROM events WHERE value > 120),

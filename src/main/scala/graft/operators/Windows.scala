@@ -155,6 +155,24 @@ object Windows {
       .orderBy("cohort", "offset_days")
   }
 
+  /** First-order event-transition matrix: for every consecutive pair in
+    * a user's stream (ts order, event_id tiebreak — unique, so the
+    * sequence is engine-stable), count (from_type → to_type). The Markov
+    * view of user behavior every funnel/journey analysis starts from.
+    * One shuffle on user_id; the lead() window streams per user; the
+    * final aggregate is types² keys — constant-size output at any
+    * event volume. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Calendar gap-fill with forward-fill: per group, aggregate to a
     * daily series, expand to the group's full [min, max] date range
     * (`sequence` + explode — row-local), and carry the last observation

@@ -28,6 +28,18 @@ class WindowsSpec extends SparkTestBase {
       ("2024-01-02", 0) -> 2L, ("2024-01-02", 1) -> 1L))
   }
 
+  test("transitionMatrix counts consecutive pairs per user, ts-ordered") {
+    // u1: a→b→a (2 transitions); u2: b→b; single-event u3 contributes none
+    val events = Seq(
+      (1L, ts(1, 1), 10L, "a"), (1L, ts(1, 2), 11L, "b"), (1L, ts(1, 3), 12L, "a"),
+      (2L, ts(1, 1), 20L, "b"), (2L, ts(1, 2), 21L, "b"),
+      (3L, ts(1, 1), 30L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Windows.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
   test("resampleDailyFfill: gap days appear, carry forward, and are flagged") {
     // group "a": days 1 and 4 observed → days 2,3 are gaps carrying day 1
     val events = Seq(
