@@ -32,7 +32,7 @@ class PipelineSpec extends SparkTestBase {
     TaxiSchemas.yellow)
 
   test("EtlJob then AnalyticsJob produce the four aggregates end-to-end") {
-    val dir = Files.createTempDirectory("graft-pipeline").toString
+    val dir = tempDir("graft-pipeline")
     rawYellow.write.parquet(s"$dir/raw")
     val n = EtlJob.run(spark, s"$dir/raw", s"$dir/curated", "yellow")
     assert(n == 2) // dirty row dropped
@@ -53,7 +53,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("BatchRunner: one union-by-name plan over divergent cab schemas, missing cab recorded") {
-    val dir = Files.createTempDirectory("graft-batch").toString
+    val dir = tempDir("graft-batch")
     rawYellow.write.parquet(s"$dir/raw/yellow")
     // fhv: different timestamp col names, no fare/distance at all
     spark.createDataFrame(
@@ -84,7 +84,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("curated reads prune partitions: month filter reaches PartitionFilters") {
-    val dir = Files.createTempDirectory("graft-prune").toString
+    val dir = tempDir("graft-prune")
     import graft.taxi.{Cleaning, SchemaNormalizer}
     import org.apache.spark.sql.functions._
     val cleaned = Cleaning.withRatios(Cleaning.withTimeFeatures(
@@ -100,7 +100,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("incremental write replaces only the partitions present in the batch") {
-    val dir = Files.createTempDirectory("graft-incr").toString
+    val dir = tempDir("graft-incr")
     import graft.taxi.{Cleaning, SchemaNormalizer}
     val cleaned = Cleaning.withRatios(Cleaning.withTimeFeatures(
       Cleaning.clean(SchemaNormalizer.toCanonical(rawYellow, "yellow"))))
@@ -118,7 +118,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("CSV sink + zone-lookup dimension scan round-trip") {
-    val dir = Files.createTempDirectory("graft-csv").toString
+    val dir = tempDir("graft-csv")
     import spark.implicits._
     val zones = Seq((132, "Queens", "JFK Airport", "Airports"),
       (138, "Queens", "LaGuardia Airport", "Airports"))
@@ -135,7 +135,7 @@ class PipelineSpec extends SparkTestBase {
     // the three payloads Spark's DEFAULT csv writer/reader corrupt:
     // writer-side trimming eats edge whitespace, and a multiLine-less
     // read splits a quoted newline into two broken records
-    val dir = Files.createTempDirectory("graft-csv-fid").toString
+    val dir = tempDir("graft-csv-fid")
     import spark.implicits._
     val rows = Seq((1L, "  leading"), (2L, "trailing  "), (3L, "has\nnewline"))
       .toDF("id", "text")
@@ -146,7 +146,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("JSONL round trip preserves whitespace, newlines, and null vs empty") {
-    val dir = Files.createTempDirectory("graft-jsonl-fid").toString
+    val dir = tempDir("graft-jsonl-fid")
     import spark.implicits._
     val rows = Seq((1L, "  leading"), (2L, "has\nnewline"), (3L, ""),
       (4L, null.asInstanceOf[String])).toDF("id", "text")
@@ -158,7 +158,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("compaction merges small files and preserves partition layout") {
-    val dir = Files.createTempDirectory("graft-compact").toString
+    val dir = tempDir("graft-compact")
     import spark.implicits._
     // 200 rows scattered over 32 tasks -> 32 small files
     (0 until 200).map(i => (i.toLong, i % 3)).toDF("id", "k")
@@ -177,7 +177,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("lenient read skips a corrupt file; strict read fails") {
-    val dir = Files.createTempDirectory("graft-corrupt").toString + "/data"
+    val dir = tempDir("graft-corrupt") + "/data"
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
     // a truncated/garbage object lands in the tree
@@ -190,7 +190,7 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("manifest: append, read back, count errors") {
-    val path = Files.createTempDirectory("graft-manifest").toString + "/manifest.jsonl"
+    val path = tempDir("graft-manifest") + "/manifest.jsonl"
     Manifest.append(path, Manifest.Entry("http://x/a.parquet", "2024-01", "yellow", true, 123L))
     Manifest.append(path, Manifest.Entry("http://x/b.parquet", "2024-02", "yellow", false, 0L,
       Some("HTTP 503")))

@@ -67,7 +67,7 @@ class EventStreamsSpec extends SparkTestBase {
   }
 
   test("file-source stream picks up new parquet files incrementally") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = tempDir("graft-stream")
     val batch1 = sample.take(3)
     batch1.toDF().write.parquet(s"$dir/in/b1.parquet")
     val q = EventStreams.runFromParquetDir(spark, s"$dir/in/*.parquet",
@@ -135,7 +135,7 @@ class EventStreamsSpec extends SparkTestBase {
   }
 
   test("checkpointed dedup stream recovers state across restart") {
-    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val base = tempDir("graft-ckpt")
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     // single part-file per batch: with multiple files in one micro-batch
     // WHICH of two in-batch duplicates survives is a task-order race
