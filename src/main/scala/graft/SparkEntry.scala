@@ -200,6 +200,35 @@ object SparkEntry {
                FROM v_orders JOIN v_customer ON o_custkey = c_custkey
                GROUP BY 1, 2 ORDER BY 1, 2""")
     }),
+    // correlated EXISTS / NOT EXISTS through the SQL surface (Catalyst
+    // rewrites to semi/anti joins — same text runs on the oracle)
+    "sql3_exists_subquery" -> q((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_mktsegment,
+                 count(*) AS n_customers,
+                 count(CASE WHEN EXISTS (SELECT 1 FROM v_orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+                   THEN 1 END) AS n_big_spenders,
+                 count(CASE WHEN NOT EXISTS (SELECT 1 FROM v_orders
+                   WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
+               FROM v_customer GROUP BY 1 ORDER BY 1""")
+    }),
+    // data-level set ops: distinct-key EXCEPT / INTERSECT between two
+    // overlapping filtered views, membership pinned via id aggregates
+    "u3_except_intersect" -> q((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"))
+      val inter = a.intersect(b)
+        .agg(lit("intersect").as("op"), count(lit(1)).as("n_keys"),
+          sum("o_custkey").as("key_sum"))
+      val exc = a.except(b)
+        .agg(lit("a_except_b").as("op"), count(lit(1)).as("n_keys"),
+          sum("o_custkey").as("key_sum"))
+      inter.unionByName(exc).orderBy("op")
+    }),
     // the SparkSessionExtensions surface end to end: SQL text resolved
     // through the injected native functions (fnv1a32, shingle_hashes),
     // pinned against the oracle's independent reimplementation. The
@@ -1200,6 +1229,24 @@ object SparkEntry {
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
            round(max(pr),6) AS max_pr
          FROM r GROUP BY 1,2 ORDER BY 1,2""",
+    "sql3_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+           count(CASE WHEN EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             THEN 1 END) AS n_big_spenders,
+           count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "u3_except_intersect" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+         SELECT 'a_except_b' AS op, count(*) AS n_keys,
+           CAST(sum(o_custkey) AS BIGINT) AS key_sum
+         FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+         UNION ALL
+         SELECT 'intersect', count(*), CAST(sum(o_custkey) AS BIGINT)
+         FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+         ORDER BY op""",
     "w10_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_type,
            lead(event_type) OVER (PARTITION BY user_id
