@@ -850,6 +850,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("source")),
+    // quality-proportional deterministic thinning: keep probability
+    // min(quality·rate, 1) decided by the id hash — kept membership is a
+    // pure function of (id, text); the oracle recomputes the same
+    // quality formula (t6's, rounded to 6) and hash threshold
+    "tp4_quality_weighted" -> q((s, d) =>
+      graft.pipeline.TrainingData
+        .qualityWeightedSample(Tables.documents(s, d), rate = 0.8)
+        .select(col("lang"), col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("n_tokens").as("tok_sum"))
+        .orderBy("lang")),
     // deterministic token-budget prefix draw over the fnv-shuffled
     // stream — the cumsum runs through the distributed prefix sum
     // (per-partition offsets), and the kept set is a pure function of
@@ -1843,6 +1856,22 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "tp4_quality_weighted" ->
+      s"""WITH m AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+           round((least(len($toks) / 50.0, 1.0)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                 ELSE 0 END) * 5.0, 1.0))
+             + least((CASE WHEN len($toks) > 0
+                 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks)
+                 ELSE 0 END) * 5.0, 1.0)) / 3.0, 6) AS q
+           FROM documents)
+         SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         FROM m
+         WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 1000000
+           < least(q * 0.8, 1.0) * 1000000
+         GROUP BY 1 ORDER BY lang""",
     "tp3_token_budget" ->
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
            ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} * 1073741824

@@ -170,6 +170,24 @@ object TrainingData {
       .drop("_ord", "cum_before")
   }
 
+  /** Quality-weighted deterministic downsampling: keep each document
+    * with probability `min(quality · rate, 1)`, decided by comparing
+    * `fnv1a32(id) mod 10^6` against that probability — a pure row-local
+    * function of (id, text), so the kept set is exactly reproducible
+    * (across re-runs, engines, and task retries) while higher-quality
+    * documents survive proportionally more often. The standard
+    * quality-proportional corpus thinning (keep the good web, sample
+    * the mediocre) without a mutable RNG anywhere. One codegen'd pass,
+    * zero shuffle. */
+  def qualityWeightedSample(documents: DataFrame, rate: Double = 1.0,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0, s"rate must be non-negative, got $rate")
+    val p = least(TextAnalysis.qualityScore(col("text")) * rate, lit(1.0))
+    documents.filter(
+      pmod(graft.functions.HashExpressions.fnv1a32(col(idCol).cast("string")),
+        lit(1000000L)).cast("double") < p * 1000000.0)
+  }
+
   /** Trim the corpus to the central token-length band: keep documents
     * whose token count lies within the global `[lo, hi]` quantiles —
     * the standard "drop the pathological tails" pass (empty shells and

@@ -122,6 +122,33 @@ class TrainingDataSpec extends SparkTestBase {
     assert(TrainingData.tokenBudgetSample(corpus, 1000000L).count() == 100L)
   }
 
+  test("qualityWeightedSample: quality-proportional, deterministic, monotone") {
+    import org.apache.spark.sql.functions.col
+    // high-quality natural text vs punctuation soup (quality ≈ 0)
+    val corpus = (1L to 400L).map { i =>
+      (i, if (i <= 200) good else "!!! ??? *** ###")
+    }.toDF("doc_id", "text")
+    val kept = TrainingData.qualityWeightedSample(corpus, rate = 0.8)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val hi = ids.count(_ <= 200)
+    val lo = ids.count(_ > 200)
+    // good docs keep at ~0.8·quality(good); junk keeps at ~0 (its only
+    // nonzero term is the length score 12/50 → p ≈ 0.06·0.8)
+    assert(hi > 100, s"high-quality kept $hi of 200")
+    assert(lo < 30, s"low-quality kept $lo of 200")
+    // deterministic under repartition
+    val again = TrainingData.qualityWeightedSample(corpus.repartition(7), 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // monotone in rate: the 0.4-rate sample is a subset of the 0.8-rate
+    val half = TrainingData.qualityWeightedSample(corpus, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(ids))
+    // rate 0 keeps nothing
+    assert(TrainingData.qualityWeightedSample(corpus, 0.0)
+      .filter(col("doc_id") > 0).isEmpty)
+  }
+
   test("trimToLengthBand drops both tails") {
     import org.apache.spark.sql.functions._
     // lengths 1..100 tokens: p5=~5.95, p95=~95.05 → keep 6..95
