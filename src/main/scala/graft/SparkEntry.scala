@@ -214,6 +214,20 @@ object SparkEntry {
                    WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
                FROM v_customer GROUP BY 1 ORDER BY 1""")
     }),
+    // weighted PageRank over a derived 100-node key graph, 5 fixed
+    // iterations — the oracle replays every round as unrolled CTE layers
+    // (float drift across engines ~1e-15, far under the 1e-6 rounding),
+    // so the full iterative fixpoint is value-pinned; 5 layers pin the
+    // recurrence as strongly as 10 at half the per-iteration job cost
+    "g1_pagerank" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(100L)).as("src"),
+          pmod(col("o_orderkey"), lit(97L)).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      graft.graph.PageRank.pagerank(edges, damping = 0.85, iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
     // data-level set ops: distinct-key EXCEPT / INTERSECT between two
     // overlapping filtered views, membership pinned via id aggregates
     "u3_except_intersect" -> q((s, d) => {
@@ -1084,6 +1098,40 @@ object SparkEntry {
     * SQL mirror of the engine's reproducible-mode shingle/token hash
     * (byte-wise UTF-8, which equals this per-character fold on the
     * all-ASCII gate corpus). */
+  /** The PageRank recurrence as unrolled DuckDB CTE layers — one
+    * (dangling, contribution, rank) triple per iteration, mirroring
+    * [[graft.graph.PageRank.pagerank]] operation for operation so both
+    * engines walk the identical float recurrence. Every rank layer is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and r_i is referenced
+    * twice per following layer — inlining would blow the query up
+    * 2^iters (measured: the plain form never finishes at 10 layers). */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      """e AS MATERIALIZED (SELECT o_custkey % 100 AS src, o_orderkey % 97 AS dst,
+           count(*) AS w FROM orders GROUP BY 1,2),
+         ow AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         ne AS MATERIALIZED (SELECT src, dst, w::DOUBLE / out_w AS p
+           FROM e JOIN ow USING (src)),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes),
+         r0 AS MATERIALIZED (SELECT node, (SELECT 1.0/n FROM nn) AS rank
+           FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(r.rank), 0) AS dm FROM $prev r
+           WHERE r.node NOT IN (SELECT src FROM ow)),
+         c$i AS MATERIALIZED (SELECT dst AS node, sum(p * r.rank) AS in_rank
+           FROM ne JOIN $prev r ON ne.src = r.node GROUP BY 1),
+         r$i AS MATERIALIZED (SELECT nodes.node,
+           (SELECT (1 - 0.85)/n FROM nn) + 0.85 * (COALESCE(c$i.in_rank, 0)
+             + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS rank
+           FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)"""
+    }.mkString(",\n         ")
+    s"""WITH $base,
+         $iterCtes
+         SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
+  }
+
   /** Morton bit-interleave of two integer expressions as plain DuckDB
     * shift/mask arithmetic — the SQL mirror of
     * [[graft.operators.ZOrder.zorderKey2]]. */
@@ -1250,6 +1298,7 @@ object SparkEntry {
            count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "g1_pagerank" -> pagerankSql(5),
     "u3_except_intersect" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
          b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)

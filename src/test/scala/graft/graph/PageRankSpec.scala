@@ -1,0 +1,40 @@
+package graft.graph
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long, Long)], iters: Int = 30) =
+    PageRank.pagerank(edges.toDF("src", "dst", "weight"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle converges to 0.5 / 0.5") {
+    val r = ranksOf(Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(math.abs(r(1L) - 0.5) < 1e-9)
+    assert(math.abs(r(2L) - 0.5) < 1e-9)
+  }
+
+  test("ranks sum to 1 and authority flows to the hub") {
+    // star: 1,2,3 all point to 4; 4 points back to 1
+    val r = ranksOf(Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 1L, 1L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(4L) > r(1L) && r(1L) > r(2L)) // hub first, its target second
+    assert(math.abs(r(2L) - r(3L)) < 1e-12) // symmetric leaves tie
+  }
+
+  test("dangling node redistributes its mass instead of leaking it") {
+    // 1 -> 2, and 2 has no out-edges (dangling)
+    val r = ranksOf(Seq((1L, 2L, 1L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass leaked: ${r.values.sum}")
+    assert(r(2L) > r(1L)) // 2 receives 1's links plus nothing back
+  }
+
+  test("edge weights bias the split") {
+    // 1 splits 3:1 between 2 and 3; 2,3 return to 1
+    val r = ranksOf(Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    assert(r(2L) > r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+}
