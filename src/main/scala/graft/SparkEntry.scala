@@ -1923,10 +1923,9 @@ object SparkEntry {
          GROUP BY 1 ORDER BY lang""",
     "tp3_token_budget" ->
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
-           ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} * 1073741824
-             + (doc_id % 1073741824) AS ord
+           ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} AS ord
            FROM documents),
-         c AS (SELECT *, sum(n_tokens) OVER (ORDER BY ord
+         c AS (SELECT *, sum(n_tokens) OVER (ORDER BY ord, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb FROM t)
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            CAST(sum(n_tokens) AS BIGINT) AS tok_sum
@@ -2120,7 +2119,7 @@ object SparkEntry {
            SELECT doc_id + 100000, upper(replace(text, ' ', '  '))
            FROM documents WHERE doc_id % 10 = 0),
          k AS (SELECT doc_id, text,
-           regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM aug),
+           regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS norm FROM aug),
          r AS (SELECT doc_id, len(text) AS text_len,
            row_number() OVER (PARTITION BY norm
              ORDER BY len(text) DESC, doc_id) AS rk,

@@ -35,14 +35,19 @@ object Dedup {
     *
     * Scale shape: normalization is row-local codegen'd string work; the
     * election is one `max(struct(len, -id))` groupBy — partial→final,
-    * no window sort. At 100 TB, group on `md5(norm)` (16 bytes) instead
-    * of shipping normalized payloads through the exchange — same
-    * election, constant-width shuffle keys. */
+    * no window sort. At 100 TB, set `hashKeys` to group on the 16-byte
+    * `unhex(md5(norm))` digest instead of shipping normalized payloads
+    * through the exchange — same election, constant-width shuffle keys.
+    *
+    * The whitespace class is spelled out (`[ \t\n\f\r]`) rather than
+    * `\s` because regex dialects disagree on `\s`'s exact membership
+    * (Java adds \x0B; RE2 does not) — an explicit class means every
+    * engine, including the DuckDB oracle, forms identical groups. */
   def dedupNormalizedKeepLongest(documents: DataFrame,
                                  hashKeys: Boolean = false): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val norm = regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")
     val keyed = documents.withColumn("_k",
-      if (hashKeys) md5(norm.cast("binary")) else norm)
+      if (hashKeys) unhex(md5(norm.cast("binary"))) else norm)
     keyed
       .groupBy("_k")
       .agg(count(lit(1)).as("n_variants"),

@@ -22,20 +22,23 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** Inner-join `fact` to `dim` on `factKey = dimKey`, pre-filtering the
-    * fact side through a Bloom filter of the dim keys. `expectedKeys`
-    * sizes the filter (overprovisioned to ≥4096 — Spark's Bloom
-    * implementation floors its false-positive rate when the bit array
-    * is tiny, see dedup.Decontaminate). */
+    * fact side through a Bloom filter of the dim keys. Keys of ANY type
+    * are first folded through `xxhash64` (a null cast would silently
+    * empty the filter for non-numeric keys) — an extra hash collision
+    * only adds a false positive, which the join removes like every other
+    * FP. `expectedKeys` sizes the filter (overprovisioned to ≥4096 —
+    * Spark's Bloom implementation floors its false-positive rate when
+    * the bit array is tiny, see dedup.Decontaminate). */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
                            factKey: String, dimKey: String,
                            expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.select(col(dimKey).cast("long").as("k"))
-      .filter(col("k").isNotNull)
+    val bf = dim.filter(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("k"))
       .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>
       k != null && bfB.value.mightContainLong(k))
-    fact.filter(might(col(factKey).cast("long")))
+    fact.filter(col(factKey).isNotNull && might(xxhash64(col(factKey))))
       .join(dim, fact(factKey) === dim(dimKey))
   }
 }

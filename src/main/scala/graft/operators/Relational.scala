@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -120,6 +120,14 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("avg_value"))
       .orderBy("event_type")
 
+  /** The shared keep/drop band of [[hashSample]] and
+    * [[stratifiedHashSample]] (and the SQL oracles' `fnv % 100` mirror):
+    * one definition so the hash-keep contract can never drift between
+    * the flat and stratified forms. */
+  private def fnvBand100(keyCol: String): Column =
+    pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
+      lit(100L))
+
   /** Deterministic hash-based sampling: keep rows whose
     * `fnv1a32(key) mod 100` falls under `pct`. The keep/drop decision is
     * a pure function of the key — unlike seeded-RNG `sample` (P6) it is
@@ -130,9 +138,7 @@ object Relational {
     * bounds. At 100 TB this is the only sampling form that survives
     * speculative re-execution without ghost rows. */
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
-    df.filter(
-      pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
-        lit(100L)) < pct)
+    df.filter(fnvBand100(keyCol) < pct)
 
   /** Stratified [[hashSample]]: a different keep-rate per stratum value
     * (e.g. "100% of books, 10% of web") resolved row-locally from a
@@ -146,9 +152,7 @@ object Relational {
     val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (sv, p)) => when(col(strataCol) === sv, lit(p)).otherwise(acc)
     }
-    df.filter(
-      pmod(graft.functions.HashExpressions.fnv1a32(col(keyCol).cast("string")),
-        lit(100L)) < pct)
+    df.filter(fnvBand100(keyCol) < pct)
   }
 
   /** P14/A6: month→season bucket + rollup sums

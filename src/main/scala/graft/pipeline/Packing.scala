@@ -32,10 +32,13 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `outCol` = sum of `valueCol` over all rows STRICTLY before the
-    * row in ascending `orderCol` order (exclusive prefix sum), without a
-    * global single-partition window. `orderCol` must be a unique,
-    * non-null NUMERIC key — ties would make "before" ambiguous and the
-    * result nondeterministic.
+    * row in ascending `(orderCol, tiebreakCol)` order (exclusive prefix
+    * sum), without a global single-partition window. `orderCol` must be
+    * non-null NUMERIC and `(orderCol, tiebreakCol)` unique — ties would
+    * make "before" ambiguous and the result nondeterministic. With no
+    * tiebreak, `orderCol` itself must be unique. Bucketing compares only
+    * `orderCol`, so equal order values always land in one bucket and the
+    * tiebreak never crosses a bucket boundary.
     *
     * Bucketing uses quantile boundaries computed ONCE and inlined as
     * literals, so bucket membership is a pure function of the row. A
@@ -47,7 +50,8 @@ object Packing {
     * and another at probe time, silently corrupting the sum. */
   def withGlobalCumsumBefore(df: DataFrame, valueCol: Column,
                              orderCol: String,
-                             outCol: String = "cum_before"): DataFrame = {
+                             outCol: String = "cum_before",
+                             tiebreakCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val probs = (1 until nParts).map(_.toDouble / nParts).toArray
@@ -68,7 +72,8 @@ object Packing {
         coalesce(sum("_psum").over(Window.orderBy("_graft_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_graft_bkt"), col("_offset"))
-    val within = Window.partitionBy("_graft_bkt").orderBy(orderCol)
+    val orderCols = col(orderCol) +: tiebreakCol.map(col).toSeq
+    val within = Window.partitionBy("_graft_bkt").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parts
       .join(broadcast(offsets), "_graft_bkt")

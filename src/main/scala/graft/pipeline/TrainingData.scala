@@ -154,18 +154,17 @@ object TrainingData {
     * The cumulative sum runs through
     * [[graft.pipeline.Packing.withGlobalCumsumBefore]] — per-partition
     * offsets, no data-sized single-task window — so the plan holds at
-    * corpus scale. The composite order key packs the 32-bit hash above
-    * the id's low 30 bits; ids must fit 2^30 (at larger id spaces widen
-    * the key to a 64-bit hash expression). */
+    * corpus scale. The stream order is `(fnv1a32(id), id)`: the hash is
+    * the shuffle, the id itself breaks hash collisions, so ids of any
+    * magnitude stay deterministic. */
   def tokenBudgetSample(documents: DataFrame, budgetTokens: Long,
                         idCol: String = "doc_id"): DataFrame = {
-    val ord = (graft.functions.HashExpressions
-      .fnv1a32(col(idCol).cast("string")) * lit(1L << 30) +
-      pmod(col(idCol), lit(1L << 30))).as("_ord")
     val withN = documents
-      .withColumn("_ord", ord)
+      .withColumn("_ord",
+        graft.functions.HashExpressions.fnv1a32(col(idCol).cast("string")))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-    Packing.withGlobalCumsumBefore(withN, col("n_tokens"), "_ord")
+    Packing.withGlobalCumsumBefore(withN, col("n_tokens"), "_ord",
+        tiebreakCol = Some(idCol))
       .filter(col("cum_before") + col("n_tokens") <= budgetTokens)
       .drop("_ord", "cum_before")
   }

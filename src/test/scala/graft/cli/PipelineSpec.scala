@@ -1,6 +1,6 @@
 package graft.cli
 
-import java.nio.file.Files
+
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row

@@ -20,6 +20,15 @@ class BloomJoinSpec extends SparkTestBase {
     assert(a.size == 60) // 3 matching keys × 20 fact rows each
   }
 
+  test("string join keys work (keys are hashed, never cast to long)") {
+    val fact = (1 to 500).map(k => (k.toLong, s"user_$k")).toDF("row_id", "fk")
+    val dim = Seq(("user_7", "a"), ("user_42", "b")).toDF("dk", "dim_name")
+    val out = BloomJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk", 1024)
+      .select("row_id", "dim_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((7L, "a"), (42L, "b")))
+  }
+
   test("the pre-filter actually removes non-matching fact rows") {
     val fact = (1L to 1000L).map(k => (k, k)).toDF("row_id", "fk")
     val dim = Seq(1L, 2L, 3L).toDF("dk")
