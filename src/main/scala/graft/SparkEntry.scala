@@ -449,10 +449,18 @@ object SparkEntry {
         expr("percentile(value, 0.75)").as("q3"))
         .select((col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
           (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      // demanded overlap adapts to how many exact-IQR outliers exist:
+      // 60% of min(50, n_outliers), capped at the historical 30 — same
+      // strength at sf0.01+ (463 outliers → demand 30), and achievable
+      // at tiny SFs where the whole outlier set is smaller than the
+      // top-k (sf0.001 has only 31)
+      val nOut = ev.crossJoin(broadcast(b))
+        .filter(col("value") < col("lo") || col("value") > col("hi")).count()
+      val need = math.min(30L, math.min(50L, nOut) * 6 / 10)
       top.crossJoin(broadcast(b))
         .agg(count(lit(1)).as("n_top"),
           (count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
-            >= 30).as("iqr_overlap_ge_30"),
+            >= need).as("iqr_overlap_ge_30"),
           (min("anomaly_score") > 0.0 && max("anomaly_score") < 1.0)
             .as("scores_in_unit_interval"))
     }),
