@@ -228,6 +228,18 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     }),
+    // 3-D Morton key (the general N-dim form real layouts use) pinned
+    // the same way as z1
+    "z2_zorder3_bucket" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .select(graft.operators.ZOrder.zorderKeyN(Seq(
+          pmod(col("l_partkey"), lit(16L)), pmod(col("l_suppkey"), lit(16L)),
+          pmod(col("l_linenumber"), lit(16L))), bits = 4).as("zkey"),
+          col("l_orderkey"))
+        .groupBy(floor(col("zkey") / 64).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"), min("zkey").as("z_min"),
+          max("zkey").as("z_max"), sum("l_orderkey").as("key_sum"))
+        .orderBy("z_bucket")),
     // data-level set ops: distinct-key EXCEPT / INTERSECT between two
     // overlapping filtered views, membership pinned via id aggregates
     "u3_except_intersect" -> q((s, d) => {
@@ -1140,13 +1152,15 @@ object SparkEntry {
          SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
   }
 
-  /** Morton bit-interleave of two integer expressions as plain DuckDB
+  /** Morton bit-interleave of N integer expressions as plain DuckDB
     * shift/mask arithmetic — the SQL mirror of
-    * [[graft.operators.ZOrder.zorderKey2]]. */
-  private def zorderSql(x: String, y: String, bits: Int): String =
-    (0 until bits).map(i =>
-      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + " +
-        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+    * [[graft.operators.ZOrder.zorderKeyN]] (bit i of expr j at
+    * position i·N + j). */
+  private def zorderSql(exprs: Seq[String], bits: Int): String = {
+    val n = exprs.length
+    (for { i <- 0 until bits; (e, j) <- exprs.zipWithIndex }
+      yield s"((($e) >> $i) & 1) * ${1L << (i * n + j)}").mkString(" + ")
+  }
 
   private def fnvSql(expr: String, basis: Long): String =
     s"""list_reduce(list_prepend($basis::BIGINT,
@@ -1307,6 +1321,15 @@ object SparkEntry {
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql(5),
+    "z2_zorder3_bucket" ->
+      s"""WITH z AS (SELECT
+           ${zorderSql(Seq("l_partkey % 16", "l_suppkey % 16", "l_linenumber % 16"), 4)}
+             AS zkey,
+           l_orderkey FROM lineitem)
+         SELECT CAST(floor(zkey / 64) AS BIGINT) AS z_bucket,
+           count(*) AS n_rows, min(zkey) AS z_min, max(zkey) AS z_max,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+         FROM z GROUP BY 1 ORDER BY z_bucket""",
     "u3_except_intersect" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
          b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
@@ -2138,7 +2161,7 @@ object SparkEntry {
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY n_variants""",
     "z1_zorder_bucket" ->
       s"""WITH z AS (SELECT
-           ${zorderSql("l_partkey % 256", "l_suppkey % 256", 8)} AS zkey,
+           ${zorderSql(Seq("l_partkey % 256", "l_suppkey % 256"), 8)} AS zkey,
            l_orderkey FROM lineitem)
          SELECT CAST(floor(zkey / 256) AS BIGINT) AS z_bucket,
            count(*) AS n_rows, min(zkey) AS z_min, max(zkey) AS z_max,

@@ -24,14 +24,21 @@ object ZOrder {
     * columns: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
     * Callers with non-integer dimensions quantize first (e.g.
     * `ntile`/fixed-width buckets); `2·bits` must stay < 63. */
-  def zorderKey2(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xi = x.cast("long")
-    val yi = y.cast("long")
+  def zorderKey2(x: Column, y: Column, bits: Int = 16): Column =
+    zorderKeyN(Seq(x, y), bits)
+
+  /** N-dimensional Morton key: bit i of column j lands at position
+    * `i·N + j` — the general form real table layouts use (zone × hour ×
+    * cab type). `N·bits` must stay < 63. */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits < 63, s"$n cols × $bits bits exceeds a long")
+    val longs = cols.map(_.cast("long"))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftleft(shiftrightunsigned(xi, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(yi, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      longs.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }
   }
 
