@@ -476,6 +476,18 @@ object SparkEntry {
           (min("anomaly_score") > 0.0 && max("anomaly_score") < 1.0)
             .as("scores_in_unit_interval"))
     }),
+    // unigram-LM quality scoring (the CCNet-style statistical filter):
+    // per-language distribution of per-doc mean token log-prob under the
+    // corpus' own top-1000 unigram model, fully pinned (both engines
+    // walk identical exact count ratios through ln)
+    "lm1_unigram_quality" -> q((s, d) =>
+      graft.text.UnigramLm.scoreDocuments(Tables.documents(s, d), 1000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_logp"), 4).as("mean_logp"),
+          round(min("avg_logp"), 4).as("min_logp"),
+          round(max("avg_logp"), 4).as("max_logp"))
+        .orderBy("lang")),
     // --- text analysis (training-data ops) ---
     "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "t6_quality_by_lang" -> q((s, d) => TextAnalysis.qualityByLang(Tables.documents(s, d))),
@@ -1638,6 +1650,18 @@ object SparkEntry {
              + (1.0 - least(punct_raw * 5.0, 1.0))
              + least(stop_raw * 5.0, 1.0)) / 3.0, 6)),6) AS avg_quality
          FROM m GROUP BY 1 ORDER BY lang""",
+    "lm1_unigram_quality" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+         top AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+           ORDER BY cnt DESC, tok LIMIT 1000),
+         sc AS (SELECT doc_id, lang,
+           ln(COALESCE(top.cnt::DOUBLE, 0.5) / (SELECT total FROM tot)) AS lp
+           FROM tok LEFT JOIN top USING (tok)),
+         d AS (SELECT doc_id, lang, avg(lp) AS avg_logp FROM sc GROUP BY 1,2)
+         SELECT lang, count(*) AS n_docs, round(avg(avg_logp),4) AS mean_logp,
+           round(min(avg_logp),4) AS min_logp, round(max(avg_logp),4) AS max_logp
+         FROM d GROUP BY 1 ORDER BY lang""",
     "t7_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len($toks)) AS BIGINT) AS total_tokens,

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level unigram language model and per-document log-probability
+  * scoring — the statistical quality filter real pretraining pipelines
+  * run after the heuristic trio (CCNet-style: documents whose tokens are
+  * improbable under the corpus' own distribution are OCR garbage,
+  * boilerplate, or the wrong register). A unigram model is deliberately
+  * chosen over an n-gram one: it is one aggregate + one broadcast join,
+  * fully declarative, and already separates junk from prose by orders of
+  * magnitude in log-space.
+  *
+  * Scale shape: the token explode is the linear cost (rows × doc length,
+  * same as every tokenizing pass here); model selection is top-`vocab`
+  * by frequency via `orderBy(...).limit(...)` — a
+  * `TakeOrderedAndProject`, never a full vocabulary sort; scoring joins
+  * the exploded tokens to the BROADCAST model (vocab-sized, a few MB)
+  * and aggregates back to one row per document. Out-of-vocabulary
+  * tokens take a 0.5-count floor, so scores are total-ordered and never
+  * −∞. */
+object UnigramLm {
+
+  /** The model: top-`vocabSize` tokens by corpus frequency (count-desc,
+    * token-asc — deterministic) with their counts. */
+  def unigramModel(documents: DataFrame, vocabSize: Int = 1000): DataFrame =
+    documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(vocabSize)
+
+  /** Per-document mean token log-probability under [[unigramModel]]:
+    * `avg over tokens of ln(count(tok)/total)`, OOV floored at
+    * `ln(0.5/total)`. Documents with zero tokens drop out (no
+    * probability is defined for them — filter them with the length
+    * rules first). Output: (doc_id, lang, n_tokens, avg_logp). */
+  def scoreDocuments(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val total = documents
+      .agg(sum(size(TextAnalysis.tokens(col("text")))))
+      .head().getLong(0).toDouble
+    val model = unigramModel(documents, vocabSize)
+    toks
+      .join(broadcast(model), Seq("tok"), "left")
+      .select(col("doc_id"), col("lang"),
+        log(coalesce(col("cnt").cast("double"), lit(0.5)) / total).as("lp"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), avg("lp").as("avg_logp"))
+  }
+}
