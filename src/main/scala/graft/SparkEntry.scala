@@ -476,6 +476,7 @@ object SparkEntry {
           (min("anomaly_score") > 0.0 && max("anomaly_score") < 1.0)
             .as("scores_in_unit_interval"))
     }),
+    // --- text analysis (training-data ops) ---
     // unigram-LM quality scoring (the CCNet-style statistical filter):
     // per-language distribution of per-doc mean token log-prob under the
     // corpus' own top-1000 unigram model, fully pinned (both engines
@@ -488,7 +489,7 @@ object SparkEntry {
           round(min("avg_logp"), 4).as("min_logp"),
           round(max("avg_logp"), 4).as("max_logp"))
         .orderBy("lang")),
-    // --- text analysis (training-data ops) ---
+
     "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "t6_quality_by_lang" -> q((s, d) => TextAnalysis.qualityByLang(Tables.documents(s, d))),
     "t7_token_stats" -> q((s, d) =>

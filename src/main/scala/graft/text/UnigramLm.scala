@@ -35,19 +35,26 @@ object UnigramLm {
     * `avg over tokens of ln(count(tok)/total)`, OOV floored at
     * `ln(0.5/total)`. Documents with zero tokens drop out (no
     * probability is defined for them — filter them with the length
-    * rules first). Output: (doc_id, lang, n_tokens, avg_logp). */
+    * rules first). Output: (doc_id, lang, n_tokens, avg_logp).
+    *
+    * The corpus total rides along as a lazy one-row broadcast crossJoin
+    * (`sum(cnt)` over the pre-limit vocabulary aggregate — the same
+    * scalar pattern as tfidf/baselineRatio), so constructing the plan
+    * launches no jobs and empty input yields an empty result rather
+    * than a driver error. */
   def scoreDocuments(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val toks = documents
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val total = documents
-      .agg(sum(size(TextAnalysis.tokens(col("text")))))
-      .head().getLong(0).toDouble
-    val model = unigramModel(documents, vocabSize)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val model = counts.orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+    val total = counts.agg(sum("cnt").cast("double").as("_total"))
     toks
       .join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("lang"),
-        log(coalesce(col("cnt").cast("double"), lit(0.5)) / total).as("lp"))
+        log(coalesce(col("cnt").cast("double"), lit(0.5)) / col("_total"))
+          .as("lp"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), avg("lp").as("avg_logp"))
   }

@@ -29,6 +29,11 @@ class UnigramLmSpec extends SparkTestBase {
     assert(s(3L)._2 < s(1L)._2)
   }
 
+  test("empty corpus yields an empty result, not a driver error") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(UnigramLm.scoreDocuments(empty, 10).isEmpty)
+  }
+
   test("zero-token documents drop out instead of scoring NaN") {
     val withEmpty = docs.union(Seq((4L, "en", "   ")).toDF("doc_id", "lang", "text"))
     val ids = UnigramLm.scoreDocuments(withEmpty, 2)
