@@ -1290,7 +1290,7 @@ object SparkEntry {
                      WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
                      ELSE 'Fall' END AS season,
          count(*) AS cnt, round(sum(o_totalprice),0) AS total FROM orders
-         GROUP BY 1 ORDER BY season""",
+         GROUP BY 1 ORDER BY season NULLS FIRST""",
     "a1_hourly_profile" ->
       """SELECT CAST(hour(ts) AS INT) AS hr, round(avg(value),4) AS avg_value,
          count(*) AS cnt FROM events GROUP BY 1 ORDER BY hr""",

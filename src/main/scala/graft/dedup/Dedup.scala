@@ -185,6 +185,9 @@ object Dedup {
                       bands: Int = 16, shingleK: Int = 3,
                       maxBucket: Int = 64,
                       reproducible: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "trailing signature positions would silently drop out of banding")
     val rows = numHashes / bands
     // The signature frame feeds three consumers (banding + both sides of
     // the scoring join); persist so the per-document signature pass runs
@@ -222,12 +225,20 @@ object Dedup {
       .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val candidates = candSmall.union(candStar).distinct()
-    candidates
+    val scored = candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+    // Materialize the pair set NOW (it is orders of magnitude smaller
+    // than the corpus) so the cached signature frame can be released —
+    // a lazily-returned frame would pin it in the block manager for the
+    // life of the session (d3/d9/d13 plus the d8 edge pass each call
+    // here, stranding one cache per call otherwise).
+    val out = scored.localCheckpoint(eager = true)
+    sigs.unpersist()
+    out
   }
 
   /** SimHash 64-bit fingerprint from distinct-token hashes: per bit

@@ -38,8 +38,12 @@ object HashExpressions {
   /** FNV-1a/32 offset bases for the reproducible hash mode: the standard
     * basis plus a second, distinct basis so two independent 32-bit
     * streams can be packed into one wide hash. */
-  val FnvBasisA = 2166136261L
-  val FnvBasisB = 3561277584L // 0x811C9DC5 ^ 0x55555555
+  val FnvBasisA = 2166136261L // 0x811C9DC5, the standard FNV-1a/32 basis
+  // 0xD444C890 — a fixed second basis. This LITERAL is the spec: any
+  // engine reproducing the packed hash must start stream B from exactly
+  // 3561277584 (the d4 oracle inlines it). It is close to, but NOT,
+  // basisA ^ 0x55555555 (that would be 0xD449C890) — do not re-derive.
+  val FnvBasisB = 3561277584L
 
   private def fnv1a32Bytes(bytes: Array[Byte], from: Int, until: Int, basis: Long): Long = {
     var h = basis

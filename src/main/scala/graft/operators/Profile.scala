@@ -26,9 +26,18 @@ object Profile {
     * aggregation so numeric extremes stay numerically ordered. */
   def columnProfile(df: DataFrame, cols: Seq[String],
                     exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { c =>
+      require(fields.contains(c),
+        s"column '$c' not in schema: ${df.columns.mkString(", ")}")
+      // names are spliced into stack()/alias SQL text below — quoting
+      // metacharacters would corrupt it
+      require(!c.contains("`") && !c.contains("'"),
+        s"column name '$c' contains quoting characters")
+    }
     val numericTypes =
       Set("double", "float", "decimal", "long", "integer", "short", "byte")
-    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def isNum(c: String) = numericTypes.exists(fields(c).typeName.startsWith)
     def distinctOf(c: String): Column =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))

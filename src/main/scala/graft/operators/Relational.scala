@@ -162,7 +162,10 @@ object Relational {
     orders
       .groupBy(graft.taxi.Cleaning.season(m).as("season"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
-      .orderBy("season")
+      // season is null for null dates; pin the null position explicitly
+      // (Spark defaults nulls-first, DuckDB nulls-last — a6/a28 handle
+      // this the same way)
+      .orderBy(asc_nulls_first("season"))
   }
 
   /** A6 as a true multi-level ROLLUP — the reference runs three separate

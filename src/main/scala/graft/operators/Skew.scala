@@ -32,7 +32,7 @@ object Skew {
   def saltedJoin(skewedFact: DataFrame, dim: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
     val saltedFact = skewedFact.withColumn("_salt",
-      pmod(pmod(hash(monotonically_increasing_id()), lit(salts)) + lit(salts), lit(salts)))
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
     val replicatedDim = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -46,14 +46,22 @@ object SnapshotDiff {
   }
 
   /** Collapse a snapshot to one row per key (last-writer-wins by
-    * `orderCol` descending, ties broken arbitrarily-but-deterministically
-    * via max_by) — the normalization step that makes a re-published
-    * source satisfy [[diff]]'s unique-key contract. One shuffle on the
-    * key, same partitioning the diff join reuses. */
+    * `orderCol` descending) — the normalization step that makes a
+    * re-published source satisfy [[diff]]'s unique-key contract. One
+    * shuffle on the key, same partitioning the diff join reuses.
+    *
+    * Ties on `orderCol` (the same key re-stamped twice with one date)
+    * are broken by a payload hash, not by arrival order — a bare
+    * `max_by(_, orderCol)` keeps whichever tied row the aggregation
+    * merge sees first, which varies with partitioning and would flip
+    * [[diff]] rows between runs. Two DISTINCT payloads colliding on
+    * xxhash64 is the one (astronomically unlikely) case left to
+    * arrival order. */
   def dedupKeys(snap: DataFrame, key: String, orderCol: String): DataFrame = {
     val payload = snap.columns.filter(_ != key).toSeq
     snap.groupBy(col(key))
-      .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("_p"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(orderCol), xxhash64(payload.map(col): _*))).as("_p"))
       .select(col(key) +: payload.map(c => col(s"_p.$c").as(c)): _*)
   }
 

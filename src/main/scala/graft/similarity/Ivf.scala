@@ -86,8 +86,17 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
-  /** One-shot convenience used by the gate query. */
+  /** One-shot convenience used by the gate query: builds the index,
+    * materializes the (small) result eagerly, and releases the cached
+    * corpus assignments — the same checkpoint-then-unpersist lifecycle
+    * SemDedup uses. Callers holding their own [[Index]] across many
+    * `search` calls manage the cache themselves via
+    * `index.assignments.unpersist()` when done. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    search(buildIndex(embeddings, nlist), queryIds, k, nprobe)
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val idx = buildIndex(embeddings, nlist)
+    val out = search(idx, queryIds, k, nprobe).localCheckpoint(true)
+    idx.assignments.unpersist()
+    out
+  }
 }

@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
   * −∞. */
 object UnigramLm {
 
-  /** The model: top-`vocabSize` tokens by corpus frequency (count-desc,
-    * token-asc — deterministic) with their counts. */
+  /** Top-`vocabSize` cut of a (tok, cnt) frequency frame — count-desc,
+    * token-asc, so the model boundary is deterministic. ONE definition
+    * shared by [[unigramModel]] and [[scoreDocuments]]; a tie-break or
+    * tokenizer change can never desynchronize the two. */
+  private def modelCut(counts: DataFrame, vocabSize: Int): DataFrame =
+    counts.orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+
+  /** The model: top-`vocabSize` tokens by corpus frequency with their
+    * counts. */
   def unigramModel(documents: DataFrame, vocabSize: Int = 1000): DataFrame =
-    documents
-      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("tok"))
-      .limit(vocabSize)
+    modelCut(
+      documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      vocabSize)
 
   /** Per-document mean token log-probability under [[unigramModel]]:
     * `avg over tokens of ln(count(tok)/total)`, OOV floored at
@@ -47,7 +54,7 @@ object UnigramLm {
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val model = counts.orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+    val model = modelCut(counts, vocabSize)
     val total = counts.agg(sum("cnt").cast("double").as("_total"))
     toks
       .join(broadcast(model), Seq("tok"), "left")
