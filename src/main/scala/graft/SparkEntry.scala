@@ -214,6 +214,37 @@ object SparkEntry {
                    WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
                FROM v_customer GROUP BY 1 ORDER BY 1""")
     }),
+    // pre-flight join-size estimation under contract: the exact row /
+    // distinct / overlap / join-size figures are pinned, and the oracle
+    // DEMANDS the HLL sketches land within 3·rsd and the size estimate
+    // within 15% (a27/t12/pr2 pattern)
+    "j8_join_cardinality" -> q((s, d) => {
+      val orders = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val est = graft.operators.Joins
+        .joinCardinalityEstimate(orders, "o_custkey", cust, "c_custkey")
+        .select(col("d_left").as("e_dl"), col("d_right").as("e_dr"),
+          col("d_overlap").as("e_ov"), col("est_join_rows").as("e_jr"))
+      val exact = orders
+        .agg(count(lit(1)).as("n_left"),
+          countDistinct(col("o_custkey")).as("d_left"))
+        .crossJoin(cust.agg(count(lit(1)).as("n_right"),
+          countDistinct(col("c_custkey")).as("d_right")))
+        .crossJoin(orders.select(col("o_custkey").as("k")).distinct()
+          .join(cust.select(col("c_custkey").as("k")).distinct(), "k")
+          .agg(count(lit(1)).as("d_overlap")))
+        .crossJoin(orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+          .agg(count(lit(1)).as("join_rows")))
+      exact.crossJoin(est)
+        .select(col("n_left"), col("n_right"), col("d_left"), col("d_right"),
+          col("d_overlap"), col("join_rows"),
+          (abs(col("e_dl") - col("d_left")) <= col("d_left") * 0.06 &&
+            abs(col("e_dr") - col("d_right")) <= col("d_right") * 0.06 &&
+            abs(col("e_ov") - col("d_overlap")) <= col("d_overlap") * 0.12)
+            .as("sketch_within_bounds"),
+          (abs(col("e_jr") - col("join_rows")) <= col("join_rows") * 0.15)
+            .as("estimate_within_15pct"))
+    }),
     // weighted PageRank over a derived 100-node key graph, 5 fixed
     // iterations — the oracle replays every round as unrolled CTE layers
     // (float drift across engines ~1e-15, far under the 1e-6 rounding),
@@ -1334,6 +1365,17 @@ object SparkEntry {
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql(5),
+    "j8_join_cardinality" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_left,
+         (SELECT count(*) FROM customer) AS n_right,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS d_left,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS d_right,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) o
+            JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey) AS d_overlap,
+         (SELECT count(*) FROM orders JOIN customer
+            ON o_custkey = c_custkey) AS join_rows,
+         true AS sketch_within_bounds, true AS estimate_within_15pct""",
     "z2_zorder3_bucket" ->
       s"""WITH z AS (SELECT
            ${zorderSql(Seq("l_partkey % 16", "l_suppkey % 16", "l_linenumber % 16"), 4)}

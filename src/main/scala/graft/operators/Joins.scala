@@ -48,4 +48,37 @@ object Joins {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 0).as("total"))
       .orderBy("o_custkey")
   }
+
+  /** Pre-flight equi-join size estimate — the check you run BEFORE
+    * committing a 100 TB join: row counts, HLL distinct-key counts on
+    * both sides, key overlap via inclusion–exclusion on a sketch of the
+    * union, and the estimated output size
+    * `overlap · (n_left/d_left) · (n_right/d_right)` (uniform-multiplicity
+    * model — exact when each key's multiplicities are uncorrelated
+    * across sides). One lightweight pass per side plus one over the
+    * key union; sketch state is constant per task regardless of input
+    * size, so this costs a scan, never a shuffle of the data.
+    *
+    * Output (one row): n_left, n_right, d_left, d_right, d_overlap,
+    * est_join_rows — all from sketches; compare against the exact
+    * figures before trusting a plan to them (the j8 gate does exactly
+    * that mechanically). */
+  def joinCardinalityEstimate(left: DataFrame, leftKey: String,
+                              right: DataFrame, rightKey: String,
+                              rsd: Double = 0.02): DataFrame = {
+    val a = left.select(col(leftKey).as("k")).filter(col("k").isNotNull)
+    val b = right.select(col(rightKey).as("k")).filter(col("k").isNotNull)
+    val sa = a.agg(count(lit(1)).as("n_left"),
+      approx_count_distinct(col("k"), rsd).as("d_left"))
+    val sb = b.agg(count(lit(1)).as("n_right"),
+      approx_count_distinct(col("k"), rsd).as("d_right"))
+    val su = a.union(b).agg(approx_count_distinct(col("k"), rsd).as("d_union"))
+    sa.crossJoin(sb).crossJoin(su)
+      .withColumn("d_overlap",
+        greatest(col("d_left") + col("d_right") - col("d_union"), lit(0L)))
+      .withColumn("est_join_rows",
+        (col("d_overlap") *
+          (col("n_left").cast("double") / col("d_left")) *
+          (col("n_right").cast("double") / col("d_right"))).cast("long"))
+  }
 }

@@ -5,6 +5,22 @@ import graft.SparkTestBase
 class BloomJoinSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("joinCardinalityEstimate tracks the true join size") {
+    // left: keys 1..100, 5 rows each; right: keys 51..150, 2 rows each
+    // overlap = 50 keys -> true join = 50 * 5 * 2 = 500
+    val left = (1 to 100).flatMap(k => Seq.fill(5)(k.toLong)).toDF("lk")
+    val right = (51 to 150).flatMap(k => Seq.fill(2)(k.toLong)).toDF("rk")
+    val r = Joins.joinCardinalityEstimate(left, "lk", right, "rk").head()
+    assert(r.getAs[Long]("n_left") == 500L)
+    assert(r.getAs[Long]("n_right") == 200L)
+    val est = r.getAs[Long]("est_join_rows")
+    assert(math.abs(est - 500L) <= 75, s"estimate $est vs true 500")
+    // estimate equals the exact join count formula under the uniform
+    // model: overlap * (500/100) * (200/100) with sketch-sized slack
+    val ov = r.getAs[Long]("d_overlap")
+    assert(math.abs(ov - 50L) <= 8, s"overlap $ov vs true 50")
+  }
+
   test("bloom pre-filtered join equals the plain join exactly") {
     val fact = (1L to 2000L).map(k => (k, k % 100, s"f$k"))
       .toDF("row_id", "fk", "payload")
