@@ -214,6 +214,22 @@ object SparkEntry {
                    WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
                FROM v_customer GROUP BY 1 ORDER BY 1""")
     }),
+    // the observe() metrics surface: input-side counters collected ON
+    // the same pass as the query (the monitoring hook a production
+    // pipeline exports per run — no second scan); both the observed
+    // metrics and the pipeline output are pinned
+    "ob1_observed_metrics" -> q((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val filtered = Tables.events(s, d)
+        .observe(obs, count(lit(1)).as("n_in"),
+          round(sum("value"), 0).as("v_in"))
+        .filter(col("value") > 100)
+      val nOut = filtered.count() // the action that populates the observation
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_in").asInstanceOf[Long], m("v_in").asInstanceOf[Double], nOut))
+        .toDF("n_in", "v_in", "n_out")
+    }),
     // pre-flight join-size estimation under contract: the exact row /
     // distinct / overlap / join-size figures are pinned, and the oracle
     // DEMANDS the HLL sketches land within 3·rsd and the size estimate
@@ -1365,6 +1381,10 @@ object SparkEntry {
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql(5),
+    "ob1_observed_metrics" ->
+      """SELECT count(*) AS n_in, round(sum(value), 0) AS v_in,
+         count(CASE WHEN value > 100 THEN 1 END) AS n_out
+         FROM events""",
     "j8_join_cardinality" ->
       """SELECT (SELECT count(*) FROM orders) AS n_left,
          (SELECT count(*) FROM customer) AS n_right,
