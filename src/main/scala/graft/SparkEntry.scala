@@ -1110,6 +1110,22 @@ object SparkEntry {
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
         "source")
     }),
+    // schema evolution on read (the drift case the reference monitors
+    // procedurally, Report §7.3): an old drop lacking a column merges
+    // with a newer one via mergeSchema; missing values surface as nulls,
+    // nothing is dropped or misaligned — membership + byte mass pinned
+    "io5_schema_evolution" -> q((s, d) => withTempDir("graft_io5") { dir =>
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.parquet(s"$dir/old")
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text", "lang")
+        .write.parquet(s"$dir/new")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/old", s"$dir/new")
+        .groupBy(col("lang").isNull.as("lang_missing"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum(length(col("text"))).as("chars"))
+        .orderBy("lang_missing")
+    }),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -1381,6 +1397,11 @@ object SparkEntry {
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql(5),
+    "io5_schema_evolution" ->
+      """SELECT (doc_id % 2 = 0) AS lang_missing, count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars
+         FROM documents GROUP BY 1 ORDER BY lang_missing""",
     "ob1_observed_metrics" ->
       """SELECT count(*) AS n_in, round(sum(value), 0) AS v_in,
          count(CASE WHEN value > 100 THEN 1 END) AS n_out
