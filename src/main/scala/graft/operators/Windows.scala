@@ -137,11 +137,13 @@ object Windows {
 
   /** Cohort retention matrix: users cohorted by first-activity date, and
     * per (cohort, day-offset) the count of distinct users active again
-    * that day — the grid every product-analytics report draws. Two
-    * shuffles, both on `user_id` (the first-seen aggregate and the
-    * activity join are co-partitioned, so Catalyst reuses the exchange);
-    * the distinct-count aggregate then shuffles (cohort, offset) keys —
-    * bounded by days², never by event volume. */
+    * that day — the grid every product-analytics report draws. Both the
+    * first-seen aggregate and the activity join shuffle on `user_id`
+    * (the aggregated side arrives pre-partitioned, so the join adds no
+    * third exchange; the two identical scan-side exchanges are eligible
+    * for AQE exchange reuse at runtime); the distinct-count aggregate
+    * then shuffles (cohort, offset) keys — bounded by days², never by
+    * event volume. */
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
     val activity = events.select(col("user_id"),
       to_date(col("ts").cast("timestamp")).as("day"))
