@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** The operators' input contracts must fail FAST with a named cause —
+  * a silent wrong answer (dropped signature positions, a corrupted
+  * stack() expression) is the failure mode these guards exist for. */
+class ContractsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+
+  test("minhashNearDups rejects numHashes not divisible by bands") {
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.minhashNearDups(docs, numHashes = 60, bands = 16)
+    }
+    assert(e.getMessage.contains("bands"))
+  }
+
+  test("zorderKeyN rejects key widths that overflow a long") {
+    intercept[IllegalArgumentException] {
+      ZOrder.zorderKeyN(Seq(col("x"), col("y"), col("z")), bits = 21)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zorderKeyN(Seq(col("x")), bits = 4) // < 2 columns
+    }
+  }
+
+  test("columnProfile names unknown and quote-bearing columns") {
+    val df = Seq((1L, "x")).toDF("id", "tag")
+    val missing = intercept[IllegalArgumentException] {
+      Profile.columnProfile(df, Seq("nope"))
+    }
+    assert(missing.getMessage.contains("nope"))
+    intercept[IllegalArgumentException] {
+      Profile.columnProfile(df, Seq("weird`col"))
+    }
+    intercept[IllegalArgumentException] { Profile.columnProfile(df, Seq.empty) }
+  }
+
+  test("pagerank and band-trim reject out-of-range parameters") {
+    intercept[IllegalArgumentException] {
+      graft.graph.PageRank.pagerank(
+        Seq((1L, 2L, 1L)).toDF("src", "dst", "weight"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TrainingData.trimToLengthBand(docs, lo = 0.9, hi = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TrainingData.qualityWeightedSample(docs, rate = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TrainingData.shardBy(docs, nShards = 0)
+    }
+  }
+}
