@@ -220,9 +220,11 @@ object SparkEntry {
     // metrics and the pipeline output are pinned
     "ob1_observed_metrics" -> q((s, d) => {
       val obs = org.apache.spark.sql.Observation()
+      // sum(value) observes as null on an empty input — coalesce so the
+      // metric read below can't NPE at other scale factors
       val filtered = Tables.events(s, d)
         .observe(obs, count(lit(1)).as("n_in"),
-          round(sum("value"), 0).as("v_in"))
+          coalesce(round(sum("value"), 0), lit(0.0)).as("v_in"))
         .filter(col("value") > 100)
       val nOut = filtered.count() // the action that populates the observation
       val m = obs.get
@@ -1398,12 +1400,12 @@ object SparkEntry {
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql(5),
     "io5_schema_evolution" ->
-      """SELECT (doc_id % 2 = 0) AS lang_missing, count(*) AS n_docs,
+      """SELECT (doc_id % 2 = 0 OR lang IS NULL) AS lang_missing, count(*) AS n_docs,
          CAST(sum(doc_id) AS BIGINT) AS id_sum,
          CAST(sum(len(text)) AS BIGINT) AS chars
          FROM documents GROUP BY 1 ORDER BY lang_missing""",
     "ob1_observed_metrics" ->
-      """SELECT count(*) AS n_in, round(sum(value), 0) AS v_in,
+      """SELECT count(*) AS n_in, coalesce(round(sum(value), 0), 0.0) AS v_in,
          count(CASE WHEN value > 100 THEN 1 END) AS n_out
          FROM events""",
     "j8_join_cardinality" ->

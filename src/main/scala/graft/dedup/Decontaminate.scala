@@ -53,9 +53,9 @@ object Decontaminate {
     * caught. `fpp` defaults to 1e-6 because a doc makes ~one probe per
     * token: at 1e-2 a 50-shingle doc would be spuriously flagged with
     * probability ≈ 0.4, at 1e-6 ≈ 5e-5. The per-shingle membership probe
-    * is a Scala UDF by necessity — Spark exposes no public native
-    * bloom-membership expression (`might_contain` is internal) — and sits
-    * behind the row-local shingle explode, not in a scan hot path. */
+    * is the codegen'd [[graft.functions.HashExpressions.BloomMightContain]]
+    * expression (Spark exposes no public bloom-membership function), so
+    * the corpus-side filter stays inside whole-stage codegen. */
   def contaminatedIdsBloom(docs: DataFrame, evalDocs: DataFrame, k: Int = 8,
                            fpp: Double = 1e-6): DataFrame = {
     val evalSh = evalDocs
@@ -77,13 +77,14 @@ object Decontaminate {
         val expected = math.max(4096L, evalSh.distinct().count())
         evalSh.stat.bloomFilter("sh", expected, fpp)
       } finally evalSh.unpersist()
+    // Codegen'd native probe (HashExpressions.BloomMightContain) — the
+    // broadcast handle lives inside the expression; ContextCleaner
+    // reclaims the blocks once the returned plan is unreachable.
     val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((h: java.lang.Long) =>
-      h != null && bfB.value.mightContainLong(h))
     docs
       .select(col("doc_id"), explode(graft.functions.HashExpressions
         .shingleHashes(col("text"), k, fnv = true)).as("sh"))
-      .filter(might(col("sh")))
+      .filter(graft.functions.HashExpressions.bloomMightContain(col("sh"), bfB))
       .select("doc_id")
       .distinct()
   }

@@ -186,7 +186,7 @@ object Dedup {
                       maxBucket: Int = 64,
                       reproducible: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+      s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
         "trailing signature positions would silently drop out of banding")
     val rows = numHashes / bands
     // The signature frame feeds three consumers (banding + both sides of

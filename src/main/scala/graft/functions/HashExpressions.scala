@@ -455,6 +455,43 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Bloom-filter membership probe against a broadcast filter, codegen'd.
+    * Spark exposes no public `might_contain` in the Scala functions API
+    * (the expression behind the runtime row-level filter is internal), so
+    * without this the probe is a Scala UDF that boxes every long and
+    * breaks whole-stage codegen on exactly the corpus-sized side the
+    * Bloom pattern exists to keep cheap. The expression holds the
+    * `Broadcast` HANDLE, not the filter: the serialized plan carries a
+    * few bytes per task and the filter bits ship once per executor via
+    * the broadcast machinery. Lifetime: the broadcast must stay valid for
+    * every action on a plan containing this expression; once the plan is
+    * unreachable, Spark's ContextCleaner reclaims the broadcast blocks —
+    * callers that want deterministic release can eagerly materialize
+    * (localCheckpoint) and then `destroy()`. Null input → null (falsy
+    * under `filter`, matching the UDF-based predecessor). */
+  case class BloomMightContain(child: Expression,
+      filter: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+
+    override def nullSafeEval(input: Any): Any =
+      filter.value.mightContainLong(input.asInstanceOf[Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bfRef = ctx.addReferenceObj("bloomBroadcast", filter,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+           $bfRef.value()).mightContainLong($c);""")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----------------------------------------------------
 
   private def toCol(e: Expression): Column =
@@ -470,6 +507,12 @@ object HashExpressions {
 
   def shingleHashes(text: Column, k: Int = 3, fnv: Boolean = false): Column =
     toCol(ShingleHashes(exprOf(text), k, fnv))
+
+  /** `hash` must be a LONG column (xxhash64 / FNV shingle hash). */
+  def bloomMightContain(hash: Column,
+      bf: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    toCol(BloomMightContain(exprOf(hash), bf))
 
   def maxShingleRunCount(text: Column, k: Int): Column =
     toCol(MaxShingleRunCount(exprOf(text), k))

@@ -32,6 +32,13 @@ object PageRank {
   def pagerank(edges: DataFrame, damping: Double = 0.85,
                iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // fail fast on the positive-weight contract: a non-positive weight
+    // (or a src whose weights sum to 0) would yield null/infinite
+    // transition probabilities that silently null every downstream rank.
+    // One column-pruned scan of the weight column, before any iteration.
+    val minW = edges.agg(min(col("weight").cast("double"))).head().get(0)
+    require(minW == null || minW.asInstanceOf[Double] > 0.0,
+      s"edge weights must be positive, found min weight $minW")
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().persist()

@@ -35,10 +35,15 @@ object BloomJoin {
     val bf = dim.filter(col(dimKey).isNotNull)
       .select(xxhash64(col(dimKey)).as("k"))
       .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
+    // The broadcast handle rides inside the codegen'd probe expression:
+    // bits ship once per executor, and once the returned plan becomes
+    // unreachable Spark's ContextCleaner reclaims the broadcast blocks —
+    // no per-call accumulation in a long-lived session. Callers needing
+    // deterministic release can localCheckpoint the result and destroy().
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) =>
-      k != null && bfB.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && might(xxhash64(col(factKey))))
+    val might = graft.functions.HashExpressions
+      .bloomMightContain(xxhash64(col(factKey)), bfB)
+    fact.filter(col(factKey).isNotNull && might)
       .join(dim, fact(factKey) === dim(dimKey))
   }
 }

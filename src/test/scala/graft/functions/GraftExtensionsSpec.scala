@@ -118,6 +118,37 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Int]("ic") == 3)
   }
 
+  test("bloom_might_contain: interp = codegen, exact on members, null-safe") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(4096, 0.01)
+    val members = (0L until 500L).map(_ * 7919L)
+    members.foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val probes = members.take(50) ++ (0L until 50L).map(_ * 7919L + 3L)
+    // interpreted path
+    val interp = probes.map(p => HashExpressions
+      .BloomMightContain(Literal.create(p, LongType), bfB)
+      .eval(InternalRow.empty).asInstanceOf[Boolean])
+    // generated path (repartition forces real codegen, see above)
+    val gen = probes.toDF("k").repartition(1)
+      .select(HashExpressions.bloomMightContain(col("k"), bfB).as("m"))
+      .as[Boolean].collect().toSeq
+    assert(gen == interp)
+    // no false negatives on members
+    assert(interp.take(50).forall(identity))
+    // null input evaluates to null → dropped by filter, kept rows exact
+    val kept = (members.take(3).map(java.lang.Long.valueOf) :+ null)
+      .toDF("k").repartition(1)
+      .filter(HashExpressions.bloomMightContain(col("k"), bfB))
+      .count()
+    assert(kept == 3L)
+    bfB.destroy()
+  }
+
   test("minhash_signature is usable in SQL over shingle_hashes") {
     val sig = spark.sql(
       "SELECT minhash_signature(shingle_hashes('w x y z w x'), 16) AS sig")
