@@ -106,8 +106,35 @@ object SparkEntry {
             .as("avg_in_range"))
         .orderBy("event_type")
     }),
-    // raw seeded-sample profile (RNG-dependent → rows-only)
-    "p18_sample_raw" -> q((s, d) => Relational.sampleProfile(Tables.events(s, d))),
+    // raw seeded-sample invariant gate: the source row count is pinned
+    // exactly; the oracle demands the sampled ids are a duplicate-free
+    // subset of the source ids, the sample size sits inside ±5σ binomial
+    // bounds, and the sampled value mean stays inside the source range —
+    // everything checkable without reproducing Spark's RNG (p6 is the
+    // per-type twin; this covers the raw-row form)
+    "p18_sample_raw" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val samp = ev.sample(withReplacement = false, 0.1, seed = 42L).persist()
+      try {
+        val src = ev.agg(count(lit(1)).as("n"),
+          min("value").as("mn"), max("value").as("mx")).head()
+        val (nSrc, mn, mx) = (src.getLong(0), src.getDouble(1), src.getDouble(2))
+        val sa = samp.agg(count(lit(1)).as("n"), avg("value").as("av")).head()
+        val nSamp = sa.getLong(0)
+        val avOpt = if (sa.isNullAt(1)) None else Some(sa.getDouble(1))
+        val nOutside = samp.select("event_id")
+          .join(ev.select("event_id"), Seq("event_id"), "left_anti").count()
+        val nDup = samp.groupBy("event_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count()
+        val bound = 5.0 * math.sqrt(nSrc * 0.1 * 0.9)
+        import s.implicits._
+        Seq((nSrc,
+          nOutside == 0L && nDup == 0L,
+          math.abs(nSamp - 0.1 * nSrc) <= bound,
+          avOpt.forall(a => a >= mn && a <= mx)))
+          .toDF("n_source", "ids_unique_subset", "cnt_in_bounds", "avg_in_range")
+      } finally { samp.unpersist(); () }
+    }),
     // deterministic hash-based sampling: the keep set is a pure function
     // of the key (FNV-1a of the stringified user_id), so unlike the
     // RNG path this is FULLY pinned — the oracle recomputes the same
@@ -485,17 +512,50 @@ object SparkEntry {
     // clustering quality report: feature stats pinned exactly; the SSE
     // and non-collapse checks run in Spark, the oracle demands they held
     "ml1_kmeans" -> q((s, d) => Clusters.qualityReport(Tables.events(s, d))),
-    // per-cluster profile of the same model (seed-dependent → rows-only)
-    "ml4_kmeans_profile" -> q((s, d) => Clusters.eventClusters(Tables.events(s, d))),
+    // per-cluster profile with labels canonicalized by centroid norm:
+    // n_total pinned exactly; nonempty / hull / distinct-centroids /
+    // better-than-global-mean invariants oracle-demanded (the raw
+    // label-permuted profile remains the library op, Clusters.eventClusters)
+    "ml4_kmeans_profile" -> q((s, d) =>
+      Clusters.clusterInvariantProfile(Tables.events(s, d))),
     "ml2_iqr_anomalies" -> q((s, d) => Outliers.iqrAnomalies(Tables.events(s, d))),
+    // isolation-forest scoring invariants: the scored-row count is
+    // pinned exactly; the oracle demands scores stay inside (0,1), the
+    // contamination-thresholded anomaly rate lands within approxQuantile
+    // tolerance of 2%, and flagged rows sit farther from the global
+    // value mean than unflagged ones (the distributional signal ml5's
+    // IQR-overlap twin checks from the other side)
     "ml3_isolation_forest" -> q((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("value"),
         hour(col("ts")).cast("double").as("hr"))
-      graft.ml.IsolationForest.fit(ev, Seq("value", "hr"), numTrees = 50)
+      val scored = graft.ml.IsolationForest
+        .fit(ev, Seq("value", "hr"), numTrees = 50)
         .transform(ev)
-        .orderBy(desc("anomaly_score"), asc("event_id"))
-        .select(col("event_id"), round(col("anomaly_score"), 6).as("anomaly_score"))
-        .limit(50)
+        .filter(col("anomaly_score").isNotNull)
+        .persist()
+      try {
+        val n = scored.count()
+        val threshold = scored.stat
+          .approxQuantile("anomaly_score", Array(0.98), 0.001).head
+        val nFlag = scored.filter(col("anomaly_score") >= threshold).count()
+        // approxQuantile's 0.001 relative error bounds the rate drift;
+        // max(10, 1%) keeps the demand satisfiable at tiny SFs
+        val tol = math.max(10.0, 0.01 * n)
+        val gm = scored.agg(avg("value")).head().getDouble(0)
+        val r = scored.agg(
+          min("anomaly_score").as("mn"), max("anomaly_score").as("mx"),
+          avg(when(col("anomaly_score") >= threshold,
+            abs(col("value") - gm))).as("d_flag"),
+          avg(when(col("anomaly_score") < threshold,
+            abs(col("value") - gm))).as("d_rest")).head()
+        import s.implicits._
+        Seq((n,
+          r.getDouble(0) > 0.0 && r.getDouble(1) < 1.0,
+          math.abs(nFlag - 0.02 * n) <= tol,
+          r.getDouble(2) > r.getDouble(3)))
+          .toDF("n_scored", "scores_in_unit", "anomaly_rate_in_tol",
+            "flagged_more_extreme")
+      } finally { scored.unpersist(); () }
     }),
     // isolation-forest invariant gate: the top-50 scored events must
     // substantially overlap the exact global IQR-outlier set (which the
@@ -2512,13 +2572,28 @@ object SparkEntry {
          SELECT doc_id, CAST(doc_id % 16 + 1 AS INT) AS width,
            CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
            round(avg(p), 6) AS mean_px
-         FROM px GROUP BY doc_id ORDER BY doc_id"""
-    // no oracle (rows-only check): ml3_isolation_forest / ml4_kmeans_profile
-    // (per-row scores of iterative/seeded ML — their machine-checked
-    // invariant twins ml5/ml1 ARE pinned) and p18_sample_raw (RNG
-    // profile — invariant twin p6 is pinned). Everything else, including
-    // the xxhash64 scale path (d9) and the approximate-search paths
-    // (n6/n7), is pinned or invariant-gated above. Each rows-only gate is
-    // covered by a ScalaTest spec as well (see COVERAGE.md)
+         FROM px GROUP BY doc_id ORDER BY doc_id""",
+    // invariant oracles for the seeded/iterative gates (ml5/p6 pattern):
+    // the oracle pins what it CAN compute (exact row counts over the
+    // same feature domain) and DEMANDS the booleans the Spark side
+    // machine-checks — every gate is now pinned, zero rows-only
+    "ml3_isolation_forest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_scored,
+         true AS scores_in_unit, true AS anomaly_rate_in_tol,
+         true AS flagged_more_extreme
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+           AND ts IS NOT NULL""",
+    "ml4_kmeans_profile" ->
+      """SELECT CAST(r.range AS INT) AS cluster_rank,
+         (SELECT CAST(count(*) AS BIGINT) FROM events
+           WHERE value IS NOT NULL AND value > -1 AND ts IS NOT NULL) AS n_total,
+         true AS nonempty, true AS centroid_in_hull,
+         true AS centroids_distinct, true AS no_worse_than_global
+         FROM range(0, 4) r ORDER BY cluster_rank""",
+    "p18_sample_raw" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_source,
+         true AS ids_unique_subset, true AS cnt_in_bounds,
+         true AS avg_in_range
+         FROM events"""
   )
 }

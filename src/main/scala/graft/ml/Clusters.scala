@@ -66,6 +66,78 @@ object Clusters {
     } finally { assembled.unpersist(); () }
   }
 
+  /** ml4 gate form: the per-cluster profile with labels CANONICALIZED by
+    * centroid L2 norm (rank 0 = smallest), so KMeans' arbitrary label
+    * permutation cannot flap the output, plus the per-cluster invariants
+    * a SQL oracle can demand without re-running Lloyd's:
+    *   - `n_total` — pinned exactly (the feature-domain row count);
+    *   - `nonempty` — no cluster collapsed;
+    *   - `centroid_in_hull` — each model centroid inside the per-feature
+    *     data range;
+    *   - `centroids_distinct` — positive pairwise centroid distance
+    *     (k distinct modes, not a degenerate fit);
+    *   - `no_worse_than_global` — per-cluster SSE to the model centroid
+    *     is at most those points' SSE to the GLOBAL mean, the
+    *     convergence floor any useful Lloyd's run clears. */
+  def clusterInvariantProfile(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
+    val feats = features(events, Seq.empty)
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("f_value", "f_hour")).setOutputCol("features")
+      .setHandleInvalid("skip")
+      .transform(feats)
+      .persist()
+    try {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
+        .setFeaturesCol("features").fit(assembled)
+      val centers = model.clusterCenters.map(v => (v(0), v(1)))
+      // canonical rank: ascending centroid norm, index as tie-break
+      val rankOf = centers.zipWithIndex
+        .sortBy { case ((x, y), i) => (math.sqrt(x * x + y * y), i) }
+        .map(_._2).zipWithIndex.toMap
+      val minPairDist = (for {
+        i <- centers.indices; j <- (i + 1) until centers.length
+      } yield {
+        val dx = centers(i)._1 - centers(j)._1
+        val dy = centers(i)._2 - centers(j)._2
+        math.sqrt(dx * dx + dy * dy)
+      }).min
+      val g = assembled.agg(
+        avg("f_value").as("mv"), avg("f_hour").as("mh"),
+        min("f_value").as("mnv"), max("f_value").as("mxv"),
+        min("f_hour").as("mnh"), max("f_hour").as("mxh"),
+        count(lit(1)).as("n")).head()
+      val (gmv, gmh) = (g.getDouble(0), g.getDouble(1))
+      val (mnv, mxv, mnh, mxh) = (g.getDouble(2), g.getDouble(3), g.getDouble(4), g.getDouble(5))
+      val nTotal = g.getLong(6)
+      val s = events.sparkSession
+      import s.implicits._
+      val centDf = centers.zipWithIndex.toSeq
+        .map { case ((cx, cy), i) => (i, rankOf(i), cx, cy) }
+        .toDF("prediction", "cluster_rank", "cx", "cy")
+      val byRank = model.transform(assembled)
+        .join(broadcast(centDf), "prediction")
+        .groupBy("cluster_rank")
+        .agg(count(lit(1)).as("n"),
+          sum(pow(col("f_value") - col("cx"), 2)
+            + pow(col("f_hour") - col("cy"), 2)).as("sse_own"),
+          sum(pow(col("f_value") - lit(gmv), 2)
+            + pow(col("f_hour") - lit(gmh), 2)).as("sse_glob"))
+      // drive from the rank side so a collapsed cluster surfaces as
+      // nonempty=false rather than a silently missing row
+      centDf.select("cluster_rank", "cx", "cy")
+        .join(byRank, Seq("cluster_rank"), "left")
+        .select(col("cluster_rank"),
+          lit(nTotal).as("n_total"),
+          (coalesce(col("n"), lit(0L)) > 0).as("nonempty"),
+          (col("cx") >= lit(mnv) && col("cx") <= lit(mxv) &&
+            col("cy") >= lit(mnh) && col("cy") <= lit(mxh)).as("centroid_in_hull"),
+          lit(minPairDist > 0.0).as("centroids_distinct"),
+          (coalesce(col("sse_own"), lit(0.0))
+            <= coalesce(col("sse_glob"), lit(0.0))).as("no_worse_than_global"))
+        .orderBy("cluster_rank")
+    } finally { assembled.unpersist(); () }
+  }
+
   /** Cluster events on (log1p(value), hour) and report per-cluster sizes
     * and centroids — deterministic given the fixed seed. */
   def eventClusters(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
