@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run must inherit sbt's stdout DIRECTLY: the default
+// LoggedOutput strategy prefixes every program line with "[info] ",
+// which breaks consumers that parse the final JSON line Bench prints
+// (the round driver reads a ~2000-char stdout tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

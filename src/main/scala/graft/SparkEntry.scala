@@ -466,7 +466,7 @@ object SparkEntry {
     "st3_stream_dedup" -> q((s, d) =>
       graft.streaming.EventStreams.dedupThroughStream(s, Tables.events(s, d),
           Seq("user_id", "event_type"), "ts", "1000 hours",
-          statePartitions = Some(8))
+          inputFiles = 2, statePartitions = Some(4))
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_rows"))
         .orderBy("event_type")),
@@ -477,7 +477,7 @@ object SparkEntry {
     "st4_stream_windowed" -> q((s, d) =>
       graft.streaming.EventStreams.throughStream(s, Tables.events(s, d),
           org.apache.spark.sql.streaming.OutputMode.Complete(),
-          statePartitions = Some(8))(
+          inputFiles = 2, statePartitions = Some(4))(
           df => graft.streaming.EventStreams.windowedCounts(df))
         .orderBy("window_start", "event_type")),
     // and for STREAM-STREAM JOIN: clicks-before-errors inner join with a
@@ -491,7 +491,7 @@ object SparkEntry {
           // would apply; 60% less micro-batch volume and join state
           Tables.events(s, d).filter(col("event_type").isin("error", "click")),
           org.apache.spark.sql.streaming.OutputMode.Append(),
-          statePartitions = Some(8))(
+          inputFiles = 2, statePartitions = Some(4))(
           df => graft.streaming.EventStreams.clicksBeforeErrors(df,
             watermark = "87600 hours"))
         .agg(count(lit(1)).as("n_pairs"), sum("err_id").as("err_id_sum"),
@@ -504,7 +504,7 @@ object SparkEntry {
     "st6_stream_static_join" -> q((s, d) =>
       graft.streaming.EventStreams.throughStream(s, Tables.events(s, d),
           org.apache.spark.sql.streaming.OutputMode.Complete(),
-          statePartitions = Some(8))(
+          inputFiles = 2, statePartitions = Some(4))(
           df => graft.streaming.EventStreams.enrichedSegmentCounts(
             df, Tables.customer(s, d)))
         .orderBy("c_mktsegment")),
