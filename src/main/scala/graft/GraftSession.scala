@@ -50,6 +50,18 @@ object GraftSession {
       }
     }))
 
+  /** Session for `spark-submit` deployments: the same engine tuning, with
+    * master/resources/deploy-mode left to the submit command (cluster
+    * managers inject `spark.master` into system properties). Falls back
+    * to [[local]] when no external master is configured, so the same
+    * `main` runs identically under `sbt runMain` and `spark-submit`. */
+  def submitted(appName: String = "graft"): SparkSession =
+    if (sys.props.contains("spark.master")) {
+      val s = tune(SparkSession.builder().appName(appName)).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    } else local(appName = appName)
+
   /** Local session for tests / CLI runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
