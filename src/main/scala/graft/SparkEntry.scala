@@ -431,6 +431,12 @@ object SparkEntry {
     "w3_rolling_avg" -> q((s, d) => Windows.rollingDailyAvg(Tables.orders(s, d))),
     "a15_daily_zscore" -> q((s, d) => Windows.dailyZscore(Tables.events(s, d))),
     "st2_sessionize" -> q((s, d) => Windows.sessionize(Tables.events(s, d))),
+    // hot-key-safe sessionization: per-(key, time-chunk) parallel local
+    // sessions, then a per-key merge over session SUMMARIES only — the
+    // shipped mitigation for the one per-key-ordered serialization
+    // (SCALE.md skew probe); pinned to a ts-ordered DuckDB oracle
+    "w11_sessionize_chunked" -> q((s, d) =>
+      Windows.sessionizeChunked(Tables.events(s, d), 30, chunkHours = 24)),
     "w5_funnel" -> q((s, d) => Windows.conversionFunnel(Tables.events(s, d))),
     "w4_asof_join" -> q((s, d) => {
       val ev = Tables.events(s, d)
@@ -1498,6 +1504,20 @@ object SparkEntry {
          SELECT 'intersect', count(*), CAST(sum(o_custkey) AS BIGINT)
          FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
          ORDER BY op""",
+    "w11_sessionize_chunked" ->
+      """WITH flagged AS (SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS new_session, ts, event_id
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged),
+         counts AS (SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1,2)
+         SELECT user_id, count(*) AS n_sessions,
+           round(avg(n),4) AS avg_session_events,
+           max(n) AS max_session_events
+         FROM counts GROUP BY 1 ORDER BY user_id""",
     "w10_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_type,
            lead(event_type) OVER (PARTITION BY user_id

@@ -112,6 +112,66 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Hot-key-safe sessionization — the chunk-and-merge form of
+    * [[sessionize]] for the one serialization a per-key ordered window
+    * cannot avoid: a single key with billions of events sorts on one
+    * task. Here the key's timeline is split into coarse time chunks
+    * (`chunkHours`), each chunk sessionizes INDEPENDENTLY in parallel
+    * (the window partitions on (key, chunk)), and only the per-chunk
+    * session SUMMARIES — bounded by sessions-per-chunk, not events —
+    * meet in the per-key merge pass that stitches sessions across chunk
+    * boundaries (two adjacent summaries merge iff start − prev_end ≤
+    * gap). Exactly the global result: chunking can only ever SPLIT a
+    * true session, never join two (within-chunk boundaries keep their
+    * > gap evidence), and the merge rejoins precisely the cross-chunk
+    * splits.
+    *
+    * Ordering contract: TIME-ordered ((ts, event_id) tie-break) — the
+    * honest semantic for sessionization, and the one a chunk-parallel
+    * form can honor ([[sessionize]]'s event_id ordering cannot survive
+    * chunking when ids and time disagree; on time-ordered ids the two
+    * agree, which the property spec pins). */
+  def sessionizeChunked(events: DataFrame, gapMinutes: Int = 30,
+                        chunkHours: Int = 24): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    require(chunkHours >= 1 && chunkHours.toLong * 60 >= gapMinutes,
+      s"chunkHours ($chunkHours) must be >= 1 and cover the gap " +
+        s"($gapMinutes min) — tinier chunks would make every session a merge chain")
+    val gapMs = gapMinutes * 60000L
+    val chunkMs = chunkHours * 3600000L
+    val byChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id")
+    val localSessions = events
+      .withColumn("chunk", floor(epochMs(col("ts")) / chunkMs))
+      .withColumn("prev_ts", lag("ts", 1).over(byChunk))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochMs(col("ts")) - epochMs(col("prev_ts")) > gapMs, 1).otherwise(0))
+      .withColumn("local_sid",
+        sum("new_session").over(byChunk.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "chunk", "local_sid")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+        count(lit(1)).as("n_events"))
+    // merge pass: per key over session summaries — O(sessions) rows per
+    // key (a continuously-active key contributes ~1 per chunk), so the
+    // serialized portion no longer scales with event volume
+    val byUser = Window.partitionBy("user_id").orderBy("s_start", "s_end")
+    localSessions
+      .withColumn("prev_end", lag("s_end", 1).over(byUser))
+      .withColumn("new_grp",
+        when(col("prev_end").isNull ||
+          epochMs(col("s_start")) - epochMs(col("prev_end")) > gapMs, 1).otherwise(0))
+      .withColumn("grp",
+        sum("new_grp").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "grp")
+      .agg(sum("n_events").as("events_in_session"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("events_in_session"), 4).as("avg_session_events"),
+        max("events_in_session").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Two-step conversion funnel (click → purchase), cohorted by the hour
     * of the user's first click: per cohort, how many clickers, how many
     * later purchased, and the mean minutes to convert. Two narrow

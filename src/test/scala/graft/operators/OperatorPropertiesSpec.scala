@@ -179,6 +179,65 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(sampled.size > 20 && sampled.size < 130)
   }
 
+  test("chunked sessionize equals plain sessionize and the naive fold") {
+    // gap 30 min, chunks 1 h over ~5 days of minute-resolution events:
+    // plenty of sessions split across chunk boundaries for the merge
+    // pass to rejoin, plus duplicate timestamps from generator collisions
+    val genEvents = Gen.listOfN(300, for {
+      user <- Gen.choose(0L, 5L)
+      tOff <- Gen.choose(0L, 5L * 24 * 60)
+    } yield (user, tOff))
+    forSeeds(genEvents) { evs =>
+      // ids assigned in (user, time) order so sessionize's event_id
+      // ordering and sessionizeChunked's ts ordering agree
+      val rows = evs.sortBy(e => (e._1, e._2)).zipWithIndex.map {
+        case ((u, t), i) =>
+          (i.toLong, u, new Timestamp(epoch + t * 60000L), "click", 1.0)
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      def toMap(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+        r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_sessions"),
+          r.getAs[Double]("avg_session_events"),
+          r.getAs[Long]("max_session_events")))).toMap
+      val plain = toMap(Windows.sessionize(df, 30).collect())
+      val chunked = toMap(Windows.sessionizeChunked(df, 30, chunkHours = 1).collect())
+      assert(chunked == plain)
+      // and both equal the naive per-user fold
+      rows.groupBy(_._2).foreach { case (u, rs) =>
+        val times = rs.map(_._3.getTime).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var cnt = 0L; var last = Long.MinValue
+        times.foreach { t =>
+          if (cnt > 0 && t - last > 30 * 60000L) { sessions += cnt; cnt = 0 }
+          cnt += 1; last = t
+        }
+        if (cnt > 0) sessions += cnt
+        val (n, a, m) = chunked(u)
+        assert(n == sessions.length.toLong, s"n_sessions for user $u")
+        assert(math.abs(a - sessions.sum.toDouble / sessions.length) < 5e-5,
+          s"avg_session_events for user $u")
+        assert(m == sessions.max, s"max_session_events for user $u")
+      }
+    }
+  }
+
+  test("chunked sessionize: one continuous session across many chunk boundaries") {
+    // events every 10 min for 6 h: crosses five 1h-chunk boundaries but
+    // never exceeds the 30 min gap -> exactly one merged session; an
+    // exactly-at-gap pair (strict >) must also NOT split
+    val rows = (0 until 37).map(i =>
+      (i.toLong, 1L, new Timestamp(epoch + i * 10 * 60000L), "click", 1.0)) :+
+      ((99L, 2L, new Timestamp(epoch), "click", 1.0)) :+
+      ((100L, 2L, new Timestamp(epoch + 30 * 60000L), "click", 1.0))
+    val out = Windows.sessionizeChunked(
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value"),
+      30, chunkHours = 1).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("max_session_events")))).toMap
+    assert(out(1L) == ((1L, 37L)))
+    assert(out(2L) == ((1L, 2L)))
+  }
+
   test("stratifiedHashSample: per-stratum rates, consistent with hashSample") {
     val t = (1L to 600L).map(k =>
       (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c"))
