@@ -982,6 +982,18 @@ object SparkEntry {
           round(sum(coalesce(col("total"), lit(0.0))), 2).as("total_sum"))
         .orderBy("cab_type")
     }),
+    // A5+A10 composed through the CLI chain (`analytics_pandas.py:219-
+    // 225`): the events fixture spans one calendar month, so the gate
+    // deterministically spreads trips over six months (event_id % 6,
+    // calendar-month add — mirrored exactly in the oracle) before the
+    // same EtlJob.transform; then monthlyTrend pins the yyyy-MM grid,
+    // per-month counts/fares, and each month's pct of the earliest month
+    "x7_taxi_monthly_trend" -> q((s, d) => {
+      val spread = Tables.events(s, d).withColumn("ts",
+        col("ts") + expr("make_interval(0, CAST(event_id % 6 AS INT), 0, 0, 0, 0, 0)"))
+      cli.AnalyticsJob.monthlyTrend(
+        cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(spread), "yellow"))
+    }),
     // J2's literal reference form (`generate_notebooks_auto.py:383-430`):
     // cleaned trips × the zone-lookup CSV dimension, broadcast-joined on
     // pickup zone, borough-level rollup — exercises the S12 CSV scan
@@ -2514,6 +2526,31 @@ object SparkEntry {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          round(avg(octet_length(encode(text))),4) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY source""",
+    "x7_taxi_monthly_trend" ->
+      """WITH raw AS (SELECT
+           ts + to_months(CAST(event_id % 6 AS INT)) AS pickup_ts,
+           ts + to_months(CAST(event_id % 6 AS INT))
+             + to_minutes(event_id % 1500) AS dropoff_ts,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE ((event_id * 7) % 620 - 10)::DOUBLE END AS distance_mi,
+           CASE WHEN event_id % 89 = 0 THEN NULL
+                ELSE ((event_id * 13) % 210 - 10)::DOUBLE END AS fare
+         FROM events),
+         cl AS (SELECT * FROM raw
+           WHERE pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+             AND dropoff_ts > pickup_ts
+             AND date_diff('second', pickup_ts, dropoff_ts) / 60.0 > 0.5
+             AND date_diff('second', pickup_ts, dropoff_ts) / 60.0 < 1440
+             AND (distance_mi IS NULL OR (distance_mi > 0 AND distance_mi < 500))
+             AND (fare IS NULL OR fare >= 0)),
+         monthly AS (SELECT strftime(pickup_ts, '%Y-%m') AS pickup_ym,
+           count(*) AS trip_count, round(avg(fare), 4) AS avg_fare
+           FROM cl GROUP BY 1),
+         base AS (SELECT trip_count AS base_count FROM monthly
+           ORDER BY pickup_ym LIMIT 1)
+         SELECT pickup_ym, trip_count, avg_fare,
+           round(trip_count * 100.0 / base_count, 4) AS pct_of_baseline
+         FROM monthly, base ORDER BY pickup_ym""",
     "x1_taxi_hourly_fare" ->
       s"""$taxiYellowCleaned
          SELECT CAST(hour(pickup_ts) AS INT) AS pickup_hour,

@@ -35,6 +35,28 @@ object AnalyticsJob {
     trips.groupBy(zoneCol).agg(count(lit(1)).as("trip_count"))
       .orderBy(desc("trip_count"), asc(zoneCol)).limit(100)
 
+  /** A5+A10 composed (`analytics_pandas.py:219-225`,
+    * `comprehensive_trip_analysis.ipynb` cell 18): the monthly
+    * volume/fare trend, with each month's volume as a percentage of the
+    * EARLIEST month — the reference's COVID-dip framing with the 2019
+    * baseline generalized to the first observed month. One aggregation
+    * pass; the baseline joins back via an unpartitioned window over the
+    * POST-AGGREGATE frame (#months rows, so the single-task window is
+    * free — never over raw trips). */
+  def monthlyTrend(trips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = trips.groupBy("pickup_ym")
+      .agg(count(lit(1)).as("trip_count"), round(avg("fare"), 4).as("avg_fare"))
+    val w = Window.orderBy("pickup_ym")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("base_count", first("trip_count").over(w))
+      .select(col("pickup_ym"), col("trip_count"), col("avg_fare"),
+        round(col("trip_count") * lit(100.0) / col("base_count"), 4)
+          .as("pct_of_baseline"))
+      .orderBy("pickup_ym")
+  }
+
   def run(spark: SparkSession, input: String, output: String,
           fromYear: Int, toYear: Int): Unit = {
     val trips = CuratedWriter.readCurated(spark, input)
@@ -45,6 +67,7 @@ object AnalyticsJob {
       CuratedWriter.writeSummary(tripsByDow(trips), s"$output/trips_by_dow")
       CuratedWriter.writeSummary(busiestZones(trips, "pu_zone"), s"$output/busiest_pickup")
       CuratedWriter.writeSummary(busiestZones(trips, "do_zone"), s"$output/busiest_dropoff")
+      CuratedWriter.writeSummary(monthlyTrend(trips), s"$output/monthly_trend")
     } finally trips.unpersist()
   }
 
