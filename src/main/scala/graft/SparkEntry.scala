@@ -449,6 +449,20 @@ object SparkEntry {
           round(col("asof_value"), 4).as("last_click_value"))
         .orderBy("event_id")
     }),
+    // hot-key-safe as-of (chunk-and-carry; the serialized portion is
+    // O(chunks) per key) — must equal the plain asOf, so it shares w4's
+    // oracle semantics over ~30 daily chunks of the fixture
+    "w12_asof_chunked" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin
+        .asOfChunked(errors, clicks, key = "user_id", tsCol = "ts",
+          tiebreak = "event_id", payloadCols = Seq("value"), chunkHours = 24)
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 4).as("last_click_value"))
+        .orderBy("event_id")
+    }),
     "w6_asof_forward" -> q((s, d) => {
       val ev = Tables.events(s, d)
       val errors = ev.filter(col("event_type") === "error")
@@ -1728,6 +1742,19 @@ object SparkEntry {
                 ELSE 'Normal' END AS bucket
          FROM daily ORDER BY day""",
     "w4_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS side, NULL AS v
+             FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS side, value AS v
+             FROM events WHERE event_type = 'click'),
+         lastv AS (SELECT event_id, side, user_id,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, side, event_id ROWS UNBOUNDED PRECEDING) AS v
+           FROM u)
+         SELECT event_id, user_id, round(v, 4) AS last_click_value
+         FROM lastv WHERE side = 1 ORDER BY event_id""",
+    "w12_asof_chunked" ->
       """WITH u AS (
            SELECT user_id, ts, event_id, 1 AS side, NULL AS v
              FROM events WHERE event_type = 'error'

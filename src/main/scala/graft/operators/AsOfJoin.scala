@@ -44,6 +44,74 @@ object AsOfJoin {
       .drop("_side")
   }
 
+  /** Hot-key-safe backward as-of — the chunk-and-carry form of [[asOf]]
+    * for the per-key-ordered serialization (same motivation as
+    * [[Windows.sessionizeChunked]]): a single key with billions of rows
+    * otherwise sorts its whole timeline on one task.
+    *
+    * Three stages, none of which orders a full key timeline in one task:
+    *   1. local pass — the [[asOf]] running `last(ignoreNulls)` windowed
+    *      over (key, time-chunk), parallel across a hot key's chunks;
+    *   2. carry computation — per (key, chunk) the chunk-FINAL running
+    *      value per payload column (one aggregate), then a per-key
+    *      running last over the chunk summaries EXCLUSIVE of the current
+    *      chunk. The serialized window sees O(chunks) rows per key, not
+    *      O(events);
+    *   3. stitch — each left row takes its local value, falling back to
+    *      the carry-in from earlier chunks (`coalesce`).
+    *
+    * Exactly [[asOf]]: a non-null in-chunk predecessor is strictly later
+    * than anything in earlier chunks (local wins correctly), and when the
+    * local value is null the latest non-null lives in a prior chunk —
+    * which is precisely the exclusive carry. Per-column independence is
+    * preserved (each payload column coalesces separately). */
+  def asOfChunked(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                  tiebreak: String, payloadCols: Seq[String],
+                  chunkHours: Int = 24): DataFrame = {
+    require(chunkHours >= 1, s"chunkHours must be >= 1, got $chunkHours")
+    val chunkMs = chunkHours * 3600000L
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(
+      Seq(col(key), col(tsCol), col(tiebreak), lit(0).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_chunk",
+        floor(unix_millis(col(tsCol).cast("timestamp")) / chunkMs))
+    val wLocal = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col(tsCol), col("_side"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val localized = payloadCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(wLocal))
+    }.persist()
+    try {
+      // chunk-final running value per payload column: max_by over the
+      // within-chunk order key reads the running value at the chunk's
+      // last (non-null-bearing) row — the chunk's last non-null payload
+      val ord = struct(col(tsCol), col("_side"), col(tiebreak))
+      val summaries = localized.groupBy(col(key), col("_chunk"))
+        .agg(max_by(col(s"asof_${payloadCols.head}"), ord)
+          .as(s"fin_${payloadCols.head}"),
+          payloadCols.tail.map(c =>
+            max_by(col(s"asof_$c"), ord).as(s"fin_$c")): _*)
+      val wCarry = Window.partitionBy(key).orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = payloadCols.foldLeft(summaries) { (df, c) =>
+        df.withColumn(s"carry_$c",
+          last(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
+      }.select(col(key) :: col("_chunk") ::
+        payloadCols.toList.map(c => col(s"carry_$c")): _*)
+      val stitched = localized.filter(col("_side") === 1)
+        .join(carry, Seq(key, "_chunk"), "left")
+      payloadCols.foldLeft(stitched) { (df, c) =>
+        df.withColumn(s"asof_$c",
+          coalesce(col(s"asof_$c"), col(s"carry_$c")))
+          .drop(s"carry_$c")
+      }.drop("_side", "_chunk")
+        .localCheckpoint(eager = true)
+    } finally { localized.unpersist(); () }
+  }
+
   /** Forward as-of: for each `left` row, the payload of the EARLIEST
     * `right` row with `right.ts >= left.ts` and the same `key` — the
     * "next reading after" direction (e.g. first heartbeat after an

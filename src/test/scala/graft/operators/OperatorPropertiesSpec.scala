@@ -179,6 +179,35 @@ class OperatorPropertiesSpec extends SparkTestBase {
     assert(sampled.size > 20 && sampled.size < 130)
   }
 
+  test("chunked as-of join equals plain as-of on chunk-crossing histories") {
+    // ts spread over ~4 days with 1h chunks: right values must carry
+    // across many empty and non-empty chunks; null payloads exercise the
+    // per-column ignoreNulls carry
+    val genEvents = Gen.listOfN(80, for {
+      key <- Gen.choose(0, 3)
+      tsOff <- Gen.choose(0L, 4L * 24 * 3600)
+      v <- Gen.option(Gen.choose(0.0, 100.0))
+      isLeft <- Gen.oneOf(true, false)
+    } yield (key, tsOff, v, isLeft))
+    forSeeds(genEvents) { evs =>
+      val rows = evs.zipWithIndex.map { case ((k, t, v, l), i) =>
+        (i.toLong, k.toString, new Timestamp(epoch + t * 1000), v, l)
+      }
+      val left = rows.filter(_._5).map(r => (r._1, r._2, r._3))
+        .toDF("event_id", "key", "ts")
+      val right = rows.filterNot(_._5).map(r => (r._1, r._2, r._3, r._4))
+        .toDF("event_id", "key", "ts", "v")
+      def result(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)).toMap
+      val plain = result(
+        AsOfJoin.asOf(left, right, "key", "ts", "event_id", Seq("v")))
+      val chunked = result(AsOfJoin.asOfChunked(
+        left, right, "key", "ts", "event_id", Seq("v"), chunkHours = 1))
+      assert(chunked == plain)
+    }
+  }
+
   test("chunked sessionize equals plain sessionize and the naive fold") {
     // gap 30 min, chunks 1 h over ~5 days of minute-resolution events:
     // plenty of sessions split across chunk boundaries for the merge
