@@ -35,6 +35,15 @@ class ClustersSpec extends SparkTestBase {
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
 
+  test("eventClusters: k labeled profiles partitioning all rows") {
+    val out = Clusters.eventClusters(events).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Int]("cluster")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_.getAs[Long]("n")).sum == 800L)
+    assert(out.forall(r => r.getAs[Double]("avg_hour") >= 0.0 &&
+      r.getAs[Double]("avg_hour") <= 23.0))
+  }
+
   test("null/invalid feature rows are skipped, not fatal") {
     val withBad = events.union(
       Seq((9001L, null.asInstanceOf[java.sql.Timestamp], 50.0),
