@@ -44,6 +44,12 @@ class ContractsSpec extends SparkTestBase {
       graft.graph.PageRank.pagerank(
         Seq((1L, 2L, 1L)).toDF("src", "dst", "weight"), iters = 0)
     }
+    // non-positive edge weight would silently null every downstream rank
+    val w = intercept[IllegalArgumentException] {
+      graft.graph.PageRank.pagerank(
+        Seq((1L, 2L, 1L), (2L, 1L, 0L)).toDF("src", "dst", "weight"))
+    }
+    assert(w.getMessage.contains("positive"))
     intercept[IllegalArgumentException] {
       graft.pipeline.TrainingData.trimToLengthBand(docs, lo = 0.9, hi = 0.1)
     }
@@ -52,6 +58,23 @@ class ContractsSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] {
       graft.pipeline.TrainingData.shardBy(docs, nShards = 0)
+    }
+  }
+
+  test("chunked sessionize/as-of reject degenerate chunking") {
+    val ev = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // chunks smaller than the gap would make every session a merge chain
+    val e = intercept[IllegalArgumentException] {
+      Windows.sessionizeChunked(ev, gapMinutes = 120, chunkHours = 1)
+    }
+    assert(e.getMessage.contains("chunkHours"))
+    intercept[IllegalArgumentException] {
+      Windows.sessionizeChunked(ev, gapMinutes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfChunked(ev, ev, "user_id", "ts", "event_id",
+        Seq("value"), chunkHours = 0)
     }
   }
 }
