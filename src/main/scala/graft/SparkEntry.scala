@@ -528,6 +528,18 @@ object SparkEntry {
           df => graft.streaming.EventStreams.enrichedSegmentCounts(
             df, Tables.customer(s, d)))
         .orderBy("c_mktsegment")),
+    // data-quality assertion report (the validate-before-ingest pass —
+    // the reference's interleaved ad-hoc count() checks as ONE
+    // aggregation): every rule type exercised, all counts pinned
+    "dq1_quality_report" -> q((s, d) => {
+      import graft.operators.Quality
+      Quality.check(Tables.lineitem(s, d), Seq(
+        Quality.NotNull("l_quantity"),
+        Quality.InRange("l_quantity", 1.0, 50.0),
+        Quality.InSet("l_returnflag", Seq("A", "N", "R")),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.Satisfies("price_nonneg", col("l_extendedprice") >= 0)))
+    }),
     // --- ML-adjacent (SURVEY A22/A23) ---
     // clustering quality report: feature stats pinned exactly; the SSE
     // and non-collapse checks run in Spark, the oracle demands they held
@@ -2661,6 +2673,25 @@ object SparkEntry {
     // the oracle pins what it CAN compute (exact row counts over the
     // same feature domain) and DEMANDS the booleans the Spark side
     // machine-checks — every gate is now pinned, zero rows-only
+    "dq1_quality_report" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+           count(CASE WHEN l_quantity IS NULL THEN 1 END) AS v0,
+           count(CASE WHEN l_quantity IS NOT NULL
+             AND (l_quantity < 1 OR l_quantity > 50) THEN 1 END) AS v1,
+           count(CASE WHEN l_returnflag IS NOT NULL
+             AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS v2,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v3,
+           count(CASE WHEN NOT coalesce(l_extendedprice >= 0, true)
+             THEN 1 END) AS v4
+         FROM lineitem)
+         SELECT * FROM (
+           SELECT 'not_null(l_quantity)' AS rule, n_rows,
+             v0 AS n_violations, v0 = 0 AS pass FROM m
+           UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', n_rows, v1, v1 = 0 FROM m
+           UNION ALL SELECT 'in_set(l_returnflag)', n_rows, v2, v2 = 0 FROM m
+           UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n_rows, v3, v3 = 0 FROM m
+           UNION ALL SELECT 'satisfies(price_nonneg)', n_rows, v4, v4 = 0 FROM m
+         ) ORDER BY rule""",
     "ml3_isolation_forest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,
          true AS scores_in_unit, true AS anomaly_rate_in_tol,

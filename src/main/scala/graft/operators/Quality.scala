@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality assertion report — the validate-before-ingest step a
+  * production pipeline runs ahead of publishing a drop (the reference
+  * does this procedurally with ad-hoc `count()` checks interleaved
+  * through its ETL scripts, e.g. `spark_jobs/etl_yellow_s3.py`'s
+  * four-count re-runs; public tooling shape: Deequ / dbt tests).
+  *
+  * Scale shape: every predicate rule folds into ONE aggregation pass
+  * over the frame (conditional counts — map-side partial, no shuffle of
+  * row data, no per-rule job). Uniqueness rules need key cardinality,
+  * so each adds one `countDistinct` to the same pass (Expand-based, the
+  * documented exact trade; swap in approx_count_distinct at extreme
+  * widths). The output is one row per rule — constant-size regardless
+  * of input volume.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+  /** Violation when `col` is null. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null($col)"
+  }
+  /** Violation when non-null `col` falls outside [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+  /** Violation when non-null `col` is not one of `values`. */
+  final case class InSet(col: String, values: Seq[String]) extends Rule {
+    def name = s"in_set($col)"
+  }
+  /** Violation when a non-null predicate evaluates false (nulls pass —
+    * pair with [[NotNull]] to reject them). */
+  final case class Satisfies(label: String, predicate: Column) extends Rule {
+    def name = s"satisfies($label)"
+  }
+  /** Violations = rows beyond the first per key tuple (0 when the key
+    * tuple is unique across the frame). */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+
+  private def violations(r: Rule): Column = r match {
+    case NotNull(c) => count(when(col(c).isNull, 1))
+    case InRange(c, lo, hi) =>
+      count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1))
+    case InSet(c, vs) =>
+      count(when(col(c).isNotNull && !col(c).isin(vs: _*), 1))
+    case Satisfies(_, p) => count(when(!coalesce(p, lit(true)), 1))
+    case Unique(cs) =>
+      // rows minus distinct key tuples; nulls participate as a value
+      // (two all-null keys are duplicates, matching SQL GROUP BY)
+      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+  }
+
+  /** One row per rule: (rule, n_rows, n_violations, pass). A frame with
+    * zero rows passes every rule (nothing violated — gate emptiness
+    * separately with a `Satisfies`/count check if emptiness is an
+    * error). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val names = rules.map(_.name)
+    require(names.distinct.length == names.length,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case (r, i) => violations(r).as(s"_v$i") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // constant-size pivot: one row in, |rules| rows out via stack()
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"_v$i").as("n_violations"))
+    }
+    one.select(col("n_rows"), explode(array(stacked: _*)).as("s"))
+      .select(col("s.rule").as("rule"), col("n_rows"),
+        col("s.n_violations").as("n_violations"),
+        (col("s.n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+}

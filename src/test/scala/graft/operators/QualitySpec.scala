@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some(5.0), "a"), (2L, Some(50.0), "b"), (3L, None, "a"),
+    (4L, Some(-1.0), "zz"), (4L, Some(200.0), "a"))
+    .toDF("id", "v", "tag")
+
+  test("every rule type counts its violations in one report") {
+    val out = Quality.check(df, Seq(
+      Quality.NotNull("v"),
+      Quality.InRange("v", 0.0, 100.0),
+      Quality.InSet("tag", Seq("a", "b")),
+      Quality.Unique(Seq("id")),
+      Quality.Satisfies("v_even_id", col("id") % 2 === 0 || col("v") > 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("not_null(v)") == ((5L, 1L, false)))
+    assert(out("in_range(v,0.0,100.0)") == ((5L, 2L, false))) // -1, 200
+    assert(out("in_set(tag)") == ((5L, 1L, false))) // zz
+    assert(out("unique(id)") == ((5L, 1L, false))) // dup id 4
+    // id=3 (odd) has null v -> null predicate passes; id=4 even passes
+    assert(out("satisfies(v_even_id)") == ((5L, 0L, true)))
+  }
+
+  test("clean data passes; empty frame passes vacuously") {
+    val clean = Quality.check(df.filter(col("id") < 3), Seq(
+      Quality.NotNull("v"), Quality.Unique(Seq("id"))))
+      .collect()
+    assert(clean.forall(_.getBoolean(3)))
+    val empty = Quality.check(df.filter(lit(false)), Seq(Quality.NotNull("v")))
+      .collect()
+    assert(empty.length == 1 && empty.head.getBoolean(3))
+  }
+
+  test("duplicate rule names and empty rule sets are rejected") {
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(Quality.NotNull("v"), Quality.NotNull("v")))
+    }
+    intercept[IllegalArgumentException] { Quality.check(df, Seq.empty) }
+  }
+}
