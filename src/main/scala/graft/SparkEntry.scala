@@ -118,7 +118,11 @@ object SparkEntry {
       try {
         val src = ev.agg(count(lit(1)).as("n"),
           min("value").as("mn"), max("value").as("mx")).head()
-        val (nSrc, mn, mx) = (src.getLong(0), src.getDouble(1), src.getDouble(2))
+        val nSrc = src.getLong(0)
+        // empty/all-null source: min/max observe as null — guard like
+        // the sample-side avg rather than NPE at getDouble
+        val mn = if (src.isNullAt(1)) Double.NegativeInfinity else src.getDouble(1)
+        val mx = if (src.isNullAt(2)) Double.PositiveInfinity else src.getDouble(2)
         val sa = samp.agg(count(lit(1)).as("n"), avg("value").as("av")).head()
         val nSamp = sa.getLong(0)
         val avOpt = if (sa.isNullAt(1)) None else Some(sa.getDouble(1))
@@ -573,18 +577,25 @@ object SparkEntry {
         // approxQuantile's 0.001 relative error bounds the rate drift;
         // max(10, 1%) keeps the demand satisfiable at tiny SFs
         val tol = math.max(10.0, 0.01 * n)
-        val gm = scored.agg(avg("value")).head().getDouble(0)
+        // null-guard every aggregate read: an empty scored set or a
+        // degenerate all-equal score distribution (zero rows under the
+        // threshold) must fail as a clean boolean mismatch, never as a
+        // driver NPE (the ob1 lesson)
+        val gmRow = scored.agg(avg("value")).head()
+        val gm = if (gmRow.isNullAt(0)) 0.0 else gmRow.getDouble(0)
         val r = scored.agg(
           min("anomaly_score").as("mn"), max("anomaly_score").as("mx"),
           avg(when(col("anomaly_score") >= threshold,
             abs(col("value") - gm))).as("d_flag"),
           avg(when(col("anomaly_score") < threshold,
             abs(col("value") - gm))).as("d_rest")).head()
+        def d(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
         import s.implicits._
         Seq((n,
-          r.getDouble(0) > 0.0 && r.getDouble(1) < 1.0,
+          d(0).exists(_ > 0.0) && d(1).exists(_ < 1.0),
           math.abs(nFlag - 0.02 * n) <= tol,
-          r.getDouble(2) > r.getDouble(3)))
+          (for (f <- d(2); rest <- d(3)) yield f > rest).getOrElse(false)))
           .toDF("n_scored", "scores_in_unit", "anomaly_rate_in_tol",
             "flagged_more_extreme")
       } finally { scored.unpersist(); () }

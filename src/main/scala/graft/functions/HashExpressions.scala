@@ -474,6 +474,15 @@ object HashExpressions {
         org.apache.spark.util.sketch.BloomFilter])
     extends UnaryExpression {
 
+    // enforce the LONG contract at analysis time: without it a non-long
+    // child fails differently per path (interpreted ClassCastException
+    // vs codegen widening/compile failure)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires a LONG hash input, got ${child.dataType}")
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
 

