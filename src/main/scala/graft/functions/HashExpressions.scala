@@ -490,11 +490,22 @@ object HashExpressions {
       filter.value.mightContainLong(input.asInstanceOf[Long])
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // reference the BROADCAST handle (a few bytes in the task binary;
+      // addReferenceObj on filter.value would ship the bits per task),
+      // but hoist the deserialized filter into lazily-initialized codegen
+      // state: Broadcast.value() is memoized yet still a virtual call +
+      // assertValid per row on exactly the probe hot path this expression
+      // exists to keep cheap — resolve it once and probe the cached field.
       val bfRef = ctx.addReferenceObj("bloomBroadcast", filter,
         "org.apache.spark.broadcast.Broadcast")
+      val bfField = ctx.addMutableState(
+        "org.apache.spark.util.sketch.BloomFilter", "graftBloomFilter")
       nullSafeCodeGen(ctx, ev, c =>
-        s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
-           $bfRef.value()).mightContainLong($c);""")
+        s"""
+        if ($bfField == null) {
+          $bfField = (org.apache.spark.util.sketch.BloomFilter) $bfRef.value();
+        }
+        ${ev.value} = $bfField.mightContainLong($c);""")
     }
 
     override protected def withNewChildInternal(newChild: Expression): BloomMightContain =

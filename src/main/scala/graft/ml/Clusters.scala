@@ -91,6 +91,13 @@ object Clusters {
       .transform(feats)
       .persist()
     try {
+      // fail fast, not NPE: an input whose rows ALL fall outside the
+      // feature domain would otherwise surface as a confusing KMeans/
+      // getDouble failure; the count also warms the cache the fit reads
+      val nTotal = assembled.count()
+      require(nTotal > 0,
+        "clusterInvariantProfile: no rows in the clustering feature " +
+          "domain (every value/ts is null or value <= -1)")
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8)
         .setFeaturesCol("features").fit(assembled)
       val centers = model.clusterCenters.map(v => (v(0), v(1)))
@@ -105,14 +112,13 @@ object Clusters {
         val dy = centers(i)._2 - centers(j)._2
         math.sqrt(dx * dx + dy * dy)
       }).min
+      // nTotal > 0 (required above) ⇒ every aggregate below is non-null
       val g = assembled.agg(
         avg("f_value").as("mv"), avg("f_hour").as("mh"),
         min("f_value").as("mnv"), max("f_value").as("mxv"),
-        min("f_hour").as("mnh"), max("f_hour").as("mxh"),
-        count(lit(1)).as("n")).head()
+        min("f_hour").as("mnh"), max("f_hour").as("mxh")).head()
       val (gmv, gmh) = (g.getDouble(0), g.getDouble(1))
       val (mnv, mxv, mnh, mxh) = (g.getDouble(2), g.getDouble(3), g.getDouble(4), g.getDouble(5))
-      val nTotal = g.getLong(6)
       val s = events.sparkSession
       import s.implicits._
       val centDf = centers.zipWithIndex.toSeq

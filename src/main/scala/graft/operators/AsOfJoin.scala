@@ -52,8 +52,9 @@ object AsOfJoin {
     * Three stages, none of which orders a full key timeline in one task:
     *   1. local pass — the [[asOf]] running `last(ignoreNulls)` windowed
     *      over (key, time-chunk), parallel across a hot key's chunks;
-    *   2. carry computation — per (key, chunk) the chunk-FINAL running
-    *      value per payload column (one aggregate), then a per-key
+    *   2. carry computation — per (key, chunk) the chunk's LAST non-null
+    *      raw payload per column (one `max_by` aggregate over the raw
+    *      union — no dependence on the windowed pass), then a per-key
     *      running last over the chunk summaries EXCLUSIVE of the current
     *      chunk. The serialized window sees O(chunks) rows per key, not
     *      O(events);
@@ -64,7 +65,18 @@ object AsOfJoin {
     * than anything in earlier chunks (local wins correctly), and when the
     * local value is null the latest non-null lives in a prior chunk —
     * which is precisely the exclusive carry. Per-column independence is
-    * preserved (each payload column coalesces separately). */
+    * preserved (each payload column coalesces separately).
+    *
+    * The returned plan is LAZY and fully recomputable (no persist, no
+    * checkpoint): stages 1 and 2 read the union independently, and both
+    * shuffle on (key, chunk), so Spark's exchange reuse shares the scan
+    * where plans allow. Executor loss therefore recomputes instead of
+    * failing — the property an operator aimed at real clusters needs.
+    *
+    * `tiebreak` must be unique per (key, ts) — the same assumption
+    * [[asOf]] makes for engine-independent ordering, and here the carry
+    * `max_by` aggregates on it: tied order keys would make the chunk-
+    * final payload nondeterministic run-to-run. */
   def asOfChunked(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                   tiebreak: String, payloadCols: Seq[String],
                   chunkHours: Int = 24): DataFrame = {
@@ -83,33 +95,32 @@ object AsOfJoin {
     val localized = payloadCols.foldLeft(u) { (df, c) =>
       df.withColumn(s"asof_$c",
         last(col(s"asof_$c"), ignoreNulls = true).over(wLocal))
-    }.persist()
-    try {
-      // chunk-final running value per payload column: max_by over the
-      // within-chunk order key reads the running value at the chunk's
-      // last (non-null-bearing) row — the chunk's last non-null payload
-      val ord = struct(col(tsCol), col("_side"), col(tiebreak))
-      val summaries = localized.groupBy(col(key), col("_chunk"))
-        .agg(max_by(col(s"asof_${payloadCols.head}"), ord)
-          .as(s"fin_${payloadCols.head}"),
-          payloadCols.tail.map(c =>
-            max_by(col(s"asof_$c"), ord).as(s"fin_$c")): _*)
-      val wCarry = Window.partitionBy(key).orderBy("_chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = payloadCols.foldLeft(summaries) { (df, c) =>
-        df.withColumn(s"carry_$c",
-          last(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
-      }.select(col(key) :: col("_chunk") ::
-        payloadCols.toList.map(c => col(s"carry_$c")): _*)
-      val stitched = localized.filter(col("_side") === 1)
-        .join(carry, Seq(key, "_chunk"), "left")
-      payloadCols.foldLeft(stitched) { (df, c) =>
-        df.withColumn(s"asof_$c",
-          coalesce(col(s"asof_$c"), col(s"carry_$c")))
-          .drop(s"carry_$c")
-      }.drop("_side", "_chunk")
-        .localCheckpoint(eager = true)
-    } finally { localized.unpersist(); () }
+    }
+    // chunk-final value per payload column, straight from the raw union:
+    // the last non-null raw payload in the chunk (max_by over the order
+    // key, restricted to payload-bearing rows — max_by skips rows whose
+    // ordering expression is null) equals the windowed running value at
+    // the chunk's final row, without reusing the windowed frame.
+    val ord = struct(col(tsCol), col("_side"), col(tiebreak))
+    def finAgg(c: String) =
+      max_by(col(s"asof_$c"),
+        when(col(s"asof_$c").isNotNull, ord)).as(s"fin_$c")
+    val summaries = u.groupBy(col(key), col("_chunk"))
+      .agg(finAgg(payloadCols.head), payloadCols.tail.map(finAgg): _*)
+    val wCarry = Window.partitionBy(key).orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = payloadCols.foldLeft(summaries) { (df, c) =>
+      df.withColumn(s"carry_$c",
+        last(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
+    }.select(col(key) :: col("_chunk") ::
+      payloadCols.toList.map(c => col(s"carry_$c")): _*)
+    val stitched = localized.filter(col("_side") === 1)
+      .join(carry, Seq(key, "_chunk"), "left")
+    payloadCols.foldLeft(stitched) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        coalesce(col(s"asof_$c"), col(s"carry_$c")))
+        .drop(s"carry_$c")
+    }.drop("_side", "_chunk")
   }
 
   /** Forward as-of: for each `left` row, the payload of the EARLIEST
