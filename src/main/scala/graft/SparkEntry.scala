@@ -1256,6 +1256,17 @@ object SparkEntry {
           Tables.documents(s, d).filter(col("doc_id") < 100)))
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_px"), 6).as("mean_px"))
+        .orderBy("doc_id")),
+    // real resize round-trip: PNG decode → nearest-neighbor resample →
+    // PNG re-encode executor-side, then decode the RESIZED payload; the
+    // oracle recomputes dims and mean pixel from the same closed-form
+    // sampling (dst (x,y) reads src (x*w/dw, y*h/dh)) — no codec needed
+    "m4_real_resize" -> q((s, d) =>
+      Multimodal.decodeImageFeatures(Multimodal.resizeImagePayloads(
+          Multimodal.withImagePayload(
+            Tables.documents(s, d).filter(col("doc_id") < 100)), factor = 2))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"))
         .orderBy("doc_id"))
   )
 
@@ -2680,6 +2691,20 @@ object SparkEntry {
            CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
            round(avg(p), 6) AS mean_px
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+    "m4_real_resize" ->
+      """WITH dims AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+             (doc_id // 16) % 16 + 1 AS h,
+             greatest(1, (doc_id % 16 + 1) // 2) AS dw,
+             greatest(1, ((doc_id // 16) % 16 + 1) // 2) AS dh
+           FROM documents WHERE doc_id < 100),
+         px AS (SELECT doc_id, dw, dh,
+             ((doc_id*31 + ((x.range * w) // dw)*7
+                         + ((y.range * h) // dh)*13) % 256) AS p
+           FROM dims, range(0,16) x, range(0,16) y
+           WHERE x.range < dw AND y.range < dh)
+         SELECT doc_id, CAST(dw AS INT) AS width, CAST(dh AS INT) AS height,
+           round(avg(p), 6) AS mean_px
+         FROM px GROUP BY doc_id, dw, dh ORDER BY doc_id""",
     // invariant oracles for the seeded/iterative gates (ml5/p6 pattern):
     // the oracle pins what it CAN compute (exact row counts over the
     // same feature domain) and DEMANDS the booleans the Spark side

@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extraction as partition-wise batch transforms.
   *
-  * Two decode tiers:
-  *  - REAL codec path ([[withImagePayload]] / [[decodeImageFeatures]]):
-  *    actual PNG encode + decode through `javax.imageio` (in the JDK —
-  *    PNG/BMP/JPEG/GIF readers are always registered), running
-  *    executor-side in partition batch loops.
+  * Two codec tiers:
+  *  - REAL path ([[withImagePayload]] / [[decodeImageFeatures]] /
+  *    [[resizeImagePayloads]]): actual PNG encode + decode + resize +
+  *    re-encode through `javax.imageio` (in the JDK — PNG/BMP/JPEG/GIF
+  *    readers are always registered), running executor-side in
+  *    partition batch loops.
   *  - STUB path ([[stubDecode]] / [[stubResize]]): clearly-marked
   *    deterministic byte math standing in for codecs absent from the
   *    runtime (video/audio); the schema, batching, and partition-wise
@@ -162,6 +163,58 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
       .withColumn("meta", struct(length(col("payload")).as("n_bytes"),
         lit("png/gray8").as("codec")))
+  }
+
+  /** REAL resize: ImageIO-decode the payload, nearest-neighbor resample
+    * the raster down by `factor`, and PNG re-encode — decode → scale →
+    * encode runs entirely inside one partition loop (the production
+    * shape for "transcode a binary column"; contrast [[stubResize]],
+    * which this supersedes wherever a JDK codec can read the payload).
+    *
+    * The resample is an explicit integer sampling — dst `(x, y)` takes
+    * src `(x*w/dstW, y*h/dstH)` — rather than `Graphics2D.drawImage`,
+    * whose interpolation is rendering-pipeline-defined: explicit
+    * sampling keeps the output pixels a closed-form function of the
+    * input, so the `m4` gate's SQL oracle recomputes the resized pixel
+    * stats exactly, the way `m3` pins decode. Dimensions shrink to
+    * `max(1, dim/factor)`; PNG is lossless, so a re-decode must recover
+    * exactly the sampled pixels. */
+  def resizeImagePayloads(withPayload: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"no registered codec could decode payload for doc $id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (dw, dh) = (math.max(1, w / factor), math.max(1, h / factor))
+        val dst = new java.awt.image.BufferedImage(
+          dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val srcRaster = img.getRaster
+        val dstRaster = dst.getRaster
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            dstRaster.setSample(x, y, 0,
+              srcRaster.getSample(x * w / dw, y * h / dh, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("meta", struct(length(col("payload")).as("n_bytes"),
+        lit(s"png/gray8/resized:$factor").as("codec")))
   }
 
   val imageFeatureSchema: StructType = StructType(Seq(

@@ -65,6 +65,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real resize: NN-resampled PNG round-trips to the closed-form pixels") {
+    val ids = Seq(0L, 7L, 15L, 16L, 164L, 255L).toDF("doc_id")
+    val resized = Multimodal.resizeImagePayloads(
+      Multimodal.withImagePayload(ids), factor = 2)
+    // resized payloads are themselves genuine PNGs with refreshed metadata
+    val row42 = resized.filter($"doc_id" === 15L).head()
+    assert(row42.getAs[Array[Byte]]("payload").take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    assert(row42.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("codec") == "png/gray8/resized:2")
+    val decoded = Multimodal.decodeImageFeatures(resized)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    for (id <- Seq(0L, 7L, 15L, 16L, 164L, 255L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      val (dw, dh) = (math.max(1, w / 2), math.max(1, h / 2))
+      val expMean = (for (y <- 0 until dh; x <- 0 until dw)
+        yield Multimodal.pixel(id, x * w / dw, y * h / dh))
+        .sum.toDouble / (dw * dh)
+      val (gw, gh, mean) = decoded(id)
+      assert(gw == dw && gh == dh, s"resized dims for doc $id")
+      assert(math.abs(mean - expMean) < 1e-9, s"resized mean pixel for doc $id")
+    }
+  }
+
   test("image payloads are genuine PNGs (magic bytes + codec metadata)") {
     val row = Multimodal.withImagePayload(Seq(42L).toDF("doc_id")).head()
     val bytes = row.getAs[Array[Byte]]("payload")
