@@ -19,19 +19,25 @@ import org.apache.spark.sql.functions._
   * node count (once) and per-iteration dangling mass — Pregel-style
   * aggregator reads, never row data.
   *
-  * Fixed `iters` rather than convergence-delta keeps the gate
-  * deterministic; production callers can loop until
-  * `Σ|r_i − r_{i−1}|` (one more scalar aggregate) drops below epsilon.
+  * Fixed `iters` keeps the gate deterministic; `tol > 0` adds the
+  * convergence early-exit a 100×-scale graph wants — stop as soon as
+  * `Σ|r_i − r_{i−1}|` (one extra scalar aggregate per round, still no
+  * driver-side row data) drops below the threshold, so `iters` becomes
+  * a CAP rather than a fixed cost.
   */
 object PageRank {
 
-  /** Ranks after `iters` rounds of `r = (1−d)/N + d·(Σ in + dangling/N)`.
+  /** Ranks after `iters` rounds of `r = (1−d)/N + d·(Σ in + dangling/N)`,
+    * or fewer when `tol > 0` and the L1 rank delta between consecutive
+    * rounds drops below `tol` (converged — later rounds move ranks less
+    * than any consumer can observe at that tolerance).
     * `edges` needs (src, dst, weight) — parallel edges should be
     * pre-aggregated; weights must be positive. Returns (node, rank) for
     * every node appearing as src or dst; ranks sum to 1. */
   def pagerank(edges: DataFrame, damping: Double = 0.85,
-               iters: Int = 10): DataFrame = {
+               iters: Int = 10, tol: Double = 0.0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(tol >= 0.0, s"tol must be >= 0 (0 disables early exit), got $tol")
     // fail fast on the positive-weight contract: a null or non-positive
     // weight would yield null/infinite transition probabilities that
     // silently lose rank mass (a null-weight src is NOT dangling — it
@@ -65,7 +71,9 @@ object PageRank {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(eager = true)
     try {
-      for (_ <- 1 to iters) {
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
         // rank mass sitting on sink nodes redistributes uniformly — a
         // scalar aggregator read, the one driver value per round
         val dangling =
@@ -82,7 +90,17 @@ object PageRank {
               (coalesce(col("in_rank"), lit(0.0)) + lit(dangling / n)))
               .as("rank"))
           .localCheckpoint(eager = true)
+        if (tol > 0.0) {
+          // L1 delta vs the previous round — both sides are checkpointed
+          // |V|-row vectors, so this is one broadcast-or-shuffle join +
+          // a scalar agg, the same cost class as the dangling read
+          val delta = next.join(
+              ranks.withColumnRenamed("rank", "prev_rank"), "node")
+            .agg(sum(abs(col("rank") - col("prev_rank")))).head().getDouble(0)
+          converged = delta < tol
+        }
         ranks = next
+        it += 1
       }
       ranks
     } finally {

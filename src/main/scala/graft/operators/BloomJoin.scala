@@ -46,4 +46,48 @@ object BloomJoin {
     fact.filter(col(factKey).isNotNull && might)
       .join(dim, fact(factKey) === dim(dimKey))
   }
+
+  /** [[bloomPrefilteredJoin]] with DETERMINISTIC broadcast release — the
+    * checkpoint-then-release discipline `dedup.Dedup`/`similarity.Ivf`
+    * use — for long-lived sessions (notebooks, streaming drivers,
+    * services) that can't wait on ContextCleaner: eagerly materializes
+    * the join via `localCheckpoint` and then `destroy()`s the broadcast
+    * before returning, so the filter bits are reclaimed on every
+    * executor at a known point.
+    *
+    * The trade-offs are the eager form's usual ones (and why the LAZY
+    * [[bloomPrefilteredJoin]] stays the default): jobs run at call time,
+    * and the checkpointed result is not fault-tolerant — losing an
+    * executor's storage makes downstream actions fail rather than
+    * recompute. Prefer this only when deterministic resource release
+    * matters more than lineage. */
+  def bloomPrefilteredJoinEager(fact: DataFrame, dim: DataFrame,
+                                factKey: String, dimKey: String,
+                                expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    eagerWithHandle(fact, dim, factKey, dimKey, expectedKeys, fpp)._1
+
+  /** Implementation of [[bloomPrefilteredJoinEager]] that also returns
+    * the (already-destroyed) broadcast handle, so the spec can assert
+    * the release really happened rather than trust the scaladoc. */
+  private[operators] def eagerWithHandle(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedKeys: Long, fpp: Double):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]) = {
+    val bf = dim.filter(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("k"))
+      .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    try {
+      val might = graft.functions.HashExpressions
+        .bloomMightContain(xxhash64(col(factKey)), bfB)
+      val out = fact.filter(col(factKey).isNotNull && might)
+        .join(dim, fact(factKey) === dim(dimKey))
+        .localCheckpoint(eager = true)
+      (out, bfB)
+    } finally {
+      // blocking destroy: the bits are gone on every executor when the
+      // call returns, not whenever the cleaner's weak refs flush
+      bfB.destroy()
+    }
+  }
 }

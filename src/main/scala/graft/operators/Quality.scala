@@ -26,10 +26,16 @@ object Quality {
   }
   /** Violation when non-null `col` falls outside [lo, hi]. */
   final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    // an inverted or NaN bound would silently flag EVERY non-null row —
+    // a typo'd rule must fail at construction, not read as bad data
+    require(!lo.isNaN && !hi.isNaN, s"in_range($col): NaN bound")
+    require(lo <= hi, s"in_range($col): empty range [$lo, $hi] (lo > hi)")
     def name = s"in_range($col,$lo,$hi)"
   }
   /** Violation when non-null `col` is not one of `values`. */
   final case class InSet(col: String, values: Seq[String]) extends Rule {
+    // an empty set rejects every non-null row — certainly a bug upstream
+    require(values.nonEmpty, s"in_set($col): empty value set")
     def name = s"in_set($col)"
   }
   /** Violation when a non-null predicate evaluates false (nulls pass —
@@ -40,6 +46,7 @@ object Quality {
   /** Violations = rows beyond the first per key tuple (0 when the key
     * tuple is unique across the frame). */
   final case class Unique(cols: Seq[String]) extends Rule {
+    require(cols.nonEmpty, "unique(): at least one key column required")
     def name = s"unique(${cols.mkString(",")})"
   }
 

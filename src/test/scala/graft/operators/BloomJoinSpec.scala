@@ -45,6 +45,26 @@ class BloomJoinSpec extends SparkTestBase {
     assert(out == Set((7L, "a"), (42L, "b")))
   }
 
+  test("eager variant: same result, broadcast destroyed, output reusable") {
+    val fact = (1L to 2000L).map(k => (k, k % 100, s"f$k"))
+      .toDF("row_id", "fk", "payload")
+    val dim = Seq((3L, "a"), (7L, "b"), (42L, "c"))
+      .toDF("dk", "dim_name")
+    val (out, bfB) = BloomJoin.eagerWithHandle(fact, dim, "fk", "dk", 1024, 0.01)
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+      .select("row_id", "dim_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = out.select("row_id", "dim_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == plain)
+    // the broadcast really is destroyed post-call — reading it now throws
+    intercept[org.apache.spark.SparkException] { bfB.value }
+    // and the checkpointed result survives the destroy: a SECOND action
+    // (the collect above was the first) still works because the output
+    // no longer references the filter
+    assert(out.count() == 60)
+  }
+
   test("the pre-filter actually removes non-matching fact rows") {
     val fact = (1L to 1000L).map(k => (k, k)).toDF("row_id", "fk")
     val dim = Seq(1L, 2L, 3L).toDF("dk")

@@ -61,6 +61,34 @@ class ContractsSpec extends SparkTestBase {
     }
   }
 
+  test("quality rules fail at construction, not as phantom violations") {
+    // inverted/NaN range or empty set would flag EVERY row as bad data
+    val lohi = intercept[IllegalArgumentException] {
+      Quality.InRange("fare", lo = 50.0, hi = 1.0)
+    }
+    assert(lohi.getMessage.contains("lo > hi"))
+    intercept[IllegalArgumentException] {
+      Quality.InRange("fare", lo = Double.NaN, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] { Quality.InSet("flag", Seq.empty) }
+    intercept[IllegalArgumentException] { Quality.Unique(Seq.empty) }
+    intercept[IllegalArgumentException] { Quality.check(docs, Seq.empty) }
+    // duplicate rule names would collide in the report
+    intercept[IllegalArgumentException] {
+      Quality.check(docs, Seq(Quality.NotNull("text"), Quality.NotNull("text")))
+    }
+  }
+
+  test("resize and pagerank tolerance parameters are range-checked") {
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.resizeImagePayloads(docs, factor = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.graph.PageRank.pagerank(
+        Seq((1L, 2L, 1L)).toDF("src", "dst", "weight"), tol = -1e-6)
+    }
+  }
+
   test("chunked sessionize/as-of reject degenerate chunking") {
     val ev = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("event_id", "user_id", "ts")
