@@ -1243,6 +1243,35 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"))
         .orderBy("lang_missing")
     }),
+    // writer-side drift guard end to end: a drifted month (lang dropped
+    // upstream, n_chars appeared) must be REFUSED by default — the gate
+    // machine-checks the refusal — and accepted only under widen = true,
+    // which lands missing columns as typed nulls; merged-read pinned
+    "io6_drift_guarded_write" -> q((s, d) => withTempDir("graft_io6") { dir =>
+      val docs = Tables.documents(s, d)
+      val path = s"$dir/docs"
+      graft.sources.CuratedWriter.writePartitioned(
+        docs.filter(col("source") =!= "src3")
+          .select("doc_id", "text", "lang", "source"),
+        path, Seq("source"))
+      val drifted = docs.filter(col("source") === "src3")
+        .select("doc_id", "text", "source", "n_chars")
+      val refused =
+        try {
+          graft.sources.CuratedWriter.writePartitionedIncrementalChecked(
+            drifted, path, Seq("source"))
+          false
+        } catch { case _: IllegalStateException => true }
+      require(refused, "drift guard failed to refuse a drifted write")
+      graft.sources.CuratedWriter.writePartitionedIncrementalChecked(
+        drifted, path, Seq("source"), widen = true)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          count(when(col("lang").isNull, 1)).as("n_null_lang"),
+          sum("n_chars").as("chars_sum"))
+        .orderBy("source")
+    }),
     // --- multimodal plumbing (training-data ops) ---
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
@@ -1530,6 +1559,14 @@ object SparkEntry {
          CAST(sum(doc_id) AS BIGINT) AS id_sum,
          CAST(sum(len(text)) AS BIGINT) AS chars
          FROM documents GROUP BY 1 ORDER BY lang_missing""",
+    "io6_drift_guarded_write" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         count(CASE WHEN source = 'src3' OR lang IS NULL THEN 1 END)
+           AS n_null_lang,
+         CAST(sum(CASE WHEN source = 'src3' THEN n_chars END) AS BIGINT)
+           AS chars_sum
+         FROM documents GROUP BY source ORDER BY source""",
     "ob1_observed_metrics" ->
       """SELECT count(*) AS n_in, coalesce(round(sum(value), 0), 0.0) AS v_in,
          count(CASE WHEN value > 100 THEN 1 END) AS n_out

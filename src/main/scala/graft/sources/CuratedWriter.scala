@@ -59,6 +59,89 @@ object CuratedWriter {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** Column-level diff between an incoming frame and the curated tree
+    * it is about to land in (names matched case-insensitively, Spark's
+    * default resolution). `added` = incoming-only, `missing` =
+    * tree-only, `typeChanged` = same name, different type. */
+  final case class SchemaDrift(added: Seq[String], missing: Seq[String],
+                               typeChanged: Seq[String]) {
+    def isEmpty: Boolean = added.isEmpty && missing.isEmpty && typeChanged.isEmpty
+    override def toString: String = Seq(
+      if (added.nonEmpty) s"added: ${added.mkString(", ")}" else "",
+      if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}" else "",
+      if (typeChanged.nonEmpty) s"type changed: ${typeChanged.mkString(", ")}" else "")
+      .filter(_.nonEmpty).mkString("; ")
+  }
+
+  /** Pure driver-side drift computation (unit-testable without IO). */
+  def schemaDrift(incoming: org.apache.spark.sql.types.StructType,
+                  existing: org.apache.spark.sql.types.StructType): SchemaDrift = {
+    val in = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
+    val ex = existing.fields.map(f => f.name.toLowerCase -> f).toMap
+    SchemaDrift(
+      added = incoming.fields.collect {
+        case f if !ex.contains(f.name.toLowerCase) => f.name }.toSeq,
+      missing = existing.fields.collect {
+        case f if !in.contains(f.name.toLowerCase) => f.name }.toSeq,
+      typeChanged = incoming.fields.collect {
+        case f if ex.get(f.name.toLowerCase)
+          .exists(_.dataType != f.dataType) =>
+          s"${f.name} (${ex(f.name.toLowerCase).dataType.simpleString} -> " +
+            s"${f.dataType.simpleString})" }.toSeq)
+  }
+
+  /** [[writePartitionedIncremental]] with a pre-write schema-drift guard
+    * — the drift case the reference's Report §7.3 monitors procedurally
+    * (a TLC month silently gaining/renaming columns), enforced at the
+    * write boundary instead of discovered by a broken reader months
+    * later.
+    *
+    * The curated tree's schema is taken as the `mergeSchema` union over
+    * the existing footers (a distributed footer-only job — for trees
+    * where even that is too slow, keep a schema manifest beside the data
+    * and pass it via `existingSchema`). Then:
+    *   - a column whose TYPE changed always fails — no silent widening
+    *     can reconcile `int` data with a `string` history;
+    *   - added/missing columns fail by default (`widen = false`) with
+    *     the full drift in the message;
+    *   - `widen = true` accepts the drift EXPLICITLY: missing columns
+    *     are written as typed nulls (the tree stays rectangular for
+    *     plain readers), added columns are kept — older partitions
+    *     surface them as nulls under a `mergeSchema` read (`io5`/`io6`).
+    * First write into an empty/missing path is drift-free by definition. */
+  def writePartitionedIncrementalChecked(df: DataFrame, path: String,
+      cols: Seq[String], widen: Boolean = false,
+      existingSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = existingSchema.orElse {
+      if (fs.exists(fsPath))
+        Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+      else None
+    }
+    existing.foreach { ex =>
+      val drift = schemaDrift(df.schema, ex)
+      if (drift.typeChanged.nonEmpty) throw new IllegalStateException(
+        s"schema drift with incompatible types at $path — ${drift}")
+      if (!drift.isEmpty && !widen) throw new IllegalStateException(
+        s"schema drift at $path — $drift. Re-run with widen = true to " +
+          "accept it (missing columns become typed nulls; added columns " +
+          "require mergeSchema on read), or fix the incoming schema.")
+    }
+    val widened = existing match {
+      case Some(ex) =>
+        val inNames = df.schema.fieldNames.map(_.toLowerCase).toSet
+        ex.fields.filterNot(f => inNames.contains(f.name.toLowerCase))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => df
+    }
+    writePartitionedIncremental(widened, path, cols, maxRecordsPerFile)
+  }
+
   /** S10: small aggregate-table write (single file is intentional —
     * aggregate outputs are tiny). */
   def writeSummary(df: DataFrame, path: String): Unit =

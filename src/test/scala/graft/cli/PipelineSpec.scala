@@ -117,6 +117,54 @@ class PipelineSpec extends SparkTestBase {
     assert(back.filter(col("pickup_month") === 2).select("fare").head().getDouble(0) == 12.0)
   }
 
+  test("drift-guarded incremental write: refuse, widen, or fail on type change") {
+    val dir = tempDir("graft-drift")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = s"$dir/tree"
+    val base = Seq((1L, "alpha", "en", "m1"), (2L, "beta", "de", "m1"))
+      .toDF("id", "text", "lang", "month")
+    CuratedWriter.writePartitionedIncrementalChecked(base, path, Seq("month"))
+
+    // same schema: lands without complaint (month 2 appended)
+    val same = Seq((3L, "gamma", "en", "m2")).toDF("id", "text", "lang", "month")
+    CuratedWriter.writePartitionedIncrementalChecked(same, path, Seq("month"))
+
+    // drifted month: lang gone, quality appeared -> refused by default,
+    // with both columns named in the error
+    val drifted = Seq((4L, "delta", 0.9, "m3")).toDF("id", "text", "quality", "month")
+    val e = intercept[IllegalStateException] {
+      CuratedWriter.writePartitionedIncrementalChecked(drifted, path, Seq("month"))
+    }
+    assert(e.getMessage.contains("lang") && e.getMessage.contains("quality"))
+    assert(e.getMessage.contains("widen"))
+
+    // widen = true accepts it: missing lang lands as typed null, added
+    // quality is readable under mergeSchema (null for old months)
+    CuratedWriter.writePartitionedIncrementalChecked(
+      drifted, path, Seq("month"), widen = true)
+    val back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(back.count() == 4)
+    assert(back.filter($"month" === "m3").select("lang").head().isNullAt(0))
+    assert(back.filter($"month" === "m3").select("quality").head().getDouble(0) == 0.9)
+    assert(back.filter($"month" === "m1").select("quality").head().isNullAt(0))
+    assert(back.schema("lang").dataType.typeName == "string")
+
+    // a type change can never widen: id as string fails even with widen
+    val retyped = Seq(("5", "eps", "fr", "m4")).toDF("id", "text", "lang", "month")
+    val t = intercept[IllegalStateException] {
+      CuratedWriter.writePartitionedIncrementalChecked(
+        retyped, path, Seq("month"), widen = true)
+    }
+    assert(t.getMessage.contains("id") && t.getMessage.contains("type"))
+
+    // pure drift computation is case-insensitive, like Spark resolution
+    val d = CuratedWriter.schemaDrift(
+      same.select($"id".as("ID"), $"text", $"lang", $"month").schema,
+      base.schema)
+    assert(d.isEmpty)
+  }
+
   test("CSV sink + zone-lookup dimension scan round-trip") {
     val dir = tempDir("graft-csv")
     import spark.implicits._
