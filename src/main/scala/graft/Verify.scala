@@ -8,14 +8,19 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warehouse = Files.createTempDirectory("graft-warehouse")
+    val base = SparkSession.builder()
+      .config("spark.ui.enabled", "false")
+      // bucketed-table gates use saveAsTable; point the warehouse at a
+      // temp dir so table data never lands in the repo working
+      // directory (in-memory catalog — no Hive metastore exists)
+      .config("spark.sql.warehouse.dir", warehouse.toString)
+    // same master policy as GraftSession.submitted: a spark-submit'ed
+    // master (e.g. local-cluster[2,2,1024] — real executor JVMs) wins,
+    // so the full gate set can run under genuine serialization/broadcast
+    // conditions; sbt runMain keeps the tuned local[$cpus] behavior
     val spark = GraftSession.tune(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.ui.enabled", "false")
-        // bucketed-table gates use saveAsTable; point the warehouse at a
-        // temp dir so table data never lands in the repo working
-        // directory (in-memory catalog — no Hive metastore exists)
-        .config("spark.sql.warehouse.dir", warehouse.toString),
+      if (sys.props.contains("spark.master")) base
+      else base.master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
