@@ -478,6 +478,20 @@ object SparkEntry {
           round(col("asofnext_value"), 4).as("next_click_value"))
         .orderBy("event_id")
     }),
+    // hot-key-safe FORWARD as-of (w12's chunk-and-carry mirrored in
+    // time) — must equal plain asOfForward, so it shares w6's oracle
+    // semantics over ~30 daily chunks of the fixture
+    "w13_asof_forward_chunked" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.operators.AsOfJoin
+        .asOfForwardChunked(errors, clicks, key = "user_id", tsCol = "ts",
+          tiebreak = "event_id", payloadCols = Seq("value"), chunkHours = 24)
+        .select(col("event_id"), col("user_id"),
+          round(col("asofnext_value"), 4).as("next_click_value"))
+        .orderBy("event_id")
+    }),
     // --- streaming semantics, batch twin (SURVEY §2.9) ---
     "st1_windowed_counts" -> q((s, d) =>
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
@@ -543,6 +557,20 @@ object SparkEntry {
         Quality.InSet("l_returnflag", Seq("A", "N", "R")),
         Quality.Unique(Seq("l_orderkey", "l_linenumber")),
         Quality.Satisfies("price_nonneg", col("l_extendedprice") >= 0)))
+    }),
+    // the uniqueness rule's 100 TB twin under contract: HLL distinctness
+    // (constant sketch state instead of shuffling every distinct tuple)
+    // must PASS on the genuinely-unique o_orderkey within 3·rsd sketch
+    // noise and must still FAIL on o_custkey (duplicated ~10×, far
+    // beyond any sketch slack) — exact rule alongside as the control;
+    // n_violations is sketch-valued so the gate pins the verdicts
+    "dq2_unique_approx" -> q((s, d) => {
+      import graft.operators.Quality
+      Quality.check(Tables.orders(s, d), Seq(
+        Quality.Unique(Seq("o_orderkey")),
+        Quality.UniqueApprox(Seq("o_orderkey")),
+        Quality.UniqueApprox(Seq("o_custkey"))))
+        .select(col("rule"), col("n_rows"), col("pass"))
     }),
     // --- ML-adjacent (SURVEY A22/A23) ---
     // clustering quality report: feature stats pinned exactly; the SSE
@@ -1852,6 +1880,20 @@ object SparkEntry {
            FROM u)
          SELECT event_id, user_id, round(v, 4) AS next_click_value
          FROM nextv WHERE side = 0 ORDER BY event_id""",
+    "w13_asof_forward_chunked" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS side, NULL AS v
+             FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS side, value AS v
+             FROM events WHERE event_type = 'click'),
+         nextv AS (SELECT event_id, side, user_id,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, side, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v
+           FROM u)
+         SELECT event_id, user_id, round(v, 4) AS next_click_value
+         FROM nextv WHERE side = 0 ORDER BY event_id""",
     "st2_sessionize" ->
       """WITH flagged AS (SELECT user_id, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -2764,6 +2806,15 @@ object SparkEntry {
            UNION ALL SELECT 'in_set(l_returnflag)', n_rows, v2, v2 = 0 FROM m
            UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n_rows, v3, v3 = 0 FROM m
            UNION ALL SELECT 'satisfies(price_nonneg)', n_rows, v4, v4 = 0 FROM m
+         ) ORDER BY rule""",
+    "dq2_unique_approx" ->
+      """SELECT * FROM (
+           SELECT 'unique(o_orderkey)' AS rule,
+             count(*) AS n_rows, true AS pass FROM orders
+           UNION ALL SELECT 'unique_approx(o_orderkey)',
+             count(*), true FROM orders
+           UNION ALL SELECT 'unique_approx(o_custkey)',
+             count(*), false FROM orders
          ) ORDER BY rule""",
     "ml3_isolation_forest" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_scored,

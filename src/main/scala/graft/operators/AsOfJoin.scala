@@ -123,6 +123,58 @@ object AsOfJoin {
     }.drop("_side", "_chunk")
   }
 
+  /** Hot-key-safe FORWARD as-of — [[asOfForward]] in the same
+    * chunk-and-carry shape as [[asOfChunked]], mirrored in time: the
+    * local pass runs the forward window within (key, time-chunk); the
+    * carry is each chunk's FIRST non-null raw payload (`min_by` over the
+    * order key, payload-bearing rows only), carried per key by a
+    * `first(ignoreNulls)` window EXCLUSIVE of the current chunk over the
+    * FOLLOWING chunk summaries; the stitch coalesces the local value
+    * with the carry-in from later chunks. Same guarantees and trade as
+    * [[asOfChunked]]: lazy, fully recomputable, O(chunks) serialized
+    * rows per key, `tiebreak` unique per (key, ts). */
+  def asOfForwardChunked(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, tiebreak: String,
+                         payloadCols: Seq[String],
+                         chunkHours: Int = 24): DataFrame = {
+    require(chunkHours >= 1, s"chunkHours must be >= 1, got $chunkHours")
+    val chunkMs = chunkHours * 3600000L
+    val l = left.withColumn("_side", lit(0))
+    val r = right.select(
+      Seq(col(key), col(tsCol), col(tiebreak), lit(1).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"asofnext_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_chunk",
+        floor(unix_millis(col(tsCol).cast("timestamp")) / chunkMs))
+    val wLocal = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col(tsCol), col("_side"), col(tiebreak))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val localized = payloadCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asofnext_$c",
+        first(col(s"asofnext_$c"), ignoreNulls = true).over(wLocal))
+    }
+    val ord = struct(col(tsCol), col("_side"), col(tiebreak))
+    def finAgg(c: String) =
+      min_by(col(s"asofnext_$c"),
+        when(col(s"asofnext_$c").isNotNull, ord)).as(s"fin_$c")
+    val summaries = u.groupBy(col(key), col("_chunk"))
+      .agg(finAgg(payloadCols.head), payloadCols.tail.map(finAgg): _*)
+    val wCarry = Window.partitionBy(key).orderBy("_chunk")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = payloadCols.foldLeft(summaries) { (df, c) =>
+      df.withColumn(s"carry_$c",
+        first(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
+    }.select(col(key) :: col("_chunk") ::
+      payloadCols.toList.map(c => col(s"carry_$c")): _*)
+    val stitched = localized.filter(col("_side") === 0)
+      .join(carry, Seq(key, "_chunk"), "left")
+    payloadCols.foldLeft(stitched) { (df, c) =>
+      df.withColumn(s"asofnext_$c",
+        coalesce(col(s"asofnext_$c"), col(s"carry_$c")))
+        .drop(s"carry_$c")
+    }.drop("_side", "_chunk")
+  }
+
   /** Forward as-of: for each `left` row, the payload of the EARLIEST
     * `right` row with `right.ts >= left.ts` and the same `key` — the
     * "next reading after" direction (e.g. first heartbeat after an

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every predicate rule folds into ONE aggregation pass
   * over the frame (conditional counts — map-side partial, no shuffle of
-  * row data, no per-rule job). Uniqueness rules need key cardinality,
-  * so each adds one `countDistinct` to the same pass (Expand-based, the
-  * documented exact trade; swap in approx_count_distinct at extreme
-  * widths). The output is one row per rule — constant-size regardless
-  * of input volume.
+  * row data, no per-rule job). Exact uniqueness rules need key
+  * cardinality, so each adds a `countDistinct` to the same pass — that
+  * shuffles every distinct key tuple, and two or more uniqueness rules
+  * trigger the multi-distinct Expand rewrite; [[UniqueApprox]] is the
+  * contract-gated scale twin (HLL sketches: constant reducer state, no
+  * distinct shuffle, no Expand). The output is one row per rule —
+  * constant-size regardless of input volume.
   */
 object Quality {
 
@@ -49,6 +51,21 @@ object Quality {
     require(cols.nonEmpty, "unique(): at least one key column required")
     def name = s"unique(${cols.mkString(",")})"
   }
+  /** Scale twin of [[Unique]]: the exact rule's `countDistinct` shuffles
+    * every distinct key tuple — 84 MB of the 16M-row quality probe's
+    * shuffle in SCALE.md, growing with key cardinality — and multiple
+    * exact rules additionally Expand. This estimates the distinct count
+    * with HLL instead (constant sketch state), so the verdict is
+    * contract-gated: the rule PASSES when the estimated violation count
+    * is within the sketch's noise of zero (`n − est ≤ 3·rsd·n`). A
+    * duplication rate above 3·rsd can therefore never pass; one below it
+    * is indistinguishable from sketch noise — the documented trade,
+    * exactly `pr2`/`t12`'s. */
+  final case class UniqueApprox(cols: Seq[String], rsd: Double = 0.05) extends Rule {
+    require(cols.nonEmpty, "unique_approx(): at least one key column required")
+    require(rsd > 0.0 && rsd < 1.0, s"unique_approx(): rsd must be in (0,1), got $rsd")
+    def name = s"unique_approx(${cols.mkString(",")})"
+  }
 
   private def violations(r: Rule): Column = r match {
     case NotNull(c) => count(when(col(c).isNull, 1))
@@ -61,6 +78,18 @@ object Quality {
       // rows minus distinct key tuples; nulls participate as a value
       // (two all-null keys are duplicates, matching SQL GROUP BY)
       count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+    case UniqueApprox(cs, rsd) =>
+      // the HLL estimate can exceed the row count on unique data —
+      // clamp so the "violation count" stays a count
+      greatest(lit(0L), count(lit(1)) -
+        approx_count_distinct(struct(cs.map(col): _*), rsd))
+  }
+
+  /** Pass verdict per rule: exact rules demand zero violations; the
+    * sketch-backed rule passes within its error contract. */
+  private def passes(r: Rule, v: Column, nRows: Column): Column = r match {
+    case UniqueApprox(_, rsd) => v <= ceil(nRows * lit(3.0 * rsd))
+    case _ => v === 0L
   }
 
   /** One row per rule: (rule, n_rows, n_violations, pass). A frame with
@@ -77,12 +106,12 @@ object Quality {
     val one = df.agg(aggs.head, aggs.tail: _*)
     // constant-size pivot: one row in, |rules| rows out via stack()
     val stacked = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"), col(s"_v$i").as("n_violations"))
+      struct(lit(r.name).as("rule"), col(s"_v$i").as("n_violations"),
+        passes(r, col(s"_v$i"), col("n_rows")).as("pass"))
     }
     one.select(col("n_rows"), explode(array(stacked: _*)).as("s"))
       .select(col("s.rule").as("rule"), col("n_rows"),
-        col("s.n_violations").as("n_violations"),
-        (col("s.n_violations") === 0L).as("pass"))
+        col("s.n_violations").as("n_violations"), col("s.pass").as("pass"))
       .orderBy("rule")
   }
 }

@@ -104,5 +104,9 @@ class ContractsSpec extends SparkTestBase {
       AsOfJoin.asOfChunked(ev, ev, "user_id", "ts", "event_id",
         Seq("value"), chunkHours = 0)
     }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfForwardChunked(ev, ev, "user_id", "ts", "event_id",
+        Seq("value"), chunkHours = 0)
+    }
   }
 }

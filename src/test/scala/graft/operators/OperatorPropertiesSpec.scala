@@ -205,6 +205,15 @@ class OperatorPropertiesSpec extends SparkTestBase {
       val chunked = result(AsOfJoin.asOfChunked(
         left, right, "key", "ts", "event_id", Seq("v"), chunkHours = 1))
       assert(chunked == plain)
+      // forward direction, same histories: chunked ≡ plain
+      def fwdResult(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("asofnext_v")).map(_.toDouble)).toMap
+      val fwdPlain = fwdResult(
+        AsOfJoin.asOfForward(left, right, "key", "ts", "event_id", Seq("v")))
+      val fwdChunked = fwdResult(AsOfJoin.asOfForwardChunked(
+        left, right, "key", "ts", "event_id", Seq("v"), chunkHours = 1))
+      assert(fwdChunked == fwdPlain)
     }
   }
 

@@ -38,6 +38,39 @@ class QualitySpec extends SparkTestBase {
     assert(empty.length == 1 && empty.head.getBoolean(3))
   }
 
+  test("approx uniqueness passes within sketch noise and fails real duplication") {
+    // 10k unique ids: exact violations 0; HLL estimate is within 3·rsd
+    // noise of 10k, so the contract-gated verdict must PASS
+    val unique = (1L to 10000L).toDF("id")
+    val u = Quality.check(unique, Seq(
+      Quality.Unique(Seq("id")), Quality.UniqueApprox(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(u("unique(id)") && u("unique_approx(id)"))
+    // every id duplicated 4x: 75% violation rate is far beyond the 15%
+    // contract slack — both forms must FAIL
+    val dup = (1L to 10000L).map(_ % 2500).toDF("id")
+    val d = Quality.check(dup, Seq(
+      Quality.Unique(Seq("id")), Quality.UniqueApprox(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!d("unique(id)") && !d("unique_approx(id)"))
+    // plan shape, the point of the twin: exact uniqueness keeps a
+    // distinct aggregate (shuffles every distinct tuple; TWO exact rules
+    // on different keys additionally Expand via the multi-distinct
+    // rewrite), while any number of approx rules stay plain HLL
+    // aggregates — no distinct, no Expand, constant reducer state
+    val two = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    def planOf(rules: Seq[Quality.Rule]) =
+      Quality.check(two, rules).queryExecution.executedPlan.toString
+    val approxPlan = planOf(Seq(
+      Quality.UniqueApprox(Seq("id")), Quality.UniqueApprox(Seq("tag"))))
+    assert(approxPlan.indexOf("Expand") < 0)
+    assert(approxPlan.indexOf("approx_count_distinct") >= 0)
+    assert(approxPlan.indexOf("count(distinct") < 0)
+    assert(planOf(Seq(
+      Quality.Unique(Seq("id")), Quality.Unique(Seq("tag"))))
+      .indexOf("Expand") >= 0)
+  }
+
   test("duplicate rule names and empty rule sets are rejected") {
     intercept[IllegalArgumentException] {
       Quality.check(df, Seq(Quality.NotNull("v"), Quality.NotNull("v")))
