@@ -80,8 +80,18 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // a misspelled flag silently measuring the DEFAULT skew would
+    // publish wrong SCALE.md numbers — fail loudly on anything unknown
+    require(args.length % 2 == 0,
+      s"flags come in --key value pairs, got: ${args.mkString(" ")}")
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+    require(opts.size == args.length / 2,
+      s"every flag must start with --, got: ${args.mkString(" ")}")
+    val known = Set("rows", "hot-frac")
+    require(opts.keySet.subsetOf(known),
+      s"unknown flag(s): ${(opts.keySet -- known).mkString(", ")} " +
+        s"(known: ${known.mkString(", ")})")
     val rows = opts.getOrElse("rows", "1000000").toLong
     val hotFrac = opts.getOrElse("hot-frac", "0.33").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

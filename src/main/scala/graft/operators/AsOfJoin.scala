@@ -68,10 +68,14 @@ object AsOfJoin {
     * preserved (each payload column coalesces separately).
     *
     * The returned plan is LAZY and fully recomputable (no persist, no
-    * checkpoint): stages 1 and 2 read the union independently, and both
-    * shuffle on (key, chunk), so Spark's exchange reuse shares the scan
-    * where plans allow. Executor loss therefore recomputes instead of
-    * failing — the property an operator aimed at real clusters needs.
+    * checkpoint): executor loss recomputes instead of failing — the
+    * property an operator aimed at real clusters needs. The price is
+    * that stages 1 and 2 each shuffle the union on (key, chunk) — two
+    * shuffles per action where the former persist-based form paid one
+    * plus a cache materialization (measured FASTER lazy at gate scale:
+    * the independent stages overlap within one action). Callers
+    * replaying the result across many actions should `persist()` it —
+    * and own the unpersist — rather than re-pay both shuffles.
     *
     * `tiebreak` must be unique per (key, ts) — the same assumption
     * [[asOf]] makes for engine-independent ordering, and here the carry
@@ -79,49 +83,9 @@ object AsOfJoin {
     * final payload nondeterministic run-to-run. */
   def asOfChunked(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                   tiebreak: String, payloadCols: Seq[String],
-                  chunkHours: Int = 24): DataFrame = {
-    require(chunkHours >= 1, s"chunkHours must be >= 1, got $chunkHours")
-    val chunkMs = chunkHours * 3600000L
-    val l = left.withColumn("_side", lit(1))
-    val r = right.select(
-      Seq(col(key), col(tsCol), col(tiebreak), lit(0).as("_side")) ++
-        payloadCols.map(c => col(c).as(s"asof_$c")): _*)
-    val u = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("_chunk",
-        floor(unix_millis(col(tsCol).cast("timestamp")) / chunkMs))
-    val wLocal = Window.partitionBy(col(key), col("_chunk"))
-      .orderBy(col(tsCol), col("_side"), col(tiebreak))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val localized = payloadCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(wLocal))
-    }
-    // chunk-final value per payload column, straight from the raw union:
-    // the last non-null raw payload in the chunk (max_by over the order
-    // key, restricted to payload-bearing rows — max_by skips rows whose
-    // ordering expression is null) equals the windowed running value at
-    // the chunk's final row, without reusing the windowed frame.
-    val ord = struct(col(tsCol), col("_side"), col(tiebreak))
-    def finAgg(c: String) =
-      max_by(col(s"asof_$c"),
-        when(col(s"asof_$c").isNotNull, ord)).as(s"fin_$c")
-    val summaries = u.groupBy(col(key), col("_chunk"))
-      .agg(finAgg(payloadCols.head), payloadCols.tail.map(finAgg): _*)
-    val wCarry = Window.partitionBy(key).orderBy("_chunk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = payloadCols.foldLeft(summaries) { (df, c) =>
-      df.withColumn(s"carry_$c",
-        last(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
-    }.select(col(key) :: col("_chunk") ::
-      payloadCols.toList.map(c => col(s"carry_$c")): _*)
-    val stitched = localized.filter(col("_side") === 1)
-      .join(carry, Seq(key, "_chunk"), "left")
-    payloadCols.foldLeft(stitched) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        coalesce(col(s"asof_$c"), col(s"carry_$c")))
-        .drop(s"carry_$c")
-    }.drop("_side", "_chunk")
-  }
+                  chunkHours: Int = 24): DataFrame =
+    chunkAndCarry(left, right, key, tsCol, tiebreak, payloadCols, chunkHours,
+      backward = true)
 
   /** Hot-key-safe FORWARD as-of — [[asOfForward]] in the same
     * chunk-and-carry shape as [[asOfChunked]], mirrored in time: the
@@ -136,41 +100,74 @@ object AsOfJoin {
   def asOfForwardChunked(left: DataFrame, right: DataFrame, key: String,
                          tsCol: String, tiebreak: String,
                          payloadCols: Seq[String],
-                         chunkHours: Int = 24): DataFrame = {
+                         chunkHours: Int = 24): DataFrame =
+    chunkAndCarry(left, right, key, tsCol, tiebreak, payloadCols, chunkHours,
+      backward = false)
+
+  /** Shared chunk-and-carry body for both directions. Every
+    * direction-dependent token lives here, named, so a fix to the carry
+    * algebra cannot silently reach one direction only (the 5-seed
+    * property spec pins both against their plain forms):
+    *   - backward: left rows are side 1 (right-at-equal-ts visible),
+    *     payload prefix `asof_`, local window = running `last` over
+    *     preceding rows, chunk summary = LAST non-null raw payload
+    *     (`max_by`), carry = running `last` over PRECEDING chunks;
+    *   - forward: left rows are side 0, prefix `asofnext_`, `first`
+    *     over following rows, FIRST non-null raw payload (`min_by`),
+    *     `first` over FOLLOWING chunks. */
+  private def chunkAndCarry(left: DataFrame, right: DataFrame, key: String,
+                            tsCol: String, tiebreak: String,
+                            payloadCols: Seq[String], chunkHours: Int,
+                            backward: Boolean): DataFrame = {
     require(chunkHours >= 1, s"chunkHours must be >= 1, got $chunkHours")
     val chunkMs = chunkHours * 3600000L
-    val l = left.withColumn("_side", lit(0))
+    val leftSide = if (backward) 1 else 0
+    val prefix = if (backward) "asof_" else "asofnext_"
+    def edgeValue(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      if (backward) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val l = left.withColumn("_side", lit(leftSide))
     val r = right.select(
-      Seq(col(key), col(tsCol), col(tiebreak), lit(1).as("_side")) ++
-        payloadCols.map(c => col(c).as(s"asofnext_$c")): _*)
+      Seq(col(key), col(tsCol), col(tiebreak), lit(1 - leftSide).as("_side")) ++
+        payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_chunk",
         floor(unix_millis(col(tsCol).cast("timestamp")) / chunkMs))
-    val wLocal = Window.partitionBy(col(key), col("_chunk"))
+    val ordered = Window.partitionBy(col(key), col("_chunk"))
       .orderBy(col(tsCol), col("_side"), col(tiebreak))
-      .rowsBetween(0, Window.unboundedFollowing)
+    val wLocal =
+      if (backward) ordered.rowsBetween(Window.unboundedPreceding, 0)
+      else ordered.rowsBetween(0, Window.unboundedFollowing)
     val localized = payloadCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asofnext_$c",
-        first(col(s"asofnext_$c"), ignoreNulls = true).over(wLocal))
+      df.withColumn(s"$prefix$c", edgeValue(col(s"$prefix$c"), wLocal))
     }
+    // chunk-edge value per payload column, straight from the raw union:
+    // the last (backward) / first (forward) non-null raw payload in the
+    // chunk (max_by/min_by over the order key, restricted to
+    // payload-bearing rows — both skip rows whose ordering expression is
+    // null) equals the windowed value at the chunk's edge row, without
+    // reusing the windowed frame.
     val ord = struct(col(tsCol), col("_side"), col(tiebreak))
-    def finAgg(c: String) =
-      min_by(col(s"asofnext_$c"),
-        when(col(s"asofnext_$c").isNotNull, ord)).as(s"fin_$c")
+    def finAgg(c: String) = {
+      val guarded = when(col(s"$prefix$c").isNotNull, ord)
+      (if (backward) max_by(col(s"$prefix$c"), guarded)
+       else min_by(col(s"$prefix$c"), guarded)).as(s"fin_$c")
+    }
     val summaries = u.groupBy(col(key), col("_chunk"))
       .agg(finAgg(payloadCols.head), payloadCols.tail.map(finAgg): _*)
-    val wCarry = Window.partitionBy(key).orderBy("_chunk")
-      .rowsBetween(1, Window.unboundedFollowing)
+    val chunkOrdered = Window.partitionBy(key).orderBy("_chunk")
+    val wCarry =
+      if (backward) chunkOrdered.rowsBetween(Window.unboundedPreceding, -1)
+      else chunkOrdered.rowsBetween(1, Window.unboundedFollowing)
     val carry = payloadCols.foldLeft(summaries) { (df, c) =>
-      df.withColumn(s"carry_$c",
-        first(col(s"fin_$c"), ignoreNulls = true).over(wCarry))
+      df.withColumn(s"carry_$c", edgeValue(col(s"fin_$c"), wCarry))
     }.select(col(key) :: col("_chunk") ::
       payloadCols.toList.map(c => col(s"carry_$c")): _*)
-    val stitched = localized.filter(col("_side") === 0)
+    val stitched = localized.filter(col("_side") === leftSide)
       .join(carry, Seq(key, "_chunk"), "left")
     payloadCols.foldLeft(stitched) { (df, c) =>
-      df.withColumn(s"asofnext_$c",
-        coalesce(col(s"asofnext_$c"), col(s"carry_$c")))
+      df.withColumn(s"$prefix$c",
+        coalesce(col(s"$prefix$c"), col(s"carry_$c")))
         .drop(s"carry_$c")
     }.drop("_side", "_chunk")
   }

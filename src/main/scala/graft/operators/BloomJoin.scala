@@ -31,20 +31,29 @@ object BloomJoin {
     * the bit array is tiny, see dedup.Decontaminate). */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
                            factKey: String, dimKey: String,
-                           expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.filter(col(dimKey).isNotNull)
-      .select(xxhash64(col(dimKey)).as("k"))
-      .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
+                           expectedKeys: Long, fpp: Double = 0.01): DataFrame =
     // The broadcast handle rides inside the codegen'd probe expression:
     // bits ship once per executor, and once the returned plan becomes
     // unreachable Spark's ContextCleaner reclaims the broadcast blocks —
     // no per-call accumulation in a long-lived session. Callers needing
-    // deterministic release can localCheckpoint the result and destroy().
+    // deterministic release use [[bloomPrefilteredJoinEager]].
+    buildAndJoin(fact, dim, factKey, dimKey, expectedKeys, fpp)._1
+
+  /** The one filter-build-and-join body both entry points share — the
+    * sizing floor, null handling, and probe construction must never
+    * diverge between the lazy and eager forms. */
+  private def buildAndJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedKeys: Long, fpp: Double):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]) = {
+    val bf = dim.filter(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey)).as("k"))
+      .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
     val might = graft.functions.HashExpressions
       .bloomMightContain(xxhash64(col(factKey)), bfB)
-    fact.filter(col(factKey).isNotNull && might)
-      .join(dim, fact(factKey) === dim(dimKey))
+    (fact.filter(col(factKey).isNotNull && might)
+      .join(dim, fact(factKey) === dim(dimKey)), bfB)
   }
 
   /** [[bloomPrefilteredJoin]] with DETERMINISTIC broadcast release — the
@@ -73,18 +82,10 @@ object BloomJoin {
       factKey: String, dimKey: String, expectedKeys: Long, fpp: Double):
       (DataFrame, org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter]) = {
-    val bf = dim.filter(col(dimKey).isNotNull)
-      .select(xxhash64(col(dimKey)).as("k"))
-      .stat.bloomFilter("k", math.max(4096L, expectedKeys), fpp)
-    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    try {
-      val might = graft.functions.HashExpressions
-        .bloomMightContain(xxhash64(col(factKey)), bfB)
-      val out = fact.filter(col(factKey).isNotNull && might)
-        .join(dim, fact(factKey) === dim(dimKey))
-        .localCheckpoint(eager = true)
-      (out, bfB)
-    } finally {
+    val (joined, bfB) =
+      buildAndJoin(fact, dim, factKey, dimKey, expectedKeys, fpp)
+    try (joined.localCheckpoint(eager = true), bfB)
+    finally {
       // blocking destroy: the bits are gone on every executor when the
       // call returns, not whenever the cleaner's weak refs flush
       bfB.destroy()

@@ -73,19 +73,27 @@ object CuratedWriter {
       .filter(_.nonEmpty).mkString("; ")
   }
 
-  /** Pure driver-side drift computation (unit-testable without IO). */
+  /** Pure driver-side drift computation (unit-testable without IO).
+    * `ignoreTypesFor`: columns whose TYPE is exempt from the changed
+    * check — the checked writer passes its partition columns here,
+    * because hive-layout partition values live in directory names and
+    * come back through partition-discovery type INFERENCE (`month=01`
+    * re-reads as int), so their type identity legitimately does not
+    * survive a round-trip; presence is still checked. */
   def schemaDrift(incoming: org.apache.spark.sql.types.StructType,
-                  existing: org.apache.spark.sql.types.StructType): SchemaDrift = {
+                  existing: org.apache.spark.sql.types.StructType,
+                  ignoreTypesFor: Set[String] = Set.empty): SchemaDrift = {
     val in = incoming.fields.map(f => f.name.toLowerCase -> f).toMap
     val ex = existing.fields.map(f => f.name.toLowerCase -> f).toMap
+    val exempt = ignoreTypesFor.map(_.toLowerCase)
     SchemaDrift(
       added = incoming.fields.collect {
         case f if !ex.contains(f.name.toLowerCase) => f.name }.toSeq,
       missing = existing.fields.collect {
         case f if !in.contains(f.name.toLowerCase) => f.name }.toSeq,
       typeChanged = incoming.fields.collect {
-        case f if ex.get(f.name.toLowerCase)
-          .exists(_.dataType != f.dataType) =>
+        case f if !exempt.contains(f.name.toLowerCase) &&
+          ex.get(f.name.toLowerCase).exists(_.dataType != f.dataType) =>
           s"${f.name} (${ex(f.name.toLowerCase).dataType.simpleString} -> " +
             s"${f.dataType.simpleString})" }.toSeq)
   }
@@ -117,13 +125,27 @@ object CuratedWriter {
     val spark = df.sparkSession
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an existing-but-fileless directory (a prior run died before its
+    // first commit, or tooling mkdir'd the path) is as drift-free as a
+    // missing one — schema inference would throw on it, so require an
+    // actual data file before treating the tree as "existing". A tree
+    // with unreadable data still fails loudly inside the schema read.
+    def hasDataFile: Boolean = {
+      val it = fs.listFiles(fsPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !(name.startsWith("_") || name.startsWith("."))
+      }
+      found
+    }
     val existing = existingSchema.orElse {
-      if (fs.exists(fsPath))
+      if (fs.exists(fsPath) && hasDataFile)
         Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
       else None
     }
     existing.foreach { ex =>
-      val drift = schemaDrift(df.schema, ex)
+      val drift = schemaDrift(df.schema, ex, ignoreTypesFor = cols.toSet)
       if (drift.typeChanged.nonEmpty) throw new IllegalStateException(
         s"schema drift with incompatible types at $path — ${drift}")
       if (!drift.isEmpty && !widen) throw new IllegalStateException(

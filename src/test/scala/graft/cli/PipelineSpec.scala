@@ -163,6 +163,22 @@ class PipelineSpec extends SparkTestBase {
       same.select($"id".as("ID"), $"text", $"lang", $"month").schema,
       base.schema)
     assert(d.isEmpty)
+
+    // numeric-looking partition values: the value lives in the directory
+    // name and partition discovery re-infers it as int — the guard must
+    // NOT refuse the writer's own round-trip over that phantom change
+    val numeric = Seq((1L, "a", "01"), (2L, "b", "02")).toDF("id", "text", "month")
+    val npath = s"$dir/numeric"
+    CuratedWriter.writePartitionedIncrementalChecked(numeric, npath, Seq("month"))
+    CuratedWriter.writePartitionedIncrementalChecked(
+      Seq((3L, "c", "03")).toDF("id", "text", "month"), npath, Seq("month"))
+    assert(spark.read.parquet(npath).count() == 3)
+
+    // an existing-but-empty directory is as drift-free as a missing one
+    val epath = s"$dir/empty"
+    new java.io.File(epath).mkdirs()
+    CuratedWriter.writePartitionedIncrementalChecked(base, epath, Seq("month"))
+    assert(spark.read.parquet(epath).count() == 2)
   }
 
   test("CSV sink + zone-lookup dimension scan round-trip") {
