@@ -546,6 +546,26 @@ object SparkEntry {
           df => graft.streaming.EventStreams.enrichedSegmentCounts(
             df, Tables.customer(s, d)))
         .orderBy("c_mktsegment")),
+    // the real runtime into a FILE sink: micro-batches land in a curated
+    // partitioned tree via foreachBatch + the drift-guarded writer,
+    // overwrite-by-batch-id (replay-idempotent). The tree's CONTENTS are
+    // the full event set regardless of how files batched, so the
+    // read-back aggregate is fully pinned to the raw table
+    "st7_stream_curated_sink" -> q((s, d) => withTempDir("graft_st7") { dir =>
+      val ev = Tables.events(s, d)
+      ev.coalesce(2).write.parquet(s"$dir/in")
+      val schema = s.read.parquet(s"$dir/in").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val q2 = graft.streaming.EventStreams.writeCuratedStream(
+        stream, s"$dir/curated", Seq("event_type"), s"$dir/ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+      s.read.parquet(s"$dir/curated")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"),
+          count(when(col("value").isNull, 1)).as("n_null_value"))
+        .orderBy("event_type")
+    }),
     // data-quality assertion report (the validate-before-ingest pass —
     // the reference's interleaved ad-hoc count() checks as ONE
     // aggregation): every rule type exercised, all counts pinned
@@ -1944,6 +1964,11 @@ object SparkEntry {
            round(sum(value), 4) AS value_sum
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    "st7_stream_curated_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3

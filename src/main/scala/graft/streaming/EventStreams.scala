@@ -227,6 +227,41 @@ object EventStreams {
     throughStream(spark, batch, OutputMode.Append(), inputFiles, statePartitions)(
       dedupStream(_, keyCols, tsCol, watermark))
 
+  /** One micro-batch of [[writeCuratedStream]]: land `batch` into the
+    * curated tree under partition `_batch_id=batchId` (plus the user's
+    * partition columns) via the drift-guarded dynamic-overwrite writer.
+    * Overwrite-by-batch-id is what turns foreachBatch's at-least-once
+    * into exactly-once for a file sink: a replayed batch REPLACES
+    * exactly its own partitions instead of appending duplicates.
+    * Exposed so the spec can replay a batch id and assert idempotence
+    * directly, without staging a runtime failure. */
+  def landCuratedBatch(batch: DataFrame, batchId: Long, path: String,
+                       partitionCols: Seq[String],
+                       widen: Boolean = false): Unit =
+    graft.sources.CuratedWriter.writePartitionedIncrementalChecked(
+      batch.withColumn("_batch_id", lit(batchId)),
+      path, "_batch_id" +: partitionCols, widen)
+
+  /** Production file sink for a stream: every micro-batch lands in a
+    * partitioned curated parquet tree through the SAME write-boundary
+    * guarantees as batch ingestion — the schema-drift guard refuses a
+    * silently drifted upstream (failing the query rather than
+    * corrupting the tree; `widen = true` accepts drift explicitly), and
+    * overwrite-by-batch-id makes retries idempotent (exactly-once
+    * contents under foreachBatch's at-least-once replay). Readers
+    * `spark.read.parquet(path)` and drop `_batch_id`, or prune on it
+    * for incremental downstream consumption. */
+  def writeCuratedStream(stream: DataFrame, path: String,
+                         partitionCols: Seq[String], checkpoint: String,
+                         widen: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landCuratedBatch(batch, batchId, path, partitionCols, widen)
+      }
+      .start()
+
   /** Wire the windowed-count pipeline from a parquet directory stream to
     * a memory sink — files dropped into `dir` are picked up as
     * micro-batches. Complete mode re-emits the full aggregate each

@@ -82,6 +82,40 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("curated stream sink: drift-guarded landing, idempotent batch replay") {
+    val dir = tempDir("graft-curated-stream")
+    val path = s"$dir/curated"
+    // end-to-end: file-source stream -> foreachBatch -> curated tree
+    sample.take(3).toDF().write.parquet(s"$dir/in/b1.parquet")
+    val schema = spark.read.parquet(s"$dir/in/b1.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*.parquet")
+    val q = EventStreams.writeCuratedStream(stream, path,
+      Seq("event_type"), s"$dir/ckpt")
+    try {
+      q.processAllAvailable()
+      sample.drop(3).toDF().write.parquet(s"$dir/in/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(path)
+    assert(back.count() == 5)
+    assert(back.select("event_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // replaying an already-landed batch id REPLACES its partitions —
+    // exactly-once contents under foreachBatch's at-least-once retries
+    val replayedId = back.select("_batch_id").as[Long].head()
+    val replay = back.filter($"_batch_id" === replayedId)
+      .drop("_batch_id", "event_type")
+      .join(sample.toDF().select("event_id", "event_type"), "event_id")
+    EventStreams.landCuratedBatch(replay, replayedId, path, Seq("event_type"))
+    assert(spark.read.parquet(path).count() == 5, "replay duplicated rows")
+    // a silently drifted upstream batch is refused, not landed
+    val drifted = sample.take(1).toDF()
+      .drop("value").withColumn("score", lit(1.0))
+    intercept[IllegalStateException] {
+      EventStreams.landCuratedBatch(drifted, 99L, path, Seq("event_type"))
+    }
+    assert(spark.read.parquet(path).count() == 5, "drifted batch landed")
+  }
+
   test("windowed counts recover exactly from the checkpoint across a restart") {
     import spark.implicits._
     val dir = tempDir("graft-restart")
