@@ -362,6 +362,32 @@ object SparkEntry {
       graft.operators.SnapshotDiff.diffCounts(oldSnap, newSnap,
         "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
     }),
+    // MERGE/upsert applied to a snapshot: deterministic synthetic
+    // changeset (deletes, in-place updates, brand-new keys), result
+    // membership pinned per status via count / key-sum / price mass
+    "u4_merge_apply" -> q((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val deletes = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("delete").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val updates = base
+        .filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("upsert").as("op"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 1.2, 2).as("o_totalprice"))
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("upsert").as("op"), lit("N").as("o_orderstatus"),
+          lit(100.0).as("o_totalprice"))
+      val merged = graft.operators.SnapshotDiff.applyChangeset(
+        base, deletes.unionByName(updates).unionByName(inserts), "o_orderkey")
+      merged.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("key_sum"),
+          round(sum("o_totalprice"), 0).as("total"))
+        .orderBy("o_orderstatus")
+    }),
     // persistent bucketed layout end to end: both join sides written
     // bucketBy(8) on the key, then the co-located join (SortMergeJoin
     // with ZERO Exchange — asserted in BucketingSpec) must reproduce the
@@ -1793,6 +1819,25 @@ object SparkEntry {
            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          SELECT status, count(*) AS cnt FROM d WHERE status IS NOT NULL
          GROUP BY 1 ORDER BY status""",
+    "u4_merge_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         ch AS (
+           SELECT o_orderkey, 'delete' AS op, NULL AS o_orderstatus,
+             NULL::DOUBLE AS o_totalprice FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, 'upsert', o_orderstatus, round(o_totalprice * 1.2, 2)
+           FROM base WHERE o_orderkey % 5 != 0 AND o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'upsert', 'N', 100.0
+           FROM base WHERE o_orderkey % 11 = 0),
+         merged AS (
+           SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE op = 'upsert')
+         SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 0) AS total
+         FROM merged GROUP BY 1 ORDER BY o_orderstatus""",
     "u1_union_by_name" ->
       """SELECT 'customer' AS kind, c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
          c_mktsegment AS segment FROM customer

@@ -71,4 +71,64 @@ object SnapshotDiff {
     diff(oldSnap, newSnap, key, compareCols)
       .groupBy("status").agg(count(lit(1)).as("cnt"))
       .orderBy("status")
+
+  /** Materialized changeset between two snapshots — [[diff]] carrying
+    * the payload needed to REPLAY it: `(key, op, compareCols…)` where
+    * `op = "upsert"` (added or changed rows, payload from the NEW
+    * snapshot) or `"delete"` (removed rows, null payload). Feeding this
+    * to [[applyChangeset]] on the old snapshot reproduces the new one —
+    * the round-trip [[SnapshotDiffSpec]] pins — so a full republished
+    * snapshot can be shipped downstream as a (usually tiny) delta
+    * instead of a full rewrite.
+    *
+    * Same single full-outer join and unique-key CONTRACT as [[diff]]. */
+  def changeset(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(key).as("_k"),
+      struct(compareCols.map(col): _*).as("_old"))
+    val n = newSnap.select(col(key).as("_k2"),
+      struct(compareCols.map(col): _*).as("_new"))
+    o.withColumn("_in_old", lit(true))
+      .join(n.withColumn("_in_new", lit(true)), col("_k") <=> col("_k2"), "full_outer")
+      .withColumn("op",
+        when(col("_in_old").isNull, "upsert")          // added
+          .when(col("_in_new").isNull, "delete")       // removed
+          .when(!(col("_old") <=> col("_new")), "upsert")) // changed
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("_k"), col("_k2")).as(key) +: col("op") +:
+        compareCols.map(c => col(s"_new.$c").as(c)): _*)
+  }
+
+  /** MERGE: apply a changeset to a base snapshot. Keys carrying
+    * `op = "upsert"` take the changeset payload (update-or-insert), keys
+    * carrying `"delete"` vanish, every other base row passes through —
+    * the upsert primitive that turns the monthly "corrected re-upload"
+    * (the reference's TLC republish case, Report.pdf §7.3) into an
+    * incremental apply instead of a full-table rewrite.
+    *
+    * Plan shape: ONE left-anti join of the base against the changeset
+    * keys plus a union of the upsert rows — the base is never shuffled
+    * wider than its key, and when the changeset is small (the normal
+    * case: deltas are tiny next to the snapshot) Spark broadcasts the
+    * anti-join side, leaving the 100 TB base un-shuffled entirely.
+    * Null-safe on the key like [[diff]]. Any op value other than
+    * upsert/delete fails the job at execution time (row-local
+    * `raise_error` — no separate validation pass over the changeset).
+    *
+    * CONTRACT: `changes` must be unique per key (one op per key per
+    * batch — collapse a multi-op log with [[dedupKeys]] first);
+    * changeset payload columns must match the base schema minus `opCol`
+    * (enforced by the union-by-name). */
+  def applyChangeset(base: DataFrame, changes: DataFrame, key: String,
+                     opCol: String = "op"): DataFrame = {
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChangeset: unknown op in '$opCol': "), col(opCol)))))
+    val untouched = base.join(
+      checked.select(col(key).as("_ck")), col(key) <=> col("_ck"), "left_anti")
+    untouched.unionByName(
+      checked.filter(col(opCol) === "upsert").drop(opCol)
+        .select(base.columns.map(col): _*))
+  }
 }

@@ -42,6 +42,40 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(d == Map(1L -> "changed", 3L -> "added"))
   }
 
+  test("changeset round-trips: applyChangeset(old, changeset(old,new)) == new") {
+    val oldSnap = Seq(
+      (1L, Some("a"), 10.0), // unchanged — must NOT appear in the changeset
+      (2L, Some("b"), 20.0), // changed
+      (3L, Some("c"), 30.0), // removed
+      (4L, None: Option[String], 40.0)) // null -> value change
+      .toDF("k", "s", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, Some("b"), 21.0),
+      (4L, Some("x"), 40.0),
+      (5L, Some("e"), 50.0)) // added
+      .toDF("k", "s", "v")
+    val cs = SnapshotDiff.changeset(oldSnap, newSnap, "k", Seq("s", "v"))
+    val ops = cs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(2L -> "upsert", 3L -> "delete", 4L -> "upsert", 5L -> "upsert"))
+    // delete rows carry null payload; upserts carry the NEW payload
+    val merged = SnapshotDiff.applyChangeset(oldSnap, cs, "k")
+    val got = merged.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    val want = newSnap.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("applyChangeset fails fast on an unknown op value") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val bad = Seq((1L, "replace", "z")).toDF("k", "op", "s")
+    val e = intercept[Exception] {
+      SnapshotDiff.applyChangeset(base, bad, "k").collect()
+    }
+    assert(e.getMessage.contains("unknown op"))
+  }
+
   test("dedupKeys collapses republished keys last-writer-wins") {
     val snap = Seq(
       (1L, "v1", 100L), (1L, "v2", 200L), // republished: keep seq 200
