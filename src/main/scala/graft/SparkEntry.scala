@@ -362,6 +362,14 @@ object SparkEntry {
       graft.operators.SnapshotDiff.diffCounts(oldSnap, newSnap,
         "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
     }),
+    // SCD type-2 dimension history from the orders log: per customer,
+    // priority observations ordered by (date, orderkey) collapse into
+    // validity-interval versions — full history rows pinned
+    "u5_scd2_history" -> q((s, d) =>
+      graft.operators.Scd2.build(
+          Tables.orders(s, d).filter(col("o_custkey") < 100),
+          "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+        .orderBy("o_custkey", "version")),
     // MERGE/upsert applied to a snapshot: deterministic synthetic
     // changeset (deletes, in-place updates, brand-new keys), result
     // membership pinned per status via count / key-sum / price mass
@@ -1819,6 +1827,21 @@ object SparkEntry {
            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          SELECT status, count(*) AS cnt FROM d WHERE status IS NOT NULL
          GROUP BY 1 ORDER BY status""",
+    "u5_scd2_history" ->
+      """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
+             o_orderpriority AS attr, o_orderkey AS tb
+           FROM orders WHERE o_custkey < 100),
+         l AS (SELECT k, ts, attr, tb,
+             lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
+         s AS (SELECT k, ts, attr, tb FROM l
+           WHERE prev IS NULL OR attr IS DISTINCT FROM prev),
+         v AS (SELECT k, attr, ts AS valid_from,
+             row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS version,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+           FROM s)
+         SELECT k AS o_custkey, attr AS o_orderpriority, version,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+         FROM v ORDER BY o_custkey, version""",
     "u4_merge_apply" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          ch AS (

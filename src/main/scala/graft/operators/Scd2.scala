@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build: turn an event log of
+  * attribute observations into versioned validity intervals — the curated
+  * "dimension with history" table a warehouse keeps next to the fact
+  * stream (the reference keeps only current-state dimensions — the TLC
+  * zone lookup; this is the standard extension when a dimension's
+  * attributes drift month to month).
+  *
+  * Semantics: events are ordered per key by `(tsCol, tiebreakCol)`;
+  * consecutive events whose tracked attributes are unchanged open NO new
+  * version (null-safe struct compare); each surviving event opens a
+  * version valid from its timestamp until the next version's timestamp
+  * (`valid_to` null while current).
+  *
+  * Plan shape: ONE shuffle on the key feeds both window passes — the
+  * change-collapse lag and the interval lead run over the same
+  * `(key)×(ts, tiebreak)` spec, and the second window sees rows already
+  * hash-partitioned by the key, so Catalyst plans Exchange once. Per-key
+  * width is the entity's OBSERVATION count (bounded by dimension churn,
+  * not corpus size), so the per-key sort holds at 100 TB fact scale —
+  * dimension logs are the small, churn-bounded side. A key whose raw
+  * observation log itself is pathological routes through the same
+  * chunk-and-carry pattern as [[Windows.sessionizeChunked]].
+  */
+object Scd2 {
+
+  /** CONTRACT: `tiebreakCol` must be unique per key (it disambiguates
+    * same-timestamp observations; a duplicate tiebreak would make the
+    * version ordering nondeterministic). Output: one row per version —
+    * `key, version (1-based), attrCols…, valid_from, valid_to,
+    * is_current`. */
+  def build(log: DataFrame, key: String, tsCol: String,
+            attrCols: Seq[String], tiebreakCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "scd2: attrCols must be non-empty")
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tiebreakCol))
+    val payload = struct(attrCols.map(col): _*)
+    val changed = log
+      .select(col(key) +: col(tsCol) +: col(tiebreakCol) +: attrCols.map(col): _*)
+      .withColumn("_prev", lag(payload, 1).over(w))
+      // first observation per key, or any tracked attribute changed
+      .filter(col("_prev").isNull || !(payload <=> col("_prev")))
+      .drop("_prev")
+    changed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol, tiebreakCol)
+  }
+
+  /** Point-in-time lookup against a built history: the dimension row
+    * version in effect at `asOf` per key — `valid_from <= asOf <
+    * valid_to` (current rows have open `valid_to`). A filter, not a
+    * join: pushable straight into the history scan. */
+  def asOf(history: DataFrame, asOfTs: java.sql.Timestamp): DataFrame =
+    history.filter(col("valid_from") <= lit(asOfTs) &&
+      (col("valid_to").isNull || col("valid_to") > lit(asOfTs)))
+}

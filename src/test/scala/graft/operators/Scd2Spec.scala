@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class Scd2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val log = Seq(
+    // key 1: A -> A (collapse) -> B -> B (collapse) -> C
+    (1L, ts("2024-01-01 00:00:00"), 10L, "A"),
+    (1L, ts("2024-01-02 00:00:00"), 11L, "A"),
+    (1L, ts("2024-01-03 00:00:00"), 12L, "B"),
+    (1L, ts("2024-01-04 00:00:00"), 13L, "B"),
+    (1L, ts("2024-01-05 00:00:00"), 14L, "C"),
+    // key 2: single observation stays current
+    (2L, ts("2024-02-01 00:00:00"), 20L, "X"))
+    .toDF("k", "obs_ts", "seq", "attr")
+
+  test("collapses unchanged runs and chains validity intervals") {
+    val h = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
+      .orderBy("k", "version").collect()
+    val rows = h.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+      r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      (1L, "A", 1, ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "B", 2, ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
+      (1L, "C", 3, ts("2024-01-05 00:00:00"), None, true),
+      (2L, "X", 1, ts("2024-02-01 00:00:00"), None, true)))
+  }
+
+  test("same-timestamp observations are ordered by the tiebreak") {
+    val tied = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "B"),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"))
+      .toDF("k", "obs_ts", "seq", "attr")
+    val h = Scd2.build(tied, "k", "obs_ts", Seq("attr"), "seq")
+      .orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("A", "B"))
+    assert(h.map(_.getBoolean(5)).toSeq == Seq(false, true))
+  }
+
+  test("null-safe attribute compare: null -> value opens a version") {
+    val withNull = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, None: Option[String]),
+      (1L, ts("2024-01-02 00:00:00"), 2L, None: Option[String]), // collapse
+      (1L, ts("2024-01-03 00:00:00"), 3L, Some("A")))
+      .toDF("k", "obs_ts", "seq", "attr")
+    val h = Scd2.build(withNull, "k", "obs_ts", Seq("attr"), "seq").collect()
+    assert(h.length == 2)
+  }
+
+  test("asOf returns the version in effect at the probe instant") {
+    val h = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
+    val at = Scd2.asOf(h, ts("2024-01-03 12:00:00"))
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 is mid-version-B; key 2 not yet born
+    assert(at == Map(1L -> "B"))
+    val later = Scd2.asOf(h, ts("2024-03-01 00:00:00"))
+      .select("k", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(later == Map(1L -> "C", 2L -> "X"))
+  }
+
+  test("one shuffle: a single Exchange below both window passes") {
+    val plan = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+}
