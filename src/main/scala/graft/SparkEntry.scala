@@ -759,6 +759,12 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "t11_top_bigrams" -> q((s, d) => TextAnalysis.topBigrams(Tables.documents(s, d))),
+    // BM25 lexical retrieval: top-25 docs for a fixed 4-term query,
+    // Lucene idf, scores rounded to 6 with doc_id tiebreak — the oracle
+    // recomputes the identical formula from the same tokenization
+    "r1_bm25_topk" -> q((s, d) =>
+      graft.text.Bm25.topK(Tables.documents(s, d),
+        Seq("hash", "join", "window", "spark"), k = 25)),
     "t8_fingerprints" -> q((s, d) =>
       TextAnalysis.withFingerprint(Tables.documents(s, d))
         .select("doc_id", "fp").orderBy("doc_id").limit(100)),
@@ -2544,6 +2550,23 @@ object SparkEntry {
              i -> abs(v[i] - qv[i] * scale))) <= scale * 0.5 + 1e-12
              AS within_half_scale
          FROM q ORDER BY vec_id LIMIT 100""",
+    "r1_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         dd AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+         nd AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dd),
+         q AS (SELECT unnest(['hash', 'join', 'window', 'spark']) AS term),
+         tf AS (SELECT doc_id, dl, term,
+             len(list_filter(tk, x -> x = term)) AS tf
+           FROM dd CROSS JOIN q),
+         c AS (SELECT * FROM tf WHERE tf > 0),
+         dfx AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
+         sc AS (SELECT doc_id,
+             sum(ln(1 + (nd.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               * c.tf * (1.2 + 1.0)
+               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * c.dl / nd.avgdl))) AS score
+           FROM c JOIN dfx USING (term) CROSS JOIN nd GROUP BY 1)
+         SELECT doc_id, round(score, 6) AS bm25 FROM sc
+         ORDER BY round(score, 6) DESC, doc_id LIMIT 25""",
     "t15_tfidf_top_terms" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
