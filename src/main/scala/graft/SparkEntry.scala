@@ -1149,6 +1149,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("source")),
+    // Efraimidis–Spirakis exact-k weighted draw: weight = quality
+    // rounded to 6 (bit-reproducible on both sides), u from the seeded
+    // id hash, sample = top-40 by u^(1/w) — full selected rows pinned
+    // in rank order against the oracle's recomputation
+    "r2_weighted_sample" -> q((s, d) => {
+      val withW = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("weight",
+          round(graft.text.TextAnalysis.qualityScore(col("text")), 6))
+      graft.pipeline.TrainingData
+        .weightedSampleExact(withW, 40, col("weight"))
+        .select(col("doc_id"), col("weight"),
+          round(col("es_key"), 6).as("es_key"))
+    }),
     // quality-proportional deterministic thinning: keep probability
     // min(quality·rate, 1) decided by the id hash — kept membership is a
     // pure function of (id, text); the oracle recomputes the same
@@ -2377,6 +2390,23 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "r2_weighted_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+           round((least(len($toks) / 50.0, 1.0)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                 ELSE 0 END) * 5.0, 1.0))
+             + least((CASE WHEN len($toks) > 0
+                 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks)
+                 ELSE 0 END) * 5.0, 1.0)) / 3.0, 6) AS weight
+           FROM documents),
+         k AS (SELECT doc_id, weight,
+             pow((${fnvSql("CAST(doc_id AS VARCHAR) || ':42'", 2166136261L)}
+                   % 1000000 + 0.5) / 1000000.0,
+               1.0 / weight) AS es_key
+           FROM m WHERE weight > 0)
+         SELECT doc_id, weight, round(es_key, 6) AS es_key
+         FROM k ORDER BY k.es_key DESC, doc_id LIMIT 40""",
     "tp4_quality_weighted" ->
       s"""WITH m AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
            round((least(len($toks) / 50.0, 1.0)

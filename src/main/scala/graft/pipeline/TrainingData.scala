@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -185,6 +185,39 @@ object TrainingData {
     documents.filter(
       pmod(graft.functions.HashExpressions.fnv1a32(col(idCol).cast("string")),
         lit(1000000L)).cast("double") < p * 1000000.0)
+  }
+
+  /** EXACT-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006): each row draws the key `u^(1/w)` — `u` a uniform in
+    * (0,1) derived deterministically from `fnv1a32(id ++ ":" ++ seed)`,
+    * `w` its positive weight — and the k largest keys are the sample.
+    * A-ES makes the inclusion law exactly the sequential
+    * weighted-without-replacement draw, where Bernoulli thinning
+    * ([[qualityWeightedSample]]) only controls E[size] and per-row
+    * marginals. The draw is a pure function of (ids, weights, seed):
+    * reproducible across re-runs, engines (oracle-pinnable), and task
+    * retries; changing the seed redraws independently (the property the
+    * statistical spec exercises).
+    *
+    * Scale shape: key computation is row-local codegen; selection is
+    * `orderBy(key).limit(k)` — a TakeOrderedAndProject per-partition
+    * heap carrying k rows per partition to the driver merge, never a
+    * global sort. Rows with `w ≤ 0` have zero inclusion probability and
+    * are filtered (A-ES is undefined there).
+    *
+    * CONTRACT: for cross-engine reproducibility the weight must itself
+    * be a bit-reproducible function of the row (the r2 gate rounds the
+    * quality score to 6 decimals on both sides before use). */
+  def weightedSampleExact(df: DataFrame, k: Int, weight: Column,
+                          idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    require(k > 0, s"weightedSampleExact: k must be positive, got $k")
+    val u = (pmod(graft.functions.HashExpressions.fnv1a32(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    df.filter(weight > 0)
+      .withColumn("es_key", pow(u, lit(1.0) / weight))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
   }
 
   /** Trim the corpus to the central token-length band: keep documents

@@ -149,6 +149,47 @@ class TrainingDataSpec extends SparkTestBase {
       .filter(col("doc_id") > 0).isEmpty)
   }
 
+  test("weightedSampleExact: exact k, deterministic, weight-proportional inclusion") {
+    import org.apache.spark.sql.functions._
+    // 100 rows: ids 1..10 carry weight 9, ids 11..100 weight 1
+    val rows = (1 to 100).map(i => (i.toLong, if (i <= 10) 9.0 else 1.0))
+      .toDF("doc_id", "w")
+    val s1 = TrainingData.weightedSampleExact(rows, 10, col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 10)
+    // pure function of (ids, weights, seed): repartitioning changes nothing
+    val s2 = TrainingData.weightedSampleExact(rows.repartition(7), 10, col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s1)
+    // different seed draws a different sample (with overwhelming probability)
+    val s3 = TrainingData.weightedSampleExact(rows, 10, col("w"), seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // inclusion law over 60 seeds: heavy ids (10% of rows, 50% of mass)
+    // must fill far more than their count share of the sample. Expected
+    // heavy fraction under A-ES ≈ 0.45; count-proportional would be 0.10.
+    val heavyFrac = (1 to 60).map { sd =>
+      val got = TrainingData.weightedSampleExact(rows, 10, col("w"), seed = sd.toLong)
+        .select("doc_id").as[Long].collect()
+      got.count(_ <= 10L).toDouble / got.length
+    }.sum / 60
+    assert(heavyFrac > 0.30 && heavyFrac < 0.60, s"heavy fraction $heavyFrac")
+  }
+
+  test("weightedSampleExact: non-positive weights are excluded; top-k plan shape") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 20).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 0.0))
+      .toDF("doc_id", "w")
+    val got = TrainingData.weightedSampleExact(rows, 15, col("w"))
+      .select("doc_id").as[Long].collect()
+    assert(got.forall(_ % 2 == 0) && got.length == 10) // only 10 eligible
+    val plan = TrainingData.weightedSampleExact(rows, 5, col("w"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException](
+      TrainingData.weightedSampleExact(rows, 0, col("w")))
+  }
+
   test("trimToLengthBand drops both tails") {
     import org.apache.spark.sql.functions._
     // lengths 1..100 tokens: p5=~5.95, p95=~95.05 → keep 6..95
