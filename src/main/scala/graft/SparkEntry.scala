@@ -1162,6 +1162,16 @@ object SparkEntry {
         .select(col("doc_id"), col("weight"),
           round(col("es_key"), 6).as("es_key"))
     }),
+    // DSIR importance resampling: hashed unigram+bigram bucket models
+    // (target = English docs, raw = the rest), add-1-smoothed log
+    // importance ratios summed per doc, Gumbel top-30 draw — selected
+    // rows pinned in rank order against the oracle's full replay
+    "r3_dsir_select" -> q((s, d) =>
+      graft.text.Dsir.selectTopK(Tables.documents(s, d),
+          col("lang") === "en", k = 30, buckets = 4096)
+        .select(col("doc_id"), col("n_features"),
+          round(col("log_w"), 6).as("log_w"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))),
     // quality-proportional deterministic thinning: keep probability
     // min(quality·rate, 1) decided by the id hash — kept membership is a
     // pure function of (id, text); the oracle recomputes the same
@@ -2390,6 +2400,31 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
            min(doc_id) AS id_min, max(doc_id) AS id_max
          FROM kept GROUP BY 1 ORDER BY source""",
+    "r3_dsir_select" ->
+      s"""WITH f AS (SELECT doc_id, lang = 'en' AS t,
+             unnest(list_concat($toks,
+               CASE WHEN len($toks) >= 2
+                 THEN list_transform(range(0, len($toks) - 1),
+                        i -> array_to_string(($toks)[i+1:i+2], ' '))
+                 ELSE [] END)) AS feat
+           FROM documents),
+         fb AS (SELECT doc_id, t, ${fnvSql("feat", 2166136261L)} % 4096 AS b
+           FROM f),
+         m AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+           FROM fb GROUP BY 1),
+         tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM m),
+         lr AS (SELECT b, ln((ct + 1.0) / (tt + 4096))
+             - ln((cr + 1.0) / (tr + 4096)) AS lr FROM m, tot),
+         sc AS (SELECT doc_id, count(*) AS n_features, sum(lr) AS log_w
+           FROM fb JOIN lr USING (b) WHERE NOT t GROUP BY 1),
+         g AS (SELECT doc_id, n_features, log_w,
+             log_w - ln(-ln((${fnvSql("CAST(doc_id AS VARCHAR) || ':42'", 2166136261L)}
+               % 1000000 + 0.5) / 1000000.0)) AS gk
+           FROM sc)
+         SELECT doc_id, n_features, round(log_w, 6) AS log_w,
+           round(gk, 6) AS gumbel_key
+         FROM g ORDER BY g.gk DESC, doc_id LIMIT 30""",
     "r2_weighted_sample" ->
       s"""WITH m AS (SELECT doc_id,
            round((least(len($toks) / 50.0, 1.0)
