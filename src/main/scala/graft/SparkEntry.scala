@@ -370,6 +370,19 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // temporal (point-in-time) dimension join: every order matched to
+    // the priority version in effect at its own order date — the half-
+    // open validity intervals make the match one-to-exactly-one here
+    "u6_scd2_temporal_join" -> q((s, d) => {
+      val pool = Tables.orders(s, d).filter(col("o_custkey") < 50)
+      val hist = graft.operators.Scd2.build(pool,
+        "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+      val facts = pool.select("o_orderkey", "o_custkey", "o_orderdate")
+      graft.operators.Scd2.joinAsOf(facts, hist, "o_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("version"))
+        .orderBy("o_orderkey")
+    }),
     // MERGE/upsert applied to a snapshot: deterministic synthetic
     // changeset (deletes, in-place updates, brand-new keys), result
     // membership pinned per status via count / key-sum / price mass
@@ -1871,6 +1884,24 @@ object SparkEntry {
          SELECT k AS o_custkey, attr AS o_orderpriority, version,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "u6_scd2_temporal_join" ->
+      """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
+             o_orderpriority AS attr, o_orderkey AS tb
+           FROM orders WHERE o_custkey < 50),
+         l AS (SELECT k, ts, attr, tb,
+             lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
+         s AS (SELECT k, ts, attr, tb FROM l
+           WHERE prev IS NULL OR attr IS DISTINCT FROM prev),
+         v AS (SELECT k, attr, ts AS valid_from,
+             row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS version,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+           FROM s)
+         SELECT o.o_orderkey, o.o_custkey, v.attr AS o_orderpriority, v.version
+         FROM orders o JOIN v ON o.o_custkey = v.k
+           AND o.o_orderdate >= v.valid_from
+           AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+         WHERE o.o_custkey < 50
+         ORDER BY o_orderkey""",
     "u4_merge_apply" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          ch AS (

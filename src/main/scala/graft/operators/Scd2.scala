@@ -60,4 +60,26 @@ object Scd2 {
   def asOf(history: DataFrame, asOfTs: java.sql.Timestamp): DataFrame =
     history.filter(col("valid_from") <= lit(asOfTs) &&
       (col("valid_to").isNull || col("valid_to") > lit(asOfTs)))
+
+  /** Temporal dimension join: each fact row picks the dimension version
+    * in effect at ITS OWN timestamp — the join a fact stream runs
+    * against a [[build]]-produced history so late-arriving or
+    * reprocessed facts see period-correct attributes, not
+    * current-state ones.
+    *
+    * Plan shape: an equi-join on the key with the validity interval as
+    * a residual predicate — the shuffle is keyed exactly like any fact
+    * join, and the residual scans each key's version list, whose length
+    * is dimension churn (a handful), never fact volume. Because each
+    * fact timestamp lands in exactly one half-open `[valid_from,
+    * valid_to)` interval, the join is one-to-at-most-one by
+    * construction. Facts dated before their key's first version (or
+    * with no key match) are dropped (inner join). */
+  def joinAsOf(facts: DataFrame, history: DataFrame, key: String,
+               tsCol: String): DataFrame =
+    facts.join(history,
+      facts(key) === history(key) &&
+        facts(tsCol) >= history("valid_from") &&
+        (history("valid_to").isNull || facts(tsCol) < history("valid_to")))
+      .drop(history(key))
 }

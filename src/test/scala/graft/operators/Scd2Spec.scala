@@ -64,6 +64,23 @@ class Scd2Spec extends SparkTestBase {
     assert(later == Map(1L -> "C", 2L -> "X"))
   }
 
+  test("joinAsOf matches each fact to the version in effect at its timestamp") {
+    val h = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
+    val facts = Seq(
+      (1L, ts("2024-01-02 12:00:00"), "f1"), // mid version A
+      (1L, ts("2024-01-03 00:00:00"), "f2"), // exactly at B's valid_from -> B
+      (1L, ts("2024-06-01 00:00:00"), "f3"), // open current version C
+      (2L, ts("2024-01-15 00:00:00"), "f4"), // before key 2's first version -> dropped
+      (3L, ts("2024-01-01 00:00:00"), "f5")) // unknown key -> dropped
+      .toDF("k", "fact_ts", "tag")
+    val got = Scd2.joinAsOf(facts, h, "k", "fact_ts")
+      .select("tag", "attr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("f1" -> "A", "f2" -> "B", "f3" -> "C"))
+    // one-to-at-most-one: row count never exceeds the fact count
+    assert(Scd2.joinAsOf(facts, h, "k", "fact_ts").count() == 3)
+  }
+
   test("one shuffle: a single Exchange below both window passes") {
     val plan = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
       .queryExecution.executedPlan.toString
