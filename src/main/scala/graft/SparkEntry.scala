@@ -370,6 +370,24 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // count-min sketch frequency estimates: deterministic fnv-hashed
+    // 4×256 sketch over user_id, probed for ids 1..10 — estimates pinned
+    // exactly (the sketch is a pure function of the data) and the
+    // never-underestimate invariant demanded alongside the exact counts
+    "a29_cms_estimates" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = graft.operators.CountMin.build(ev, col("user_id"),
+        depth = 4, width = 256)
+      val probes = ev.filter(col("user_id").between(1, 10))
+      val est = graft.operators.CountMin.estimate(sketch,
+        probes.select(col("user_id")), col("user_id"), depth = 4, width = 256)
+      val exact = probes.groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, "key")
+        .select(col("key").cast("long").as("user_id"), col("est"),
+          col("exact_cnt"), (col("est") >= col("exact_cnt")).as("never_under"))
+        .orderBy("user_id")
+    }),
     // temporal (point-in-time) dimension join: every order matched to
     // the priority version in effect at its own order date — the half-
     // open validity intervals make the match one-to-exactly-one here
@@ -1884,6 +1902,28 @@ object SparkEntry {
          SELECT k AS o_custkey, attr AS o_orderpriority, version,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "a29_cms_estimates" ->
+      s"""WITH base AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+           WHERE user_id IS NOT NULL),
+         ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         sk AS (SELECT d,
+             ${fnvSql("CAST(d AS VARCHAR) || ':' || k", 2166136261L)} % 256
+               AS bucket, count(*) AS cnt
+           FROM base CROSS JOIN ds GROUP BY 1, 2),
+         probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+           FROM events WHERE user_id BETWEEN 1 AND 10),
+         pe AS (SELECT k, d,
+             ${fnvSql("CAST(d AS VARCHAR) || ':' || k", 2166136261L)} % 256
+               AS bucket
+           FROM probes CROSS JOIN ds),
+         est AS (SELECT pe.k, min(coalesce(sk.cnt, 0)) AS est
+           FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+         ex AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS exact_cnt
+           FROM events WHERE user_id BETWEEN 1 AND 10 GROUP BY 1)
+         SELECT CAST(est.k AS BIGINT) AS user_id, est.est AS est,
+           ex.exact_cnt, est.est >= ex.exact_cnt AS never_under
+         FROM est JOIN ex ON est.k = ex.k
+         ORDER BY user_id""",
     "u6_scd2_temporal_join" ->
       """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
              o_orderpriority AS attr, o_orderkey AS tb
