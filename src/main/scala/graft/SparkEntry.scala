@@ -370,6 +370,23 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // interval-overlap join on the 10-minute grid: synthetic per-event
+    // validity windows on two disjoint user bands; every overlapping
+    // pair emitted exactly once (first-shared-bucket dedup) and the
+    // full pair list pinned
+    "j9_interval_overlap" -> q((s, d) => {
+      val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("_ms"))
+      val left = base.filter(col("user_id") < 5)
+        .select(col("event_id").as("l_id"), col("_ms").as("ls"),
+          (col("_ms") + (col("event_id") % 7 + 1) * 60000L).as("le"))
+      val right = base.filter(col("user_id").between(5, 9))
+        .select(col("event_id").as("r_id"), col("_ms").as("rs"),
+          (col("_ms") + (col("event_id") % 11 + 1) * 60000L).as("re"))
+      graft.operators.RangeJoin
+        .intervalOverlap(left, right, "ls", "le", "rs", "re", 600000L)
+        .orderBy("l_id", "r_id")
+    }),
     // count-min sketch frequency estimates: deterministic fnv-hashed
     // 4×256 sketch over user_id, probed for ids 1..10 — estimates pinned
     // exactly (the sketch is a pure function of the data) and the
@@ -1902,6 +1919,16 @@ object SparkEntry {
          SELECT k AS o_custkey, attr AS o_orderpriority, version,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "j9_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+         l AS (SELECT event_id AS l_id, ms AS ls,
+             ms + (event_id % 7 + 1) * 60000 AS le FROM e WHERE user_id < 5),
+         r AS (SELECT event_id AS r_id, ms AS rs,
+             ms + (event_id % 11 + 1) * 60000 AS re
+           FROM e WHERE user_id BETWEEN 5 AND 9)
+         SELECT l_id, ls, le, r_id, rs, re
+         FROM l JOIN r ON ls <= re AND rs <= le
+         ORDER BY l_id, r_id""",
     "a29_cms_estimates" ->
       s"""WITH base AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
            WHERE user_id IS NOT NULL),

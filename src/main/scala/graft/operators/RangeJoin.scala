@@ -30,4 +30,35 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval-overlap join: pairs of rows whose [start, end] ranges
+    * intersect (inclusive; numeric columns — convert timestamps with
+    * `unix_timestamp` first). Same grid strategy as [[pointInInterval]]
+    * with BOTH sides exploded over their bucket spans — and each
+    * overlapping pair emitted EXACTLY once without any distinct
+    * shuffle: of the buckets a pair shares, only the first —
+    * `max(bucket(lStart), bucket(rStart))`, which overlap guarantees
+    * both sides cover — emits it. `bucketWidth` should be on the order
+    * of typical interval length (it tunes explode fan-out vs same-bucket
+    * pair volume).
+    *
+    * CONTRACT: the two frames' column names must be disjoint (alias
+    * before calling), and `start <= end` on every row (`sequence()`
+    * throws on a reversed interval — malformed input fails the job
+    * rather than silently dropping pairs). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"column names must be disjoint; shared: $shared")
+    def b(c: String) = floor(col(c) / bucketWidth).cast("long")
+    val l = left.withColumn("_bucket", explode(sequence(b(lStart), b(lEnd))))
+    val r = right.withColumn("_bucket", explode(sequence(b(rStart), b(rEnd))))
+    l.join(r, Seq("_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_bucket") === greatest(b(lStart), b(rStart)))
+      .drop("_bucket")
+  }
 }

@@ -30,4 +30,31 @@ class RangeJoinSpec extends SparkTestBase {
     val multi = bucketed.groupBy(_._1).map(_._2.size)
     assert(multi.exists(_ > 1))
   }
+
+  test("intervalOverlap equals the naive overlap predicate, each pair once") {
+    // left: 50 intervals of varying width; right: 40 shifted intervals
+    val left = (0 until 50).map(i =>
+      (i.toLong, i * 37L % 1000, i * 37L % 1000 + 5 + i % 90)).toDF("lid", "ls", "le")
+    val right = (0 until 40).map(j =>
+      (j.toLong, j * 53L % 1000, j * 53L % 1000 + 3 + j % 120)).toDF("rid", "rs", "re")
+    for (width <- Seq(16L, 64L, 1024L)) {
+      val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", width)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = left.join(right, $"ls" <= $"re" && $"rs" <= $"le")
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // same pair SET and same MULTIPLICITY (exactly-once emission,
+      // even when a pair shares many buckets at small widths)
+      assert(got.sorted.toSeq == naive.sorted.toSeq, s"width $width")
+      assert(naive.nonEmpty && got.length == got.toSet.size)
+    }
+  }
+
+  test("intervalOverlap contracts: shared names and bad width fail fast") {
+    val a = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    val b = Seq((1L, 0L, 1L)).toDF("id2", "s2", "e2")
+    intercept[IllegalArgumentException](
+      RangeJoin.intervalOverlap(a, a, "s", "e", "s", "e", 10L))
+    intercept[IllegalArgumentException](
+      RangeJoin.intervalOverlap(a, b, "s", "e", "s2", "e2", 0L))
+  }
 }
