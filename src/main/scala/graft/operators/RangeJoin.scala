@@ -45,17 +45,39 @@ object RangeJoin {
     * CONTRACT: the two frames' column names must be disjoint (alias
     * before calling), and `start <= end` on every row (`sequence()`
     * throws on a reversed interval — malformed input fails the job
-    * rather than silently dropping pairs). */
+    * rather than silently dropping pairs).
+    *
+    * SKEW GUARD: one pathological long interval over a narrow grid
+    * explodes into span/width rows — unbounded fan-out that lands on a
+    * single task's bucket join. `maxBucketsPerRow` caps the per-row
+    * explode; a row exceeding it fails the job with a named error
+    * telling the caller to widen `bucketWidth` (auto-widening silently
+    * would change every other pair's shuffle volume too). The check is
+    * a codegen'd filter predicate — no extra pass over the data. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerRow: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerRow > 0,
+      s"maxBucketsPerRow must be positive, got $maxBucketsPerRow")
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty, s"column names must be disjoint; shared: $shared")
     def b(c: String) = floor(col(c) / bucketWidth).cast("long")
-    val l = left.withColumn("_bucket", explode(sequence(b(lStart), b(lEnd))))
-    val r = right.withColumn("_bucket", explode(sequence(b(rStart), b(rEnd))))
+    // assert_true returns NULL when the predicate holds and throws with
+    // the message otherwise; `.isNull` makes it a filter that keeps every
+    // row yet cannot be pruned away
+    def guarded(df: DataFrame, sC: String, eC: String) = df.filter(
+      assert_true(b(eC) - b(sC) < lit(maxBucketsPerRow.toLong),
+        concat(lit(s"intervalOverlap: an interval in [$sC,$eC] spans >= " +
+          s"$maxBucketsPerRow buckets at bucketWidth=$bucketWidth; widen " +
+          "bucketWidth or raise maxBucketsPerRow (span="),
+          (b(eC) - b(sC) + 1).cast("string"), lit(" buckets)"))).isNull)
+    val l = guarded(left, lStart, lEnd)
+      .withColumn("_bucket", explode(sequence(b(lStart), b(lEnd))))
+    val r = guarded(right, rStart, rEnd)
+      .withColumn("_bucket", explode(sequence(b(rStart), b(rEnd))))
     l.join(r, Seq("_bucket"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
         col("_bucket") === greatest(b(lStart), b(rStart)))
