@@ -308,6 +308,20 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     }),
+    // PageRank with dangling nodes by construction: dst ids live in
+    // [50,103) while src ids live in [0,50), so every dst node is a
+    // sink and the per-iteration dangling-mass redistribution carries
+    // roughly half the rank mass — the branch g1's graph never
+    // exercises (its dst range is a subset of its src range)
+    "g2_pagerank_dangling" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(50L)).as("src"),
+          (lit(50L) + pmod(col("o_orderkey"), lit(53L))).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      graft.graph.PageRank.pagerank(edges, damping = 0.85, iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
     // 3-D Morton key (the general N-dim form real layouts use) pinned
     // the same way as z1
     "z2_zorder3_bucket" -> q((s, d) =>
@@ -370,13 +384,28 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // point-in-time (as-of) lookup against the same SCD2 history: the
+    // "dimension value as of date X" query — at most one version per
+    // key by the half-open interval construction, full row list pinned
+    "u7_scd2_asof" -> q((s, d) => {
+      val hist = graft.operators.Scd2.build(
+        Tables.orders(s, d).filter(col("o_custkey") < 100),
+        "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+      graft.operators.Scd2.asOf(hist,
+          java.sql.Timestamp.valueOf("1995-06-15 00:00:00"))
+        .select(col("o_custkey"), col("o_orderpriority"), col("version"),
+          col("valid_from"))
+        .orderBy("o_custkey")
+    }),
     // interval-overlap join on the 10-minute grid: synthetic per-event
     // validity windows on two disjoint user bands; every overlapping
     // pair emitted exactly once (first-shared-bucket dedup) and the
     // full pair list pinned
     "j9_interval_overlap" -> q((s, d) => {
       val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
-        expr("unix_millis(ts)").as("_ms"))
+        // house rule (Windows.scala): unix_millis rejects the fixtures'
+        // TIMESTAMP_NTZ — cast first (exact under the pinned UTC session)
+        expr("unix_millis(cast(ts as timestamp))").as("_ms"))
       val left = base.filter(col("user_id") < 5)
         .select(col("event_id").as("l_id"), col("_ms").as("ls"),
           (col("_ms") + (col("event_id") % 7 + 1) * 60000L).as("le"))
@@ -1377,6 +1406,32 @@ object SparkEntry {
       fnvSummary(graft.sources.CuratedWriter.readCsv(s, s"$dir/csv",
         "doc_id BIGINT, source STRING, text STRING"), "source")
     }),
+    // S10 aggregate-table sink end to end: a grouped summary written via
+    // writeSummary and read back must reproduce the aggregation exactly
+    // (the sink the reference's analytics job persists its rollups to)
+    "io7_summary_sink" -> q((s, d) => withTempDir("graft_io7") { dir =>
+      val summary = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      graft.sources.CuratedWriter.writeSummary(summary, s"$dir/summary")
+      s.read.parquet(s"$dir/summary").orderBy("source", "lang")
+    }),
+    // A24/U2 schema set-compare as data: per-table unique columns plus
+    // the all-tables-common set, pinned against the oracle's
+    // information_schema view of the same parquet files
+    "sc1_schema_compare" -> q((s, d) => {
+      import s.implicits._
+      val rep = graft.operators.SchemaCompare.compare(Map(
+        "orders" -> Tables.orders(s, d),
+        "customer" -> Tables.customer(s, d),
+        "lineitem" -> Tables.lineitem(s, d)))
+      val rows =
+        rep.onlyIn.toSeq.flatMap { case (t, cols) =>
+          cols.toSeq.map(c => (t, c, "only")) } ++
+        rep.common.toSeq.map(c => ("*", c, "common"))
+      rows.toDF("table_name", "column_name", "status")
+        .orderBy("table_name", "column_name")
+    }),
     // JSONL sink round trip: the corpus-interchange format — lossless
     // for every payload (escaped control chars, null ≠ ""), so the
     // whole table round-trips with no filter and the same fnv pin
@@ -1517,9 +1572,10 @@ object SparkEntry {
     * MATERIALIZED: DuckDB inlines plain CTEs, and r_i is referenced
     * twice per following layer — inlining would blow the query up
     * 2^iters (measured: the plain form never finishes at 10 layers). */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(srcExpr: String, dstExpr: String,
+                          iters: Int): String = {
     val base =
-      """e AS MATERIALIZED (SELECT o_custkey % 100 AS src, o_orderkey % 97 AS dst,
+      s"""e AS MATERIALIZED (SELECT $srcExpr AS src, $dstExpr AS dst,
            count(*) AS w FROM orders GROUP BY 1,2),
          ow AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
          ne AS MATERIALIZED (SELECT src, dst, w::DOUBLE / out_w AS p
@@ -1712,7 +1768,9 @@ object SparkEntry {
            count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
-    "g1_pagerank" -> pagerankSql(5),
+    "g1_pagerank" -> pagerankSql("o_custkey % 100", "o_orderkey % 97", 5),
+    "g2_pagerank_dangling" ->
+      pagerankSql("o_custkey % 50", "50 + o_orderkey % 53", 5),
     "io5_schema_evolution" ->
       """SELECT (doc_id % 2 = 0 OR lang IS NULL) AS lang_missing, count(*) AS n_docs,
          CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -1919,6 +1977,40 @@ object SparkEntry {
          SELECT k AS o_custkey, attr AS o_orderpriority, version,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "u7_scd2_asof" ->
+      """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
+             o_orderpriority AS attr, o_orderkey AS tb
+           FROM orders WHERE o_custkey < 100),
+         l AS (SELECT k, ts, attr, tb,
+             lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
+         s AS (SELECT k, ts, attr, tb FROM l
+           WHERE prev IS NULL OR attr IS DISTINCT FROM prev),
+         v AS (SELECT k, attr, ts AS valid_from,
+             row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS version,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+           FROM s)
+         SELECT k AS o_custkey, attr AS o_orderpriority, version, valid_from
+         FROM v
+         WHERE valid_from <= TIMESTAMP '1995-06-15 00:00:00'
+           AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-15 00:00:00')
+         ORDER BY o_custkey""",
+    "io7_summary_sink" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY source, lang
+         ORDER BY source, lang NULLS FIRST""",
+    "sc1_schema_compare" ->
+      """WITH c AS (SELECT table_name, column_name
+           FROM information_schema.columns
+           WHERE table_name IN ('orders', 'customer', 'lineitem')),
+         n AS (SELECT column_name, count(DISTINCT table_name) AS k
+           FROM c GROUP BY 1)
+         SELECT table_name, column_name, 'only' AS status
+           FROM c JOIN n USING (column_name) WHERE k = 1
+         UNION ALL
+         SELECT '*' AS table_name, column_name, 'common' AS status
+           FROM n WHERE k = 3
+         ORDER BY table_name, column_name""",
     "j9_interval_overlap" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
          l AS (SELECT event_id AS l_id, ms AS ls,

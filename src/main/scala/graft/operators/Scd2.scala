@@ -56,10 +56,15 @@ object Scd2 {
   /** Point-in-time lookup against a built history: the dimension row
     * version in effect at `asOf` per key — `valid_from <= asOf <
     * valid_to` (current rows have open `valid_to`). A filter, not a
-    * join: pushable straight into the history scan. */
-  def asOf(history: DataFrame, asOfTs: java.sql.Timestamp): DataFrame =
-    history.filter(col("valid_from") <= lit(asOfTs) &&
-      (col("valid_to").isNull || col("valid_to") > lit(asOfTs)))
+    * join: pushable straight into the history scan — the probe literal
+    * is cast to the column's type (TIMESTAMP or the fixtures'
+    * TIMESTAMP_NTZ; exact under the pinned UTC session) so the COLUMN
+    * stays bare and the predicate reaches the parquet footer. */
+  def asOf(history: DataFrame, asOfTs: java.sql.Timestamp): DataFrame = {
+    val probe = lit(asOfTs).cast(history.schema("valid_from").dataType)
+    history.filter(col("valid_from") <= probe &&
+      (col("valid_to").isNull || col("valid_to") > probe))
+  }
 
   /** Temporal dimension join: each fact row picks the dimension version
     * in effect at ITS OWN timestamp — the join a fact stream runs

@@ -38,6 +38,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"))
   }
 
+  test("scd2 asOf predicate pushes into a stored-history parquet scan") {
+    // The point-in-time lookup a warehouse user types runs against a
+    // PERSISTED history table — the probe must reach the parquet footer
+    // (row-group skip), which requires the cast to sit on the literal,
+    // never on the valid_from column.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_plan")
+    try {
+      Scd2.build(Tables.orders(spark, sf).filter(col("o_custkey") < 100),
+          "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/hist")
+      val stored = spark.read.parquet(s"$dir/hist")
+      val probe = java.sql.Timestamp.valueOf("1995-06-15 00:00:00")
+      val plan = planOf(Scd2.asOf(stored, probe))
+      assert(plan.contains("LessThanOrEqual(valid_from"),
+        s"asOf filter not pushed:\n${plan.take(2000)}")
+      assert(Scd2.asOf(stored, probe).count() > 0)
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
   test("orderBy+limit plans as TakeOrderedAndProject (no full sort)") {
     val plan = planOf(Relational.busiestKeys(Tables.orders(spark, sf)))
     assert(plan.contains("TakeOrderedAndProject"))
