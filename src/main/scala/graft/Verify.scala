@@ -28,13 +28,18 @@ object Verify {
     // optional filter shared with Bench (SparkEntry.onlyFilter) —
     // dev-loop tool for re-verifying just the gates being worked on
     val selected = SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => selected(n) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ran += name
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +57,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable run census: which gates actually executed at THIS
+    // sf (and which crashed, with the message). COVERAGE.md's "verified
+    // at sf X" claims must be copied from this artifact, never
+    // hand-written — round 7 shipped a claim for a gate that failed at
+    // analysis time in every run.
+    val census =
+      s"""{"sf": ${q(sfDir)}, "commit": ${q(sys.env.getOrElse("SPARK_GRAFT_COMMIT", ""))},
+         |"n_queries": ${ran.size + failed.size}, "n_ran": ${ran.size},
+         |"ran": ${ran.sorted.map(q).mkString("[", ",", "]")},
+         |"failed": ${failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/verify_run.json"), census)
     spark.stop()
     Fs.deleteRecursively(warehouse)
   }
