@@ -153,6 +153,12 @@ object SparkEntry {
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
     "a6_rollup_totals" -> q((s, d) => Relational.rollupTotals(Tables.orders(s, d))),
     "a28_cube_totals" -> q((s, d) => Relational.cubeTotals(Tables.lineitem(s, d))),
+    // group-wise winsorized stats: exact per-group p5/p95 clamp, raw vs
+    // robust mean pinned (oracle replays with quantile_cont, which
+    // Spark's exact `percentile` interpolation matches)
+    "a30_winsorized_stats" -> q((s, d) =>
+      Relational.winsorizedStats(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", 0.05, 0.95)),
     "k1_key_skew" -> q((s, d) =>
       Relational.keySkewReport(Tables.events(s, d), "user_id")),
     "w7_quartile_ranks" -> q((s, d) => Windows.quartileRanks(Tables.orders(s, d))),
@@ -1280,6 +1286,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")),
+    // per-source KL divergence vs the corpus blend over a 64-bucket
+    // hashed-token histogram — exact over the bucketed distributions,
+    // double drift absorbed by round(6) (the g1 fixpoint precedent)
+    "t19_source_divergence" -> q((s, d) =>
+      graft.text.TextAnalysis.sourceDivergence(Tables.documents(s, d), 64)),
+    // duplicated-8-gram coverage rolled up per source: the exact-
+    // substring-dedup proxy signal, fnv-hashed shingle occurrence counts
+    // replayed identically by the oracle
+    "t20_dup_ngram_coverage" -> q((s, d) => {
+      val cov = graft.dedup.Dedup.dupNgramCoverage(Tables.documents(s, d), k = 8)
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(cov, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_dup").as("dup_shingles"),
+          sum("n_shingles").as("total_shingles"),
+          round(avg("dup_coverage"), 6).as("avg_coverage"))
+        .orderBy("source")
+    }),
     // deterministic fnv-mod shard assignment: per-shard membership and
     // byte mass pinned exactly (the balance report a sharded training
     // export publishes)
@@ -1749,6 +1774,49 @@ object SparkEntry {
          round(sum(l_quantity),0) AS sum_qty FROM lineitem
          GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "a30_winsorized_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS qlo,
+           quantile_cont(l_extendedprice, 0.95) AS qhi
+           FROM lineitem GROUP BY 1),
+         w AS (SELECT lineitem.l_returnflag AS l_returnflag, l_extendedprice,
+           least(greatest(l_extendedprice, qlo), qhi) AS wv
+           FROM lineitem JOIN b ON lineitem.l_returnflag = b.l_returnflag)
+         SELECT l_returnflag, count(*) AS n,
+           round(avg(l_extendedprice), 4) AS mean_raw,
+           round(avg(wv), 4) AS mean_winsorized,
+           round(min(wv), 4) AS w_lo, round(max(wv), 4) AS w_hi
+         FROM w GROUP BY 1 ORDER BY 1""",
+    "t19_source_divergence" ->
+      s"""WITH tk AS (SELECT source, unnest($toks) AS tok FROM documents),
+         tb AS (SELECT source, ${fnvSql("tok", 2166136261L)} % 64 AS b FROM tk),
+         sb AS (SELECT source, b, count(*) AS n FROM tb GROUP BY 1, 2),
+         tot AS (SELECT source, sum(n) AS n_src FROM sb GROUP BY 1),
+         gl AS (SELECT b, sum(n) AS n_b FROM sb GROUP BY 1),
+         ga AS (SELECT sum(n_b) AS n_all FROM gl)
+         SELECT sb.source AS source, CAST(max(tot.n_src) AS BIGINT) AS n_tokens,
+           round(sum((sb.n / tot.n_src) * ln((sb.n / tot.n_src) /
+             (gl.n_b / (SELECT n_all FROM ga)))), 6) AS kl_vs_corpus
+         FROM sb JOIN tot USING (source) JOIN gl USING (b)
+         GROUP BY 1 ORDER BY 1""",
+    "t20_dup_ngram_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(range(0, len(t) - 7),
+                    i -> array_to_string(t[i+1:i+8], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+         hs AS (SELECT doc_id, unnest(list_transform(s,
+             g -> ${fnvSql("g", 2166136261L)})) AS h FROM sh),
+         c AS (SELECT h, count(*) AS n_docs_with FROM hs GROUP BY 1),
+         pd AS (SELECT doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM hs JOIN c USING (h) GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_dup) AS BIGINT) AS dup_shingles,
+           CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
+           round(avg(n_dup / (1.0 * n_shingles)), 6) AS avg_coverage
+         FROM documents JOIN pd USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "w7_quartile_ranks" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -148,6 +148,39 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Per-document duplicated-n-gram coverage: the fraction of a doc's
+    * distinct word k-shingles that occur in at least `minDocs` documents
+    * corpus-wide — the cheap distributed proxy for exact-substring
+    * duplication (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" measures the same signal with a suffix
+    * array; the shingle form loses substring maximality but keeps the
+    * per-doc coverage number a filter thresholds on).
+    *
+    * Scale shape: shingles hash row-locally to 8-byte FNV keys (the
+    * shuffle never carries shingle text); occurrence counting is one
+    * partial→final groupBy on the hash; the count joins back on the same
+    * 8-byte key (AQE splits any hot shingle) and the per-doc rollup is a
+    * second partial→final agg. No all-pairs stage, no window over the
+    * corpus. Hash collisions can only OVER-count duplication (two
+    * different shingles sharing a bucket), the conservative direction
+    * for a drop-filter — same trade the d9 xxhash minhash tier makes. */
+  def dupNgramCoverage(documents: DataFrame, k: Int = 8,
+                       minDocs: Int = 2): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got $k, $minDocs")
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.fnv1a32(col("g")).as("h"))
+    // shingles() is distinct-per-doc, so count(*) per hash = docs containing
+    val counts = sh.groupBy("h").agg(count(lit(1)).as("n_docs_with"))
+    sh.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs_with") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_coverage",
+        col("n_dup").cast("double") / col("n_shingles"))
+  }
+
   /** doc_id → minhash signature array of length `numHashes` (MinHash per
     * Broder '97: k permutations approximated by `(a_i*h + b_i) mod p`,
     * min per doc — same construction as `spark.ml.feature.MinHashLSH`).

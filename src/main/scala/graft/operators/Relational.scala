@@ -257,6 +257,37 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  /** Group-wise winsorization: clamp a value column at its OWN group's
+    * exact [lo, hi] quantiles before computing stats — the robust-mean
+    * treatment the reference applies globally via hand-picked outlier
+    * ranges (P3), generalized to data-driven per-group bounds.
+    *
+    * Scale shape: pass 1 computes per-group exact `percentile` bounds
+    * (group count is small — the bounds table broadcasts); pass 2 clamps
+    * row-locally and aggregates partial→final. Exact quantiles are the
+    * correctness tier (matches DuckDB `quantile_cont`); at 100 TB swap
+    * `percentile` for `percentile_approx` — the a27-gated sketch twin —
+    * and the plan shape is unchanged. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+      s"winsorize bounds must satisfy 0 <= lo < hi <= 1, got [$lo, $hi]")
+    require(valueCol.matches("[A-Za-z0-9_]+"),
+      s"winsorize valueCol must be a plain identifier, got '$valueCol'")
+    val bounds = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array($lo, $hi))").as("_q"))
+      .select(col(groupCol), col("_q")(0).as("_lo"), col("_q")(1).as("_hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("_w", least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(avg(valueCol), 4).as("mean_raw"),
+        round(avg("_w"), 4).as("mean_winsorized"),
+        round(min("_w"), 4).as("w_lo"),
+        round(max("_w"), 4).as("w_hi"))
+      .orderBy(groupCol)
+  }
+
   /** A16: distribution segmentation via conditional counts
     * (`cab_wise_analysis.ipynb` cell 13:567-589). */
   def segmentation(lineitem: DataFrame): DataFrame =

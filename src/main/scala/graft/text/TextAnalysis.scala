@@ -213,6 +213,42 @@ object TextAnalysis {
       .agg(approx_count_distinct(col("tok"), rsd).as("vocab_approx"))
       .orderBy("lang")
 
+  /** Per-source corpus divergence: KL(source ‖ corpus) over a
+    * fixed-width hashed-token histogram — the mixture-drift monitor a
+    * training pipeline runs per ingest batch ("has src3's token
+    * distribution moved away from the blend?"). Hashed buckets (FNV mod
+    * `buckets`) bound the state at `sources × buckets` counters no
+    * matter the vocabulary, the same fixed-feature trick DSIR uses for
+    * its importance models ([[graft.text.Dsir]]).
+    *
+    * Scale shape: one explode + one partial→final count keyed by
+    * (source, bucket); everything after operates on that tiny aggregate
+    * (the global marginal is a second agg OF the aggregate, and the
+    * one-row corpus total broadcasts). KL is exact over the bucketed
+    * distributions: every source bucket is ⊆ its global bucket, so
+    * p_g > 0 wherever p_s > 0 and no smoothing is needed. */
+  def sourceDivergence(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sb = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        pmod(graft.functions.HashExpressions.fnv1a32(col("tok")),
+          lit(buckets.toLong)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("n"))
+    val perSource = sb.groupBy("source").agg(sum("n").as("n_src"))
+    val perBucket = sb.groupBy("b").agg(sum("n").as("n_b"))
+    val global = perBucket.crossJoin(
+      broadcast(perBucket.agg(sum("n_b").as("n_all"))))
+      .select(col("b"), (col("n_b") / col("n_all")).as("p_g"))
+    sb.join(perSource, "source").join(global, "b")
+      .withColumn("p_s", col("n") / col("n_src"))
+      .groupBy("source")
+      .agg(max("n_src").as("n_tokens"),
+        round(sum(col("p_s") * log(col("p_s") / col("p_g"))), 6)
+          .as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
   /** Adjacent-token pair (bigram) frequencies — the counting step at the
     * heart of BPE vocabulary training: each merge round ranks pair
     * frequencies over the corpus. Row-local bigram construction, then a

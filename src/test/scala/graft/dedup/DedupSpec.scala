@@ -135,4 +135,28 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.keySet)
   }
+
+  test("dupNgramCoverage: shared shingles counted, unique docs at zero") {
+    // k=3 shingles; docs 1 and 2 share the run "a b c d" (2 shared
+    // 3-shingles: "a b c", "b c d"); doc 3 is disjoint vocabulary.
+    val docs = Seq(
+      (1L, "a b c d x y z"),   // 5 shingles, 2 duplicated
+      (2L, "p q a b c d"),     // 4 shingles, 2 duplicated
+      (3L, "u v w u v w u v")) // repeats INSIDE one doc only: not dups
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((5L, 2L)))
+    assert(out(2L) == ((4L, 2L)))
+    // doc 3: 6 positions but distinct shingles collapse; none cross-doc
+    assert(out(3L)._2 == 0L)
+    // coverage ratio matches n_dup / n_shingles
+    val cov = Dedup.dupNgramCoverage(docs, k = 3)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("dup_coverage").head().getDouble(0)
+    assert(math.abs(cov - 0.4) < 1e-12)
+    // contract: minDocs < 2 (would mark everything dup) fails fast
+    intercept[IllegalArgumentException](
+      Dedup.dupNgramCoverage(docs, k = 3, minDocs = 1))
+  }
 }

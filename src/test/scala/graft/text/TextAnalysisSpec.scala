@@ -159,4 +159,28 @@ class TextAnalysisSpec extends SparkTestBase {
       .filter(col("doc_kept")).select("doc_id").as[Long].collect()
     assert(kept.toSeq == Seq(1L))
   }
+
+  test("sourceDivergence: zero for a blend-identical source, positive for drift") {
+    // srcA and srcB have the same token distribution; srcC is disjoint
+    val docs = Seq(
+      (1L, "x y x y", "srcA"), (2L, "x y x y", "srcB"),
+      (3L, "zzz www zzz www", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceDivergence(docs, buckets = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // KL is non-negative and zero only when the source matches the blend;
+    // no source here matches the blend exactly, but A and B (identical
+    // distributions) must get the SAME divergence, and C (disjoint
+    // vocabulary) must diverge more
+    assert(kl.values.forall(_ >= 0.0))
+    assert(math.abs(kl("srcA") - kl("srcB")) < 1e-9)
+    assert(kl("srcC") > kl("srcA"))
+    // a corpus with ONE source has blend == source: KL exactly 0
+    val solo = TextAnalysis.sourceDivergence(
+      docs.filter(col("source") === "srcA"), buckets = 32)
+      .collect().head.getDouble(2)
+    assert(solo == 0.0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.sourceDivergence(docs, buckets = 0))
+  }
 }
