@@ -663,6 +663,29 @@ object SparkEntry {
           df => graft.streaming.EventStreams.enrichedSegmentCounts(
             df, Tables.customer(s, d)))
         .orderBy("c_mktsegment")),
+    // mapGroupsWithState through the real runtime (Update mode): the
+    // final per-user cumulative stats are recovered from the Update-mode
+    // sink via max(struct(n_events,…)) — n_events strictly increases per
+    // user, so the result equals the batch aggregate regardless of how
+    // the input batched; fully pinned
+    "st8_stream_running_stats" -> q((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      graft.streaming.EventStreams.throughStream(s, ev,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          inputFiles = 3, statePartitions = Some(4)) { df =>
+          graft.streaming.EventStreams.runningUserStats(
+            df.as[graft.streaming.EventStreams.Event]).toDF
+        }
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("max_value"),
+          col("value_sum"))).as("_f"))
+        .select(col("user_id"), col("_f.n_events").as("n_events"),
+          round(col("_f.max_value"), 4).as("max_value"),
+          round(col("_f.value_sum"), 4).as("value_sum"))
+        .orderBy("user_id")
+    }),
     // the real runtime into a FILE sink: micro-batches land in a curated
     // partitioned tree via foreachBatch + the drift-guarded writer,
     // overwrite-by-batch-id (replay-idempotent). The tree's CONTENTS are
@@ -1456,6 +1479,12 @@ object SparkEntry {
         rep.common.toSeq.map(c => ("*", c, "common"))
       rows.toDF("table_name", "column_name", "status")
         .orderBy("table_name", "column_name")
+    }),
+    // ORC sink/scan round trip: parallel write, vectorized read-back —
+    // byte fidelity pinned the same way as the parquet/CSV/JSONL sinks
+    "io8_orc_roundtrip" -> q((s, d) => withTempDir("graft_io8") { dir =>
+      graft.sources.CuratedWriter.writeOrc(Tables.documents(s, d), s"$dir/docs")
+      fnvSummary(graft.sources.CuratedWriter.readOrc(s, s"$dir/docs"), "source")
     }),
     // JSONL sink round trip: the corpus-interchange format — lossless
     // for every payload (escaped control chars, null ≠ ""), so the
@@ -2820,6 +2849,16 @@ object SparkEntry {
          CAST(sum(len(text)) AS BIGINT) AS chars,
          CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
          FROM documents GROUP BY 1 ORDER BY source""",
+    "io8_orc_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(len(text)) AS BIGINT) AS chars,
+         CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "st8_stream_running_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(max(value), 4) AS max_value,
+         round(sum(value), 4) AS value_sum
+         FROM events GROUP BY 1 ORDER BY user_id""",
     "pk1_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
          c AS (SELECT doc_id, n,

@@ -169,6 +169,17 @@ object CuratedWriter {
   def writeSummary(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC sink — the other columnar interchange format a warehouse
+    * neighbor may demand (Hive-era consumers). Parallel write (no
+    * coalesce funnel): at 100 TB the writer count IS the ingest
+    * bandwidth. Spark's native vectorized ORC reader makes the
+    * read-back path scan-equivalent to parquet (pushdown + pruning). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S11: CSV sink with header (`analytics_summary.py:63-75`).
     * Whitespace trimming is OFF: Spark's CSV writer strips leading/
     * trailing whitespace by default, which silently corrupts text

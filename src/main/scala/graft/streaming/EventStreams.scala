@@ -94,6 +94,42 @@ object EventStreams {
       }
   }
 
+  final case class UserStats(user_id: Long, n_events: Long,
+                             max_value: Double, value_sum: Double)
+
+  /** Per-user running aggregate via `mapGroupsWithState` — the
+    * one-output-row-per-group-per-batch stateful API (the sibling of
+    * [[sessionizeStream]]'s flatMap form): each micro-batch folds its
+    * events into the user's state and emits the updated cumulative
+    * stats. Run in Update mode; the LAST emission per user is the
+    * complete aggregate, and because `n_events` strictly increases
+    * across a user's emissions, `max(struct(n_events, …))` recovers the
+    * final row from an Update-mode sink without any ordering
+    * assumption. NoTimeout: the state is the product here (a live
+    * per-user profile), not a session to expire; a deployment that
+    * needs eviction adds an event-time timeout exactly as
+    * [[sessionizeStream]] does. State is O(users), independent of
+    * throughput. Batch input computes the same aggregate via a plain
+    * mapGroups (the oracle's twin). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    def fold(st: UserStats, e: Event): UserStats =
+      UserStats(st.user_id, st.n_events + 1,
+        math.max(st.max_value, e.value), st.value_sum + e.value)
+    def zero(uid: Long) = UserStats(uid, 0L, Double.NegativeInfinity, 0.0)
+    if (!events.isStreaming)
+      events.groupByKey(_.user_id).mapGroups { (uid, it) =>
+        it.foldLeft(zero(uid))(fold)
+      }
+    else events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[UserStats]) =>
+          val st = it.foldLeft(state.getOption.getOrElse(zero(uid)))(fold)
+          state.update(st)
+          st
+      }
+  }
+
   /** Streaming exact dedup on arbitrary key columns (e.g. a document
     * fingerprint) with watermark-bounded state:
     * `dropDuplicatesWithinWatermark` keeps one state entry per key seen

@@ -221,6 +221,27 @@ class PipelineSpec extends SparkTestBase {
       3L -> Some(""), 4L -> None))
   }
 
+  test("ORC round trip preserves payloads, nulls, and timestamps") {
+    val dir = tempDir("graft-orc-fid")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "  edge  ws  ", Some(1.5)),
+      (2L, "has\nnewline", None),
+      (3L, null.asInstanceOf[String], Some(-0.0)))
+      .toDF("id", "text", "v")
+    CuratedWriter.writeOrc(rows, s"$dir/t")
+    val back = CuratedWriter.readOrc(spark, s"$dir/t")
+    // ORC read-back relaxes nullability; names and types must survive
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == rows.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val m = back.collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(m(1L) == ((Some("  edge  ws  "), Some(1.5))))
+    assert(m(2L) == ((Some("has\nnewline"), None)))
+    assert(m(3L)._1.isEmpty)
+  }
+
   test("compaction merges small files and preserves partition layout") {
     val dir = tempDir("graft-compact")
     import spark.implicits._

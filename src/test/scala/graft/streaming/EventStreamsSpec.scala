@@ -320,4 +320,35 @@ class EventStreamsSpec extends SparkTestBase {
       .collect().map(s => s.n_events).sorted.toSeq
     assert(batch == Seq(1L, 2L))
   }
+
+  test("runningUserStats: Update-mode final state equals the batch aggregate") {
+    val batchStats = EventStreams.runningUserStats(sample.toDS())
+      .collect().map(s => s.user_id -> s).toMap
+    // user 1: events 0,1,3 → n=3, max=4.0, sum=7.0; user 2: n=2, max=5, sum=8
+    assert(batchStats(1L).n_events == 3L && batchStats(1L).max_value == 4.0
+      && batchStats(1L).value_sum == 7.0)
+    assert(batchStats(2L).n_events == 2L && batchStats(2L).value_sum == 8.0)
+    // through the real runtime: last emission per user (max n_events)
+    // must equal the batch aggregate however the micro-batches split
+    val viaStream = EventStreams.throughStream(spark, sample.toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Update(), inputFiles = 3)(
+        df => EventStreams.runningUserStats(df.as[Event]).toDF())
+    val finals = viaStream
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("max_value"), col("value_sum")))
+        .as("f"))
+      .select(col("user_id"), col("f.n_events"), col("f.max_value"),
+        col("f.value_sum"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(finals(1L) == ((3L, 4.0, 7.0)) && finals(2L) == ((2L, 5.0, 8.0)))
+    // intermediate emissions exist when a user spans micro-batches:
+    // every emission's n_events is a distinct prefix count
+    val perUser = viaStream.select("user_id", "n_events")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    perUser.values.foreach { rows =>
+      val ns = rows.map(_._2).toSeq
+      assert(ns.distinct.size == ns.size)
+    }
+  }
 }
