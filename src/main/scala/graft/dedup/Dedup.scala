@@ -156,21 +156,25 @@ object Dedup {
     * array; the shingle form loses substring maximality but keeps the
     * per-doc coverage number a filter thresholds on).
     *
-    * Scale shape: shingles hash row-locally to 8-byte FNV keys (the
-    * shuffle never carries shingle text); occurrence counting is one
-    * partial→final groupBy on the hash; the count joins back on the same
-    * 8-byte key (AQE splits any hot shingle) and the per-doc rollup is a
-    * second partial→final agg. No all-pairs stage, no window over the
-    * corpus. Hash collisions can only OVER-count duplication (two
-    * different shingles sharing a bucket), the conservative direction
-    * for a drop-filter — same trade the d9 xxhash minhash tier makes. */
+    * Scale shape: shingles hash row-locally to 8-byte FNV keys in ONE
+    * JVM pass per document ([[graft.functions.HashExpressions
+    * .ShingleHashes]] — no shingle-string array ever materializes, the
+    * same hot path the minhash tier uses; byte-wise FNV ≡ the oracle's
+    * per-code-point form on ASCII corpora, the equivalence d3 already
+    * pins); occurrence counting is one partial→final groupBy on the
+    * hash; the count joins back on the same 8-byte key (AQE splits any
+    * hot shingle) and the per-doc rollup is a second partial→final agg.
+    * No all-pairs stage, no window over the corpus. Hash collisions can
+    * only OVER-count duplication (two different shingles sharing a
+    * bucket), the conservative direction for a drop-filter — same trade
+    * the d9 xxhash minhash tier makes. */
   def dupNgramCoverage(documents: DataFrame, k: Int = 8,
                        minDocs: Int = 2): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2; got $k, $minDocs")
     val sh = documents
-      .select(col("doc_id"), explode(shingles(col("text"), k)).as("g"))
       .select(col("doc_id"),
-        graft.functions.HashExpressions.fnv1a32(col("g")).as("h"))
+        explode(graft.functions.HashExpressions.shingleHashes(
+          col("text"), k, fnv = true)).as("h"))
     // shingles() is distinct-per-doc, so count(*) per hash = docs containing
     val counts = sh.groupBy("h").agg(count(lit(1)).as("n_docs_with"))
     sh.join(counts, "h")
