@@ -743,6 +743,9 @@ object SparkEntry {
     "ml4_kmeans_profile" -> q((s, d) =>
       Clusters.clusterInvariantProfile(Tables.events(s, d))),
     "ml2_iqr_anomalies" -> q((s, d) => Outliers.iqrAnomalies(Tables.events(s, d))),
+    // MAD robust outlier report: exact per-group median + MAD broadcast
+    // back, Iglewicz–Hoaglin 3.5 cut — counts and robust stats pinned
+    "a31_mad_outliers" -> q((s, d) => Outliers.madOutliers(Tables.events(s, d))),
     // isolation-forest scoring invariants: the scored-row count is
     // pinned exactly; the oracle demands scores stay inside (0,1), the
     // contamination-thresholded anomaly rate lands within approxQuantile
@@ -1416,6 +1419,20 @@ object SparkEntry {
     "e1_int8_quant" -> q((s, d) =>
       graft.similarity.Quantize.reconstructionAudit(Tables.embeddings(s, d))
         .orderBy("vec_id").limit(100)),
+    // deterministic JL random projection 64-d → 8-d: every projected
+    // component pinned to 6 dp — the oracle embeds the IDENTICAL
+    // splitmix64-derived matrix as literals (no stored model on either
+    // side), so the gate pins the full projection arithmetic
+    "e2_random_projection" -> q((s, d) => {
+      val proj = graft.similarity.Quantize.randomProject(
+        Tables.embeddings(s, d).filter(col("vec_id") < 20), dim = 64, outDim = 8)
+      val comps = (0 until 8).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"p$j").as("c")))
+      proj.select(col("vec_id"), explode(array(comps: _*)).as("pc"))
+        .select(col("vec_id"), col("pc.j").as("j"),
+          round(col("pc.c"), 6).as("comp"))
+        .orderBy("vec_id", "j")
+    }),
     // --- sink round-trips (S9/S11/S12 get CORRECTNESS rows) ---
     // shared scaffold: withTempDir materializes the result (eager
     // localCheckpoint) BEFORE the directory is removed, and fnvSummary
@@ -2363,6 +2380,33 @@ object SparkEntry {
            round(any_value(b2.lo),4) AS lo, round(any_value(b2.hi),4) AS hi
          FROM events e JOIN b2 ON e.event_type = b2.event_type
          GROUP BY 1 ORDER BY e.event_type""",
+    "a31_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+           FROM events e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1),
+         z AS (SELECT d.event_type, d.med, md.mad,
+             CASE WHEN md.mad = 0 THEN 0
+               ELSE 0.6745 * (d.value - d.med) / md.mad END AS zz
+           FROM d JOIN md USING (event_type))
+         SELECT event_type, count(*) AS cnt, round(max(med), 4) AS med,
+           round(max(mad), 4) AS mad,
+           count(CASE WHEN abs(zz) > 3.5 THEN 1 END) AS n_flagged,
+           round(max(abs(zz)), 4) AS max_abs_score
+         FROM z GROUP BY 1 ORDER BY event_type""",
+    "e2_random_projection" -> {
+      val values = (for {
+        (row, j) <- graft.similarity.Quantize.projectionMatrix(64, 8).zipWithIndex
+        (w, dd) <- row.zipWithIndex
+      } yield s"($j, ${dd + 1}, $w)").mkString(", ")
+      s"""WITH w(j, d, wt) AS (SELECT * FROM (VALUES $values)),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 20)
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+           round(sum(emb[d] * wt), 6) AS comp
+         FROM e, w GROUP BY vec_id, j ORDER BY vec_id, j"""
+    },
     "t6_quality_by_lang" ->
       s"""WITH m AS (SELECT lang,
            len($toks) AS n_tokens,

@@ -59,4 +59,34 @@ object Quantize {
       array_max(col("qvec")).cast("long").as("q_max"),
       (array_max(err) <= col("scale") * 0.5d + 1e-12).as("within_half_scale"))
   }
+
+  /** The deterministic projection matrix [[randomProject]] uses: row j =
+    * [[Similarity.planeWeights]](dim, j) scaled by √(12/outDim). The
+    * splitmix64-derived weights are uniform in [-0.5, 0.5) (variance
+    * 1/12), so the scale makes E‖y‖² = ‖x‖² — the Johnson–Lindenstrauss
+    * normalization. Exposed so an oracle can embed the SAME literal
+    * matrix instead of replaying 64-bit mix arithmetic in SQL. */
+  def projectionMatrix(dim: Int, outDim: Int): Seq[Seq[Double]] = {
+    val s = math.sqrt(12.0 / outDim)
+    (0 until outDim).map(j => Similarity.planeWeights(dim, j).map(_ * s))
+  }
+
+  /** Deterministic random projection of an embedding column to `outDim`
+    * dimensions — the JL-lemma shrink applied before brute-force or IVF
+    * search when even int8 at full width is too wide (64-d float → 8-d
+    * ≈ 8× less distance-compute per candidate; pairwise distances
+    * preserved within 1±ε in expectation). No stored model: every
+    * executor re-derives the same splitmix64 planes, so the operator is
+    * a pure row-local projection — `outDim` codegen'd dot products per
+    * row, zero shuffle, reproducible under retry on any engine. */
+  def randomProject(embeddings: DataFrame, dim: Int, outDim: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0 && outDim <= dim,
+      s"need 0 < outDim <= dim, got outDim=$outDim dim=$dim")
+    val d = dbl(col(vecCol))
+    val comps = projectionMatrix(dim, outDim).zipWithIndex.map { case (row, j) =>
+      graft.functions.HashExpressions.dotProduct(d, typedLit(row)).as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: comps: _*)
+  }
 }

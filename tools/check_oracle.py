@@ -56,26 +56,31 @@ def main() -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    passed, failed = [], []
     for name, sql in sorted(oracles.items()):
         try:
             spark_df = normalize(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
+            failed.append(name)
             continue
         try:
             duck_df = normalize(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1
+            failed.append(name)
             continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1
+            failed.append(name)
             continue
         bad = None
         for col in spark_df.columns:
@@ -92,9 +97,11 @@ def main() -> int:
             col, i, a, b = bad
             print(f"FAIL {name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}")
             n_fail += 1
+            failed.append(name)
         else:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
+            passed.append(name)
     # rows-only queries
     import os
     names_on_disk = {d for d in os.listdir(out_dir)
@@ -106,12 +113,22 @@ def main() -> int:
             print(f"{status} {name} (rows-only, {n} rows)")
             if n == 0:
                 n_fail += 1
+                failed.append(name)
             else:
                 n_pass += 1
+                passed.append(name)
         except Exception as e:
             print(f"FAIL {name}: unreadable ({e})")
             n_fail += 1
+            failed.append(name)
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    # Machine-readable artifact beside the verify dump: COVERAGE.md's
+    # "verified at sf X" census is pasted from this file, never
+    # hand-written (the round-7 j9 lesson).
+    with open(f"{out_dir}/oracle_check.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "passed": sorted(passed), "failed": sorted(failed)}, f,
+                  indent=0)
     return 1 if n_fail else 0
 
 
