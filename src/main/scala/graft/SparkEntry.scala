@@ -706,6 +706,22 @@ object SparkEntry {
           count(when(col("value").isNull, 1)).as("n_null_value"))
         .orderBy("event_type")
     }),
+    // validate-and-route: good rows to the curated path, violators to a
+    // quarantine path WITH failure labels — membership of both sinks
+    // pinned per status (a row can fail null-ness or range, never both)
+    "io9_quarantine_route" -> q((s, d) => withTempDir("graft_io9") { dir =>
+      import graft.operators.Quality
+      Quality.quarantine(Tables.events(s, d),
+        Seq(Quality.NotNull("value"), Quality.InRange("value", 0.0, 140.0)),
+        s"$dir/good", s"$dir/bad")
+      val good = s.read.parquet(s"$dir/good")
+        .select(col("event_id"), lit("good").as("status"))
+      val bad = s.read.parquet(s"$dir/bad")
+        .select(col("event_id"), col("_failed_rules").as("status"))
+      good.unionByName(bad).groupBy("status")
+        .agg(count(lit(1)).as("n_rows"), sum("event_id").as("id_sum"))
+        .orderBy("status")
+    }),
     // data-quality assertion report (the validate-before-ingest pass —
     // the reference's interleaved ad-hoc count() checks as ONE
     // aggregation): every rule type exercised, all counts pinned
@@ -2380,6 +2396,18 @@ object SparkEntry {
            round(any_value(b2.lo),4) AS lo, round(any_value(b2.hi),4) AS hi
          FROM events e JOIN b2 ON e.event_type = b2.event_type
          GROUP BY 1 ORDER BY e.event_type""",
+    "io9_quarantine_route" ->
+      """WITH t AS (SELECT event_id,
+           CASE WHEN value IS NULL THEN 'not_null(value)' END AS r1,
+           CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 140.0)
+             THEN 'in_range(value,0.0,140.0)' END AS r2
+           FROM events),
+         s AS (SELECT event_id,
+           CASE WHEN r1 IS NULL AND r2 IS NULL THEN 'good'
+             ELSE concat_ws(',', r1, r2) END AS status FROM t)
+         SELECT status, count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM s GROUP BY 1 ORDER BY status""",
     "a31_mad_outliers" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
            FROM events GROUP BY 1),

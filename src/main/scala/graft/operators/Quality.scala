@@ -114,4 +114,56 @@ object Quality {
         col("s.n_violations").as("n_violations"), col("s.pass").as("pass"))
       .orderBy("rule")
   }
+
+  /** Row-level PASS predicate for a row-local rule. [[Unique]] /
+    * [[UniqueApprox]] are aggregate-level (a row is only a "duplicate"
+    * relative to the whole frame) and fail fast here — routing
+    * duplicates is [[graft.dedup.Dedup]]'s job. */
+  def rowPredicate(r: Rule): Column = r match {
+    case NotNull(c) => col(c).isNotNull
+    case InRange(c, lo, hi) => col(c).isNull || (col(c) >= lo && col(c) <= hi)
+    case InSet(c, vs) => col(c).isNull || col(c).isin(vs: _*)
+    case Satisfies(_, p) => coalesce(p, lit(true))
+    case other => throw new IllegalArgumentException(
+      s"rowPredicate: ${other.name} is not a row-local rule")
+  }
+
+  /** Tag each row with the (possibly empty) array of row-local rules it
+    * violates — `_failed_rules`, in rule order. Row-local codegen'd
+    * when-chain; no shuffle, composes with any scan. */
+  def withFailedRules(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val tags = rules.map(r =>
+      when(!rowPredicate(r), lit(r.name)).otherwise(lit(null)))
+    df.withColumn("_failed_rules",
+      filter(array(tags: _*), t => t.isNotNull))
+  }
+
+  /** Validate-and-route (the production shape of validate-before-ingest):
+    * rows passing every row-local rule land in `goodPath`; violators
+    * land in `badPath` WITH a `_failed_rules` column naming why — the
+    * quarantine a pipeline replays after an upstream fix instead of
+    * re-ingesting the world. ONE pass tags rows; each sink writes its
+    * filtered slice in parallel (no coalesce funnel — at 100 TB the
+    * writer count is the ingest bandwidth; the two filtered writes each
+    * prune the other slice at the scan). Returns (nGood, nBad) read
+    * from the written files — the counts a drop manifest records. */
+  def quarantine(df: DataFrame, rules: Seq[Rule],
+                 goodPath: String, badPath: String): (Long, Long) = {
+    val spark = df.sparkSession
+    val tagged = withFailedRules(df, rules)
+      // tag once, route twice: without this the full rule chain (and
+      // everything upstream) re-executes per sink
+      .persist()
+    try {
+      tagged.filter(size(col("_failed_rules")) === 0).drop("_failed_rules")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(goodPath)
+      tagged.filter(size(col("_failed_rules")) > 0)
+        .withColumn("_failed_rules",
+          concat_ws(",", col("_failed_rules")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(badPath)
+      (spark.read.parquet(goodPath).count(),
+        spark.read.parquet(badPath).count())
+    } finally { tagged.unpersist(); () }
+  }
 }

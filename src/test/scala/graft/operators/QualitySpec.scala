@@ -77,4 +77,33 @@ class QualitySpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] { Quality.check(df, Seq.empty) }
   }
+
+  test("quarantine routes violators with labels and keeps good rows clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q_route")
+    try {
+      val data = Seq(
+        (1L, Some(5.0)),              // good
+        (2L, None),                   // fails not_null
+        (3L, Some(999.0)),            // fails in_range
+        (4L, Some(10.0)))             // good
+        .toDF("id", "v")
+      val rules = Seq(Quality.NotNull("v"), Quality.InRange("v", 0.0, 100.0))
+      val (nGood, nBad) =
+        Quality.quarantine(data, rules, s"$dir/good", s"$dir/bad")
+      assert((nGood, nBad) == ((2L, 2L)))
+      val good = spark.read.parquet(s"$dir/good")
+      assert(!good.columns.contains("_failed_rules"))
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 4L))
+      val bad = spark.read.parquet(s"$dir/bad")
+        .collect().map(r => r.getAs[Long]("id") ->
+          r.getAs[String]("_failed_rules")).toMap
+      assert(bad(2L) == "not_null(v)")
+      assert(bad(3L) == "in_range(v,0.0,100.0)")
+      // aggregate-level rules cannot route rows
+      intercept[IllegalArgumentException] {
+        Quality.withFailedRules(data, Seq(Quality.Unique(Seq("id"))))
+      }
+    } finally graft.Fs.deleteRecursively(dir)
+  }
 }
