@@ -762,6 +762,24 @@ object SparkEntry {
     // MAD robust outlier report: exact per-group median + MAD broadcast
     // back, Iglewicz–Hoaglin 3.5 cut — counts and robust stats pinned
     "a31_mad_outliers" -> q((s, d) => Outliers.madOutliers(Tables.events(s, d))),
+    // --- distribution drift (operators/Drift.scala) ---
+    // exact two-sample KS between click and view value samples: one
+    // data-sized count keyed by distinct value, CDFs via the two-pass
+    // bucket prefix sum — supremum attained at a sample point, so exact
+    "dr1_ks_drift" -> q((s, d) =>
+      graft.operators.Drift.ksStatistic(Tables.events(s, d),
+        "value", "event_type", "click", "view")),
+    // PSI of every source's n_chars histogram vs the src0 baseline over
+    // 16 fixed-width global bins, Laplace-smoothed identically on both
+    // sides — the scorecard drift monitor
+    "dr2_psi_drift" -> q((s, d) =>
+      graft.operators.Drift.psi(Tables.documents(s, d),
+        "n_chars", "source", "src0", bins = 16)),
+    // Pearson chi-square of source × lang independence with the full
+    // r×c grid (zero-observed cells included via the marginal crossJoin)
+    "dr3_chisq_independence" -> q((s, d) =>
+      graft.operators.Drift.chiSquareIndependence(Tables.documents(s, d),
+        "source", "lang")),
     // isolation-forest scoring invariants: the scored-row count is
     // pinned exactly; the oracle demands scores stay inside (0,1), the
     // contamination-thresholded anomaly rate lands within approxQuantile
@@ -2423,6 +2441,59 @@ object SparkEntry {
            count(CASE WHEN abs(zz) > 3.5 THEN 1 END) AS n_flagged,
            round(max(abs(zz)), 4) AS max_abs_score
          FROM z GROUP BY 1 ORDER BY event_type""",
+    "dr1_ks_drift" ->
+      """WITH two AS (SELECT value AS v,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+           FROM events WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL),
+         bv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+             CAST(sum(ib) AS BIGINT) AS cb FROM two GROUP BY 1),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM bv),
+         c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cb) OVER (ORDER BY v) AS cum_b FROM bv)
+         SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+           round(max(abs(cum_a / (1.0 * n_a) - cum_b / (1.0 * n_b))), 6)
+             AS ks_stat
+         FROM c, t GROUP BY 1, 2, 3, 4""",
+    "dr2_psi_drift" ->
+      """WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+           FROM documents WHERE n_chars IS NOT NULL),
+         mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+         bn AS (SELECT g, CASE WHEN mx = mn THEN 0
+             ELSE least(CAST(floor((v - mn) / ((mx - mn) / 16)) AS BIGINT), 15)
+             END AS b FROM v, mm),
+         c AS (SELECT g, b, count(*) AS n FROM bn GROUP BY 1, 2),
+         grid AS (SELECT dg.g, gs.b FROM (SELECT DISTINCT g FROM c) dg,
+           (SELECT unnest(range(0, 16)) AS b) gs),
+         f AS (SELECT grid.g, grid.b, COALESCE(c.n, 0) AS n
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         t AS (SELECT g, sum(n) AS nt FROM f GROUP BY 1),
+         p AS (SELECT f.g, f.b, (f.n + 0.5) / (t.nt + 8.0) AS p, t.nt
+           FROM f JOIN t ON f.g = t.g),
+         base AS (SELECT b, p AS pb FROM p WHERE g = 'src0')
+         SELECT p.g AS source, CAST(max(nt) AS BIGINT) AS n,
+           round(sum((p - pb) * ln(p / pb)), 6) AS psi
+         FROM p JOIN base USING (b) WHERE p.g <> 'src0'
+         GROUP BY 1 ORDER BY 1""",
+    "dr3_chisq_independence" ->
+      """WITH o AS (SELECT source AS a, lang AS b, count(*) AS o
+           FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         ra AS (SELECT a, sum(o) AS na FROM o GROUP BY 1),
+         cb AS (SELECT b, sum(o) AS nb FROM o GROUP BY 1),
+         t AS (SELECT sum(o) AS n FROM o),
+         cells AS (SELECT ra.a, cb.b, COALESCE(o.o, 0) AS o,
+             (1.0 * na) * nb / n AS e, n
+           FROM ra CROSS JOIN cb
+           LEFT JOIN o ON o.a = ra.a AND o.b = cb.b
+           CROSS JOIN t)
+         SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+             AS dof,
+           round(sum(pow(o - e, 2) / e), 4) AS chi2
+         FROM cells""",
     "e2_random_projection" -> {
       val values = (for {
         (row, j) <- graft.similarity.Quantize.projectionMatrix(64, 8).zipWithIndex

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between data slices — the monitoring
+  * pass a training pipeline runs per ingest batch ("has this source's
+  * feature distribution moved?") and a warehouse runs between snapshot
+  * loads. Three classic two-sample instruments, each built so the heavy
+  * part is a partial→final aggregate and everything after operates on
+  * aggregate-sized frames:
+  *
+  *   - [[ksStatistic]]: exact two-sample Kolmogorov–Smirnov D over the
+  *     empirical CDFs — the nonparametric "are these two numeric
+  *     samples from the same distribution?" test.
+  *   - [[psi]]: population stability index over fixed-width bins — the
+  *     scorecard-monitoring standard (PSI < 0.1 stable, > 0.25 shifted).
+  *   - [[chiSquareIndependence]]: Pearson chi-square over an r×c
+  *     contingency table — "are these two categorical columns
+  *     independent?" (e.g. source × language mix drift).
+  *
+  * Reference analogue: the reference's notebooks eyeball distribution
+  * shift with per-month seaborn histograms (`notebooks/analytics.ipynb`
+  * passim); these operators are the engine-side quantitative form.
+  *
+  * All three are exactly reproducible (pure functions of the input
+  * rows — no RNG, no sketch), so a SQL oracle pins them bit-for-bit
+  * after a documented `round(·)`.
+  */
+object Drift {
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic
+    * `D = max_x |F_A(x) − F_B(x)|` between the `valueCol` samples of
+    * `groupA` and `groupB` rows (one output row: n_a, n_b, ks_stat).
+    *
+    * Scale shape: the data-sized work is one partial→final count keyed
+    * by the distinct VALUE (each side's count carried in the same row),
+    * after which the frame is distinct-value-sized. The running CDFs
+    * need a global prefix sum over the value order — computed with the
+    * same two-pass literal-quantile-bucket trick as
+    * [[graft.pipeline.Packing.withGlobalCumsumBefore]] (per-bucket
+    * totals get their offsets from a metadata-sized window over bucket
+    * ids; within-bucket windows run in parallel), never a
+    * single-partition window over the data. Both sides' cumsums ride
+    * one bucketing and one window pass.
+    *
+    * The supremum over the step-function difference is attained at a
+    * sample point, so maxing |·| over the distinct values is exact —
+    * no discretization. Determinism: counts are longs, the CDF ratios
+    * are exact integer divisions evaluated identically by any IEEE-754
+    * engine; `round(6)` on the output absorbs nothing but display.
+    */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val two = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("ib"))
+    // one data-sized aggregate; everything below is distinct-value-sized
+    val byVal = two.groupBy("v")
+      .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else byVal.stat.approxQuantile("v", probs, 0.001 / nParts)
+    // bucket = count of boundaries strictly below v: pure literal
+    // comparisons, so membership cannot drift between the offsets job
+    // and the probe side (Packing.scala:43-50 rationale)
+    val bucketCol = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("v") > b, 1L).otherwise(0L)
+    }
+    val parts = byVal.withColumn("_bkt", bucketCol)
+    val metaWin = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("_bkt")
+      .agg(sum("ca").as("_pa"), sum("cb").as("_pb"))
+      .select(col("_bkt"),
+        coalesce(sum("_pa").over(metaWin), lit(0L)).as("_oa"),
+        coalesce(sum("_pb").over(metaWin), lit(0L)).as("_ob"))
+    val within = Window.partitionBy("_bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts.join(broadcast(offsets), "_bkt")
+      .select(
+        (sum("ca").over(within) + col("_oa")).as("cum_a"),
+        (sum("cb").over(within) + col("_ob")).as("cum_b"))
+    val tot = byVal.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))
+          .as("d"),
+        col("n_a"), col("n_b"))
+      .groupBy()
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        round(max("d"), 6).as("ks_stat"))
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("n_a"), col("n_b"), col("ks_stat"))
+  }
+
+  /** Population stability index of every non-baseline group of
+    * `groupCol` against `baseline`, over `bins` fixed-width bins of
+    * `valueCol` spanning the GLOBAL [min, max]:
+    * `PSI = Σ_bins (p_g − p_b) · ln(p_g / p_b)`.
+    *
+    * Empty bins are inevitable on real slices, and PSI is undefined at
+    * zero mass, so both distributions take the standard Laplace
+    * smoothing `p = (n + ½) / (N + bins/2)` — deterministic, and applied
+    * identically by the SQL oracle. Bin edges come from one single-row
+    * global min/max aggregate broadcast back (crossJoin of one row);
+    * binning is then a row-local codegen'd expression, the count is one
+    * partial→final agg keyed by (group, bin), and the group×bin grid is
+    * completed by exploding a literal `sequence(0, bins−1)` against the
+    * (tiny) distinct-group aggregate — so absent bins exist with n=0
+    * without any data-sized join.
+    */
+  def psi(df: DataFrame, valueCol: String, groupCol: String,
+          baseline: String, bins: Int = 16): DataFrame = {
+    require(bins > 0, s"psi: bins must be positive, got $bins")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val mm = vals.agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = vals.crossJoin(broadcast(mm))
+      .select(col("g"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / bins))
+              .cast("long"),
+            lit(bins - 1L))).as("b"))
+    val counts = binned.groupBy("g", "b").agg(count(lit(1)).as("n"))
+    // complete the group×bin grid from the aggregate, not the data
+    val grid = counts.select("g").distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(bins - 1L))).as("b"))
+    val full = grid.join(counts, Seq("g", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val totals = full.groupBy("g").agg(sum("n").as("nt"))
+    val withP = full.join(totals, "g")
+      .withColumn("p", (col("n") + 0.5) / (col("nt") + bins / 2.0))
+    val base = withP.filter(col("g") === baseline)
+      .select(col("b"), col("p").as("pb"))
+    withP.filter(col("g") =!= baseline)
+      .join(broadcast(base), "b")
+      .groupBy("g")
+      .agg(max("nt").as("n"),
+        round(sum((col("p") - col("pb")) * log(col("p") / col("pb"))), 6)
+          .as("psi"))
+      .select(col("g").as(groupCol), col("n"), col("psi"))
+      .orderBy(groupCol)
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: one output row with the table size, degrees of freedom
+    * `(r−1)(c−1)`, and the statistic `Σ_cells (o − e)² / e`,
+    * `e = rowTotal · colTotal / n`.
+    *
+    * The statistic sums over ALL r×c cells including zero-observed ones
+    * — the contingency grid is completed by crossJoining the two
+    * marginal aggregates (each distinct-value-sized; for categorical
+    * dimensions that is metadata, not data) and left-joining the
+    * observed counts. One data-sized partial→final count; the grand
+    * total broadcasts as a one-row crossJoin.
+    */
+  def chiSquareIndependence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("a"), col(colB).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum("o").as("na"))
+    val cb = obs.groupBy("b").agg(sum("o").as("nb"))
+    val tot = obs.agg(sum("o").as("n"))
+    val cells = ra.crossJoin(cb)
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // cast before multiplying: rowTotal·colTotal over 100 TB row counts
+      // overflows long; the double product is what the oracle computes too
+      .withColumn("e", col("na").cast("double") * col("nb") / col("n"))
+    cells.groupBy()
+      .agg(max("n").as("n"),
+        ((countDistinct("a") - 1) * (countDistinct("b") - 1)).as("dof"),
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+  }
+}
