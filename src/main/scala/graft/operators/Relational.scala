@@ -206,6 +206,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 0).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Arbitrary GROUPING SETS in one pass — the general form ROLLUP and
+    * CUBE are shorthand for, for set lists neither shorthand can express
+    * (here: per (flag,status) detail, per-STATUS margin, grand total —
+    * a non-hierarchical list, so not a ROLLUP). One Expand+aggregate,
+    * no per-margin rescan; same engine shape as [[cubeTotals]]. */
+  def groupingSetTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 0).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** A1: avg + count by hour (`analytics_yellow_s3.py:15-18`). */
   def hourlyProfile(events: DataFrame): DataFrame =
     events

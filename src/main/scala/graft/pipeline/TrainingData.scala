@@ -220,6 +220,32 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Stratified form of [[weightedSampleExact]]: an independent exact-k
+    * A-ES draw WITHIN every `groupCol` stratum in one pass — "the best
+    * k docs per source under the quality-weighted law", the per-stratum
+    * quota draw a mixture builder runs after [[mixtureQuota]] decides
+    * the quotas. Same deterministic `u^(1/w)` key (same seed semantics,
+    * same reproducibility-under-retry contract); selection swaps the
+    * global TakeOrderedAndProject for a `row_number` over a window
+    * PARTITIONED by the stratum — state per task is one counter per
+    * group, and k rows per group survive the shuffle's map side only.
+    * Groups with fewer than k positive-weight rows keep them all. */
+  def weightedSamplePerGroup(df: DataFrame, k: Int, weight: Column,
+                             groupCol: String, idCol: String = "doc_id",
+                             seed: Long = 42L): DataFrame = {
+    require(k > 0, s"weightedSamplePerGroup: k must be positive, got $k")
+    val u = (pmod(graft.functions.HashExpressions.fnv1a32(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("es_key").desc, col(idCol))
+    df.filter(weight > 0)
+      .withColumn("es_key", pow(u, lit(1.0) / weight))
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Trim the corpus to the central token-length band: keep documents
     * whose token count lies within the global `[lo, hi]` quantiles —
     * the standard "drop the pathological tails" pass (empty shells and

@@ -190,6 +190,35 @@ class TrainingDataSpec extends SparkTestBase {
       TrainingData.weightedSampleExact(rows, 0, col("w")))
   }
 
+  test("weightedSamplePerGroup: exact k per stratum, consistent with the global draw") {
+    import org.apache.spark.sql.functions._
+    // 3 strata × 50 rows; stratum "c" has only 2 positive-weight rows
+    val rows = (for {
+      g <- Seq("a", "b"); i <- 1 to 50
+    } yield (s"$g$i", g, 1.0 + (i % 5))) ++
+      Seq(("c1", "c", 1.0), ("c2", "c", 2.0), ("c3", "c", 0.0))
+    val df = rows.toDF("doc_id", "src", "w")
+    val got = TrainingData.weightedSamplePerGroup(df, 7, col("w"), "src",
+      idCol = "doc_id")
+    val byG = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 7L, "b" -> 7L, "c" -> 2L)) // short stratum keeps all
+    // layout-independent (pure function of ids/weights/seed)
+    val again = TrainingData.weightedSamplePerGroup(df.repartition(9),
+      7, col("w"), "src", idCol = "doc_id")
+      .select("doc_id").as[String].collect().toSet
+    assert(again == got.select("doc_id").as[String].collect().toSet)
+    // within one stratum the per-group draw IS the global A-ES draw
+    val onlyA = df.filter(col("src") === "a")
+    val globalA = TrainingData.weightedSampleExact(onlyA, 7, col("w"),
+      idCol = "doc_id").select("doc_id").as[String].collect().toSet
+    val perGroupA = got.filter(col("src") === "a")
+      .select("doc_id").as[String].collect().toSet
+    assert(perGroupA == globalA)
+    intercept[IllegalArgumentException](
+      TrainingData.weightedSamplePerGroup(df, 0, col("w"), "src"))
+  }
+
   test("trimToLengthBand drops both tails") {
     import org.apache.spark.sql.functions._
     // lengths 1..100 tokens: p5=~5.95, p95=~95.05 → keep 6..95
