@@ -153,6 +153,10 @@ object SparkEntry {
     "a3_busiest_keys" -> q((s, d) => Relational.busiestKeys(Tables.orders(s, d))),
     "a6_rollup_totals" -> q((s, d) => Relational.rollupTotals(Tables.orders(s, d))),
     "a28_cube_totals" -> q((s, d) => Relational.cubeTotals(Tables.lineitem(s, d))),
+    // arbitrary GROUPING SETS (detail, status margin, grand total) in
+    // one Expand+aggregate — the non-hierarchical list ROLLUP can't say
+    "a32_grouping_sets" -> q((s, d) =>
+      Relational.groupingSetTotals(Tables.lineitem(s, d))),
     // group-wise winsorized stats: exact per-group p5/p95 clamp, raw vs
     // robust mean pinned (oracle replays with quantile_cont, which
     // Spark's exact `percentile` interpolation matches)
@@ -686,6 +690,18 @@ object SparkEntry {
           round(col("_f.value_sum"), 4).as("value_sum"))
         .orderBy("user_id")
     }),
+    // built-in session_window through the real runtime (Complete mode):
+    // session extents are a pure function of the event-time multiset,
+    // so the converged sessions equal the batch lag/gap sessionization
+    // the oracle computes — starts, counts, and value sums all pinned
+    "st9_stream_session_window" -> q((s, d) =>
+      graft.streaming.EventStreams.throughStream(s,
+          Tables.events(s, d)
+            .select("event_id", "ts", "user_id", "event_type", "value"),
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          inputFiles = 3, statePartitions = Some(4))(
+          df => graft.streaming.EventStreams.sessionWindowCounts(df))
+        .orderBy("user_id", "session_start")),
     // the real runtime into a FILE sink: micro-batches land in a curated
     // partitioned tree via foreachBatch + the drift-guarded writer,
     // overwrite-by-batch-id (replay-idempotent). The tree's CONTENTS are
@@ -780,6 +796,12 @@ object SparkEntry {
     "dr3_chisq_independence" -> q((s, d) =>
       graft.operators.Drift.chiSquareIndependence(Tables.documents(s, d),
         "source", "lang")),
+    // skyline query: distinct (price, discount) points nobody Pareto-
+    // dominates, via the descending sweep + bucketed running max — the
+    // oracle replays the same sweep-line identity in SQL window form
+    "sk1_pareto_frontier" -> q((s, d) =>
+      graft.operators.Skyline.paretoFrontier2D(Tables.lineitem(s, d),
+        "l_extendedprice", "l_discount")),
     // isolation-forest scoring invariants: the scored-row count is
     // pinned exactly; the oracle demands scores stay inside (0,1), the
     // contamination-thresholded anomaly rate lands within approxQuantile
@@ -1304,6 +1326,20 @@ object SparkEntry {
         .weightedSampleExact(withW, 40, col("weight"))
         .select(col("doc_id"), col("weight"),
           round(col("es_key"), 6).as("es_key"))
+    }),
+    // stratified A-ES: the same deterministic u^(1/w) draw, but an
+    // independent exact-5 sample per SOURCE via the partitioned
+    // row_number — per-stratum quota sampling, full rows pinned
+    "r4_group_weighted_sample" -> q((s, d) => {
+      val withW = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("weight",
+          round(graft.text.TextAnalysis.qualityScore(col("text")), 6))
+      graft.pipeline.TrainingData
+        .weightedSamplePerGroup(withW, 5, col("weight"), "source")
+        .select(col("source"), col("doc_id"), col("weight"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy(col("source"), col("es_key").desc, col("doc_id"))
     }),
     // DSIR importance resampling: hashed unigram+bigram bucket models
     // (target = English docs, raw = the rest), add-1-smoothed log
@@ -2361,6 +2397,17 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_sessions, round(avg(n),4) AS avg_session_events,
            max(n) AS max_session_events
          FROM counts GROUP BY 1 ORDER BY user_id""",
+    "st9_stream_session_window" ->
+      """WITH flagged AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id
+           ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
+         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS value_sum
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "w5_funnel" ->
       """WITH f AS (SELECT user_id, min(ts) AS first_from FROM events
            WHERE event_type = 'click' GROUP BY 1),
@@ -2494,6 +2541,42 @@ object SparkEntry {
              AS dof,
            round(sum(pow(o - e, 2) / e), 4) AS chi2
          FROM cells""",
+    "a32_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         round(sum(l_quantity), 0) AS sum_qty FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "r4_group_weighted_sample" ->
+      s"""WITH m AS (SELECT doc_id, source,
+           round((least(len($toks) / 50.0, 1.0)
+             + (1.0 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                 ELSE 0 END) * 5.0, 1.0))
+             + least((CASE WHEN len($toks) > 0
+                 THEN len(list_filter($toks, x -> x IN $stop))::DOUBLE / len($toks)
+                 ELSE 0 END) * 5.0, 1.0)) / 3.0, 6) AS weight
+           FROM documents),
+         k AS (SELECT doc_id, source, weight,
+             pow((${fnvSql("CAST(doc_id AS VARCHAR) || ':42'", 2166136261L)}
+                   % 1000000 + 0.5) / 1000000.0,
+               1.0 / weight) AS es_key
+           FROM m WHERE weight > 0),
+         r AS (SELECT source, doc_id, weight, es_key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY es_key DESC, doc_id) AS rn
+           FROM k)
+         SELECT source, doc_id, weight, round(es_key, 6) AS es_key
+         FROM r WHERE rn <= 5 ORDER BY source, es_key DESC, doc_id""",
+    "sk1_pareto_frontier" ->
+      """WITH pts AS (SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS x,
+           CAST(l_discount AS DOUBLE) AS y FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+         m AS (SELECT x, y, max(y) OVER (ORDER BY x DESC, y DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM pts)
+         SELECT x AS l_extendedprice, y AS l_discount FROM m
+         WHERE pmax IS NULL OR y > pmax ORDER BY x DESC""",
     "e2_random_projection" -> {
       val values = (for {
         (row, j) <- graft.similarity.Quantize.projectionMatrix(64, 8).zipWithIndex

@@ -34,6 +34,28 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
   }
 
+  /** Built-in session-window aggregation: per-user sessions that merge
+    * while consecutive events arrive within `gap` and close at
+    * last-event + gap — the declarative twin of [[sessionizeStream]]'s
+    * explicit mapGroupsWithState (use THIS unless the session logic
+    * needs custom state; Catalyst plans the merge, and the state store
+    * handles out-of-order arrival by merging overlapping windows).
+    * Session identity is a pure function of the event-time multiset, so
+    * the converged result is arrival-order-independent and oracle-
+    * pinnable: a new session starts exactly when the gap to the
+    * previous event is STRICTLY greater than `gap` (the session end
+    * `last + gap` is an inclusive merge bound — spec-asserted).
+    * Works on batch frames too — same plan minus the state store. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "35 days"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("value_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** Gap-based sessionization with explicit state + EVENT-TIME timeout:
     * when the watermark passes an idle user's last event + gap, the open
     * session is emitted and its state removed — without the timeout a

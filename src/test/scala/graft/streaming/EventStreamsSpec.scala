@@ -41,6 +41,56 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.map(_._3).sum == sample.size)
   }
 
+  test("session_window: streaming sessions equal batch sessions, exact gap merges") {
+    implicit val sqlCtx = spark.sqlContext
+    // gap 30min: 10:00+10:20 merge; 10:20 -> 10:50 lands EXACTLY on the
+    // session end and still merges (the end bound is inclusive — a new
+    // session needs a gap STRICTLY greater); 11:20:01 is 1s past and splits
+    val pts = Seq(
+      ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(1, "2024-01-01 10:20:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:50:00", 1, "click", 4.0),
+      ev(4, "2024-01-01 11:20:01", 1, "click", 16.0),
+      ev(3, "2024-01-01 09:00:00", 2, "view", 8.0))
+    val mem = MemoryStream[Event]
+    mem.addData(pts: _*)
+    val q = EventStreams.sessionWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sw_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sw_test").orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 10:00:00.0", 3L, 7.0),   // exact-gap 10:50 merged in
+      (1L, "2024-01-01 11:20:01.0", 1L, 16.0),  // 1s past the gap: new session
+      (2L, "2024-01-01 09:00:00.0", 1L, 8.0)))
+    // batch path produces the identical frame
+    val batch = EventStreams.sessionWindowCounts(pts.toDF())
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == got)
+  }
+
+  test("session_window: out-of-order arrival across micro-batches converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // the bridge event (10:20) arrives LAST, merging two separate sessions
+    mem.addData(ev(0, "2024-01-01 10:00:00", 1, "click", 1.0))
+    mem.addData(ev(2, "2024-01-01 10:40:00", 1, "click", 4.0))
+    mem.addData(ev(1, "2024-01-01 10:20:00", 1, "click", 2.0))
+    val q = EventStreams.sessionWindowCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sw_merge_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sw_merge_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, "2024-01-01 10:00:00.0", 3L, 7.0)))
+  }
+
   test("watermark finalizes windows and drops late events in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
