@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting + global clustering coefficient over an
+  * undirected graph given as (src, dst) pairs — the graph-shape summary
+  * that grades a link/citation corpus (spam farms are triangle-poor,
+  * organic communities triangle-rich; the same signal PageRank
+  * ([[PageRank]]) reads from a different angle).
+  *
+  * Uses the degree-ordered orientation of Schank & Wagner ("Finding,
+  * Counting and Listing all Triangles in Large Graphs", WEA 2005, the
+  * standard MapReduce/Spark formulation): orient every undirected edge
+  * from its (degree, id)-smaller endpoint to the larger, enumerate
+  * wedges only at each edge's SOURCE, and close them against the
+  * oriented edge set. Orientation bounds every node's out-degree by
+  * O(√m) regardless of in-degree — a celebrity node with 10⁸ followers
+  * generates no wedge explosion, because its edges all point INTO it.
+  * Total wedge work is O(m^{3/2}), the optimal bound, reached with two
+  * shuffle joins; a naive neighbor-pair expansion would be Σ deg² and
+  * die on the first hub.
+  *
+  * Exactly reproducible: dedup + integer joins, no floats until the
+  * final coefficient.
+  */
+object Triangles {
+
+  /** One row: nodes, undirected edge count, wedge count Σ C(deg,2),
+    * triangle count, and the global clustering coefficient
+    * `3·triangles / wedges` (0 when the graph has no wedge). Self-loops
+    * dropped, parallel edges collapsed, direction ignored. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst")
+        && col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): rank structs compare lexicographically
+    val ranked = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            struct(col("db").as("rd"), col("b").as("rn")).as("rv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"),
+              struct(col("da").as("rd"), col("a").as("rn")).as("rv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
+    // wedges at the rank-smallest endpoint; the closing edge, if present,
+    // is oriented rank-low -> rank-high by construction, so one equi-join
+    // against the oriented set decides each wedge
+    val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
+    val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("v1").as("wu"), col("v2").as("wv"))
+    val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
+    val triangles = wedges.join(closing, Seq("wu", "wv"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        // integral div: the double quotient would lose precision once
+        // d(d-1) passes 2^53 (a 10^8-degree hub is enough)
+        sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+    shape.crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+}

@@ -268,6 +268,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-`k` adjacent-token pairs by pointwise mutual information —
+    * collocation/phrase detection (Church & Hanks 1990; the word2vec
+    * phrase pass of Mikolov et al. 2013 is the same score with a
+    * discount): `pmi = ln(p(ab) / (p(a)·p(b)))` with `p(ab)` over the
+    * bigram total and `p(·)` over the unigram total. High-PMI pairs are
+    * phrases ("new york"); raw-frequency top bigrams ([[topBigrams]])
+    * are mostly stopword pairs — PMI is the signal a tokenizer/phrase
+    * vocabulary actually wants. `minCount` suppresses the low-support
+    * noise that dominates raw PMI (a pair seen once with two hapax
+    * words scores near-maximal).
+    *
+    * Shuffle shape at 100 TB: one explode into pair structs with
+    * map-side combine (pair vocabulary ≪ corpus), one unigram
+    * aggregate, two vocabulary-sized equi-joins to attach component
+    * counts, then TakeOrderedAndProject for the top-k — never a global
+    * sort, never a data-sized join. Ranking uses the unrounded score
+    * with the pair as tiebreak; the reported score is rounded. */
+  def pmiPhrases(documents: DataFrame, k: Int = 20,
+                 minCount: Long = 5L): DataFrame = {
+    val withToks = documents.select(tokens(col("text")).as("toks"))
+    val uni = withToks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nUni = uni.agg(sum("cw").as("n_uni"))
+    val pairs = withToks
+      .select(explode(when(size(col("toks")) >= 2,
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    // probability denominator over ALL bigram occurrences — minCount
+    // prunes candidates, it must not reshape the distribution
+    val nBi = pairs.agg(sum("cab").as("n_bi"))
+    pairs
+      .filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .withColumn("pmi",
+        log((col("cab") / col("n_bi"))
+          / ((col("c1") / col("n_uni")) * (col("c2") / col("n_uni")))))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("cab"), col("c1"), col("c2"), round(col("pmi"), 6).as("pmi"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the classic keyword/topic
     * extraction pass (`tf · ln((N+1)/(df+1))`, smoothed IDF).
     *

@@ -183,4 +183,21 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextAnalysis.sourceDivergence(docs, buckets = 0))
   }
+
+  test("pmiPhrases ranks a true collocation above a frequent-but-independent pair") {
+    // "new york" always co-occur (6 times); "the cat"/"the dog"/"cat the"...
+    // mix freely so "the"-pairs have low PMI despite higher frequency
+    val phrase = Seq.fill(6)("new york").mkString(" ")
+    val noise = Seq.fill(8)("the cat the dog the fox").mkString(" ")
+    val docs = Seq((1L, phrase), (2L, noise)).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPhrases(docs, k = 5, minCount = 5L).collect()
+    assert(got.head.getAs[String]("bigram") == "new york")
+    // hand-check the score: c(new york)=6 of 11+47=58 bigrams;
+    // c(new)=c(york)=6 of 12+48=60 unigrams
+    val expect = math.log((6.0 / 58.0) / ((6.0 / 60.0) * (6.0 / 60.0)))
+    assert(math.abs(got.head.getAs[Double]("pmi")
+      - math.rint(expect * 1e6) / 1e6) < 1e-9)
+    // min-support prunes: nothing below 5 occurrences appears
+    assert(got.forall(_.getAs[Long]("cab") >= 5L))
+  }
 }
