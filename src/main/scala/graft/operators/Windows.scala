@@ -57,6 +57,30 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Event-time RANGE-frame rolling stats: at every event, the count and
+    * value sum of the same user's events in the trailing
+    * `windowSeconds` — the sliding-lookback feature ("requests in the
+    * last hour") that a ROWS frame ([[rollingDailyAvg]]) cannot express
+    * when events are irregularly spaced. `rangeBetween` on the epoch
+    * keys the frame by VALUE distance, so ties (equal timestamps) are
+    * full peers on both engines and the frame is a pure function of the
+    * data. Partitioned by user — parallel across the key space, no
+    * global window; per-task state is one frame's worth of rows,
+    * bounded by the densest single user-hour, not the partition. */
+  def trailingWindowStats(events: DataFrame,
+                          windowSeconds: Long = 3600L): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds")
+    val w = Window.partitionBy("user_id").orderBy(col("_ep"))
+      .rangeBetween(-windowSeconds * 1000L, 0L)
+    events
+      .withColumn("_ep", epochMs(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing"),
+        round(sum("value").over(w), 4).as("value_trailing"))
+      .orderBy("event_id")
+  }
+
   /** A15: daily counts + global z-score + Low/Normal/High buckets
     * (`part2.ipynb` cell 31:706-718; bins (−∞,−1.5,1.5,∞)). */
   def dailyZscore(events: DataFrame): DataFrame = {
