@@ -119,6 +119,46 @@ object SnapshotDiff {
     * batch — collapse a multi-op log with [[dedupKeys]] first);
     * changeset payload columns must match the base schema minus `opCol`
     * (enforced by the union-by-name). */
+  /** The count/sum grouped view [[incrementalAggUpdate]] maintains —
+    * built once over the initial snapshot, then kept current from
+    * changesets without ever rescanning the base. */
+  def aggView(snap: DataFrame, dimCol: String, valueCol: String): DataFrame =
+    snap.groupBy(dimCol)
+      .agg(count(lit(1)).as("cnt"), sum(valueCol).as("val_sum"))
+
+  /** Incremental view maintenance: roll a [[aggView]] forward under a
+    * [[changeset]] WITHOUT rescanning the base table — the classic IVM
+    * delta algebra for distributive aggregates (count/sum; avg derives
+    * as the quotient). Every touched key retracts its OLD contribution
+    * (−1, −value, read from the old snapshot by a changeset-sized
+    * semi-ish join) and every upsert adds its new one (+1, +value);
+    * summing view + retractions + additions per group is the new view.
+    * Groups whose count reaches zero vanish, exactly as a recompute
+    * would drop them.
+    *
+    * Scale shape: the base is touched only by one changeset-keyed join
+    * (broadcast when the changeset is small — the nightly-trickle
+    * case); everything else is aggregate-sized. A full recompute
+    * shuffles the whole fact table; this shuffles
+    * O(|view| + |changeset|). Floating-point caveat: the maintained sum
+    * accumulates in a different order than a recompute — equal to a
+    * few ulps, not bit-equal; the gate pins the rounded value (and
+    * counts exactly). */
+  def incrementalAggUpdate(oldAgg: DataFrame, oldSnap: DataFrame,
+                           changes: DataFrame, key: String, dimCol: String,
+                           valueCol: String, opCol: String = "op"): DataFrame = {
+    val touched = changes.select(col(key)).distinct()
+    val retract = oldSnap.join(touched, Seq(key), "left_semi")
+      .select(col(dimCol), lit(-1L).as("cnt"), (-col(valueCol)).as("val_sum"))
+    val add = changes.filter(col(opCol) === "upsert")
+      .select(col(dimCol), lit(1L).as("cnt"), col(valueCol).as("val_sum"))
+    oldAgg.select(col(dimCol), col("cnt"), col("val_sum"))
+      .unionByName(retract).unionByName(add)
+      .groupBy(dimCol)
+      .agg(sum("cnt").as("cnt"), sum("val_sum").as("val_sum"))
+      .filter(col("cnt") > 0)
+  }
+
   def applyChangeset(base: DataFrame, changes: DataFrame, key: String,
                      opCol: String = "op"): DataFrame = {
     val checked = changes.withColumn(opCol,

@@ -76,6 +76,37 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown op"))
   }
 
+  test("incrementalAggUpdate == recompute, incl. group moves and vanishing groups") {
+    import org.apache.spark.sql.functions._
+    val oldSnap = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0),  // g1: one delete, one update->g2
+      (3L, "g2", 30.0),
+      (4L, "g3", 40.0))                    // g3 vanishes entirely
+      .toDF("k", "dim", "v")
+    val changes = Seq(
+      (1L, "delete", null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]),
+      (2L, "upsert", "g2", java.lang.Double.valueOf(25.0)), // moves g1 -> g2
+      (4L, "delete", null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]),
+      (5L, "upsert", "g4", java.lang.Double.valueOf(5.0)))  // new group
+      .toDF("k", "op", "dim", "v")
+    val oldView = SnapshotDiff.aggView(oldSnap, "dim", "v")
+    val rolled = SnapshotDiff.incrementalAggUpdate(oldView, oldSnap, changes,
+        "k", "dim", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = SnapshotDiff.aggView(
+        SnapshotDiff.applyChangeset(oldSnap, changes, "k"), "dim", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rolled == recomputed)
+    assert(rolled == Set(("g2", 2L, 55.0), ("g4", 1L, 5.0))) // g1, g3 gone
+    // an empty changeset is the identity
+    val empty = changes.filter(col("k") < 0)
+    val same = SnapshotDiff.incrementalAggUpdate(oldView, oldSnap, empty,
+        "k", "dim", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(same == oldView.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("dedupKeys collapses republished keys last-writer-wins") {
     val snap = Seq(
       (1L, "v1", 100L), (1L, "v2", 200L), // republished: keep seq 200
