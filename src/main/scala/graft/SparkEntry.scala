@@ -191,6 +191,11 @@ object SparkEntry {
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("avg_value"), col("filled_value"), col("is_gap"))
         .orderBy("event_type", "day")),
+    // RANGE-frame trailing-hour stats per user at every event: the
+    // frame is keyed by epoch distance (ties are full peers), so the
+    // full 10k+-row result pins exactly against the SQL RANGE window
+    "w14_range_rolling" -> q((s, d) =>
+      graft.operators.Windows.trailingWindowStats(Tables.events(s, d))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -317,6 +322,15 @@ object SparkEntry {
       graft.graph.PageRank.pagerank(edges, damping = 0.85, iters = 5)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
+    }),
+    // degree-ordered triangle counting (Schank-Wagner orientation:
+    // O(m^1.5) wedge work, hub-safe) over a sparser derived graph;
+    // counts + global clustering coefficient pinned exactly
+    "g3_triangle_count" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(500L)).as("src"),
+        pmod(col("o_orderkey"), lit(499L)).as("dst"))
+      graft.graph.Triangles.triangleStats(edges)
     }),
     // PageRank with dangling nodes by construction: dst ids live in
     // [50,103) while src ids live in [0,50), so every dst node is a
@@ -460,6 +474,35 @@ object SparkEntry {
     // MERGE/upsert applied to a snapshot: deterministic synthetic
     // changeset (deletes, in-place updates, brand-new keys), result
     // membership pinned per status via count / key-sum / price mass
+    // incremental view maintenance: the count/sum view rolled forward
+    // from the changeset ALONE (one changeset-keyed join against the
+    // base — never a rescan); pinned against the oracle's full
+    // recompute of the merged snapshot
+    "iv1_incremental_agg" -> q((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val deletes = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("delete").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val updates = base
+        .filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("upsert").as("op"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 1.2, 2).as("o_totalprice"))
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("upsert").as("op"), lit("N").as("o_orderstatus"),
+          lit(100.0).as("o_totalprice"))
+      val changes = deletes.unionByName(updates).unionByName(inserts)
+      val oldView = graft.operators.SnapshotDiff.aggView(
+        base, "o_orderstatus", "o_totalprice")
+      graft.operators.SnapshotDiff.incrementalAggUpdate(oldView, base,
+          changes, "o_orderkey", "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("val_sum"), 0).as("val_sum"))
+        .orderBy("o_orderstatus")
+    }),
     "u4_merge_apply" -> q((s, d) => {
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -1387,6 +1430,12 @@ object SparkEntry {
     // double drift absorbed by round(6) (the g1 fixpoint precedent)
     "t19_source_divergence" -> q((s, d) =>
       graft.text.TextAnalysis.sourceDivergence(Tables.documents(s, d), 64)),
+    // PMI collocations: top-20 adjacent pairs by pointwise mutual
+    // information (min support 5) — phrase detection; component counts
+    // and the smoothest-free score pinned, rank by unrounded score
+    "t21_pmi_phrases" -> q((s, d) =>
+      graft.text.TextAnalysis.pmiPhrases(Tables.documents(s, d),
+        k = 20, minCount = 5L)),
     // duplicated-8-gram coverage rolled up per source: the exact-
     // substring-dedup proxy signal, fnv-hashed shingle occurrence counts
     // replayed identically by the oracle
@@ -2052,6 +2101,14 @@ object SparkEntry {
          FROM a JOIN f USING (user_id)
          WHERE datediff('day', cohort, day) <= 7
          GROUP BY 1,2 ORDER BY 1,2""",
+    "w14_range_rolling" ->
+      """SELECT event_id, user_id,
+         count(*) OVER w AS n_trailing,
+         round(sum(value) OVER w, 4) AS value_trailing
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "w9_resample_ffill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            round(avg(value),4) AS avg_value
@@ -2245,6 +2302,24 @@ object SparkEntry {
            AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
          WHERE o.o_custkey < 50
          ORDER BY o_orderkey""",
+    "iv1_incremental_agg" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         ch AS (
+           SELECT o_orderkey, 'delete' AS op, NULL AS o_orderstatus,
+             NULL::DOUBLE AS o_totalprice FROM base WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, 'upsert', o_orderstatus, round(o_totalprice * 1.2, 2)
+           FROM base WHERE o_orderkey % 5 != 0 AND o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'upsert', 'N', 100.0
+           FROM base WHERE o_orderkey % 11 = 0),
+         merged AS (
+           SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM ch WHERE op = 'upsert')
+         SELECT o_orderstatus, count(*) AS cnt,
+           round(sum(o_totalprice), 0) AS val_sum
+         FROM merged GROUP BY 1 ORDER BY o_orderstatus""",
     "u4_merge_apply" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          ch AS (
@@ -2488,6 +2563,46 @@ object SparkEntry {
            count(CASE WHEN abs(zz) > 3.5 THEN 1 END) AS n_flagged,
            round(max(abs(zz)), 4) AS max_abs_score
          FROM z GROUP BY 1 ORDER BY event_type""",
+    "g3_triangle_count" ->
+      """WITH e0 AS (SELECT DISTINCT
+           least(o_custkey % 500, o_orderkey % 499) AS a,
+           greatest(o_custkey % 500, o_orderkey % 499) AS b
+           FROM orders WHERE o_custkey % 500 <> o_orderkey % 499),
+         deg AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+           GROUP BY 1),
+         tri AS (SELECT count(*) AS t FROM e0 e1
+           JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         sh AS (SELECT count(*) AS n_edges FROM e0),
+         nd AS (SELECT count(*) AS n_nodes,
+           CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+         SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0 THEN round(3.0 * t / n_wedges, 6)
+             ELSE 0.0 END AS clustering
+         FROM sh, nd, tri""",
+    "t21_pmi_phrases" ->
+      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+         uc AS (SELECT w, count(*) AS cw FROM
+           (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         nu AS (SELECT CAST(sum(cw) AS BIGINT) AS n_uni FROM uc),
+         bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cab FROM
+           (SELECT unnest(list_transform(range(0, len(t) - 1),
+              i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS p
+            FROM tk WHERE len(t) >= 2) GROUP BY 1, 2),
+         nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n_bi FROM bc),
+         sc AS (SELECT w1, w2, cab, u1.cw AS c1, u2.cw AS c2,
+             ln((cab / (1.0 * n_bi))
+               / ((u1.cw / (1.0 * n_uni)) * (u2.cw / (1.0 * n_uni))))
+               AS pmi_raw
+           FROM bc JOIN uc u1 ON bc.w1 = u1.w
+           JOIN uc u2 ON bc.w2 = u2.w
+           CROSS JOIN nb CROSS JOIN nu
+           WHERE cab >= 5)
+         SELECT w1 || ' ' || w2 AS bigram, CAST(cab AS BIGINT) AS cab,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           round(pmi_raw, 6) AS pmi
+         FROM sc ORDER BY pmi_raw DESC, w1, w2 LIMIT 20""",
     "dr1_ks_drift" ->
       """WITH two AS (SELECT value AS v,
            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
