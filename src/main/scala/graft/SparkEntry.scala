@@ -474,6 +474,22 @@ object SparkEntry {
     // MERGE/upsert applied to a snapshot: deterministic synthetic
     // changeset (deletes, in-place updates, brand-new keys), result
     // membership pinned per status via count / key-sum / price mass
+    // zone-map build: per-layout-zone min/max/count of the query column
+    // — the data-skipping metadata AS DATA; 32 fixed zones pinned
+    "ix1_zone_map" -> q((s, d) =>
+      graft.sources.ZoneMap.build(Tables.lineitem(s, d),
+          "l_orderkey", "l_extendedprice", 32)
+        .select(col("zone"), col("n_rows"),
+          round(col("stat_min"), 4).as("stat_min"),
+          round(col("stat_max"), 4).as("stat_max"))),
+    // zone-map skip report for a ~5%-selectivity price range: price is
+    // uncorrelated with the orderkey layout, so the report must say
+    // "scan everything" — the measurable re-cluster diagnosis
+    "ix2_zone_skip" -> q((s, d) =>
+      graft.sources.ZoneMap.skipReport(
+        graft.sources.ZoneMap.build(Tables.lineitem(s, d),
+          "l_orderkey", "l_extendedprice", 32),
+        1000.0, 6000.0)),
     // incremental view maintenance: the count/sum view rolled forward
     // from the changeset ALONE (one changeset-keyed join against the
     // base — never a rescan); pinned against the oracle's full
@@ -838,6 +854,13 @@ object SparkEntry {
     // r×c grid (zero-observed cells included via the marginal crossJoin)
     "dr3_chisq_independence" -> q((s, d) =>
       graft.operators.Drift.chiSquareIndependence(Tables.documents(s, d),
+        "source", "lang")),
+    // mutual information + entropies + min-normalized MI between the
+    // source and lang columns — the "how redundant are these two
+    // dimensions" feature-selection readout; no grid completion (empty
+    // cells contribute 0 ln 0 = 0)
+    "dr4_mutual_information" -> q((s, d) =>
+      graft.operators.Drift.mutualInformation(Tables.documents(s, d),
         "source", "lang")),
     // skyline query: distinct (price, discount) points nobody Pareto-
     // dominates, via the descending sweep + bucketed running max — the
@@ -1430,6 +1453,11 @@ object SparkEntry {
     // double drift absorbed by round(6) (the g1 fixpoint precedent)
     "t19_source_divergence" -> q((s, d) =>
       graft.text.TextAnalysis.sourceDivergence(Tables.documents(s, d), 64)),
+    // per-language Zipf slope over the vocabulary head (minCount
+    // pruned BEFORE the per-lang rank window): natural text ≈ −1
+    "t22_zipf_slope" -> q((s, d) =>
+      graft.text.TextAnalysis.zipfSlope(Tables.documents(s, d),
+        minCount = 5L, topK = 500)),
     // PMI collocations: top-20 adjacent pairs by pointwise mutual
     // information (min support 5) — phrase detection; component counts
     // and the smoothest-free score pinned, rank by unrounded score
@@ -2302,6 +2330,35 @@ object SparkEntry {
            AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
          WHERE o.o_custkey < 50
          ORDER BY o_orderkey""",
+    "ix1_zone_map" ->
+      """WITH v AS (SELECT CAST(l_orderkey AS DOUBLE) AS l,
+           CAST(l_extendedprice AS DOUBLE) AS c FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL),
+         mm AS (SELECT min(l) AS mn, max(l) AS mx FROM v),
+         z AS (SELECT CASE WHEN mx = mn THEN 0
+             ELSE least(CAST(floor((l - mn) / ((mx - mn) / 32)) AS BIGINT), 31)
+             END AS zone, c FROM v, mm)
+         SELECT zone, count(*) AS n_rows, round(min(c), 4) AS stat_min,
+           round(max(c), 4) AS stat_max
+         FROM z GROUP BY 1 ORDER BY zone""",
+    "ix2_zone_skip" ->
+      """WITH v AS (SELECT CAST(l_orderkey AS DOUBLE) AS l,
+           CAST(l_extendedprice AS DOUBLE) AS c FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL),
+         mm AS (SELECT min(l) AS mn, max(l) AS mx FROM v),
+         z AS (SELECT CASE WHEN mx = mn THEN 0
+             ELSE least(CAST(floor((l - mn) / ((mx - mn) / 32)) AS BIGINT), 31)
+             END AS zone, c FROM v, mm),
+         zm AS (SELECT zone, count(*) AS n_rows, min(c) AS smin,
+           max(c) AS smax FROM z GROUP BY 1),
+         kept AS (SELECT count(*) AS zones_scanned,
+           CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS rows_scanned
+           FROM zm WHERE smax >= 1000.0 AND smin <= 6000.0),
+         tot AS (SELECT count(*) AS zones_total,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total FROM zm)
+         SELECT zones_total, zones_scanned, rows_total, rows_scanned,
+           round(rows_scanned / (1.0 * rows_total), 6) AS scan_fraction
+         FROM tot, kept""",
     "iv1_incremental_agg" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          ch AS (
@@ -2683,6 +2740,36 @@ object SparkEntry {
            FROM k)
          SELECT source, doc_id, weight, round(es_key, 6) AS es_key
          FROM r WHERE rn <= 5 ORDER BY source, es_key DESC, doc_id""",
+    "dr4_mutual_information" ->
+      """WITH o AS (SELECT source AS a, lang AS b, count(*) AS o
+           FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+         ra AS (SELECT a, sum(o) AS na FROM o GROUP BY 1),
+         cb AS (SELECT b, sum(o) AS nb FROM o GROUP BY 1),
+         ha AS (SELECT -sum((na / (1.0 * n)) * ln(na / (1.0 * n))) AS h_a
+           FROM ra, t),
+         hb AS (SELECT -sum((nb / (1.0 * n)) * ln(nb / (1.0 * n))) AS h_b
+           FROM cb, t),
+         mi AS (SELECT sum((o / (1.0 * n)) * ln((o / (1.0 * n))
+             / ((na / (1.0 * n)) * (nb / (1.0 * n))))) AS mi
+           FROM o JOIN ra USING (a) JOIN cb USING (b), t)
+         SELECT n, round(mi, 6) AS mi, round(h_a, 6) AS h_a,
+           round(h_b, 6) AS h_b,
+           round(CASE WHEN least(h_a, h_b) > 0 THEN mi / least(h_a, h_b)
+             ELSE 0 END, 6) AS nmi
+         FROM t, ha, hb, mi""",
+    "t22_zipf_slope" ->
+      s"""WITH tk AS (SELECT lang, unnest($toks) AS tok FROM documents),
+         vc AS (SELECT lang, tok, count(*) AS cnt FROM tk
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         rk AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, tok) AS rk FROM vc),
+         h AS (SELECT lang, ln(rk) AS x, ln(cnt) AS y FROM rk
+           WHERE rk <= 500)
+         SELECT lang, count(*) AS n_head,
+           round(covar_pop(x, y) / var_pop(x), 4) AS zipf_slope
+         FROM h GROUP BY 1 HAVING count(*) >= 2 ORDER BY lang""",
     "sk1_pareto_frontier" ->
       """WITH pts AS (SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS x,
            CAST(l_discount AS DOUBLE) AS y FROM lineitem

@@ -162,6 +162,44 @@ object Drift {
     * observed counts. One data-sized partial→final count; the grand
     * total broadcasts as a one-row crossJoin.
     */
+  /** Mutual information between two categorical columns, with the two
+    * marginal entropies and the min-normalized coefficient
+    * `nmi = MI / min(H(a), H(b))` — the feature-selection /
+    * redundancy-detection companion to [[chiSquareIndependence]] (chi²
+    * answers "is there dependence?", MI answers "how many nats does one
+    * column tell you about the other?").
+    *
+    * Zero-observed cells contribute `0·ln 0 = 0`, so unlike chi² no
+    * grid completion is needed: one data-sized partial→final count on
+    * (a, b), marginals as aggregates OF that aggregate, everything
+    * joined back at cell-table size. Degenerate single-value columns
+    * have `H = 0`; nmi is 0 then (no information to share). */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val obs = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("a"), col(colB).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val tot = obs.agg(sum("o").as("n"))
+    val ra = obs.groupBy("a").agg(sum("o").as("na"))
+    val cb = obs.groupBy("b").agg(sum("o").as("nb"))
+    val ha = ra.crossJoin(broadcast(tot))
+      .agg((-sum((col("na") / col("n")) * log(col("na") / col("n"))))
+        .as("h_a"))
+    val hb = cb.crossJoin(broadcast(tot))
+      .agg((-sum((col("nb") / col("n")) * log(col("nb") / col("n"))))
+        .as("h_b"))
+    val mi = obs.join(ra, "a").join(cb, "b").crossJoin(broadcast(tot))
+      .agg(max("n").as("n"),
+        sum((col("o") / col("n"))
+          * log((col("o") / col("n"))
+            / ((col("na") / col("n")) * (col("nb") / col("n"))))).as("mi"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), round(col("mi"), 6).as("mi"),
+        round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(when(least(col("h_a"), col("h_b")) > 0,
+          col("mi") / least(col("h_a"), col("h_b"))).otherwise(0.0), 6)
+          .as("nmi"))
+  }
+
   def chiSquareIndependence(df: DataFrame, colA: String, colB: String): DataFrame = {
     val obs = df.filter(col(colA).isNotNull && col(colB).isNotNull)
       .select(col(colA).as("a"), col(colB).as("b"))

@@ -268,6 +268,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-language Zipf rank-frequency slope: the OLS slope of
+    * `ln(freq)` on `ln(rank)` over the head of each language's
+    * vocabulary — natural text follows Zipf's law with slope ≈ −1
+    * (Zipf 1949; Piantadosi 2014 review), so a corpus slice whose slope
+    * is far off (≈ 0: synthetic/uniform; ≪ −2: template spam) fails the
+    * "looks like language" smell test. A corpus-level quality signal
+    * alongside the per-document [[qualityScore]].
+    *
+    * Scale shape: one explode + (lang, token) partial→final count; the
+    * `minCount` filter prunes the tail BEFORE ranking, so the per-lang
+    * rank window (parallel across languages) sorts only the surviving
+    * head, and `topK` caps the regression frame. Slope via
+    * covar_pop/var_pop aggregates — one pass, no matrix. */
+  def zipfSlope(documents: DataFrame, minCount: Long = 5L,
+                topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"zipfSlope: topK must be >= 2, got $topK")
+    val vocab = documents
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    vocab
+      .withColumn("rk", row_number().over(byLang))
+      .filter(col("rk") <= topK)
+      .select(col("lang"), log(col("rk")).as("x"), log(col("cnt")).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_head"),
+        round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 4)
+          .as("zipf_slope"))
+      .filter(col("n_head") >= 2)
+      .orderBy("lang")
+  }
+
   /** Top-`k` adjacent-token pairs by pointwise mutual information —
     * collocation/phrase detection (Church & Hanks 1990; the word2vec
     * phrase pass of Mikolov et al. 2013 is the same score with a

@@ -80,6 +80,26 @@ class DriftSpec extends SparkTestBase {
     assert(r.getAs[Long]("dof") == 1L)
   }
 
+  test("mutualInformation: zero for independence, H for identical columns") {
+    // independent: every (a,b) combo equally likely -> MI = 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10)
+      yield (a, b)).toDF("a", "b")
+    val r0 = Drift.mutualInformation(indep, "a", "b").collect().head
+    assert(r0.getAs[Double]("mi") == 0.0 && r0.getAs[Double]("nmi") == 0.0)
+    // identical columns: MI = H(a) = H(b) = ln 2 for a fair binary, nmi = 1
+    val ident = (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")))
+      .toDF("a", "b")
+    val r1 = Drift.mutualInformation(ident, "a", "b").collect().head
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    assert(r1.getAs[Double]("mi") == ln2)
+    assert(r1.getAs[Double]("h_a") == ln2 && r1.getAs[Double]("h_b") == ln2)
+    assert(r1.getAs[Double]("nmi") == 1.0)
+    // degenerate single-value column: H = 0, nmi defined as 0
+    val degen = Seq.fill(5)(("only", "p")).toDF("a", "b")
+    val r2 = Drift.mutualInformation(degen, "a", "b").collect().head
+    assert(r2.getAs[Double]("h_a") == 0.0 && r2.getAs[Double]("nmi") == 0.0)
+  }
+
   test("ksStatistic survives single-partition and many-partition layouts") {
     val df = (Seq.tabulate(500)(i => ("a", i * 3 % 97)) ++
       Seq.tabulate(400)(i => ("b", i * 7 % 89))).toDF("g", "v")

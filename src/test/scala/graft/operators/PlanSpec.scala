@@ -149,4 +149,59 @@ class PlanSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("drift operators keep their heavy side aggregate-shaped") {
+    import org.apache.spark.sql.functions._
+    // chi-square: marginal completion joins ride broadcasts, and the
+    // only aggregations of DATA are partial->final (map-side combine)
+    val chi = planOf(Drift.chiSquareIndependence(
+      Tables.documents(spark, sf), "source", "lang"))
+    assert(chi.contains("BroadcastExchange"), chi.take(1500))
+    assert(!chi.contains("SortMergeJoin"), "marginals must broadcast")
+    // KS: no data-sized single-partition window — every WindowExec with
+    // an empty partition spec must sit above the per-bucket AGGREGATE
+    // (metadata rows), which physically appears as the window reading
+    // an exchange of a HashAggregate, never the raw value stream
+    val ks = planOf(Drift.ksStatistic(Tables.events(spark, sf),
+      "value", "event_type", "click", "view"))
+    assert(ks.contains("HashAggregate"), ks.take(1500))
+  }
+
+  test("pmi and per-group sampling select via heaps, not global sorts") {
+    import org.apache.spark.sql.functions._
+    val pmi = planOf(graft.text.TextAnalysis.pmiPhrases(
+      Tables.documents(spark, sf), k = 20, minCount = 5L))
+    assert(pmi.contains("TakeOrderedAndProject"), pmi.take(1500))
+    val r4 = planOf(graft.pipeline.TrainingData.weightedSamplePerGroup(
+      Tables.documents(spark, sf).withColumn("w", lit(1.0)),
+      5, col("w"), "source"))
+    // selection is a window per stratum — rank filter present, and no
+    // global (partition-less) sort of the corpus
+    assert(r4.contains("RunningWindowFunction") || r4.contains("Window"),
+      r4.take(1500))
+  }
+
+  test("skyline dedups before sweeping and never forms a loop join") {
+    val plan = planOf(Skyline.paretoFrontier2D(
+      Tables.lineitem(spark, sf), "l_extendedprice", "l_discount"))
+    assert(plan.contains("HashAggregate"), "distinct must aggregate")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "the quadratic formulation must not appear")
+  }
+
+  test("incremental view update joins the base only by changeset keys") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val ch = base.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("delete").as("op"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val view = SnapshotDiff.aggView(base, "o_orderstatus", "o_totalprice")
+    val plan = planOf(SnapshotDiff.incrementalAggUpdate(view, base, ch,
+      "o_orderkey", "o_orderstatus", "o_totalprice"))
+    // the retraction join is a LeftSemi (keys only), so the base's
+    // payload never shuffles into the changeset side
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+  }
 }

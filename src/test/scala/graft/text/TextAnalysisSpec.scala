@@ -184,6 +184,25 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.sourceDivergence(docs, buckets = 0))
   }
 
+  test("zipfSlope: exact -1 on a geometric head; tail pruned by minCount") {
+    // en: counts 8 and 4 -> slope (ln4-ln8)/(ln2-ln1) = -1 exactly;
+    // the count-1 token is pruned by minCount=2 before ranking
+    val en = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq("once")).mkString(" ")
+    // de: uniform counts -> slope 0
+    val de = (Seq.fill(3)("xx") ++ Seq.fill(3)("yy") ++ Seq.fill(3)("zz")).mkString(" ")
+    val docs = Seq((1L, en, "en"), (2L, de, "de")).toDF("doc_id", "text", "lang")
+    val byLang = TextAnalysis.zipfSlope(docs, minCount = 2L, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byLang("en") == ((2L, -1.0)))
+    assert(byLang("de") == ((3L, 0.0)))
+    // a language whose head has fewer than 2 surviving tokens is dropped
+    val tiny = Seq((3L, "solo solo", "fr")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.zipfSlope(tiny, minCount = 2L, topK = 10)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      TextAnalysis.zipfSlope(docs, topK = 1))
+  }
+
   test("pmiPhrases ranks a true collocation above a frequent-but-independent pair") {
     // "new york" always co-occur (6 times); "the cat"/"the dog"/"cat the"...
     // mix freely so "the"-pairs have low PMI despite higher frequency
