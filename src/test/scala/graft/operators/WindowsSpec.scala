@@ -58,4 +58,36 @@ class WindowsSpec extends SparkTestBase {
       ("a", "2024-01-04", Some(40.0), 40.0, false),
       ("b", "2024-01-02", Some(7.0), 7.0, false)))
   }
+
+  test("ewma matches the sequential textbook recursion") {
+    // adjusted form: s_t = Σ β^(t-k) v_k / Σ β^(t-k); cross-check the
+    // window-fold implementation against a driver-side recursion
+    val vals = Seq(10.0, 20.0, 5.0, 40.0, 40.0, 1.0, 13.5)
+    val events = vals.zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+    val got = Windows.ewma(events, alpha = 0.5)
+      .orderBy("event_id").collect().map(_.getDouble(3)).toSeq
+    val beta = 0.5
+    val expected = vals.indices.map { t =>
+      val ws = (0 to t).map(k => math.pow(beta, t - k))
+      val s = (0 to t).map(k => ws(k) * vals(k)).sum / ws.sum
+      math.rint(s * 1e4) / 1e4
+    }
+    assert(got == expected)
+  }
+
+  test("ewma horizon is insensitive past the double-epsilon point") {
+    // both horizons exceed the sequence length, so both fold the full
+    // prefix — results must be identical; the sf gates then pin the
+    // 64-row truncation against the untruncated oracle on real data
+    val events = (0 until 30)
+      .map(i => (1L, i.toLong, math.sin(i * 1.7) * 100 + 100))
+      .toDF("user_id", "event_id", "value")
+    val a = Windows.ewma(events, alpha = 0.5, horizon = 60)
+      .orderBy("event_id").collect().map(_.getDouble(3)).toSeq
+    val b = Windows.ewma(events, alpha = 0.5, horizon = 200)
+      .orderBy("event_id").collect().map(_.getDouble(3)).toSeq
+    assert(a == b)
+  }
 }
