@@ -342,6 +342,26 @@ object SparkEntry {
         pmod(col("o_orderkey"), lit(499L)).as("dst"))
       graft.graph.Triangles.triangleStats(edges)
     }),
+    // per-node Watts-Strogatz local clustering coefficient from the
+    // same oriented corner stream (each triangle tallied once per
+    // corner — no per-node neighborhood expansion); all 500 node rows
+    // pinned exactly against the oracle's unrolled triangle join
+    "g4_local_clustering" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(500L)).as("src"),
+        pmod(col("o_orderkey"), lit(499L)).as("dst"))
+      graft.graph.Triangles.localClustering(edges)
+    }),
+    // pairwise association rules (support/confidence/lift) over the
+    // brands co-occurring in an order: the quadratic step is per-basket
+    // bounded and co-partitioned on the basket key; marginals broadcast
+    "mb1_brand_pairs" -> q((s, d) =>
+      graft.operators.MarketBasket.pairRules(
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand")),
     // PageRank with dangling nodes by construction: dst ids live in
     // [50,103) while src ids live in [0,50), so every dst node is a
     // sink and the per-iteration dangling-mass redistribution carries
@@ -1590,6 +1610,38 @@ object SparkEntry {
           round(col("pc.c"), 6).as("comp"))
         .orderBy("vec_id", "j")
     }),
+    // exact d×d covariance via per-partition co-moment accumulation
+    // (zero shuffle, O(d²) task state — never the rows·d² explode+
+    // self-join fan-out); all 2080 upper-triangle entries pinned
+    // against the oracle's covar_pop at 6 dp
+    "e3_covariance_matrix" -> q((s, d) =>
+      graft.similarity.Covariance.covarianceMatrix(Tables.embeddings(s, d))),
+    // PCA = one-pass distributed covariance + driver-side Jacobi eigen
+    // (d×d — scan-free) + row-local projection. The gate pins every
+    // invariant the SQL oracle can independently state: Σλ = trace(C)
+    // = Σ per-dim variance (rounded 6 dp), PSD / ordering /
+    // orthonormality flags, and var_pop(score_0) = λ0 measured
+    // DISTRIBUTED over the projected rows — the end-to-end proof the
+    // projection actually concentrates the leading variance
+    "e5_pca_invariants" -> q((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val model = graft.similarity.Pca.fit(emb, k = 2)
+      val scored = graft.similarity.Pca.project(emb, model)
+      val v0 = scored.agg(var_pop(col("score_0"))).head.getDouble(0)
+      val ev = model.eigenvalues
+      val flag = (b: Boolean) => if (b) 1.0 else 0.0
+      Seq(
+        ("d", ev.length.toDouble),
+        ("evals_nonincreasing",
+          flag(ev.zip(ev.tail).forall { case (x, y) => x >= y })),
+        ("evals_nonneg", flag(ev.forall(_ > -1e-10))),
+        ("evals_sum", math.rint(ev.sum * 1e6) / 1e6),
+        ("orthonormal_err_lt_1e9", flag(model.orthonormalityError < 1e-9)),
+        ("proj_var0_matches_eval0",
+          flag(math.abs(v0 - ev(0)) <= 1e-9 * math.max(1.0, ev(0)))))
+        .toDF("stat", "value").orderBy("stat")
+    }),
     // --- sink round-trips (S9/S11/S12 get CORRECTNESS rows) ---
     // shared scaffold: withTempDir materializes the result (eager
     // localCheckpoint) BEFORE the directory is removed, and fnvSummary
@@ -2682,6 +2734,65 @@ object SparkEntry {
            CASE WHEN n_wedges > 0 THEN round(3.0 * t / n_wedges, 6)
              ELSE 0.0 END AS clustering
          FROM sh, nd, tri""",
+    "g4_local_clustering" ->
+      """WITH e0 AS (SELECT DISTINCT
+           least(o_custkey % 500, o_orderkey % 499) AS a,
+           greatest(o_custkey % 500, o_orderkey % 499) AS b
+           FROM orders WHERE o_custkey % 500 <> o_orderkey % 499),
+         deg AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+           GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+           JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         pc AS (SELECT node, count(*) AS t FROM corners GROUP BY 1)
+         SELECT deg.n AS node, deg.d AS degree,
+           COALESCE(pc.t, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2
+             THEN round(2.0 * COALESCE(pc.t, 0) / (deg.d * (deg.d - 1)), 6)
+             ELSE 0.0 END AS coeff
+         FROM deg LEFT JOIN pc ON pc.node = deg.n
+         ORDER BY node""",
+    "mb1_brand_pairs" ->
+      """WITH b AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+         m AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+         pr AS (SELECT b1.item AS item_a, b2.item AS item_b,
+             count(*) AS n_both
+           FROM b b1 JOIN b b2 ON b1.bk = b2.bk AND b1.item < b2.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_both,
+           round(n_both / nb.n_baskets, 6) AS support,
+           round(n_both / ma.n_item, 6) AS confidence,
+           round(n_both * nb.n_baskets / (ma.n_item * m2.n_item), 4) AS lift
+         FROM pr
+         JOIN m ma ON ma.item = pr.item_a
+         JOIN m m2 ON m2.item = pr.item_b
+         CROSS JOIN nb
+         ORDER BY item_a, item_b""",
+    "e3_covariance_matrix" ->
+      """WITH a AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings)
+         SELECT CAST(s1.i AS BIGINT) AS i, CAST(s2.i AS BIGINT) AS j,
+           round(covar_pop(s1.x, s2.x), 6) AS cov
+         FROM a s1 JOIN a s2 ON s1.vec_id = s2.vec_id AND s1.i <= s2.i
+         GROUP BY 1, 2 ORDER BY i, j""",
+    "e5_pca_invariants" ->
+      """WITH a AS (SELECT generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         v AS (SELECT i, var_pop(x) AS vv FROM a GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'd' AS stat, 64.0 AS value
+           UNION ALL SELECT 'evals_nonincreasing', 1.0
+           UNION ALL SELECT 'evals_nonneg', 1.0
+           UNION ALL SELECT 'evals_sum', round(sum(vv), 6) FROM v
+           UNION ALL SELECT 'orthonormal_err_lt_1e9', 1.0
+           UNION ALL SELECT 'proj_var0_matches_eval0', 1.0)
+         ORDER BY stat""",
     "t21_pmi_phrases" ->
       s"""WITH tk AS (SELECT $toks AS t FROM documents),
          uc AS (SELECT w, count(*) AS cw FROM

@@ -3,7 +3,7 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed triangle counting + global clustering coefficient over an
+/** Distributed triangle counting + clustering coefficients over an
   * undirected graph given as (src, dst) pairs — the graph-shape summary
   * that grades a link/citation corpus (spam farms are triangle-poor,
   * organic communities triangle-rich; the same signal PageRank
@@ -22,15 +22,15 @@ import org.apache.spark.sql.functions._
   * die on the first hub.
   *
   * Exactly reproducible: dedup + integer joins, no floats until the
-  * final coefficient.
+  * final coefficients.
   */
 object Triangles {
 
-  /** One row: nodes, undirected edge count, wedge count Σ C(deg,2),
-    * triangle count, and the global clustering coefficient
-    * `3·triangles / wedges` (0 when the graph has no wedge). Self-loops
-    * dropped, parallel edges collapsed, direction ignored. */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  /** Cleaned undirected edge set (a < b), per-node degrees, and the
+    * degree-ordered edge orientation — the shared front half of both
+    * counting operators. `rv` is the (degree, id) rank struct of the
+    * edge's rank-larger endpoint, used to order wedge legs. */
+  private def oriented(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val und = edges
       .filter(col("src") =!= col("dst")
         && col("src").isNotNull && col("dst").isNotNull)
@@ -52,16 +52,32 @@ object Triangles {
             struct(col("b").as("u"), col("a").as("v"),
               struct(col("da").as("rd"), col("a").as("rn")).as("rv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
-    // wedges at the rank-smallest endpoint; the closing edge, if present,
-    // is oriented rank-low -> rank-high by construction, so one equi-join
-    // against the oriented set decides each wedge
+    (und, deg, ranked)
+  }
+
+  /** Every triangle's three corners, one row per (triangle, corner).
+    * Wedges form at the rank-smallest endpoint; the closing edge, if
+    * present, is oriented rank-low -> rank-high by construction, so one
+    * equi-join against the oriented set decides each wedge. */
+  private def triangleCorners(ranked: DataFrame): DataFrame = {
     val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
     val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
-      .select(col("v1").as("wu"), col("v2").as("wv"))
+      .select(col("u"), col("v1").as("wu"), col("v2").as("wv"))
     val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
-    val triangles = wedges.join(closing, Seq("wu", "wv"))
-      .agg(count(lit(1)).as("n_triangles"))
+    wedges.join(closing, Seq("wu", "wv"))
+      .select(explode(array(col("u"), col("wu"), col("wv"))).as("node"))
+  }
+
+  /** One row: nodes, undirected edge count, wedge count Σ C(deg,2),
+    * triangle count, and the global clustering coefficient
+    * `3·triangles / wedges` (0 when the graph has no wedge). Self-loops
+    * dropped, parallel edges collapsed, direction ignored. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val (und, deg, ranked) = oriented(edges)
+    // corners / 3 = triangle count (each triangle emits exactly 3 rows)
+    val triangles = triangleCorners(ranked)
+      .agg((count(lit(1)) / 3).cast("long").as("n_triangles"))
     val shape = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
         // integral div: the double quotient would lose precision once
@@ -73,5 +89,25 @@ object Triangles {
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Per-node local clustering coefficient (Watts & Strogatz):
+    * `2·triangles(n) / (deg(n)·(deg(n)−1))`, 0 for degree-1 nodes.
+    * The corner stream from the oriented enumeration already touches
+    * each triangle exactly once per corner, so the per-node tally is
+    * one hub-safe aggregation — no per-node neighborhood expansion. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val (_, deg, ranked) = oriented(edges)
+    val perNode = triangleCorners(ranked)
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"), col("d").as("degree"))
+      .join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_triangles")
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("node")
   }
 }

@@ -58,4 +58,21 @@ class TrianglesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == brute)
     assert(r.getAs[Long]("n_edges") == und.size.toLong)
   }
+
+  test("localClustering: per-node coefficients on a known graph") {
+    import spark.implicits._
+    // K3 (0,1,2) plus pendant 3 attached to 0:
+    // node 0: deg 3, 1 triangle → 2/(3·2) = 0.333333
+    // nodes 1,2: deg 2, 1 triangle → 1.0; node 3: deg 1 → 0
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val rows = Triangles.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows == Map(
+      0L -> ((3L, 1L, 0.333333)),
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((1L, 0L, 0.0))))
+  }
 }
