@@ -201,6 +201,14 @@ object SparkEntry {
     // cumsum — 4-decimal agreement proves the 2^-64 tail drop is exact
     "w15_ewma" -> q((s, d) =>
       graft.operators.Windows.ewma(Tables.events(s, d))),
+    // rank-normalization scaling (percent_rank + empirical CDF) —
+    // rank-based, so ties are order-independent; pinned per event
+    "w16_rank_scaling" -> q((s, d) =>
+      graft.operators.Windows.rankScaling(Tables.events(s, d))),
+    // trapezoidal time-weighted average per user over irregular
+    // event-time samples; per-user integral + span pinned
+    "w17_time_weighted_avg" -> q((s, d) =>
+      graft.operators.Windows.timeWeightedAvg(Tables.events(s, d))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -791,6 +799,21 @@ object SparkEntry {
           inputFiles = 3, statePartitions = Some(4))(
           df => graft.streaming.EventStreams.sessionWindowCounts(df))
         .orderBy("user_id", "session_start")),
+    // streaming UPSERT into a keyed, hash-bucketed parquet table: each
+    // micro-batch merges latest-version-per-key into ONLY its touched
+    // bucket partitions (pruned read + dynamic overwrite). Per-key max
+    // is commutative across racy micro-batch orders and idempotent
+    // under replay, so the drained table pins exactly to the oracle's
+    // batch latest-per-key over the full event set
+    "st10_stream_upsert" -> q((s, d) =>
+      graft.streaming.EventStreams.upsertThroughStream(s,
+          Tables.events(s, d)
+            .select("event_id", "ts", "user_id", "event_type", "value"),
+          keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")),
     // the real runtime into a FILE sink: micro-batches land in a curated
     // partitioned tree via foreachBatch + the drift-guarded writer,
     // overwrite-by-batch-id (replay-idempotent). The tree's CONTENTS are
@@ -1210,6 +1233,11 @@ object SparkEntry {
       out
     }),
     "d5_ngram_jaccard_topk" -> q((s, d) => Dedup.topJaccardPairs(Tables.documents(s, d))),
+    // sorted-neighborhood blocking (merge/purge): per-lang sort on the
+    // n_chars proxy, compare each doc with its next 3 neighbors only —
+    // rows·window candidate work; every surviving pair pinned
+    "d16_sorted_neighborhood" -> q((s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -2214,6 +2242,23 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, rn, round(num / den, 4) AS ewma
          FROM c ORDER BY event_id""",
+    "w16_rank_scaling" ->
+      """SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdf
+         FROM events WHERE value IS NOT NULL
+         WINDOW w AS (PARTITION BY event_type ORDER BY value)
+         ORDER BY event_id""",
+    "w17_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, tms, value,
+           lead(tms) OVER w AS nt, lead(value) OVER w AS nv
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+         SELECT user_id, count(*) AS n_segments,
+           round(sum((value + nv) / 2 * (nt - tms)) / sum(nt - tms), 4) AS twa
+         FROM s WHERE nt IS NOT NULL
+         GROUP BY 1 HAVING sum(nt - tms) > 0 ORDER BY user_id""",
     "a33_unpivot" ->
       """WITH g AS (SELECT l_returnflag,
            round(sum(l_quantity), 4) AS sum_qty,
@@ -2679,6 +2724,13 @@ object SparkEntry {
            CAST(sum(event_id) AS BIGINT) AS id_sum,
            count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "st10_stream_upsert" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, round(value, 4) AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
@@ -3582,6 +3634,25 @@ object SparkEntry {
              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "d16_sorted_neighborhood" ->
+      s"""WITH sh AS (SELECT doc_id, lang, n_chars,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         r AS (SELECT doc_id, lang, s,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+           FROM sh),
+         p AS (SELECT a.lang,
+           least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           FROM r a JOIN r b
+             ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3)
+         SELECT lang, doc_a, doc_b, jaccard FROM p
+         WHERE jaccard >= 0.2 ORDER BY lang, doc_a, doc_b""",
     "d8_dup_components" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
            list_distinct(CASE WHEN len($toks) >= 3

@@ -359,4 +359,51 @@ object Dedup {
     ngramJaccardPairs(documents)
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(n)
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo, "The
+    * merge/purge problem for large databases", SIGMOD 1995) — the third
+    * classic blocking family next to LSH ([[minHashCandidates]]) and
+    * length-banding: sort each block (`lang`) by a cheap proxy key
+    * (`n_chars`, id tiebreak) and compare every record only with its
+    * next `window` neighbors in that order. Candidate work is
+    * rows·window — LINEAR in corpus size with a constant chosen up
+    * front, where LSH's cost rides on band-collision rates; near-dups
+    * with similar lengths land adjacent, which is exactly the
+    * regime (truncation/suffix edits) the length proxy captures.
+    *
+    * One shuffle (the per-block sort); the neighbor expansion is
+    * `lead(..., k)` over the sorted window — no self-join. Pairs are
+    * scored with the same sorted-shingle-hash merge intersection as
+    * [[ngramJaccardPairs]] and thresholded on the rounded value, so a
+    * SQL oracle replays the arithmetic exactly. */
+  def sortedNeighborhoodPairs(documents: DataFrame, window: Int = 3,
+                              minJaccard: Double = 0.2,
+                              shingleK: Int = 3): DataFrame = {
+    val d = graft.operators.Partitioning.spread(documents)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), shingleK).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars", "doc_id")
+    val withLeads = (1 to window).foldLeft(d) { (df, k) =>
+      df.withColumn(s"_id$k", lead("doc_id", k).over(w))
+        .withColumn(s"_sh$k", lead("sh", k).over(w))
+        .withColumn(s"_n$k", lead("n", k).over(w))
+    }
+    val pairs = (1 to window).map { k =>
+      withLeads.filter(col(s"_id$k").isNotNull).select(
+        col("lang"),
+        least(col("doc_id"), col(s"_id$k")).as("doc_a"),
+        greatest(col("doc_id"), col(s"_id$k")).as("doc_b"),
+        graft.functions.HashExpressions
+          .intersectCountSorted(col("sh"), col(s"_sh$k")).as("inter"),
+        col("n"), col(s"_n$k").as("nk"))
+    }.reduce(_ unionAll _)
+    pairs
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double")
+          / (col("n") + col("nk") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("lang", "doc_a", "doc_b")
+  }
 }

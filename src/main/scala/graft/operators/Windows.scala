@@ -331,4 +331,50 @@ object Windows {
       .select("event_id", "user_id", "rn", "ewma")
       .orderBy("event_id")
   }
+
+  /** Rank-normalization feature scaling per group: `percent_rank` (the
+    * quantile-normalized feature a training pipeline feeds a model
+    * instead of the raw value — robust to arbitrary monotone skew) and
+    * `cume_dist` (the empirical CDF value). Both are rank-based, so
+    * ties land identically regardless of physical row order — fully
+    * deterministic. Nulls are excluded up front (engines disagree on
+    * null sort position). */
+  def rankScaling(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value")
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cdf", round(cume_dist().over(w), 6))
+      .select("event_id", "event_type", "pct_rank", "cdf")
+      .orderBy("event_id")
+  }
+
+  /** Time-weighted average per key (trapezoidal integration over the
+    * event-time series — the standard irregular-sampling mean, same
+    * semantics as TimescaleDB's `time_weight('Linear')`): each
+    * consecutive segment contributes its mean value × duration, and
+    * zero-length segments (timestamp ties, broken deterministically by
+    * event_id) contribute nothing. Keys whose events all share one
+    * timestamp have no time extent and are dropped. One window pass +
+    * one aggregation; all terms positive, so cross-engine float drift
+    * is n·ε relative — invisible at 4 decimals. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        epochMs(col("ts")).as("tms"), col("value"))
+      .withColumn("nt", lead("tms", 1).over(w))
+      .withColumn("nv", lead("value", 1).over(w))
+      .filter(col("nt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        (sum((col("value") + col("nv")) / 2 * (col("nt") - col("tms")))
+          / sum(col("nt") - col("tms"))).as("_twa"),
+        sum(col("nt") - col("tms")).as("_span"))
+      .filter(col("_span") > 0)
+      .select(col("user_id"), col("n_segments"), round(col("_twa"), 4).as("twa"))
+      .orderBy("user_id")
+  }
 }

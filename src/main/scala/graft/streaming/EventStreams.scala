@@ -334,4 +334,90 @@ object EventStreams {
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete()).start()
   }
+
+  /** Merge one change batch into a keyed parquet table, latest version
+    * per key wins. The table is partitioned by `_kb` (a hash bucket of
+    * the key), so a micro-batch touches ONLY its buckets: the read is
+    * partition-pruned to the touched buckets, and the write is a
+    * dynamic-partition overwrite of exactly those buckets — state-table
+    * maintenance cost scales with the batch's key spread, not the
+    * table size (the whole-table read-modify-rewrite this replaces is
+    * the naive sink that stops scaling first). The merged winners are
+    * eagerly materialized BEFORE the overwrite, because the write
+    * replaces the very partitions the merge read.
+    *
+    * `versionCols` must totally order each key's versions (include a
+    * unique tiebreak): the winner is then a per-key MAX — idempotent
+    * under foreachBatch's at-least-once replay and commutative across
+    * micro-batch arrival orders, so the drained table equals the batch
+    * "latest per key" over the full input regardless of scheduling. */
+  def mergeBatchIntoKeyedTable(batch: DataFrame, tableDir: String,
+                               keyCols: Seq[String], versionCols: Seq[String],
+                               buckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.withColumn("_kb",
+      pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int"))
+    val touched = incoming.select("_kb").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ buckets values — driver-safe
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasTable = fs.exists(new org.apache.hadoop.fs.Path(tableDir))
+    val current =
+      if (hasTable)
+        spark.read.parquet(tableDir)
+          .filter(col("_kb").isin(touched: _*))
+          .select(incoming.columns.map(col): _*) // align column order
+      else incoming.limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    val merged = current.unionByName(incoming)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_kb").parquet(tableDir)
+  }
+
+  /** Streaming upsert sink: every micro-batch merges into the keyed
+    * table via [[mergeBatchIntoKeyedTable]] — the streaming half of the
+    * CDC surface (batch MERGE is `SnapshotDiff.applyChanges`, gate u4;
+    * this is the same semantics arriving continuously). */
+  def upsertStream(stream: DataFrame, tableDir: String, checkpoint: String,
+                   keyCols: Seq[String], versionCols: Seq[String],
+                   buckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchIntoKeyedTable(batch, tableDir, keyCols, versionCols, buckets)
+      }
+      .start()
+
+  /** [[upsertStream]] through the real runtime: spill `batch` to a
+    * parquet dir, re-read as a bounded file stream (one file per
+    * micro-batch), drain the upsert sink, and return the final table
+    * (bucket column dropped), detached from the temp dirs. Arrival
+    * order across files is racy, but the merge's per-key max makes the
+    * drained table order-independent — fully gate-pinnable. */
+  def upsertThroughStream(spark: SparkSession, batch: DataFrame,
+                          keyCols: Seq[String], versionCols: Seq[String],
+                          inputFiles: Int = 4, buckets: Int = 16): DataFrame = {
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_upsert_run")
+    val dir = dirPath.toString
+    try {
+      batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val q = upsertStream(stream, s"$dir/table", s"$dir/ckpt",
+        keyCols, versionCols, buckets)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$dir/table").drop("_kb")
+        .localCheckpoint(eager = true)
+    } finally {
+      try graft.Fs.deleteRecursively(dirPath) catch { case _: Throwable => () }
+    }
+  }
 }

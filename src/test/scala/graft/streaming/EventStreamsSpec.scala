@@ -401,4 +401,37 @@ class EventStreamsSpec extends SparkTestBase {
       assert(ns.distinct.size == ns.size)
     }
   }
+
+  test("keyed-table merge: latest wins, replay idempotent, buckets pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_spec")
+    try {
+      val table = s"$dir/table"
+      val b1 = Seq(ev(0, "2024-01-01 10:00:00", 1, "a", 1.0),
+        ev(1, "2024-01-01 11:00:00", 2, "b", 2.0)).toDF()
+      val b2 = Seq(ev(2, "2024-01-01 12:00:00", 1, "c", 3.0), // newer u1
+        ev(3, "2024-01-01 09:00:00", 2, "d", 4.0)).toDF()     // older u2
+      EventStreams.mergeBatchIntoKeyedTable(b1, table, Seq("user_id"),
+        Seq("ts", "event_id"), buckets = 8)
+      EventStreams.mergeBatchIntoKeyedTable(b2, table, Seq("user_id"),
+        Seq("ts", "event_id"), buckets = 8)
+      def state() = spark.read.parquet(table)
+        .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+      assert(state() == Set((1L, 2L), (2L, 1L))) // u1 updated, u2 kept
+      // replaying batch 2 must not change anything (at-least-once safety)
+      EventStreams.mergeBatchIntoKeyedTable(b2, table, Seq("user_id"),
+        Seq("ts", "event_id"), buckets = 8)
+      assert(state() == Set((1L, 2L), (2L, 1L)))
+      // bucket layout: table is partitioned by _kb on disk
+      assert(new java.io.File(table).listFiles()
+        .exists(_.getName.startsWith("_kb=")))
+    } finally graft.Fs.deleteRecursively(dir)
+  }
+
+  test("upsertThroughStream drains to the batch latest-per-key result") {
+    val out = EventStreams.upsertThroughStream(spark, sample.toDF(),
+      keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+      inputFiles = 3, buckets = 4)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 4L)))
+  }
 }
