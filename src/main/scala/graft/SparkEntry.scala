@@ -227,6 +227,29 @@ object SparkEntry {
     // weighted / geometric / harmonic means — one partial→final pass
     "a34_generalized_means" -> q((s, d) =>
       Relational.generalizedMeans(Tables.lineitem(s, d))),
+    // per-group OLS (slope/intercept/r²) in one co-moment agg pass
+    "a35_grouped_ols" -> q((s, d) =>
+      Relational.groupedOls(Tables.events(s, d), "event_type",
+        expr("unix_millis(cast(ts as timestamp))") / lit(86400000.0),
+        col("value"))),
+    // dense_rank top-k WITH ties (vs w1's row_number semantics)
+    "w18_dense_topk_ties" -> q((s, d) =>
+      Relational.topValueBucketsWithTies(Tables.orders(s, d))),
+    // anti-join: per-segment customers with NO high-value order (the
+    // raw "no orders at all" set is empty in these fixtures — every
+    // custkey appears — so the filter makes the anti-set non-trivial)
+    "j11_anti_join" -> q((s, d) =>
+      Joins.customersWithoutOrders(Tables.customer(s, d),
+        Tables.orders(s, d).filter(col("o_totalprice") > 450000))),
+    // null-safe join: NULL keys match as ONE aggregated bucket per side
+    "j10_nullsafe_join" -> q((s, d) =>
+      Joins.nullSafeKeyMatch(
+        Tables.orders(s, d),
+        when(pmod(col("o_custkey"), lit(10L)) === 0, lit(null))
+          .otherwise(pmod(col("o_custkey"), lit(97L))),
+        Tables.customer(s, d),
+        when(pmod(col("c_custkey"), lit(10L)) === 0, lit(null))
+          .otherwise(pmod(col("c_custkey"), lit(97L))))),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     "a26_heavy_hitters" -> q((s, d) =>
       Relational.verifiedHeavyHitters(Tables.events(s, d), "user_id", support = 0.008)),
@@ -2278,6 +2301,43 @@ object SparkEntry {
            round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
            round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean_price
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a35_grouped_ols" ->
+      """WITH e AS (SELECT event_type,
+           epoch_ms(ts) / 86400000.0 AS x, value AS y
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, count(*) AS n,
+           round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+           round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+             AS intercept,
+           round(pow(corr(x, y), 2), 6) AS r2
+         FROM e GROUP BY 1 ORDER BY event_type""",
+    "w18_dense_topk_ties" ->
+      """WITH b AS (SELECT o_orderpriority,
+           CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_bucket,
+           count(*) AS n_orders
+           FROM orders GROUP BY 1, 2),
+         r AS (SELECT *, dense_rank() OVER (PARTITION BY o_orderpriority
+             ORDER BY price_bucket DESC) AS rank
+           FROM b)
+         SELECT o_orderpriority, rank, price_bucket, n_orders
+         FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "j11_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orphans,
+           CAST(sum(c_custkey) AS BIGINT) AS id_sum
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "j10_nullsafe_join" ->
+      """WITH l AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+             ELSE o_custkey % 97 END AS k, count(*) AS left_cnt
+           FROM orders GROUP BY 1),
+         r AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+             ELSE c_custkey % 97 END AS k, count(*) AS right_cnt
+           FROM customer GROUP BY 1)
+         SELECT COALESCE(l.k, -1) AS key, left_cnt, right_cnt
+         FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+         ORDER BY key""",
     "w9_resample_ffill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            round(avg(value),4) AS avg_value

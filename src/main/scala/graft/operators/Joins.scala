@@ -81,4 +81,37 @@ object Joins {
           (col("n_left").cast("double") / col("d_left")) *
           (col("n_right").cast("double") / col("d_right"))).cast("long"))
   }
+
+  /** Anti-join: left keys with NO right match — the referential-
+    * integrity / orphan probe (unmatched dims, missed backfills).
+    * LeftAnti is the join type, not a NOT IN subquery: it short-
+    * circuits per probe row, broadcasts when the right side is small,
+    * and — unlike NOT IN — has sane null semantics. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orphans"),
+        sum("c_custkey").as("id_sum"))
+      .orderBy("c_mktsegment")
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics a late-
+    * arriving-dimension or sentinel-key merge needs. Both sides are
+    * aggregated to per-key counts FIRST, so the null bucket joins as
+    * ONE row per side (the raw null×null cross product would be the
+    * classic blow-up: 10% nulls on both sides of a fact join = 1% of
+    * the full cross product). */
+  def nullSafeKeyMatch(left: DataFrame, leftKey: org.apache.spark.sql.Column,
+                       right: DataFrame, rightKey: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val l = left.select(leftKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("left_cnt"))
+    val r = right.select(rightKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("right_cnt"))
+    l.join(r, l("k") <=> r("k"), "inner")
+      .select(coalesce(l("k"), lit(-1L)).as("key"),
+        col("left_cnt"), col("right_cnt"))
+      .orderBy("key")
+  }
 }

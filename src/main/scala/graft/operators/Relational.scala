@@ -426,4 +426,40 @@ object Relational {
         round(count(lit(1)) / sum(lit(1.0) / col("l_extendedprice")), 4)
           .as("harm_mean_price"))
       .orderBy("l_returnflag")
+
+  /** Per-group simple OLS (y on x): slope = cov/var, intercept from the
+    * means, r² = corr² — all from ONE partial→final aggregation pass
+    * per group (the co-moment aggregates combine associatively; no
+    * second scan, no collect). The grouped version of the global
+    * [[corrAndSlope]]. */
+  def groupedOls(df: DataFrame, groupCol: String,
+                 x: org.apache.spark.sql.Column,
+                 y: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(groupCol), x.as("_x"), y.as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        round(covar_pop(col("_x"), col("_y")) / var_pop(col("_x")), 6).as("slope"),
+        round(avg("_y") - covar_pop(col("_x"), col("_y")) / var_pop(col("_x"))
+          * avg("_x"), 6).as("intercept"),
+        round(pow(corr(col("_x"), col("_y")), 2), 6).as("r2"))
+      .orderBy(groupCol)
+
+  /** Top values per group INCLUDING ties: `dense_rank` (ties share a
+    * rank, no gaps) — the semantics "top 3 price points" actually
+    * means, vs row_number's arbitrary tie-breaking. Values are bucketed
+    * first so ties are real; output is (group, rank, value, n_at_value). */
+  def topValueBucketsWithTies(orders: DataFrame, topRanks: Int = 3): DataFrame = {
+    val bucketed = orders
+      .groupBy(col("o_orderpriority"),
+        (floor(col("o_totalprice") / 1000) * 1000).cast("long").as("price_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("o_orderpriority").orderBy(desc("price_bucket"))
+    bucketed
+      .withColumn("rank", dense_rank().over(w))
+      .filter(col("rank") <= topRanks)
+      .select("o_orderpriority", "rank", "price_bucket", "n_orders")
+      .orderBy("o_orderpriority", "rank")
+  }
 }

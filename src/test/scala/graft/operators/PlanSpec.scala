@@ -38,6 +38,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LeftSemi"))
   }
 
+  test("anti-join plans as LeftAnti, never a NOT IN cross shape") {
+    val plan = planOf(Joins.customersWithoutOrders(
+      Tables.customer(spark, sf), Tables.orders(spark, sf)))
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("null-safe join matches the null buckets to each other") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = Seq(Some(1L), None, None, Some(2L)).toDF("k0")
+    val r = Seq(Some(1L), None, Some(3L)).toDF("k0")
+    val rows = Joins.nullSafeKeyMatch(l, col("k0"), r, col("k0"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // null bucket: 2 left rows match 1 right row as ONE aggregated pair
+    assert(rows == Set((-1L, 2L, 1L), (1L, 1L, 1L)))
+  }
+
   test("scd2 asOf predicate pushes into a stored-history parquet scan") {
     // The point-in-time lookup a warehouse user types runs against a
     // PERSISTED history table — the probe must reach the parquet footer
