@@ -209,6 +209,26 @@ object SparkEntry {
     // event-time samples; per-user integral + span pinned
     "w17_time_weighted_avg" -> q((s, d) =>
       graft.operators.Windows.timeWeightedAvg(Tables.events(s, d))),
+    // gaps-and-islands consecutive-day streaks (anchor-date trick, one
+    // window over the distinct (user, day) frame)
+    "w19_streaks" -> q((s, d) =>
+      graft.operators.Windows.activityStreaks(Tables.events(s, d))),
+    // OHLC bars per (type, day): min_by/max_by over a unique order key
+    // — one hash agg, no window, open/close deterministic
+    "w20_ohlc_bars" -> q((s, d) =>
+      graft.operators.Windows.ohlcBars(Tables.events(s, d))),
+    // Welch's t-test per event type between even/odd user cohorts: one
+    // conditional co-moment pass, t/df/decision pinned
+    "dr5_ab_ttest" -> q((s, d) =>
+      graft.operators.Drift.welchTTest(Tables.events(s, d), "event_type",
+        "value", pmod(col("user_id"), lit(2L)) === 0)),
+    // functional-dependency audit: one held FD (the key) and two
+    // violated ones over the same table, fan-out pinned
+    "dq3_fd_violations" -> q((s, d) =>
+      graft.operators.Quality.fdViolations(Tables.events(s, d), Seq(
+        ("event_id->user_id", "event_id", "user_id"),
+        ("user_id->event_type", "user_id", "event_type"),
+        ("event_type->user_id", "event_type", "user_id")))),
     "a7_grouped_stats" -> q((s, d) => Relational.groupedStats(Tables.lineitem(s, d))),
     "a10_baseline_ratio" -> q((s, d) => Relational.baselineRatio(Tables.orders(s, d))),
     "a12_median_by_group" -> q((s, d) => Relational.medianByGroup(Tables.events(s, d))),
@@ -227,6 +247,67 @@ object SparkEntry {
     // weighted / geometric / harmonic means — one partial→final pass
     "a34_generalized_means" -> q((s, d) =>
       Relational.generalizedMeans(Tables.lineitem(s, d))),
+    // exact mode per group, deterministic smallest-value tie-break —
+    // two hash aggs, max_by over (count, -value)
+    "a41_mode_by_group" -> q((s, d) =>
+      Relational.modeByGroup(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity")),
+    // Pareto / cumulative-share deciles over per-customer revenue (the
+    // 80/20 concentration curve); keys-only window
+    "w21_pareto_share" -> q((s, d) =>
+      Relational.paretoShare(Tables.orders(s, d), "o_custkey",
+        "o_totalprice")),
+    // pairwise correlation matrix (6 coefficients, ONE agg pass)
+    "pr3_corr_matrix" -> q((s, d) =>
+      graft.operators.Profile.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // exact weighted median per group — cumulative weight over the
+    // value order with the peers-inclusive RANGE frame, so the pick is
+    // deterministic; weights are integral so the boundary test is exact
+    "a38_weighted_median" -> q((s, d) =>
+      Relational.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
+    // equi-depth histogram (ntile over a total order): equal row mass
+    // per bucket, per-bucket count/min/max pinned
+    "a39_equidepth_hist" -> q((s, d) =>
+      Relational.equiDepthHistogram(Tables.lineitem(s, d))),
+    // nearest-station assignment over derived coordinates: broadcast
+    // cross join + per-point lexicographic argmin, per-station roll-up
+    "x9_nearest_station" -> q((s, d) => {
+      val pts = Tables.events(s, d).select(
+        col("event_id").as("point_id"),
+        (pmod(col("user_id"), lit(171L)).cast("double") - 85.0 + 0.25)
+          .as("lat"),
+        (pmod(col("event_id"), lit(360L)).cast("double") - 180.0 + 0.5)
+          .as("lon"))
+      val st = Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("station_id"),
+        (pmod(col("n_nationkey") * 37, lit(171)).cast("double") - 85.0 + 0.1)
+          .as("s_lat"),
+        (pmod(col("n_nationkey") * 91, lit(360)).cast("double") - 180.0 + 0.2)
+          .as("s_lon"))
+      graft.operators.Geo.nearestStationProfile(pts, st)
+    }),
+    // per-group TWO-feature ridge regression: closed-form 2×2 normal-
+    // equation solve from one co-moment pass (multivariate a35)
+    "a37_grouped_ridge" -> q((s, d) =>
+      Relational.groupedRidge2(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity"), col("l_discount"), col("l_extendedprice"))),
+    // bounded multi-source BFS (min hop distance from seeds {0,1,2}
+    // over a sparse derived graph) — frontier-only joins, 4 hops
+    "g5_bfs_hops" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+        .select(pmod(col("o_custkey"), lit(500L)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey"), lit(500L)).as("dst"))
+      import s.implicits._
+      graft.graph.Bfs.hopDistances(edges, Seq(0L, 1L, 2L).toDF("node"),
+        maxHops = 4)
+    }),
+    // interpolated bigram LM quality scoring (the n-gram upgrade of
+    // lm1): per-lang roll-up of per-doc mean log-probability
+    "lm2_bigram_quality" -> q((s, d) =>
+      graft.text.BigramLm.scoreByLang(Tables.documents(s, d))),
     // per-group OLS (slope/intercept/r²) in one co-moment agg pass
     "a35_grouped_ols" -> q((s, d) =>
       Relational.groupedOls(Tables.events(s, d), "event_type",
@@ -250,6 +331,27 @@ object SparkEntry {
         Tables.customer(s, d),
         when(pmod(col("c_custkey"), lit(10L)) === 0, lit(null))
           .otherwise(pmod(col("c_custkey"), lit(97L))))),
+    // the full star: BOTH fact tables shuffle-joined on orderkey, the
+    // snowflake dims broadcast, date filter pushed to the orders scan
+    "x8_q5_revenue" -> q((s, d) =>
+      Joins.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // category-balance report (entropy / normalized entropy / HHI) —
+    // the training-mix skew diagnostic, closed-form in two hash aggs
+    "a36_distribution_balance" -> q((s, d) =>
+      Relational.distributionBalance(Tables.documents(s, d), "source", "lang")),
+    // correlated SCALAR subquery through the SQL surface (Catalyst
+    // decorrelates to an aggregate+join; TPC-H Q17's shape)
+    "sql4_scalar_subquery" -> q((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""SELECT p_brand, count(*) AS n_small,
+                 round(sum(l_extendedprice), 2) AS small_revenue
+               FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+               WHERE l.l_quantity < (SELECT 0.5 * avg(l_quantity)
+                 FROM v_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+               GROUP BY 1 ORDER BY 1""")
+    }),
     "a21_corr_slope" -> q((s, d) => Relational.corrAndSlope(Tables.lineitem(s, d))),
     "a26_heavy_hitters" -> q((s, d) =>
       Relational.verifiedHeavyHitters(Tables.events(s, d), "user_id", support = 0.008)),
@@ -469,6 +571,22 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // late-arriving repair: history built WITHOUT the late slice, then
+    // mergeLate rebuilds only the touched keys — the oracle does the
+    // FULL rebuild over base ∪ late, so the incremental path is pinned
+    // exactly equivalent to it
+    "u8_scd2_late_merge" -> q((s, d) => {
+      val base = Tables.orders(s, d)
+        .filter(col("o_custkey") < 100 && pmod(col("o_orderkey"), lit(13L)) =!= 0)
+      val late = Tables.orders(s, d)
+        .filter(col("o_custkey") < 100 && pmod(col("o_custkey"), lit(5L)) === 0
+          && pmod(col("o_orderkey"), lit(13L)) === 0)
+      val hist = graft.operators.Scd2.build(
+        base, "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+      graft.operators.Scd2.mergeLate(hist, base, late,
+          "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+        .orderBy("o_custkey", "version")
+    }),
     // point-in-time (as-of) lookup against the same SCD2 history: the
     // "dimension value as of date X" query — at most one version per
     // key by the half-open interval construction, full row list pinned
@@ -1261,6 +1379,29 @@ object SparkEntry {
     // rows·window candidate work; every surviving pair pinned
     "d16_sorted_neighborhood" -> q((s, d) =>
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, d))),
+    // native codegen'd Jaro-Winkler (same constants as the oracle's
+    // builtin): sorted-neighborhood adjacent part names scored, near-
+    // match counts + mean similarity pinned per brand
+    "d18_jaro_winkler" -> q((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_brand").orderBy("p_name", "p_partkey")
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_name"), col("p_partkey"))
+        .withColumn("nxt", lead("p_name", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("jw", graft.functions.StringSimilarity
+          .jaroWinkler(col("p_name"), col("nxt")))
+        .filter(col("jw") >= 0.95)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_near"), round(avg("jw"), 6).as("avg_jw"))
+        .orderBy("p_brand")
+    }),
+    // corpus-WIDE (no blocking key) exact-Jaccard ≥ τ join via prefix
+    // filtering: only each doc's hash-order prefix enters the candidate
+    // self-join; the oracle regenerates the complete candidate set from
+    // a shingle-postings join, so every qualifying pair is pinned
+    "d17_prefix_filter_join" -> q((s, d) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, d))),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -1376,6 +1517,31 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .crossJoin(hits.agg((count(lit(1)) >= 30).as("recall_ge_06")))
         .crossJoin(truth.agg((min("ok") === 1).as("sims_match_exact")))
+    }),
+    // product quantization (64 floats → 4 byte codes): planted clones
+    // must land in their query's ADC top-5, every query's own vector
+    // must achieve the minimum ADC (the per-block argmin property), and
+    // all codes must stay inside the codebook range — counts pinned
+    "n8_pq_clones" -> q((s, d) => {
+      val emb = plantClones(Tables.embeddings(s, d), 50)
+      val model = graft.similarity.Pq.train(emb)
+      val codes = graft.similarity.Pq.encode(emb, model)
+      val top = graft.similarity.Pq.adcTopK(codes, emb, model,
+        0L until 10L, kNN = 5)
+      val minAdc = top.groupBy("query_id").agg(min("adc").as("min_adc"))
+      val selfAtMin = top.filter(col("vec_id") === col("query_id"))
+        .join(minAdc, "query_id")
+        .select((abs(col("adc") - col("min_adc")) <= 1e-9).cast("int").as("ok"))
+      val cloneHits = top.filter(col("vec_id") === col("query_id") + 10000)
+      val codeStats = codes.select(explode(col("codes")).as("c"))
+        .agg(min("c").as("cmin"), max("c").as("cmax"))
+      top.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(selfAtMin.agg(
+          (count(lit(1)) === 10 && min("ok") === 1).as("self_at_min")))
+        .crossJoin(cloneHits.agg((count(lit(1)) === 10).as("clones_in_top5")))
+        .crossJoin(codeStats.select(
+          (col("cmin") >= 0 && col("cmax") < 16).as("codes_in_range")))
     }),
     // --- taxi end-to-end path (SURVEY §3): raw-schema frames synthesized
     // deterministically from `events`, run through the CLI's own
@@ -1818,6 +1984,21 @@ object SparkEntry {
         .orderBy("source")
     }),
     // --- multimodal plumbing (training-data ops) ---
+    // frame-sampling plumbing pinned end-to-end: 64-byte frames, every
+    // 2nd kept, per-source frame count / byte mass / per-frame FNV sum
+    // (the oracle re-slices the ASCII payload in SQL)
+    "m5_frame_checksums" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Multimodal.sampleFrames(Multimodal.withBinaryPayload(docs))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), length(col("frame")).as("fb"),
+          graft.functions.HashExpressions.fnv1a32(col("frame").cast("string"))
+            .as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_frames"), sum("fb").as("bytes_kept"),
+          sum("h").as("fnv_sum"))
+        .orderBy("source")
+    }),
     "m1_payload_stats" -> q((s, d) => Multimodal.payloadStats(Tables.documents(s, d))),
     "m2_multimodal_features" -> q((s, d) =>
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
@@ -2301,6 +2482,109 @@ object SparkEntry {
            round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
            round(count(*) / sum(1.0 / l_extendedprice), 4) AS harm_mean_price
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a41_mode_by_group" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, v, c,
+           row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY c DESC, v ASC) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+           FROM c)
+         SELECT l_returnflag, v AS mode, c AS mode_count, n_distinct
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "w21_pareto_share" ->
+      """WITH t AS (SELECT o_custkey AS k, sum(o_totalprice) AS v
+           FROM orders GROUP BY 1),
+         r AS (SELECT k, v,
+           sum(v) OVER (ORDER BY v DESC, k) AS cum,
+           sum(v) OVER () AS tot,
+           row_number() OVER (ORDER BY v DESC, k) AS rk,
+           count(*) OVER () AS n FROM t)
+         SELECT CAST(ceil(rk * 10.0 / n) AS INT) AS decile,
+           count(*) AS n_keys, round(max(cum / tot), 6) AS cum_share
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "pr3_corr_matrix" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+             round(corr(l_quantity, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_tax',
+             round(corr(l_quantity, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_tax',
+             round(corr(l_discount, l_tax), 6) FROM lineitem)
+         ORDER BY col_a, col_b""",
+    "a38_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice) AS cw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+         SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+           round(max(tw), 4) AS total_weight
+         FROM t WHERE cw >= tw * 0.5 GROUP BY 1 ORDER BY 1""",
+    "a39_equidepth_hist" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+           ntile(8) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+           FROM lineitem)
+         SELECT l_returnflag, bucket, count(*) AS n,
+           round(min(l_extendedprice), 4) AS lo,
+           round(max(l_extendedprice), 4) AS hi
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x9_nearest_station" ->
+      """WITH p AS (SELECT event_id AS point_id,
+           (user_id % 171)::DOUBLE - 85.0 + 0.25 AS lat,
+           (event_id % 360)::DOUBLE - 180.0 + 0.5 AS lon FROM events),
+         s AS (SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+           ((n_nationkey * 37) % 171)::DOUBLE - 85.0 + 0.1 AS s_lat,
+           ((n_nationkey * 91) % 360)::DOUBLE - 180.0 + 0.2 AS s_lon
+           FROM nation),
+         d AS (SELECT point_id, station_id,
+           12742.0 * asin(sqrt(
+             sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(s_lat))
+               * sin(radians(s_lon - lon) / 2)
+               * sin(radians(s_lon - lon) / 2))) AS dist
+           FROM p CROSS JOIN s),
+         best AS (SELECT point_id, station_id, dist, row_number() OVER (
+             PARTITION BY point_id ORDER BY dist, station_id) AS rn
+           FROM d)
+         SELECT station_id, count(*) AS n_points,
+           round(avg(dist), 2) AS avg_km, round(max(dist), 2) AS max_km
+         FROM best WHERE rn = 1 GROUP BY 1 ORDER BY station_id""",
+    "a37_grouped_ridge" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+           var_pop(l_quantity) + 1e-6 AS s11,
+           var_pop(l_discount) + 1e-6 AS s22,
+           covar_pop(l_quantity, l_discount) AS s12,
+           covar_pop(l_quantity, l_extendedprice) AS c1y,
+           covar_pop(l_discount, l_extendedprice) AS c2y,
+           avg(l_quantity) AS m1, avg(l_discount) AS m2,
+           avg(l_extendedprice) AS my
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((c1y*s22 - s12*c2y) / (s11*s22 - s12*s12), 4) AS b1,
+           round((c2y*s11 - s12*c1y) / (s11*s22 - s12*s12), 4) AS b2,
+           round(my - (c1y*s22 - s12*c2y) / (s11*s22 - s12*s12) * m1
+                    - (c2y*s11 - s12*c1y) / (s11*s22 - s12*s12) * m2, 4)
+             AS intercept
+         FROM g ORDER BY l_returnflag""",
+    "g5_bfs_hops" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 500 AS src,
+           (o_custkey * 7 + o_orderkey) % 500 AS dst
+           FROM orders WHERE o_orderkey % 7 = 0),
+         b(node, d) AS (
+           SELECT CAST(unnest([0, 1, 2]) AS BIGINT), 0
+           UNION
+           SELECT e.dst, b.d + 1 FROM b JOIN e ON e.src = b.node
+           WHERE b.d < 4)
+         SELECT node, min(d) AS dist FROM b GROUP BY 1 ORDER BY node""",
     "a35_grouped_ols" ->
       """WITH e AS (SELECT event_type,
            epoch_ms(ts) / 86400000.0 AS x, value AS y
@@ -2321,6 +2605,94 @@ object SparkEntry {
            FROM b)
          SELECT o_orderpriority, rank, price_bucket, n_orders
          FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "w19_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         i AS (SELECT user_id, day, day - CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+           FROM days),
+         s AS (SELECT user_id, anchor, count(*) AS len FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len) AS longest_streak, count(*) AS n_streaks
+         FROM s GROUP BY 1 ORDER BY user_id""",
+    "w20_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+           (epoch_ms(ts) - 1700000000000) * 10000000
+             + event_id % 10000000 AS ok
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
+           round(arg_min(value, ok), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, ok), 4) AS close
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dr5_ab_ttest" ->
+      """WITH g AS (SELECT event_type,
+           count(*) FILTER (user_id % 2 = 0) AS n_a,
+           count(*) FILTER (user_id % 2 <> 0) AS n_b,
+           avg(value) FILTER (user_id % 2 = 0) AS m_a,
+           avg(value) FILTER (user_id % 2 <> 0) AS m_b,
+           var_samp(value) FILTER (user_id % 2 = 0) AS v_a,
+           var_samp(value) FILTER (user_id % 2 <> 0) AS v_b
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           round(m_a - m_b, 4) AS mean_diff,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+               + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df_welch,
+           abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+             AS significant
+         FROM g ORDER BY event_type""",
+    "dq3_fd_violations" ->
+      """WITH
+         fd AS (
+           SELECT 'event_id->user_id' AS fd, count(*) AS d FROM (
+             SELECT DISTINCT event_id AS k, user_id AS v FROM events)
+             GROUP BY k
+           UNION ALL
+           SELECT 'user_id->event_type', count(*) FROM (
+             SELECT DISTINCT user_id AS k, event_type AS v FROM events)
+             GROUP BY k
+           UNION ALL
+           SELECT 'event_type->user_id', count(*) FROM (
+             SELECT DISTINCT event_type AS k, user_id AS v FROM events)
+             GROUP BY k)
+         SELECT fd, count(*) AS n_keys,
+           CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           max(d) AS max_fanout,
+           sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         FROM fd GROUP BY fd ORDER BY fd""",
+    "x8_q5_revenue" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+           AND year(o_orderdate) BETWEEN 1996 AND 1997
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a36_distribution_balance" ->
+      """WITH cc AS (SELECT source, lang, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cats,
+           sum(c * ln(c)) AS clnc, sum(c * c) AS c2
+           FROM cc GROUP BY 1)
+         SELECT source, n, n_cats,
+           round(ln(n) - clnc / n, 6) AS entropy,
+           round(CASE WHEN n_cats = 1 THEN 1.0
+             ELSE (ln(n) - clnc / n) / ln(n_cats) END, 6) AS norm_entropy,
+           round(c2 / (n * n), 6) AS hhi
+         FROM g ORDER BY source""",
+    "sql4_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_small,
+           round(sum(l_extendedprice), 2) AS small_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_quantity < (SELECT 0.5 * avg(l_quantity)
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+         GROUP BY 1 ORDER BY 1""",
     "j11_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_orphans,
            CAST(sum(c_custkey) AS BIGINT) AS id_sum
@@ -2436,6 +2808,22 @@ object SparkEntry {
       """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
              o_orderpriority AS attr, o_orderkey AS tb
            FROM orders WHERE o_custkey < 100),
+         l AS (SELECT k, ts, attr, tb,
+             lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
+         s AS (SELECT k, ts, attr, tb FROM l
+           WHERE prev IS NULL OR attr IS DISTINCT FROM prev),
+         v AS (SELECT k, attr, ts AS valid_from,
+             row_number() OVER (PARTITION BY k ORDER BY ts, tb) AS version,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+           FROM s)
+         SELECT k AS o_custkey, attr AS o_orderpriority, version,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+         FROM v ORDER BY o_custkey, version""",
+    "u8_scd2_late_merge" ->
+      """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
+             o_orderpriority AS attr, o_orderkey AS tb
+           FROM orders WHERE o_custkey < 100
+             AND (o_orderkey % 13 <> 0 OR o_custkey % 5 = 0)),
          l AS (SELECT k, ts, attr, tb,
              lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
          s AS (SELECT k, ts, attr, tb FROM l
@@ -3084,6 +3472,34 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, round(avg(avg_logp),4) AS mean_logp,
            round(min(avg_logp),4) AS min_logp, round(max(avg_logp),4) AS max_logp
          FROM d GROUP BY 1 ORDER BY lang""",
+    "lm2_bigram_quality" ->
+      s"""WITH w AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM w),
+         uc AS (SELECT tok, count(*) AS ucnt FROM tok GROUP BY 1),
+         um AS (SELECT * FROM uc ORDER BY ucnt DESC, tok LIMIT 1000),
+         un AS (SELECT sum(ucnt)::DOUBLE AS n FROM uc),
+         bgl AS (SELECT doc_id, lang, list_transform(range(1, len(t)),
+             i -> struct_pack(prev := t[i], cur := t[i+1],
+               bg := t[i] || ' ' || t[i+1])) AS bl FROM w),
+         bge AS (SELECT doc_id, lang, unnest(bl) AS b FROM bgl),
+         bg AS (SELECT doc_id, lang, b.prev AS prev, b.cur AS cur,
+           b.bg AS bg FROM bge),
+         bc AS (SELECT bg, count(*) AS bcnt FROM bg GROUP BY 1),
+         bm AS (SELECT * FROM bc ORDER BY bcnt DESC, bg LIMIT 2000),
+         hc AS (SELECT prev, count(*) AS hcnt FROM bg GROUP BY 1),
+         sc AS (SELECT doc_id, lang,
+           ln(0.7 * COALESCE(bm.bcnt::DOUBLE / hc.hcnt, 0.0)
+             + (1.0 - 0.7) * COALESCE(um.ucnt::DOUBLE, 0.5)
+               / (SELECT n FROM un)) AS lp
+           FROM bg LEFT JOIN bm USING (bg) LEFT JOIN hc USING (prev)
+             LEFT JOIN um ON um.tok = bg.cur),
+         d AS (SELECT doc_id, lang, avg(lp) AS avg_logp FROM sc
+           GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(avg_logp), 4) AS mean_logp,
+           round(min(avg_logp), 4) AS min_logp,
+           round(max(avg_logp), 4) AS max_logp
+         FROM d GROUP BY 1 ORDER BY lang""",
     "t7_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
@@ -3296,6 +3712,10 @@ object SparkEntry {
     "n7_ivf_top5" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
          true AS recall_ge_06, true AS sims_match_exact""",
+    "n8_pq_clones" ->
+      """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
+         true AS self_at_min, true AS clones_in_top5,
+         true AS codes_in_range""",
     "n3_ivf_topk" ->
       """WITH cl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
            CAST(list_transform(embedding, (x, i) ->
@@ -3694,6 +4114,32 @@ object SparkEntry {
              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "d18_jaro_winkler" ->
+      """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
+             PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt
+           FROM part),
+         j AS (SELECT p_brand, jaro_winkler_similarity(p_name, nxt) AS jw
+           FROM r WHERE nxt IS NOT NULL)
+         SELECT p_brand, count(*) AS n_near, round(avg(jw), 6) AS avg_jw
+         FROM j WHERE jw >= 0.95 GROUP BY 1 ORDER BY p_brand""",
+    "d17_prefix_filter_join" ->
+      s"""WITH sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len($toks) >= 5
+             THEN list_transform(range(0, len($toks) - 4),
+                    i -> array_to_string(($toks)[i+1:i+5], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM post a JOIN post b
+             ON a.g = b.g AND a.doc_id < b.doc_id),
+         scored AS (SELECT doc_a, doc_b,
+           round(len(list_intersect(x.s, y.s))::DOUBLE /
+             len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+           FROM cand JOIN sh x ON x.doc_id = doc_a
+             JOIN sh y ON y.doc_id = doc_b)
+         SELECT doc_a, doc_b, jaccard FROM scored
+         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""",
     "d16_sorted_neighborhood" ->
       s"""WITH sh AS (SELECT doc_id, lang, n_chars,
            list_distinct(CASE WHEN len($toks) >= 3
@@ -3853,6 +4299,19 @@ object SparkEntry {
            CASE WHEN len(bs) > 0 THEN list_avg(bs) ELSE 0.0 END AS mean_byte,
            CASE WHEN len(bs) > 0 THEN CAST(bs[1] AS INT) ELSE -1 END AS first_byte
          FROM chars ORDER BY doc_id LIMIT 100""",
+    "m5_frame_checksums" ->
+      s"""WITH fr AS (SELECT doc_id, source, unnest(
+             list_transform(
+               list_filter(range(0, CAST(ceil(len(text) / 64.0) AS INT)),
+                 i -> i % 2 = 0),
+               i -> substr(text, CAST(i AS INT) * 64 + 1, 64))) AS frame
+           FROM documents WHERE len(text) > 0),
+         sc AS (SELECT source, len(frame) AS fb,
+           ${fnvSql("frame", 2166136261L)} AS h FROM fr)
+         SELECT source, count(*) AS n_frames,
+           CAST(sum(fb) AS BIGINT) AS bytes_kept,
+           CAST(sum(h) AS BIGINT) AS fnv_sum
+         FROM sc GROUP BY 1 ORDER BY source""",
     "m1_payload_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

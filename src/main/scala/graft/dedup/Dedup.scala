@@ -360,6 +360,57 @@ object Dedup {
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(n)
 
+  /** Corpus-wide exact-Jaccard threshold join via PREFIX FILTERING
+    * (Chaudhuri et al., "A primitive operator for similarity joins in
+    * data cleaning", ICDE 2006; Xiao et al. PPJoin, WWW 2008) — the
+    * fourth blocking family: no blocking key at all, yet never
+    * all-pairs. Under ANY fixed global token order, two sets with
+    * Jaccard ≥ τ must share a token inside each one's first
+    * `n − ⌈τ·n⌉ + 1` tokens (if all of A's prefix missed B, the ≥⌈τ·n⌉
+    * shared tokens would all sit in A's suffix — too short to hold
+    * them). So only PREFIX tokens are exploded into the candidate
+    * self-join; the suffix mass (a τ fraction of every doc) never
+    * shuffles. We use the shingle-hash value
+    * itself as the global order (the arrays arrive sorted from
+    * [[graft.functions.HashExpressions.ShingleHashes]]); ordering by
+    * ascending global frequency instead is the standard candidate-
+    * minimizing refinement when a frequency sketch is already at hand.
+    * Candidates are verified with the codegen'd sorted-merge
+    * intersection, exactly like [[ngramJaccardPairs]]. With k=5 word
+    * shingles, cross-doc shingle collisions are rare, so candidate
+    * volume tracks the true near-dup pair count, not corpus². */
+  def prefixFilterPairs(documents: DataFrame, tau: Double = 0.6,
+                        shingleK: Int = 5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val d = graft.operators.Partitioning.spread(documents)
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), shingleK)
+          .as("sh"))
+      .withColumn("n", size(col("sh")))
+    // prefix length n − ⌈τ·n⌉ + 1, clamped to n (tiny docs)
+    val plen = least(col("n") - ceil(lit(tau) * col("n")) + 1, col("n"))
+      .cast("int")
+    val posts = d.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), plen)).as("g"))
+    val cand = posts.as("a")
+      .join(posts.as("b"), col("a.g") === col("b.g")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = graft.functions.HashExpressions
+      .intersectCountSorted(col("sh_a"), col("sh_b"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / (col("n_a") + col("n_b") - inter), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo, "The
     * merge/purge problem for large databases", SIGMOD 1995) — the third
     * classic blocking family next to LSH ([[minHashCandidates]]) and

@@ -219,4 +219,38 @@ object Drift {
         ((countDistinct("a") - 1) * (countDistinct("b") - 1)).as("dof"),
         round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
   }
+
+  /** Welch's two-sample t-test per group (unequal variances — the
+    * robust default for A/B cohort comparison): t statistic and
+    * Welch–Satterthwaite degrees of freedom from ONE co-moment
+    * aggregation pass over both cohorts together (conditional
+    * aggregates split the cohorts; no second scan, no join). The
+    * decision column thresholds |t| against the normal-approximation
+    * critical value — exact p-values need the t CDF, a numeric-library
+    * concern, not a data-movement one. */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 cohortCol: Column, critical: Double = 1.96): DataFrame = {
+    val inA = cohortCol
+    val v = col(valueCol)
+    val g = df.filter(v.isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        count(when(inA, 1)).as("n_a"),
+        count(when(!inA, 1)).as("n_b"),
+        avg(when(inA, v)).as("m_a"),
+        avg(when(!inA, v)).as("m_b"),
+        var_samp(when(inA, v)).as("v_a"),
+        var_samp(when(!inA, v)).as("v_b"))
+    val sa = col("v_a") / col("n_a")
+    val sb = col("v_b") / col("n_b")
+    val t = (col("m_a") - col("m_b")) / sqrt(sa + sb)
+    val dfw = pow(sa + sb, 2) /
+      (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+    g.select(col(groupCol), col("n_a"), col("n_b"),
+        round(col("m_a") - col("m_b"), 4).as("mean_diff"),
+        round(t, 4).as("t_stat"),
+        round(dfw, 2).as("df_welch"),
+        (abs(t) > critical).as("significant"))
+      .orderBy(groupCol)
+  }
 }

@@ -95,6 +95,32 @@ object Joins {
         sum("c_custkey").as("id_sum"))
       .orderBy("c_mktsegment")
 
+  /** TPC-H Q5-shaped star query — the one gate that joins BOTH fact
+    * tables: lineitem ⋈ orders shuffles once on the orderkey (at 100 TB
+    * these are the two tables that cannot broadcast; AQE co-partitions
+    * the exchange), customer rides the same pattern keyed by custkey,
+    * and the snowflake tail (nation → region) is explicitly broadcast
+    * so the billion-row side never moves for the tiny dims. The date
+    * predicate sits on the orders SCAN (pushed filter) so the expensive
+    * join only sees the selected years. Revenue is
+    * Σ extendedprice·(1−discount), the reference's fare-revenue shape
+    * (`part2.ipynb` cell 29 analog) generalized to the star schema. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame,
+                      region: DataFrame,
+                      yearFrom: Int = 1996, yearTo: Int = 1997): DataFrame =
+    lineitem
+      .join(orders.filter(year(col("o_orderdate")).between(yearFrom, yearTo)),
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("r_name", "n_name")
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other instead of vanishing — the semantics a late-
     * arriving-dimension or sentinel-key merge needs. Both sides are

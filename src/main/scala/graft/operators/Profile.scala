@@ -67,4 +67,27 @@ object Profile {
         "(column, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
       .orderBy("column")
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns, long
+    * format (col_a, col_b, corr) — the multicollinearity screen of a
+    * feature audit. ALL n·(n−1)/2 coefficients come out of ONE
+    * aggregation pass (each `corr` is an independent partial→final
+    * co-moment aggregate; Catalyst fuses them into a single
+    * HashAggregate), then a constant-size stack to long format. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    val measures = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+    }
+    val one = df.agg(measures.head, measures.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__${b}`"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${pairs.size}, $stacked) AS (col_a, col_b, corr)"))
+      .orderBy("col_a", "col_b")
+  }
 }

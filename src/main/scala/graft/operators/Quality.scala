@@ -115,6 +115,29 @@ object Quality {
       .orderBy("rule")
   }
 
+  /** Functional-dependency audit: for each candidate FD lhs → rhs,
+    * report how many lhs keys exist, how many map to MORE than one
+    * distinct rhs (violations), and the worst fan-out. Per FD this is a
+    * keys-only aggregation — `(lhs, rhs)` distinct pairs, then a
+    * per-key distinct count — so the payload never shuffles and the
+    * reduce side is bounded by key cardinality, not row count. The
+    * discovery primitive behind "is this column a reliable join key /
+    * dimension attribute?" */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String, String)]): DataFrame = {
+    require(fds.nonEmpty, "at least one candidate FD required")
+    fds.map { case (label, lhs, rhs) =>
+      df.select(col(lhs).as("k"), col(rhs).as("v"))
+        .distinct()
+        .groupBy("k")
+        .agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("d").as("max_fanout"))
+        .select(lit(label).as("fd"), col("n_keys"), col("n_violating"),
+          col("max_fanout"), (col("n_violating") === 0).as("holds"))
+    }.reduce(_.unionByName(_)).orderBy("fd")
+  }
+
   /** Row-level PASS predicate for a row-local rule. [[Unique]] /
     * [[UniqueApprox]] are aggregate-level (a row is only a "duplicate"
     * relative to the whole frame) and fail fast here — routing

@@ -446,6 +446,142 @@ object Relational {
         round(pow(corr(col("_x"), col("_y")), 2), 6).as("r2"))
       .orderBy(groupCol)
 
+  /** Category-balance diagnostics per group — the "is my training mix
+    * skewed?" report: Shannon entropy (nats), normalized entropy
+    * (÷ ln k, 1.0 = uniform), and the Herfindahl concentration index
+    * Σp². Uses the closed forms H = ln N − Σc·ln c / N and
+    * HHI = Σc² / N², so the whole thing is TWO hash aggregations
+    * ((group,cat) then group — the first bounds the second's input by
+    * the category cardinality) with no window, no join, no second scan
+    * of the raw data. Single-category groups get norm_entropy = 1.0 by
+    * convention (ln k = 0). */
+  def distributionBalance(df: DataFrame, groupCol: String,
+                          catCol: String): DataFrame =
+    df.groupBy(groupCol, catCol)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(sum("c").as("n"), count(lit(1)).as("n_cats"),
+        sum(col("c") * log(col("c"))).as("_clnc"),
+        sum(col("c") * col("c")).as("_c2"))
+      .select(col(groupCol), col("n"), col("n_cats"),
+        round(log(col("n")) - col("_clnc") / col("n"), 6).as("entropy"),
+        round(when(col("n_cats") === 1, 1.0)
+          .otherwise((log(col("n")) - col("_clnc") / col("n"))
+            / log(col("n_cats"))), 6).as("norm_entropy"),
+        round(col("_c2") / (col("n") * col("n")), 6).as("hhi"))
+      .orderBy(groupCol)
+
+  /** Per-group TWO-feature ridge regression (y on x1, x2 with
+    * intercept) via the closed-form 2×2 normal-equation solve over
+    * centered co-moments: all five sufficient statistics (two
+    * variances, three covariances, plus the means) come out of ONE
+    * partial→final aggregation pass — the multivariate step up from
+    * [[groupedOls]], still with no collect, no iteration, no second
+    * scan. `ridge` is added to the covariance-scale diagonal
+    * (X'X/n + λI), so a degenerate group (constant feature) yields
+    * finite coefficients instead of a 0/0. */
+  def groupedRidge2(df: DataFrame, groupCol: String,
+                    x1: org.apache.spark.sql.Column,
+                    x2: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column,
+                    ridge: Double = 1e-6): DataFrame = {
+    val g = df.select(col(groupCol), x1.as("_x1"), x2.as("_x2"), y.as("_y"))
+      .filter(col("_x1").isNotNull && col("_x2").isNotNull && col("_y").isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        (var_pop(col("_x1")) + ridge).as("s11"),
+        (var_pop(col("_x2")) + ridge).as("s22"),
+        covar_pop(col("_x1"), col("_x2")).as("s12"),
+        covar_pop(col("_x1"), col("_y")).as("c1y"),
+        covar_pop(col("_x2"), col("_y")).as("c2y"),
+        avg("_x1").as("m1"), avg("_x2").as("m2"), avg("_y").as("my"))
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val b1 = (col("c1y") * col("s22") - col("s12") * col("c2y")) / det
+    val b2 = (col("c2y") * col("s11") - col("s12") * col("c1y")) / det
+    g.select(col(groupCol), col("n"),
+        round(b1, 4).as("b1"), round(b2, 4).as("b2"),
+        round(col("my") - b1 * col("m1") - b2 * col("m2"), 4).as("intercept"))
+      .orderBy(groupCol)
+  }
+
+  /** Exact MODE per group with a deterministic tie-break (most frequent
+    * value; ties resolve to the smallest value): two hash aggregations
+    * — (group, value) counts, then `max_by` of the value over
+    * `(count, reversed-value)` — no window, no sort, reducer state one
+    * row per group. The categorical twin of [[medianByGroup]]. */
+  def modeByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(max_by(col(valCol), struct(col("c"), negate(col(valCol)))).as("mode"),
+        max(col("c")).as("mode_count"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy(groupCol)
+
+  /** Pareto / cumulative-share report: how concentrated is the value
+    * mass over keys ("what share of revenue do the top keys hold")?
+    * Per-key totals, ranked desc, cumulative share over the PEERS-SAFE
+    * total order (value desc, key asc), bucketed into deciles of rank —
+    * output is 10 rows per group tier, the 80/20 curve. One keys-only
+    * aggregation + one window over the key totals (bounded by key
+    * cardinality, not row count). */
+  def paretoShare(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val totals = df.groupBy(keyCol).agg(sum(valCol).as("v"))
+    val w = Window.orderBy(desc("v"), col(keyCol))
+    val whole = Window.partitionBy()
+    totals
+      .withColumn("cum", sum("v").over(w))
+      .withColumn("tot", sum("v").over(whole))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("decile", ceil(col("rk") * 10.0 / col("n")).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_keys"),
+        round(max(col("cum") / col("tot")), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Exact WEIGHTED median per group (the quota-sampling / budget-
+    * allocation statistic plain `percentile` can't give): cumulative
+    * weight over the value-ordered group with the default RANGE frame —
+    * peers (equal values) accumulate as one block, so every row's
+    * cumulative weight is deterministic regardless of physical tie
+    * order — then the smallest value whose cumulative weight reaches
+    * half the total. One window + one aggregation; the window sort is
+    * per-group, the same cost class as any quantile. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     wCol: String): DataFrame = {
+    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
+    val whole = Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(valCol), col(wCol))
+      .filter(col(valCol).isNotNull && col(wCol).isNotNull)
+      .withColumn("_cw", sum(wCol).over(byVal))
+      .withColumn("_tw", sum(wCol).over(whole))
+      .filter(col("_cw") >= col("_tw") * 0.5)
+      .groupBy(groupCol)
+      .agg(min(valCol).as("weighted_median"),
+        round(max("_tw"), 4).as("total_weight"))
+      .orderBy(groupCol)
+  }
+
+  /** Equi-DEPTH histogram per group (equal row mass per bucket — the
+    * complement of [[histogram]]'s equal-width bins): `ntile` over a
+    * TOTAL order (value + unique key tiebreak, so bucket boundaries are
+    * engine-independent), then per-bucket count/min/max. The window
+    * sort is the cost; the output is groups × buckets rows. */
+  def equiDepthHistogram(lineitem: DataFrame, buckets: Int = 8): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 4).as("lo"),
+        round(max("l_extendedprice"), 4).as("hi"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   /** Top values per group INCLUDING ties: `dense_rank` (ties share a
     * rank, no gaps) — the semantics "top 3 price points" actually
     * means, vs row_number's arbitrary tie-breaking. Values are bucketed

@@ -66,6 +66,32 @@ object Scd2 {
       (col("valid_to").isNull || col("valid_to") > probe))
   }
 
+  /** Late-arriving-observation repair WITHOUT a full rebuild: rebuild
+    * only the keys the late batch touches (their observation slice of
+    * `log` plus the late rows through the same [[build]]), keep every
+    * other key's history rows untouched via an anti-join. Per-key
+    * independence of [[build]] makes this EXACTLY equivalent to
+    * `build(log ∪ late)` — the u8 gate pins that equality against a
+    * full-rebuild oracle.
+    *
+    * Scale shape: the late batch is small, so its key set broadcasts
+    * into both the semi-join (select affected observations) and the
+    * anti-join (protect untouched history); only affected keys pay the
+    * window sort again. This is the SCD2 analog of
+    * [[SnapshotDiff.incrementalAggUpdate]]'s "touch only the changeset"
+    * discipline. */
+  def mergeLate(history: DataFrame, log: DataFrame, late: DataFrame,
+                key: String, tsCol: String, attrCols: Seq[String],
+                tiebreakCol: String): DataFrame = {
+    val affected = late.select(key).distinct()
+    val rebuilt = build(
+      log.join(broadcast(affected), Seq(key), "left_semi")
+        .unionByName(late.select(log.columns.map(col): _*)),
+      key, tsCol, attrCols, tiebreakCol)
+    history.join(broadcast(affected), Seq(key), "left_anti")
+      .unionByName(rebuilt)
+  }
+
   /** Temporal dimension join: each fact row picks the dimension version
     * in effect at ITS OWN timestamp — the join a fact stream runs
     * against a [[build]]-produced history so late-arriving or

@@ -377,4 +377,50 @@ object Windows {
       .select(col("user_id"), col("n_segments"), round(col("_twa"), 4).as("twa"))
       .orderBy("user_id")
   }
+
+  /** OHLC resampling (the financial-bars shape, generally useful for
+    * any "first/last/extremes per bucket" rollup): one hash aggregation
+    * using `min_by`/`max_by` over a UNIQUE event key — open/close are
+    * deterministic argmins, not "first row the scan happened to see".
+    * No window, no sort: partial→final all the way. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    // unique, engine-stable order key: epoch-ms (rebased so the scaled
+    // key stays inside Long under ANSI) then the event id tiebreak
+    val orderKey = (epochMs(col("ts")) - 1700000000000L) * 10000000L +
+      pmod(col("event_id"), lit(10000000L))
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(min_by(col("value"), orderKey), 4).as("open"),
+        round(max("value"), 4).as("high"),
+        round(min("value"), 4).as("low"),
+        round(max_by(col("value"), orderKey), 4).as("close"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * classic anchor trick — `day − row_number() · 1d` is constant
+    * within an unbroken run, so islands fall out of ONE window over the
+    * per-(user,day) DISTINCT frame (bounded by users × days, never the
+    * raw event count) plus two hash aggregations. No self-join, no
+    * iteration, no per-user sort beyond the windows' own. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
 }

@@ -296,4 +296,22 @@ class OperatorPropertiesSpec extends SparkTestBase {
       .select("user_id").as[Long].collect().toSet
     assert(bKeys == flat)
   }
+
+  test("distributionBalance matches hand-computed entropy/HHI") {
+    // group g: 3 cats with counts 2/2/4 (N=8) -> H = ln8 - (2ln2+2ln2+4ln4)/8
+    // group u: uniform 2 cats -> norm_entropy = 1; group s: single cat
+    val df = (Seq.fill(2)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c"))
+      .map(("g", _)) ++ Seq(("u", "a"), ("u", "b"), ("s", "only"))
+    val out = Relational.distributionBalance(
+        df.toDF("grp", "cat"), "grp", "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val hG = math.log(8) - (2 * math.log(2) * 2 + 4 * math.log(4)) / 8.0
+    assert(out("g")._1 == 8L && out("g")._2 == 3L)
+    assert(math.abs(out("g")._3 - hG) < 1e-6)
+    assert(math.abs(out("g")._5 - (4 + 4 + 16) / 64.0) < 1e-6)
+    assert(math.abs(out("u")._4 - 1.0) < 1e-6)
+    assert(out("s")._4 == 1.0 && out("s")._5 == 1.0)
+  }
 }

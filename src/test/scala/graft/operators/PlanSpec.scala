@@ -208,6 +208,25 @@ class PlanSpec extends SparkTestBase {
       "the quadratic formulation must not appear")
   }
 
+  test("star revenue broadcasts the snowflake dims and pushes the year filter") {
+    val plan = planOf(Joins.revenueByNation(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the year predicate must sit on the orders scan side, below the
+    // fact-fact join (shows up as a Filter over the orders relation)
+    assert(plan.contains("year("), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("distribution balance is two hash aggregations, no window or join") {
+    val plan = planOf(Relational.distributionBalance(
+      Tables.documents(spark, sf), "source", "lang"))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(1500))
+  }
+
   test("incremental view update joins the base only by changeset keys") {
     import org.apache.spark.sql.functions._
     val base = Tables.orders(spark, sf)

@@ -81,6 +81,21 @@ class Scd2Spec extends SparkTestBase {
     assert(Scd2.joinAsOf(facts, h, "k", "fact_ts").count() == 3)
   }
 
+  test("mergeLate equals the full rebuild, touched keys only recomputed") {
+    // hold out one mid-history observation for key 1; key 2 untouched
+    val late = log.filter($"seq" === 12L)
+    val base = log.filter($"seq" =!= 12L)
+    val hist = Scd2.build(base, "k", "obs_ts", Seq("attr"), "seq")
+    val merged = Scd2.mergeLate(hist, base, late, "k", "obs_ts",
+      Seq("attr"), "seq")
+    val full = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
+    assert(merged.count() == full.count())
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // untouched key 2 must appear exactly as in the pre-merge history
+    assert(merged.filter($"k" === 2L).collect().toSeq ==
+      hist.filter($"k" === 2L).collect().toSeq)
+  }
+
   test("one shuffle: a single Exchange below both window passes") {
     val plan = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
       .queryExecution.executedPlan.toString
