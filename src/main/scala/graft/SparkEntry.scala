@@ -217,6 +217,24 @@ object SparkEntry {
     // — one hash agg, no window, open/close deterministic
     "w20_ohlc_bars" -> q((s, d) =>
       graft.operators.Windows.ohlcBars(Tables.events(s, d))),
+    // lag-1 autocorrelation of the daily series per type: the daily
+    // aggregate self-joined one day forward, then one corr aggregate
+    "w22_autocorr" -> q((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(avg("value").as("v"))
+      val nxt = daily.select(col("event_type"),
+        date_sub(col("day"), 1).as("day"), col("v").as("v_next"))
+      daily.join(nxt, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("v"), col("v_next")), 6).as("autocorr_lag1"))
+        .orderBy("event_type")
+    }),
+    // multinomial Naive Bayes (train + self-classify): the declarative
+    // curation-classifier shape; full confusion matrix pinned
+    "ml6_naive_bayes" -> q((s, d) =>
+      graft.ml.NaiveBayes.confusionMatrix(Tables.documents(s, d))),
     // Welch's t-test per event type between even/odd user cohorts: one
     // conditional co-moment pass, t/df/decision pinned
     "dr5_ab_ttest" -> q((s, d) =>
@@ -247,6 +265,34 @@ object SparkEntry {
     // weighted / geometric / harmonic means — one partial→final pass
     "a34_generalized_means" -> q((s, d) =>
       Relational.generalizedMeans(Tables.lineitem(s, d))),
+    // percentile ladder (p50/p90/p99) per group — ONE exact percentile
+    // aggregate evaluating all three cut points over a single sort
+    "a42_percentile_ladder" -> q((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99"))
+        .orderBy("l_returnflag")),
+    // embedding-space drift: pairwise cosine between per-label mean
+    // vectors (composes n5's centroids; 45 pairs from 10 labels)
+    "e7_centroid_drift" -> q((s, d) => {
+      val c = Similarity.labelCentroids(Tables.embeddings(s, d))
+      val a = c.select(col("label").as("label_a"), col("dim"),
+        col("c").as("ca"))
+      val b = c.select(col("label").as("label_b"), col("dim"),
+        col("c").as("cb"))
+      a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(col("ca") * col("cb")).as("ab"),
+          sum(col("ca") * col("ca")).as("aa"),
+          sum(col("cb") * col("cb")).as("bb"))
+        .select(col("label_a"), col("label_b"),
+          round(col("ab") / (sqrt(col("aa")) * sqrt(col("bb"))), 6)
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    }),
     // exact mode per group, deterministic smallest-value tie-break —
     // two hash aggs, max_by over (count, -value)
     "a41_mode_by_group" -> q((s, d) =>
@@ -1900,6 +1946,22 @@ object SparkEntry {
     // S10 aggregate-table sink end to end: a grouped summary written via
     // writeSummary and read back must reproduce the aggregation exactly
     // (the sink the reference's analytics job persists its rollups to)
+    // atomic versioned publish: v=1 (en slice) then v=2 (full corpus);
+    // the _LATEST pointer must resolve to v2 while v1 stays readable
+    // for time travel — membership + byte mass pinned for BOTH
+    "io10_versioned_publish" -> q((s, d) => withTempDir("graft_io10") { root =>
+      val docs = Tables.documents(s, d)
+      graft.sources.CuratedWriter.publishVersion(
+        docs.filter(col("lang") === "en"), root)
+      graft.sources.CuratedWriter.publishVersion(docs, root)
+      val pinned = fnvSummary(
+        graft.sources.CuratedWriter.readLatest(s, root, Some(1)), "lang")
+        .withColumn("version", lit(1))
+      val latest = fnvSummary(
+        graft.sources.CuratedWriter.readLatest(s, root), "lang")
+        .withColumn("version", lit(2))
+      pinned.unionByName(latest).orderBy("version", "lang")
+    }),
     "io7_summary_sink" -> q((s, d) => withTempDir("graft_io7") { dir =>
       val summary = Tables.documents(s, d)
         .groupBy(col("source"), col("lang"))
@@ -2615,6 +2677,45 @@ object SparkEntry {
          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
            max(len) AS longest_streak, count(*) AS n_streaks
          FROM s GROUP BY 1 ORDER BY user_id""",
+    "w22_autocorr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events GROUP BY 1, 2),
+         p AS (SELECT a.event_type, a.v, b.v AS v_next
+           FROM d a JOIN d b ON a.event_type = b.event_type
+             AND b.day = a.day + 1)
+         SELECT event_type, count(*) AS n_pairs,
+           round(corr(v, v_next), 6) AS autocorr_lag1
+         FROM p GROUP BY 1 ORDER BY 1""",
+    "ml6_naive_bayes" ->
+      s"""WITH tok AS (SELECT doc_id, lang AS cls, unnest($toks) AS tok
+           FROM documents),
+         vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt
+           FROM tok GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 2000)),
+         iv AS (SELECT t.doc_id, t.cls, t.tok
+           FROM tok t JOIN vocab v ON t.tok = v.tok),
+         ct AS (SELECT cls, count(*) AS class_total FROM iv GROUP BY 1),
+         pr AS (SELECT lang AS cls, count(*) AS n_docs
+           FROM documents GROUP BY 1),
+         model AS (SELECT tok, cls, ln(count(*) + 1.0) AS lift
+           FROM iv GROUP BY tok, cls),
+         dl AS (SELECT doc_id, count(*) AS n_tok FROM iv GROUP BY 1),
+         base AS (SELECT dl.doc_id, c.cls, dl.n_tok, c.class_total,
+             p.n_docs
+           FROM dl CROSS JOIN ct c JOIN pr p ON p.cls = c.cls),
+         lifts AS (SELECT iv.doc_id, m.cls, sum(m.lift) AS sum_lift
+           FROM iv JOIN model m ON iv.tok = m.tok GROUP BY 1, 2),
+         scored AS (SELECT b.doc_id, b.cls,
+             ln(b.n_docs::DOUBLE) - b.n_tok * ln(b.class_total + 2000.0)
+               + COALESCE(l.sum_lift, 0.0) AS score
+           FROM base b LEFT JOIN lifts l
+             ON l.doc_id = b.doc_id AND l.cls = b.cls),
+         pred AS (SELECT doc_id, cls AS predicted FROM (
+           SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cls DESC) AS rn FROM scored)
+           WHERE rn = 1)
+         SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
+         FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         GROUP BY 1, 2 ORDER BY actual, predicted""",
     "w20_ohlc_bars" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
            (epoch_ms(ts) - 1700000000000) * 10000000
@@ -3943,6 +4044,37 @@ object SparkEntry {
              AS id_hash_sum,
            CAST(sum(ns) AS BIGINT) AS n_shingles
          FROM sh GROUP BY lang ORDER BY lang""",
+    "io10_versioned_publish" ->
+      s"""SELECT 1 AS version, lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(len(text)) AS BIGINT) AS chars,
+           CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT) AS text_fnv_sum
+         FROM documents WHERE lang = 'en' GROUP BY 2
+         UNION ALL
+         SELECT 2, lang, count(*),
+           CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(len(text)) AS BIGINT),
+           CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT)
+         FROM documents GROUP BY 2
+         ORDER BY version, lang""",
+    "a42_percentile_ladder" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "e7_centroid_drift" ->
+      """WITH c AS (SELECT label, i AS dim,
+           round(avg(embedding[i+1]), 6) AS c
+           FROM embeddings, range(0, 64) r(i) GROUP BY 1, 2),
+         p AS (SELECT a.label AS label_a, b.label AS label_b,
+           sum(a.c * b.c) AS ab, sum(a.c * a.c) AS aa,
+           sum(b.c * b.c) AS bb
+           FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT label_a, label_b,
+           round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+         FROM p ORDER BY label_a, label_b""",
     "io1_partitioned_roundtrip" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
          CAST(sum(len(text)) AS BIGINT) AS chars,

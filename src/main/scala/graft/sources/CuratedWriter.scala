@@ -251,6 +251,38 @@ object CuratedWriter {
     spark.read.parquet(outPath).inputFiles.length
   }
 
+  /** Atomic versioned publish: write the new snapshot to `v=<n+1>/`,
+    * then flip a tiny `_LATEST` pointer file as the LAST step — readers
+    * resolve the pointer and only ever see a fully-written snapshot
+    * (the pointer flip is the one-object "commit", the poor-object-
+    * store-cousin of a metastore swap; on S3-class stores the pointer
+    * PUT is atomic where a directory rename is not). Old versions stay
+    * readable for time travel / rollback until pruned. Returns the new
+    * version number. */
+  def publishVersion(df: DataFrame, root: String): Int = {
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    val existing = Option(dir.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("v=")).map(_.drop(2).toInt)
+    val next = if (existing.isEmpty) 1 else existing.max + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
+    val tmp = java.nio.file.Paths.get(root, "_LATEST.tmp")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the snapshot the `_LATEST` pointer names (or a pinned older
+    * `version` for time travel). */
+  def readLatest(spark: SparkSession, root: String,
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(root, "_LATEST")).trim.toInt)
+    spark.read.parquet(s"$root/v=$v")
+  }
+
   /** Read back a curated tree (partition columns are reconstructed from
     * the directory layout by the file index). */
   def readCurated(spark: SparkSession, path: String): DataFrame =

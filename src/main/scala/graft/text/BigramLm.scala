@@ -50,38 +50,54 @@ object BigramLm {
     val uniModel = uniCounts.orderBy(desc("ucnt"), asc("tok")).limit(unigramVocab)
     val uniTotal = uniCounts.agg(sum("ucnt").cast("double").as("_n"))
 
+    // ONE tokenize+bigram explode for both the model count and the
+    // scoring pass — persisted, consumed twice, released after the
+    // eager materialization below
     val bgs = documents
       .select(col("doc_id"), col("lang"),
         explode(bigramStructs(col("text"))).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.prev").as("prev"), col("b.cur").as("cur"), col("b.bg").as("bg"))
+      .persist()
     val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("bcnt"))
     val bgModel = bgCounts.orderBy(desc("bcnt"), asc("bg")).limit(bigramVocab)
     // c₁ = occurrences as a bigram HEAD (token count minus doc-final
-    // positions), restricted to heads the model can ever ask for
-    val headCounts = bgs.groupBy("prev").agg(count(lit(1)).as("hcnt"))
+    // positions). Derived by re-aggregating the DISTINCT-BIGRAM count
+    // table (vocabulary-sized) by head — NOT by a second explode of the
+    // corpus: Σ bcnt over a head's bigrams is the same number, for a
+    // pass over thousands of rows instead of billions. Restricted to
+    // heads the model can ever ask for before broadcasting.
+    val headCounts = bgCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("prev"))
+      .agg(sum("bcnt").as("hcnt"))
       .join(broadcast(bgModel.select(split(col("bg"), " ")
         .getItem(0).as("prev")).distinct()), Seq("prev"), "left_semi")
 
-    bgs
-      .join(broadcast(bgModel), Seq("bg"), "left")
-      .join(broadcast(headCounts), Seq("prev"), "left")
-      .join(broadcast(uniModel.withColumnRenamed("tok", "cur")),
-        Seq("cur"), "left")
-      .crossJoin(broadcast(uniTotal))
-      .select(col("doc_id"), col("lang"),
-        log(lit(lambda)
-            * coalesce(col("bcnt").cast("double") / col("hcnt"), lit(0.0))
-          + lit(1.0 - lambda)
-            * coalesce(col("ucnt").cast("double"), lit(0.5)) / col("_n"))
-          .as("lp"))
-      .groupBy("doc_id", "lang")
-      .agg(avg("lp").as("avg_logp"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg("avg_logp"), 4).as("mean_logp"),
-        round(min("avg_logp"), 4).as("min_logp"),
-        round(max("avg_logp"), 4).as("max_logp"))
-      .orderBy("lang")
+    try {
+      bgs
+        .join(broadcast(bgModel), Seq("bg"), "left")
+        .join(broadcast(headCounts), Seq("prev"), "left")
+        .join(broadcast(uniModel.withColumnRenamed("tok", "cur")),
+          Seq("cur"), "left")
+        .crossJoin(broadcast(uniTotal))
+        .select(col("doc_id"), col("lang"),
+          log(lit(lambda)
+              * coalesce(col("bcnt").cast("double") / col("hcnt"), lit(0.0))
+            + lit(1.0 - lambda)
+              * coalesce(col("ucnt").cast("double"), lit(0.5)) / col("_n"))
+            .as("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(avg("lp").as("avg_logp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_logp"), 4).as("mean_logp"),
+          round(min("avg_logp"), 4).as("min_logp"),
+          round(max("avg_logp"), 4).as("max_logp"))
+        .orderBy("lang")
+        // eager: the languages-sized result materializes while the
+        // explode is still cached; callers get a plan with no corpus
+        // dependency at all
+        .localCheckpoint(true)
+    } finally { bgs.unpersist(); () }
   }
 }
