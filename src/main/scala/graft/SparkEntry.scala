@@ -235,6 +235,23 @@ object SparkEntry {
     // curation-classifier shape; full confusion matrix pinned
     "ml6_naive_bayes" -> q((s, d) =>
       graft.ml.NaiveBayes.confusionMatrix(Tables.documents(s, d))),
+    // dedup-aware mixing: duplicate clusters (d8 machinery) weight each
+    // doc 1/cluster_size, then the deterministic exact-40 A-ES draw —
+    // a cluster's expected pick mass is ~equal no matter how many
+    // copies it holds; full sampled rows pinned
+    "tp5_dedup_weighted_mix" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = graft.dedup.DupGroups.connectedComponents(
+        graft.dedup.DupGroups.dupEdges(docs, 0.5),
+        docs.select(col("doc_id").as("id")))
+      val sizes = comps.groupBy("comp").agg(count(lit(1)).as("sz"))
+      val withW = comps.select(col("id").as("doc_id"), col("comp"))
+        .join(sizes, "comp")
+        .withColumn("weight", lit(1.0) / col("sz"))
+      graft.pipeline.TrainingData.weightedSampleExact(withW, 40, col("weight"))
+        .select(col("doc_id"), col("sz").as("cluster_size"),
+          round(col("es_key"), 6).as("es_key"))
+    }),
     // Welch's t-test per event type between even/odd user cohorts: one
     // conditional co-moment pass, t/df/decision pinned
     "dr5_ab_ttest" -> q((s, d) =>
@@ -313,6 +330,18 @@ object SparkEntry {
     "a38_weighted_median" -> q((s, d) =>
       Relational.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", "l_quantity")),
+    // full weighted-quantile ladder from the SAME single window pass —
+    // each cut point is one conditional min aggregate
+    "a43_weighted_quantiles" -> q((s, d) =>
+      Relational.weightedQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity")),
+    // graph shape diagnostics: degree moments + discrete Hill tail
+    // exponent over the g3 derived graph — the pre-flight skew read
+    "g6_degree_profile" -> q((s, d) =>
+      graft.graph.DegreeProfile.outDegreeProfile(
+        Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(500L)).as("src"),
+          pmod(col("o_orderkey"), lit(499L)).as("dst")))),
     // equi-depth histogram (ntile over a total order): equal row mass
     // per bucket, per-bucket count/min/max pinned
     "a39_equidepth_hist" -> q((s, d) =>
@@ -382,6 +411,22 @@ object SparkEntry {
     "x8_q5_revenue" -> q((s, d) =>
       Joins.revenueByNation(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // TPC-H Q3's shape: segment + date filters pushed to both scans,
+    // fact-fact join, top-10 revenue orderkeys via a bounded heap
+    "x10_q3_shipping" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp_ntz"))
+        .join(Tables.orders(s, d)
+            .filter(year(col("o_orderdate")) <= 1997),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)),
     // category-balance report (entropy / normalized entropy / HHI) —
     // the training-mix skew diagnostic, closed-form in two hash aggs
     "a36_distribution_balance" -> q((s, d) =>
@@ -2580,6 +2625,28 @@ object SparkEntry {
            UNION ALL SELECT 'l_discount', 'l_tax',
              round(corr(l_discount, l_tax), 6) FROM lineitem)
          ORDER BY col_a, col_b""",
+    "a43_weighted_quantiles" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice) AS cw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+         SELECT l_returnflag,
+           min(CASE WHEN cw >= tw * 0.25 THEN l_extendedprice END) AS wq_25,
+           min(CASE WHEN cw >= tw * 0.5 THEN l_extendedprice END) AS wq_50,
+           min(CASE WHEN cw >= tw * 0.9 THEN l_extendedprice END) AS wq_90
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "g6_degree_profile" ->
+      """WITH e AS (SELECT DISTINCT o_custkey % 500 AS src,
+           o_orderkey % 499 AS dst FROM orders),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+         SELECT count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS n_edges,
+           round(avg(d), 4) AS mean_deg, max(d) AS max_deg,
+           round(quantile_cont(d, 0.9), 4) AS p90_deg,
+           round(1.0 + count(*) FILTER (d >= 2)
+             / sum(CASE WHEN d >= 2 THEN ln(d / 1.5) END), 4) AS hill_alpha
+         FROM deg""",
     "a38_weighted_median" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice, l_quantity,
            sum(l_quantity) OVER (PARTITION BY l_returnflag
@@ -2677,6 +2744,38 @@ object SparkEntry {
          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
            max(len) AS longest_streak, count(*) AS n_streaks
          FROM s GROUP BY 1 ORDER BY user_id""",
+    "tp5_dedup_weighted_mix" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
+           list_distinct(CASE WHEN len($toks) >= 3
+             THEN list_transform(range(0, len($toks) - 2),
+                    i -> array_to_string(($toks)[i+1:i+3], ' '))
+             ELSE [array_to_string($toks, ' ')] END) AS s
+           FROM documents),
+         near AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+         reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+         exact AS (SELECT d.doc_id AS a, r.rep AS b
+           FROM documents d JOIN reps r ON d.text = r.text
+           WHERE d.doc_id != r.rep),
+         e AS (SELECT a, b FROM exact UNION ALL SELECT a, b FROM near
+               UNION ALL SELECT b, a FROM exact UNION ALL SELECT b, a FROM near),
+         reach(src, node) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
+         lab AS (SELECT node, min(src) AS comp FROM reach GROUP BY node),
+         sz AS (SELECT comp, count(*) AS sz FROM lab GROUP BY 1),
+         w AS (SELECT lab.node AS doc_id, sz.sz, 1.0 / sz.sz AS weight
+           FROM lab JOIN sz USING (comp)),
+         k AS (SELECT doc_id, sz,
+             pow((${fnvSql("CAST(doc_id AS VARCHAR) || ':42'", 2166136261L)}
+                   % 1000000 + 0.5) / 1000000.0,
+               1.0 / weight) AS es_key
+           FROM w WHERE weight > 0)
+         SELECT doc_id, sz AS cluster_size, round(es_key, 6) AS es_key
+         FROM k ORDER BY es_key DESC, doc_id LIMIT 40""",
     "w22_autocorr" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
            avg(value) AS v FROM events GROUP BY 1, 2),
@@ -2765,6 +2864,17 @@ object SparkEntry {
            max(d) AS max_fanout,
            sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
          FROM fd GROUP BY fd ORDER BY fd""",
+    "x10_q3_shipping" ->
+      """SELECT l_orderkey, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+           AND year(o_orderdate) <= 1997
+         JOIN customer ON o_custkey = c_custkey
+           AND c_mktsegment = 'BUILDING'
+         WHERE l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "x8_q5_revenue" ->
       """SELECT r_name, n_name, count(*) AS n_items,
            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

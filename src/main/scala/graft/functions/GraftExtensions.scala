@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "_FUNC_(text) - Unicode NFC canonical composition"),
       (args: Seq[Expression]) => TextNormalize.NfcNormalize(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler similarity (standard constants)"),
+      (args: Seq[Expression]) => StringSimilarity.JaroWinkler(args(0), args(1))))
     // token_set_counts is not SQL-registered: its set-list parameter has
     // no literal SQL syntax; use the Column API.
   }

@@ -565,6 +565,29 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Exact weighted QUANTILES per group — the [[weightedMedian]] trick
+    * generalized: ONE peers-inclusive cumulative-weight window, then
+    * every requested quantile falls out of the same aggregation as a
+    * conditional `min` (smallest value whose cumulative weight reaches
+    * q·total). Adding cut points costs one aggregate expression each,
+    * never another pass. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                        wCol: String,
+                        qs: Seq[Double] = Seq(0.25, 0.5, 0.9)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0,1], got $qs")
+    val byVal = Window.partitionBy(groupCol).orderBy(valCol)
+    val whole = Window.partitionBy(groupCol)
+    val base = df.select(col(groupCol), col(valCol), col(wCol))
+      .filter(col(valCol).isNotNull && col(wCol).isNotNull)
+      .withColumn("_cw", sum(wCol).over(byVal))
+      .withColumn("_tw", sum(wCol).over(whole))
+    val aggs = qs.map(q =>
+      min(when(col("_cw") >= col("_tw") * q, col(valCol)))
+        .as(s"wq_${math.round(q * 100)}"))
+    base.groupBy(groupCol).agg(aggs.head, aggs.tail: _*).orderBy(groupCol)
+  }
+
   /** Equi-DEPTH histogram per group (equal row mass per bucket — the
     * complement of [[histogram]]'s equal-width bins): `ntile` over a
     * TOTAL order (value + unique key tiebreak, so bucket boundaries are

@@ -53,7 +53,9 @@ object Pq {
     import spark.implicits._
     try {
       val rows = (0 until m).flatMap { j =>
-        val model = new KMeans().setK(k).setSeed(seed + j)
+        // 10 Lloyd iterations: codebook quality plateaus well before
+        // the default 20 and the fit is half the gate's cost
+        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
           .setFeaturesCol("features")
           .fit(slices.filter(col("block") === j))
         model.clusterCenters.zipWithIndex.map { case (c, code) =>

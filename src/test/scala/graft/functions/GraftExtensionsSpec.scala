@@ -149,6 +149,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     bfB.destroy()
   }
 
+  test("jaro_winkler is usable from SQL text") {
+    val v = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS jw")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 0.9611111111111111) < 1e-12)
+  }
+
   test("minhash_signature is usable in SQL over shingle_hashes") {
     val sig = spark.sql(
       "SELECT minhash_signature(shingle_hashes('w x y z w x'), 16) AS sig")

@@ -227,6 +227,35 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(1500))
   }
 
+  test("q3-shape top-k plans as a bounded heap with pushed filters") {
+    import org.apache.spark.sql.functions._
+    val plan = planOf(Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp_ntz"))
+      .join(Tables.orders(spark, sf).filter(year(col("o_orderdate")) <= 1997),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(sum("l_extendedprice").as("revenue"))
+      .orderBy(desc("revenue")).limit(10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      "shipdate filter must reach the lineitem scan\n" + plan.take(2000))
+  }
+
+  test("naive bayes model and vocab joins ride broadcasts") {
+    val plan = planOf(graft.ml.NaiveBayes.confusionMatrix(
+      Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the vocab restriction is a broadcast LEFT SEMI, not a shuffle
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+  }
+
+  test("weighted quantiles share one exchange for both windows") {
+    val plan = planOf(Relational.weightedQuantiles(
+      Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
+      "l_quantity"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("incremental view update joins the base only by changeset keys") {
     import org.apache.spark.sql.functions._
     val base = Tables.orders(spark, sf)
