@@ -282,6 +282,31 @@ object SparkEntry {
     // weighted / geometric / harmonic means — one partial→final pass
     "a34_generalized_means" -> q((s, d) =>
       Relational.generalizedMeans(Tables.lineitem(s, d))),
+    // readability profile (FK grade under the one-sentence convention)
+    // — row-local vowel-run syllable proxy, one agg
+    "t23_readability" -> q((s, d) =>
+      TextAnalysis.readabilityBySource(Tables.documents(s, d))),
+    // Benford first-digit audit over order totals: digit distribution
+    // + chi-square against log10(1 + 1/d) — the fraud/synthetic-data
+    // screen; digits extracted via integer floor (engine-stable)
+    "a44_benford" -> q((s, d) => {
+      val digit = substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int")
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("tot"), 6).as("observed_p"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford_p"),
+          round(pow(col("n") - col("tot") * log10(lit(1.0) + lit(1.0) / col("digit")), 2)
+            / (col("tot") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4)
+            .as("chi2_term"))
+        .orderBy("digit")
+    }),
     // percentile ladder (p50/p90/p99) per group — ONE exact percentile
     // aggregate evaluating all three cut points over a single sort
     "a42_percentile_ladder" -> q((s, d) =>
@@ -320,6 +345,24 @@ object SparkEntry {
     "w21_pareto_share" -> q((s, d) =>
       Relational.paretoShare(Tables.orders(s, d), "o_custkey",
         "o_totalprice")),
+    // FK discovery: inclusion coefficients for three candidate key
+    // relationships — valid FKs pin at 1.0, the reversed direction
+    // exposes the keys with no fact rows
+    "pr5_fk_inclusion" -> q((s, d) => {
+      def row(name: String, c: DataFrame, ck: String, p: DataFrame,
+              pk: String) =
+        graft.operators.Profile.inclusionExact(c, ck, p, pk)
+          .withColumn("fk", lit(name))
+      row("orders.custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(row("lineitem.orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(row("customer.custkey->high_value_orders",
+          Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          "o_custkey"))
+        .orderBy("fk")
+    }),
     // pairwise correlation matrix (6 coefficients, ONE agg pass)
     "pr3_corr_matrix" -> q((s, d) =>
       graft.operators.Profile.corrMatrix(Tables.lineitem(s, d),
@@ -662,6 +705,36 @@ object SparkEntry {
           Tables.orders(s, d).filter(col("o_custkey") < 100),
           "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
         .orderBy("o_custkey", "version")),
+    // retention pruning: versions ended before the cutoff dropped, the
+    // covering version clamped — as-of answers at/after the cutoff are
+    // unchanged by construction; pruned history fully pinned
+    "u9_scd2_prune" -> q((s, d) => {
+      val hist = graft.operators.Scd2.build(
+        Tables.orders(s, d).filter(col("o_custkey") < 100),
+        "o_custkey", "o_orderdate", Seq("o_orderpriority"), "o_orderkey")
+      graft.operators.Scd2.pruneBefore(hist,
+          java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "o_custkey")
+        .orderBy("o_custkey", "version")
+    }),
+    // cumulative distinct users per day: first-seen election + one
+    // bounded (days-sized) running-sum window — never a running
+    // distinct over raw events
+    "w23_cumulative_users" -> q((s, d) => {
+      // high-value filter spreads first-seen dates (every user's FULL
+      // stream otherwise starts day 1 — the w8 trick)
+      val firstSeen = Tables.events(s, d)
+        .filter(col("value") > 150)
+        .groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      firstSeen
+        .withColumn("cum_users",
+          sum("new_users").over(
+            org.apache.spark.sql.expressions.Window.orderBy("day")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("day")
+    }),
     // late-arriving repair: history built WITHOUT the late slice, then
     // mergeLate rebuilds only the touched keys — the oracle does the
     // FULL rebuild over base ∪ late, so the incremental path is pinned
@@ -2610,6 +2683,29 @@ object SparkEntry {
          SELECT CAST(ceil(rk * 10.0 / n) AS INT) AS decile,
            count(*) AS n_keys, round(max(cum / tot), 6) AS cum_share
          FROM r GROUP BY 1 ORDER BY 1""",
+    "pr5_fk_inclusion" ->
+      """WITH pairs AS (
+           SELECT 'orders.custkey->customer' AS fk,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child_keys,
+             (SELECT count(DISTINCT o.o_custkey) FROM orders o
+               WHERE EXISTS (SELECT 1 FROM customer c
+                 WHERE c.c_custkey = o.o_custkey)) AS n_contained
+           UNION ALL
+           SELECT 'lineitem.orderkey->orders',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'customer.custkey->high_value_orders',
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(DISTINCT c.c_custkey) FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 300000)))
+         SELECT fk, n_child_keys, n_contained,
+           round(n_contained::DOUBLE / n_child_keys, 4) AS inclusion
+         FROM pairs ORDER BY fk""",
     "pr3_corr_matrix" ->
       """SELECT * FROM (
            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
@@ -3030,6 +3126,35 @@ object SparkEntry {
          SELECT k AS o_custkey, attr AS o_orderpriority, version,
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "u9_scd2_prune" ->
+      """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
+             o_orderpriority AS attr, o_orderkey AS tb
+           FROM orders WHERE o_custkey < 100),
+         l AS (SELECT k, ts, attr, tb,
+             lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM e),
+         s AS (SELECT k, ts, attr, tb FROM l
+           WHERE prev IS NULL OR attr IS DISTINCT FROM prev),
+         v AS (SELECT k, attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+           FROM s),
+         kept AS (SELECT k, attr,
+             greatest(valid_from, TIMESTAMP '1997-01-01 00:00:00')
+               AS valid_from,
+             valid_to, valid_to IS NULL AS is_current
+           FROM v WHERE valid_to IS NULL
+             OR valid_to > TIMESTAMP '1997-01-01 00:00:00')
+         SELECT k AS o_custkey, attr AS o_orderpriority,
+           row_number() OVER (PARTITION BY k ORDER BY valid_from)
+             AS version,
+           valid_from, valid_to, is_current
+         FROM kept ORDER BY o_custkey, version""",
+    "w23_cumulative_users" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+           FROM events WHERE value > 150 GROUP BY 1),
+         nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+         FROM nu ORDER BY day""",
     "u8_scd2_late_merge" ->
       """WITH e AS (SELECT o_custkey AS k, o_orderdate AS ts,
              o_orderpriority AS attr, o_orderkey AS tb
@@ -4167,6 +4292,28 @@ object SparkEntry {
            CAST(sum(${fnvSql("text", 2166136261L)}) AS BIGINT)
          FROM documents GROUP BY 2
          ORDER BY version, lang""",
+    "t23_readability" ->
+      s"""WITH m AS (SELECT source,
+           len($toks)::DOUBLE AS w,
+           len(regexp_extract_all(text, '[aeiouy]+'))::DOUBLE AS s
+           FROM documents WHERE len($toks) > 0)
+         SELECT source, count(*) AS n_docs,
+           round(avg(s / w), 4) AS avg_syll_per_word,
+           round(avg(w), 4) AS avg_words,
+           round(avg(0.39 * w + 11.8 * (s / w) - 15.59), 4) AS avg_grade
+         FROM m GROUP BY 1 ORDER BY source""",
+    "a44_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+           count(*) AS n
+           FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+         SELECT digit, n,
+           round(n / tot, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(pow(n - tot * log10(1.0 + 1.0 / digit), 2)
+             / (tot * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+         FROM c CROSS JOIN t ORDER BY digit""",
     "a42_percentile_ladder" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -68,6 +68,27 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Inclusion-dependency probe for FK discovery: what fraction of
+    * `child`'s distinct keys appear in `parent`? 1.0 = a valid foreign
+    * key; 0.97 = orphans to chase. Exact form: distinct child keys
+    * LEFT SEMI the parent (keys-only shuffle, payloads never move).
+    * The sketch twin (d_overlap/d_left from
+    * [[Joins.joinCardinalityEstimate]]'s HLL algebra) is the 100 TB
+    * pre-flight — this method returns the exact figures a gate can pin.
+    * Output one row: n_child_keys, n_contained, inclusion. */
+  def inclusionExact(child: DataFrame, childKey: String,
+                     parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.select(col(childKey).as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val pk = parent.select(col(parentKey).as("k")).filter(col("k").isNotNull)
+    ck.join(pk, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("n_contained"))
+      .crossJoin(ck.agg(count(lit(1)).as("n_child_keys")))
+      .select(col("n_child_keys"), col("n_contained"),
+        round(col("n_contained").cast("double") / col("n_child_keys"), 4)
+          .as("inclusion"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns, long
     * format (col_a, col_b, corr) — the multicollinearity screen of a
     * feature audit. ALL n·(n−1)/2 coefficients come out of ONE

@@ -92,6 +92,23 @@ object Scd2 {
       .unionByName(rebuilt)
   }
 
+  /** Retention pruning: drop history versions that ENDED before the
+    * cutoff and clamp the covering version's `valid_from` up to it —
+    * the GDPR/retention compaction that keeps every as-of query at or
+    * after the cutoff answering EXACTLY as before (the u9 gate pins
+    * that equivalence), while history mass before it is gone. Pure
+    * row-local filter + projection on the (churn-bounded) history
+    * table; `version` is re-numbered per key so consumers see a dense
+    * sequence. */
+  def pruneBefore(history: DataFrame, cutoff: java.sql.Timestamp,
+                  key: String): DataFrame = {
+    val c = lit(cutoff).cast(history.schema("valid_from").dataType)
+    val kept = history.filter(col("valid_to").isNull || col("valid_to") > c)
+      .withColumn("valid_from", greatest(col("valid_from"), c))
+    val w = Window.partitionBy(key).orderBy("valid_from")
+    kept.withColumn("version", row_number().over(w))
+  }
+
   /** Temporal dimension join: each fact row picks the dimension version
     * in effect at ITS OWN timestamp — the join a fact stream runs
     * against a [[build]]-produced history so late-arriving or

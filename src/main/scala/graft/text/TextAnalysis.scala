@@ -476,6 +476,32 @@ object TextAnalysis {
       .drop("kept")
   }
 
+  /** Per-source readability profile (Flesch–Kincaid-style grade):
+    * syllables approximated by vowel-run counts ("aeiouy" groups — the
+    * standard cheap proxy), words by the shared tokenizer; the fixture
+    * corpus carries no sentence punctuation, so each document is
+    * treated as ONE sentence (words/sentences = words) and the grade
+    * is the FK formula under that convention:
+    * `0.39·words + 11.8·(syllables/words) − 15.59`. Row-local regexp +
+    * one hash aggregation. */
+  def readabilityBySource(documents: DataFrame): DataFrame = {
+    val words = tokenCount(col("text")).cast("double")
+    val sylls = size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+      .cast("double")
+    documents
+      .filter(words > 0)
+      .select(col("source"),
+        words.as("w"), sylls.as("s"),
+        (lit(0.39) * words + lit(11.8) * (sylls / words) - lit(15.59))
+          .as("grade"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("s") / col("w")), 4).as("avg_syll_per_word"),
+        round(avg("w"), 4).as("avg_words"),
+        round(avg("grade"), 4).as("avg_grade"))
+      .orderBy("source")
+  }
+
   /** Per-source census of a [[c4LineFilter]] pass: document and line
     * keep counts plus character mass and an FNV sum over the cleaned
     * text of surviving documents (byte-level pin of `clean_text`). */

@@ -109,4 +109,34 @@ class ContractsSpec extends SparkTestBase {
         Seq("value"), chunkHours = 0)
     }
   }
+
+  test("round-8 additions fail fast on bad parameters") {
+    // PQ: dimension must split evenly into m subspaces
+    val emb = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val ePq = intercept[IllegalArgumentException] {
+      graft.similarity.Pq.train(emb, m = 2, k = 2)
+    }
+    assert(ePq.getMessage.contains("divisible"))
+    // weighted quantiles: cut points must sit in (0, 1]
+    val li = Seq(("A", 1.0, 1.0)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      Relational.weightedQuantiles(li, "g", "v", "w", qs = Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.weightedQuantiles(li, "g", "v", "w", qs = Seq.empty)
+    }
+    // BFS: negative horizon
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.graph.Bfs.hopDistances(edges, Seq(1L).toDF("node"), maxHops = -1)
+    }
+    // prefix filter: tau outside (0, 1]
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.prefixFilterPairs(docs, tau = 1.5)
+    }
+    // degree profile: the Hill estimator needs dMin >= 2
+    intercept[IllegalArgumentException] {
+      graft.graph.DegreeProfile.outDegreeProfile(edges, dMin = 1)
+    }
+  }
 }
