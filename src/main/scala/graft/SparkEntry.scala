@@ -217,6 +217,10 @@ object SparkEntry {
     // — one hash agg, no window, open/close deterministic
     "w20_ohlc_bars" -> q((s, d) =>
       graft.operators.Windows.ohlcBars(Tables.events(s, d))),
+    // CUSUM changepoint scan per type over the daily series — peak
+    // |cumulative deviation| day, deterministic tiebreak
+    "w24_cusum_changepoint" -> q((s, d) =>
+      graft.operators.Windows.cusumChangepoint(Tables.events(s, d))),
     // lag-1 autocorrelation of the daily series per type: the daily
     // aggregate self-joined one day forward, then one corr aggregate
     "w22_autocorr" -> q((s, d) => {
@@ -317,6 +321,43 @@ object SparkEntry {
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
         .orderBy("l_returnflag")),
+    // deterministic sorted listagg (the LISTAGG/string_agg surface):
+    // collect_set sorted before joining, so the string is order-stable
+    "a45_sorted_listagg" -> q((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
+        .orderBy("o_orderpriority")),
+    // embedding label coherence: avg cosine of each vector to its OWN
+    // label centroid vs the global centroid — the "are labels real
+    // clusters?" diagnostic; centroids broadcast, one corpus pass
+    "e8_label_coherence" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val centArr = Similarity.labelCentroids(Tables.embeddings(s, d))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("ce"))
+      val globArr = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(round(avg(col("x")), 6).as("c"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("ge"))
+      def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val dp = graft.functions.HashExpressions.dotProduct _
+        dp(a, b) / (sqrt(dp(a, a)) * sqrt(dp(b, b)))
+      }
+      emb.join(broadcast(centArr), "label")
+        .crossJoin(broadcast(globArr))
+        .select(col("label"), cos(col("v"), col("ce")).as("cl"),
+          cos(col("v"), col("ge")).as("cg"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("cl"), 4).as("avg_cos_label"),
+          round(avg("cg"), 4).as("avg_cos_global"))
+        .orderBy("label")
+    }),
     // embedding-space drift: pairwise cosine between per-label mean
     // vectors (composes n5's centroids; 45 pairs from 10 labels)
     "e7_centroid_drift" -> q((s, d) => {
@@ -2872,6 +2913,23 @@ object SparkEntry {
            FROM w WHERE weight > 0)
          SELECT doc_id, sz AS cluster_size, round(es_key, 6) AS es_key
          FROM k ORDER BY es_key DESC, doc_id LIMIT 40""",
+    "w24_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2),
+         c0 AS (SELECT event_type, day, v,
+           avg(v) OVER (PARTITION BY event_type) AS mu,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+           FROM daily),
+         c AS (SELECT event_type, day, n_days,
+           abs(sum(v - mu) OVER (PARTITION BY event_type ORDER BY day))
+             AS acs FROM c0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY acs DESC, day) AS rn FROM c)
+         SELECT event_type, n_days,
+           strftime(day, '%Y-%m-%d') AS changepoint_day,
+           round(acs, 4) AS max_abs_cusum
+         FROM r WHERE rn = 1 ORDER BY event_type""",
     "w22_autocorr" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
            avg(value) AS v FROM events GROUP BY 1, 2),
@@ -4320,6 +4378,30 @@ object SparkEntry {
            round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
            round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a45_sorted_listagg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "e8_label_coherence" ->
+      """WITH e AS (SELECT vec_id, label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT label, i AS dim, round(avg(embedding[i+1]), 6) AS c
+           FROM embeddings, range(0, 64) r(i) GROUP BY 1, 2),
+         ca AS (SELECT label, list(c ORDER BY dim) AS ce FROM c GROUP BY 1),
+         g AS (SELECT i AS dim, round(avg(embedding[i+1]), 6) AS c
+           FROM embeddings, range(0, 64) r(i) GROUP BY 1),
+         ga AS (SELECT list(c ORDER BY dim) AS ge FROM g),
+         s AS (SELECT e.label,
+           list_dot_product(v, ce) / (sqrt(list_dot_product(v, v))
+             * sqrt(list_dot_product(ce, ce))) AS cl,
+           list_dot_product(v, ge) / (sqrt(list_dot_product(v, v))
+             * sqrt(list_dot_product(ge, ge))) AS cg
+           FROM e JOIN ca USING (label) CROSS JOIN ga)
+         SELECT label, count(*) AS n,
+           round(avg(cl), 4) AS avg_cos_label,
+           round(avg(cg), 4) AS avg_cos_global
+         FROM s GROUP BY 1 ORDER BY label""",
     "e7_centroid_drift" ->
       """WITH c AS (SELECT label, i AS dim,
            round(avg(embedding[i+1]), 6) AS c

@@ -402,6 +402,33 @@ object Windows {
       .orderBy("event_type", "day")
   }
 
+  /** CUSUM changepoint scan per group over the daily mean series: the
+    * cumulative sum of deviations from the group mean peaks (in
+    * absolute value) at the most likely level-shift point — the
+    * classic one-pass screen before fitting anything segmented. All
+    * windows run over the DAYS-sized daily aggregate (bounded by the
+    * calendar, never event count); the argmax is a rank-1 filter with
+    * a day tiebreak, so the pick is deterministic. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(avg("value").as("v"))
+    val whole = Window.partitionBy("event_type")
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("mu", avg("v").over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("acs", abs(sum(col("v") - col("mu")).over(byDay)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("acs"), asc("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("changepoint_day"),
+        round(col("acs"), 4).as("max_abs_cusum"))
+      .orderBy("event_type")
+  }
+
   /** Gaps-and-islands: per-user consecutive-active-day streaks via the
     * classic anchor trick — `day − row_number() · 1d` is constant
     * within an unbroken run, so islands fall out of ONE window over the
