@@ -221,6 +221,24 @@ object SparkEntry {
     // |cumulative deviation| day, deterministic tiebreak
     "w24_cusum_changepoint" -> q((s, d) =>
       graft.operators.Windows.cusumChangepoint(Tables.events(s, d))),
+    // Wald-Wolfowitz runs test on daily-delta signs — the randomness
+    // screen; runs/z pinned per type
+    "a46_runs_test" -> q((s, d) =>
+      graft.operators.Windows.runsTest(Tables.events(s, d))),
+    // coverage-gap detection (ANTI point-in-interval): events covered
+    // by NO 1h window anchored at every 500th event — sparse enough
+    // that gaps survive at every SF; membership pinned
+    "j12_coverage_gaps" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val iv = ev.filter(pmod(col("event_id"), lit(500L)) === 0)
+        .select(col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.operators.RangeJoin.uncoveredPoints(ev, iv, "ts",
+          "w_start", "w_end", "event_id", bucketSeconds = 3600L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_uncovered"), sum("event_id").as("id_sum"))
+        .orderBy("event_type")
+    }),
     // lag-1 autocorrelation of the daily series per type: the daily
     // aggregate self-joined one day forward, then one corr aggregate
     "w22_autocorr" -> q((s, d) => {
@@ -2913,6 +2931,39 @@ object SparkEntry {
            FROM w WHERE weight > 0)
          SELECT doc_id, sz AS cluster_size, round(es_key, 6) AS es_key
          FROM k ORDER BY es_key DESC, doc_id LIMIT 40""",
+    "a46_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events WHERE value IS NOT NULL
+           GROUP BY 1, 2),
+         dl AS (SELECT event_type, day, v - lag(v) OVER (
+             PARTITION BY event_type ORDER BY day) AS delta FROM daily),
+         sg AS (SELECT event_type, day,
+           CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sgn
+           FROM dl WHERE delta IS NOT NULL AND delta <> 0.0),
+         pv AS (SELECT event_type, sgn, lag(sgn) OVER (
+             PARTITION BY event_type ORDER BY day) AS prev FROM sg),
+         agg AS (SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+             THEN 1 ELSE 0 END) AS BIGINT) AS runs
+           FROM pv GROUP BY 1),
+         m AS (SELECT *, 2.0 * n_pos * n_neg / n + 1.0 AS mu FROM agg)
+         SELECT event_type, n, n_pos, n_neg, runs,
+           round((runs - mu)
+             / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0)), 4) AS z
+         FROM m ORDER BY event_type""",
+    "j12_coverage_gaps" ->
+      """WITH iv AS (SELECT ts AS s, ts + INTERVAL 1 HOUR AS e
+           FROM events WHERE event_id % 500 = 0)
+         SELECT event_type, count(*) AS n_uncovered,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events ev
+         WHERE NOT EXISTS (SELECT 1 FROM iv
+           WHERE ev.ts >= iv.s AND ev.ts <= iv.e)
+         GROUP BY 1 ORDER BY event_type""",
     "w24_cusum_changepoint" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
            avg(value) AS v FROM events WHERE value IS NOT NULL

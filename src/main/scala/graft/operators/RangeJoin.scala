@@ -31,6 +31,21 @@ object RangeJoin {
       .drop("_bucket")
   }
 
+  /** Coverage-gap detection (the ANTI form of [[pointInInterval]]):
+    * points matched by NO interval — "events outside every maintenance
+    * window", "facts no dimension version covers". The candidate join
+    * is the same bucket grid; the anti step is a LEFT ANTI on the
+    * distinct matched ids, so the points table streams through once
+    * and unmatched rows survive with all their columns. */
+  def uncoveredPoints(points: DataFrame, intervals: DataFrame,
+                      tsCol: String, startCol: String, endCol: String,
+                      idCol: String, bucketSeconds: Long = 3600L): DataFrame = {
+    val matched = pointInInterval(points, intervals, tsCol, startCol, endCol,
+        bucketSeconds)
+      .select(idCol).distinct()
+    points.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Interval-overlap join: pairs of rows whose [start, end] ranges
     * intersect (inclusive; numeric columns — convert timestamps with
     * `unix_timestamp` first). Same grid strategy as [[pointInInterval]]

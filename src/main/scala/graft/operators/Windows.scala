@@ -429,6 +429,40 @@ object Windows {
       .orderBy("event_type")
   }
 
+  /** Wald–Wolfowitz runs test per group over the daily-delta SIGN
+    * sequence: too few runs = trending/sticky, too many = oscillating;
+    * |z| > 1.96 rejects randomness at 5%. Zero deltas are dropped (the
+    * standard treatment). Everything runs over the days-sized daily
+    * aggregate; the run count is `1 + Σ[sign_t ≠ sign_{t−1}]` — one
+    * lag window, one aggregation. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(avg("value").as("v"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val signs = daily
+      .withColumn("delta", col("v") - lag("v", 1).over(byDay))
+      .filter(col("delta").isNotNull && col("delta") =!= 0.0)
+      .withColumn("sgn", when(col("delta") > 0, 1).otherwise(-1))
+      .withColumn("prev_sgn", lag("sgn", 1).over(byDay))
+    signs
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+        (lit(1L) + sum(when(col("prev_sgn").isNotNull
+          && col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L))).as("runs"))
+      .withColumn("mu",
+        lit(2.0) * col("n_pos") * col("n_neg") / col("n") + 1.0)
+      .withColumn("sigma2",
+        (col("mu") - 1.0) * (col("mu") - 2.0) / (col("n") - 1.0))
+      .select(col("event_type"), col("n"), col("n_pos"), col("n_neg"),
+        col("runs"),
+        round((col("runs") - col("mu")) / sqrt(col("sigma2")), 4).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Gaps-and-islands: per-user consecutive-active-day streaks via the
     * classic anchor trick — `day − row_number() · 1d` is constant
     * within an unbroken run, so islands fall out of ONE window over the
