@@ -64,20 +64,20 @@ object Bench {
     // must be visible in the JSON itself — a time-to-failure entry would
     // make a broken query look FAST.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => selected(n) }
-      .map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      var times = (1 to 2).flatMap(_ => once()).toVector
+    }
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }
+    val firstPass = queryList.map { case (name, fn) =>
+      var times = (1 to 2).flatMap(_ => runOnce(name, fn)).toVector
       // Concurrent host load (the driver runs sbt alongside the bench)
       // can inflate a run 5-40×, and best-of-two still reports the
       // inflated floor when BOTH runs land under load. Converge instead:
@@ -89,17 +89,38 @@ object Bench {
         val s = times.sorted
         s(0) > 0.3 && (s(1) - s(0)) / s(0) > 0.5
       }
-      while (unstable && extras < 2) { times = times ++ once(); extras += 1 }
+      while (unstable && extras < 2) { times = times ++ runOnce(name, fn); extras += 1 }
       if (times.isEmpty) failed += name
       name -> times.minOption.getOrElse(-1.0)
     }
+    val calibMid = calibrate()
+    // Auto-requeue under load: the calibration stamps can PROVE part of
+    // the run was measured on a busy box (round 8: calib 0.86 vs 0.40 —
+    // the early alphabet absorbed a 2.2× slowdown and five queries
+    // looked regressed when no plan had changed). When the two
+    // calibrations disagree >1.5×, one whole extra measurement pass runs
+    // (single attempt per query, min-merged) — by then the transient
+    // load has usually drained; the artifact records the requeue so a
+    // reader knows which numbers were re-measured rather than stamped.
+    val calibDrift =
+      math.max(calibStart, calibMid) / math.max(math.min(calibStart, calibMid), 1e-9)
+    val requeued = calibDrift > 1.5
+    val results =
+      if (!requeued) firstPass
+      else {
+        val byName = Map(queryList: _*)
+        firstPass.map { case (name, t) =>
+          if (t < 0) name -> t
+          else name -> runOnce(name, byName(name)).fold(t)(math.min(t, _))
+        }
+      }
     val calibEnd = calibrate()
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val env = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f"""
+    val env = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"calib_start_sec":$calibStart%.3f,"calib_mid_sec":$calibMid%.3f,"calib_end_sec":$calibEnd%.3f,"requeued":$requeued"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}"""
     println(json)

@@ -137,14 +137,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Word k-shingles, distinct per doc. */
+  /** Word k-shingles, distinct per doc. Built by zipping k SHIFTED
+    * SLICES of the token array positionally — the tokenize expression
+    * evaluates O(k) times per document. (The `transform(sequence(...),
+    * i => slice(toks, i+1, k))` form re-evaluated the split+filter at
+    * every shingle position — Catalyst inlines the array expression
+    * into each slice call — O(len²) string work per doc across every
+    * MinHash/decontamination/Jaccard caller.) */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = filter(split(text, " "), t => length(t) > 0)
     val n = size(toks)
+    val first = slice(toks, lit(1), n - (k - 1))
+    val joined = (1 until k).foldLeft(first) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), n - (k - 1)),
+        (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      when(n >= k, joined)
         .otherwise(array(concat_ws(" ", toks))))
   }
 

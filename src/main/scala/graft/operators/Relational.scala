@@ -506,15 +506,18 @@ object Relational {
 
   /** Exact MODE per group with a deterministic tie-break (most frequent
     * value; ties resolve to the smallest value): two hash aggregations
-    * — (group, value) counts, then `max_by` of the value over
-    * `(count, reversed-value)` — no window, no sort, reducer state one
-    * row per group. The categorical twin of [[medianByGroup]]. */
+    * — (group, value) counts, then `min_by` of the value over
+    * `(negated-count, value)` — no window, no sort, reducer state one
+    * row per group. The categorical twin of [[medianByGroup]]. Only the
+    * COUNT is negated (always numeric), never the value, so the
+    * tie-break works for any orderable value type — strings included,
+    * the most common categorical case. */
   def modeByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame =
     df.filter(col(valCol).isNotNull)
       .groupBy(groupCol, valCol)
       .agg(count(lit(1)).as("c"))
       .groupBy(groupCol)
-      .agg(max_by(col(valCol), struct(col("c"), negate(col(valCol)))).as("mode"),
+      .agg(min_by(col(valCol), struct(negate(col("c")), col(valCol))).as("mode"),
         max(col("c")).as("mode_count"),
         count(lit(1)).as("n_distinct"))
       .orderBy(groupCol)
@@ -523,18 +526,32 @@ object Relational {
     * mass over keys ("what share of revenue do the top keys hold")?
     * Per-key totals, ranked desc, cumulative share over the PEERS-SAFE
     * total order (value desc, key asc), bucketed into deciles of rank —
-    * output is 10 rows per group tier, the 80/20 curve. One keys-only
-    * aggregation + one window over the key totals (bounded by key
-    * cardinality, not row count). */
+    * output is 10 rows per group tier, the 80/20 curve.
+    *
+    * Scale shape: the key-totals table is bounded by key CARDINALITY,
+    * which for customer/URL/domain keys is billions at 100 TB — a
+    * plain `Window.orderBy` over it would serialize the whole table
+    * through one task. Instead the cumulative sum AND the rank come
+    * from ONE two-pass range-partitioned prefix sum
+    * ([[graft.pipeline.Packing.withGlobalCumsumsBefore]] — the only
+    * single-task window runs over ~shuffle.partitions bucket-total
+    * metadata rows), and the grand total / key count are a scalar
+    * aggregate broadcast back. No data-sized single-partition window
+    * anywhere in the plan. */
   def paretoShare(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val totals = df.groupBy(keyCol).agg(sum(valCol).as("v"))
-    val w = Window.orderBy(desc("v"), col(keyCol))
-    val whole = Window.partitionBy()
-    totals
-      .withColumn("cum", sum("v").over(w))
-      .withColumn("tot", sum("v").over(whole))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(whole))
+      // (v desc, key asc) re-expressed as an ascending numeric order
+      // key for the prefix sum's range bucketing
+      .withColumn("_negv", negate(col("v")).cast("double"))
+    val whole = totals.agg(sum("v").as("tot"),
+      count(lit(1)).as("n"))
+    graft.pipeline.Packing
+      .withGlobalCumsumsBefore(totals,
+        Seq(col("v") -> "_cum_before", lit(1L) -> "_rk_before"),
+        "_negv", Some(keyCol))
+      .crossJoin(broadcast(whole))
+      .withColumn("cum", col("_cum_before") + col("v"))
+      .withColumn("rk", col("_rk_before") + lit(1L))
       .withColumn("decile", ceil(col("rk") * 10.0 / col("n")).cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_keys"),
@@ -582,9 +599,21 @@ object Relational {
       .filter(col(valCol).isNotNull && col(wCol).isNotNull)
       .withColumn("_cw", sum(wCol).over(byVal))
       .withColumn("_tw", sum(wCol).over(whole))
-    val aggs = qs.map(q =>
-      min(when(col("_cw") >= col("_tw") * q, col(valCol)))
-        .as(s"wq_${math.round(q * 100)}"))
+    // name from the full decimal (wq_25, wq_0_251, …), not a rounded
+    // percent — two cut points inside the same percent must not
+    // silently collide into one ambiguous output column
+    def labelOf(q: Double): String = {
+      val pct = q * 100
+      if (pct == math.rint(pct)) s"wq_${pct.toLong}"
+      else "wq_" + BigDecimal(q).bigDecimal.stripTrailingZeros.toPlainString
+        .replace("0.", "0_").replace(".", "_")
+    }
+    val labels = qs.map(labelOf)
+    require(labels.distinct.length == labels.length,
+      s"quantile labels collide: $qs -> $labels")
+    val aggs = qs.zip(labels).map { case (q, lbl) =>
+      min(when(col("_cw") >= col("_tw") * q, col(valCol))).as(lbl)
+    }
     base.groupBy(groupCol).agg(aggs.head, aggs.tail: _*).orderBy(groupCol)
   }
 

@@ -72,7 +72,13 @@ object Scd2 {
     * other key's history rows untouched via an anti-join. Per-key
     * independence of [[build]] makes this EXACTLY equivalent to
     * `build(log ∪ late)` — the u8 gate pins that equality against a
-    * full-rebuild oracle.
+    * full-rebuild oracle. The key joins are NULL-SAFE (`<=>`): [[build]]
+    * treats a NULL key as a real partition (`Window.partitionBy` groups
+    * NULLs), so a null-key late row must select the old null-key
+    * observations into the rebuild and evict the old null-key history
+    * rows exactly like any other key — plain equality would rebuild
+    * from the late slice alone while the stale rows survive the
+    * anti-join, duplicating versions.
     *
     * Scale shape: the late batch is small, so its key set broadcasts
     * into both the semi-join (select affected observations) and the
@@ -83,12 +89,12 @@ object Scd2 {
   def mergeLate(history: DataFrame, log: DataFrame, late: DataFrame,
                 key: String, tsCol: String, attrCols: Seq[String],
                 tiebreakCol: String): DataFrame = {
-    val affected = late.select(key).distinct()
+    val affected = late.select(col(key).as("_graft_k")).distinct()
     val rebuilt = build(
-      log.join(broadcast(affected), Seq(key), "left_semi")
+      log.join(broadcast(affected), col(key) <=> col("_graft_k"), "left_semi")
         .unionByName(late.select(log.columns.map(col): _*)),
       key, tsCol, attrCols, tiebreakCol)
-    history.join(broadcast(affected), Seq(key), "left_anti")
+    history.join(broadcast(affected), col(key) <=> col("_graft_k"), "left_anti")
       .unionByName(rebuilt)
   }
 

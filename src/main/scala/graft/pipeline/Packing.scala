@@ -51,7 +51,20 @@ object Packing {
   def withGlobalCumsumBefore(df: DataFrame, valueCol: Column,
                              orderCol: String,
                              outCol: String = "cum_before",
-                             tiebreakCol: Option[String] = None): DataFrame = {
+                             tiebreakCol: Option[String] = None): DataFrame =
+    withGlobalCumsumsBefore(df, Seq(valueCol -> outCol), orderCol, tiebreakCol)
+
+  /** [[withGlobalCumsumBefore]] generalized to SEVERAL running sums in
+    * one pass: the quantile sampling, bucketing, per-bucket offset
+    * aggregation, and within-bucket window are all shared — adding a
+    * value column costs one aggregate expression and one window
+    * expression, never another shuffle. (A caller needing both a
+    * running value sum and a running row count — i.e. a rank — pays one
+    * bucketing instead of two.) */
+  def withGlobalCumsumsBefore(df: DataFrame, valueCols: Seq[(Column, String)],
+                              orderCol: String,
+                              tiebreakCol: Option[String] = None): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one (valueCol, outCol)")
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val probs = (1 until nParts).map(_.toDouble / nParts).toArray
@@ -66,20 +79,23 @@ object Packing {
     val parts = df.withColumn("_graft_bkt", bucketCol)
     // one row per bucket — the only single-task window runs over this
     // metadata-sized frame, never over the data
+    val offsetWin = Window.orderBy("_graft_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val psums = valueCols.zipWithIndex.map { case ((v, _), i) =>
+      sum(v).as(s"_psum_$i")
+    }
     val offsets = parts
-      .groupBy("_graft_bkt").agg(sum(valueCol).as("_psum"))
-      .withColumn("_offset",
-        coalesce(sum("_psum").over(Window.orderBy("_graft_bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_graft_bkt"), col("_offset"))
+      .groupBy("_graft_bkt").agg(psums.head, psums.tail: _*)
+      .select(col("_graft_bkt") +: valueCols.indices.map(i =>
+        coalesce(sum(s"_psum_$i").over(offsetWin), lit(0L)).as(s"_offset_$i")): _*)
     val orderCols = col(orderCol) +: tiebreakCol.map(col).toSeq
     val within = Window.partitionBy("_graft_bkt").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parts
-      .join(broadcast(offsets), "_graft_bkt")
-      .withColumn(outCol,
-        coalesce(sum(valueCol).over(within), lit(0L)) + col("_offset"))
-      .drop("_graft_bkt", "_offset")
+    valueCols.zipWithIndex.foldLeft(parts.join(broadcast(offsets), "_graft_bkt")) {
+      case (acc, ((v, out), i)) =>
+        acc.withColumn(out,
+          coalesce(sum(v).over(within), lit(0L)) + col(s"_offset_$i"))
+    }.drop("_graft_bkt" +: valueCols.indices.map(i => s"_offset_$i"): _*)
   }
 
   /** Doc-level packing map for chunked sequences of `seqLen` tokens over

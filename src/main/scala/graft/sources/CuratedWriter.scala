@@ -260,17 +260,31 @@ object CuratedWriter {
     * readable for time travel / rollback until pruned. Returns the new
     * version number. */
   def publishVersion(df: DataFrame, root: String): Int = {
-    val dir = new java.io.File(root)
-    dir.mkdirs()
-    val existing = Option(dir.list()).getOrElse(Array.empty)
-      .filter(_.startsWith("v=")).map(_.drop(2).toInt)
+    import org.apache.hadoop.fs.Path
+    // resolve the root through Hadoop's FileSystem so the listing and
+    // the pointer land on the SAME store as the parquet data —
+    // java.io.File would silently write the pointer to a bogus local
+    // path when root is hdfs:// or s3a://
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.mkdirs(rootPath)
+    val existing =
+      if (!fs.exists(rootPath)) Array.empty[Int]
+      else fs.listStatus(rootPath).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toInt)
     val next = if (existing.isEmpty) 1 else existing.max + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/v=$next")
-    val tmp = java.nio.file.Paths.get(root, "_LATEST.tmp")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "_LATEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // write-then-rename where rename is atomic (HDFS/local); object
+    // stores without atomic rename overwrite in place — a one-object
+    // PUT, still the smallest possible commit surface
+    val tmp = new Path(rootPath, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(rootPath, "_LATEST")
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"publishVersion: rename $tmp -> $ptr failed")
     next
   }
 
@@ -278,8 +292,14 @@ object CuratedWriter {
     * `version` for time travel). */
   def readLatest(spark: SparkSession, root: String,
                  version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(java.nio.file.Files
-      .readString(java.nio.file.Paths.get(root, "_LATEST")).trim.toInt)
+    import org.apache.hadoop.fs.Path
+    val v = version.getOrElse {
+      val ptr = new Path(root, "_LATEST")
+      val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(ptr)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    }
     spark.read.parquet(s"$root/v=$v")
   }
 

@@ -15,25 +15,37 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: bigrams are formed ROW-LOCALLY from the token array
   * (an array transform — no window over the token stream, no
-  * per-position shuffle); both models are top-K frequency cuts selected
-  * via `TakeOrderedAndProject` (never a full vocabulary sort) and
-  * BROADCAST to the scoring join; head counts `c₁` are computed once
-  * over the bigram stream and semi-joined down to the model's heads
-  * before broadcasting, so nothing vocabulary-sized ever sits on the
-  * driver or in a broadcast beyond the chosen model size. */
+  * per-position shuffle); ONE bigram explode is the only corpus-sized
+  * pass. Unigram counts need NO token explode of their own: a token's
+  * count is its occurrences as a bigram HEAD (positions 1..n−1, =
+  * Σ bcnt over its bigrams — a re-aggregation of the vocabulary-sized
+  * bigram count table) plus its occurrences as a DOCUMENT-FINAL token
+  * (one row-local `element_at(toks, -1)` pass — no explode, one tiny
+  * shuffle of doc-count rows). Both models are top-K frequency cuts
+  * selected via `TakeOrderedAndProject` (never a full vocabulary sort)
+  * and BROADCAST to the scoring join; the bigram model and its head
+  * counts are pre-joined into a single vocabulary-sized broadcast, so
+  * scoring pays two broadcast joins and one scalar crossJoin — nothing
+  * vocabulary-sized ever sits on the driver or in a broadcast beyond
+  * the chosen model size. */
 object BigramLm {
 
   /** (prev, cur, bigram-string) structs, row-local; docs with fewer
-    * than 2 tokens yield the empty array (the `sequence(1,0)` Spark
-    * descending-sequence trap is guarded, same as
-    * [[TextAnalysis.tokenWindows]]). */
+    * than 2 tokens yield the empty array. Formed as ONE `zip_with` over
+    * two shifted slices so the tokenize expression evaluates O(1) times
+    * per document — the earlier `transform(sequence(...), i =>
+    * element_at(arr, i))` form re-ran the split+filter at EVERY
+    * position (Catalyst inlines the array expression into each
+    * element_at; no common-subexpression elimination across lambda
+    * calls): O(len²) string work per doc, measured 6.2 s of the
+    * lm2 gate's 8.5 s at sf0.1. */
   private def bigramStructs(text: org.apache.spark.sql.Column) = {
     val arr = TextAnalysis.tokens(text)
-    when(size(arr) >= 2,
-      transform(sequence(lit(1), size(arr) - 1), i =>
-        struct(element_at(arr, i).as("prev"),
-          element_at(arr, i + 1).as("cur"),
-          concat_ws(" ", element_at(arr, i), element_at(arr, i + 1)).as("bg"))))
+    val n = size(arr)
+    when(n >= 2,
+      zip_with(slice(arr, lit(1), n - 1), slice(arr, lit(2), n - 1),
+        (p, c) => struct(p.as("prev"), c.as("cur"),
+          concat(p, lit(" "), c).as("bg"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string,bg:string>>"))
   }
 
@@ -43,16 +55,8 @@ object BigramLm {
     * defined). */
   def scoreByLang(documents: DataFrame, bigramVocab: Int = 2000,
                   unigramVocab: Int = 1000, lambda: Double = 0.7): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
-    val uniModel = uniCounts.orderBy(desc("ucnt"), asc("tok")).limit(unigramVocab)
-    val uniTotal = uniCounts.agg(sum("ucnt").cast("double").as("_n"))
-
-    // ONE tokenize+bigram explode for both the model count and the
-    // scoring pass — persisted, consumed twice, released after the
-    // eager materialization below
+    // the ONLY corpus-sized explode — persisted, consumed twice (model
+    // count + scoring pass), released after the eager materialization
     val bgs = documents
       .select(col("doc_id"), col("lang"),
         explode(bigramStructs(col("text"))).as("b"))
@@ -61,28 +65,50 @@ object BigramLm {
       .persist()
     val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("bcnt"))
     val bgModel = bgCounts.orderBy(desc("bcnt"), asc("bg")).limit(bigramVocab)
-    // c₁ = occurrences as a bigram HEAD (token count minus doc-final
-    // positions). Derived by re-aggregating the DISTINCT-BIGRAM count
-    // table (vocabulary-sized) by head — NOT by a second explode of the
-    // corpus: Σ bcnt over a head's bigrams is the same number, for a
-    // pass over thousands of rows instead of billions. Restricted to
-    // heads the model can ever ask for before broadcasting.
+    // c₁ = occurrences as a bigram HEAD. Derived by re-aggregating the
+    // DISTINCT-BIGRAM count table (vocabulary-sized) by head — NOT by a
+    // second explode of the corpus: Σ bcnt over a head's bigrams is the
+    // same number, for a pass over thousands of rows instead of
+    // billions.
     val headCounts = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("prev"))
       .agg(sum("bcnt").as("hcnt"))
-      .join(broadcast(bgModel.select(split(col("bg"), " ")
-        .getItem(0).as("prev")).distinct()), Seq("prev"), "left_semi")
+
+    // Unigram counts WITHOUT re-tokenizing the corpus into an explode:
+    // every token position is either a bigram head (counted in
+    // headCounts) or its document's FINAL token — counted here by one
+    // row-local element_at over each doc's token array. The union is
+    // exact: uc(t) = hcnt(t) + lastcnt(t).
+    val toksArr = TextAnalysis.tokens(col("text"))
+    val lastCounts = documents
+      .select(when(size(toksArr) >= 1, element_at(toksArr, -1)).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("lcnt"))
+    val uniCounts = headCounts.select(col("prev").as("tok"), col("hcnt"))
+      .join(lastCounts, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("hcnt"), lit(0L)) + coalesce(col("lcnt"), lit(0L)))
+          .as("ucnt"))
+    val uniModel = uniCounts.orderBy(desc("ucnt"), asc("tok")).limit(unigramVocab)
+    val uniTotal = uniCounts.agg(sum("ucnt").cast("double").as("_n"))
+
+    // fold the model's head counts into the bigram model itself — ONE
+    // vocabulary-sized broadcast keyed by bg instead of two: an
+    // out-of-model bigram contributes 0 regardless of its head count,
+    // so scoring never needs hcnt for a miss
+    val bgModelH = bgModel
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+      .join(headCounts, Seq("prev"), "left")
+      .select(col("bg"), (col("bcnt").cast("double") / col("hcnt")).as("_bp"))
 
     try {
       bgs
-        .join(broadcast(bgModel), Seq("bg"), "left")
-        .join(broadcast(headCounts), Seq("prev"), "left")
+        .join(broadcast(bgModelH), Seq("bg"), "left")
         .join(broadcast(uniModel.withColumnRenamed("tok", "cur")),
           Seq("cur"), "left")
         .crossJoin(broadcast(uniTotal))
         .select(col("doc_id"), col("lang"),
-          log(lit(lambda)
-              * coalesce(col("bcnt").cast("double") / col("hcnt"), lit(0.0))
+          log(lit(lambda) * coalesce(col("_bp"), lit(0.0))
             + lit(1.0 - lambda)
               * coalesce(col("ucnt").cast("double"), lit(0.5)) / col("_n"))
             .as("lp"))

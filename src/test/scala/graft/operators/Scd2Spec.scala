@@ -96,6 +96,30 @@ class Scd2Spec extends SparkTestBase {
       hist.filter($"k" === 2L).collect().toSeq)
   }
 
+  test("mergeLate with a NULL-key late row still equals the full rebuild") {
+    // build() groups NULL keys as a real partition, so mergeLate must
+    // treat NULL like any touched key: select its old observations into
+    // the rebuild AND evict its old history rows (null-safe joins)
+    val nlog = Seq(
+      (Option(1L), ts("2024-01-01 00:00:00"), 1L, "A"),
+      (None: Option[Long], ts("2024-01-01 00:00:00"), 2L, "N1"),
+      (None: Option[Long], ts("2024-01-03 00:00:00"), 4L, "N2"))
+      .toDF("k", "obs_ts", "seq", "attr")
+    val nlate = Seq(
+      (None: Option[Long], ts("2024-01-02 00:00:00"), 3L, "NX"))
+      .toDF("k", "obs_ts", "seq", "attr")
+    val hist = Scd2.build(nlog, "k", "obs_ts", Seq("attr"), "seq")
+    val merged = Scd2.mergeLate(hist, nlog, nlate, "k", "obs_ts",
+      Seq("attr"), "seq")
+    val full = Scd2.build(nlog.unionByName(nlate), "k", "obs_ts",
+      Seq("attr"), "seq")
+    assert(merged.count() == full.count(),
+      s"merged=${merged.count()} full=${full.count()}")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the null key's history: N1 -> NX -> N2, three versions
+    assert(merged.filter($"k".isNull).count() == 3)
+  }
+
   test("one shuffle: a single Exchange below both window passes") {
     val plan = Scd2.build(log, "k", "obs_ts", Seq("attr"), "seq")
       .queryExecution.executedPlan.toString

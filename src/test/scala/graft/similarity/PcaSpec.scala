@@ -42,6 +42,40 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("covarianceMatrix is invariant to partition count (tree merge rounds)") {
+    // 120 rows, d=4, deterministic values; fanIn=3 over 40 partitions
+    // forces multiple tree rounds (40 → 14 → 5 → 2), while 1 partition
+    // exercises the degenerate no-round path — the rounded matrix must
+    // be identical across all layouts.
+    val data = (0 until 120).map { i =>
+      (i.toLong, Seq(math.sin(i * 0.7).toFloat, (i % 13).toFloat,
+        math.cos(i * 0.31).toFloat, (i % 7 - 3).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    def matOf(parts: Int, fanIn: Int) =
+      Covariance.covarianceMatrix(df.repartition(parts), fanIn = fanIn)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = matOf(1, 64)
+    assert(matOf(40, 3) == base, "40 partitions / fanIn 3 drifted")
+    assert(matOf(17, 4) == base, "17 partitions / fanIn 4 drifted")
+    assert(matOf(40, 64) == base, "40 partitions / no tree round drifted")
+  }
+
+  test("momentsOf driver tail is bounded by fanIn") {
+    // structural: with 40 partitions and fanIn 3 the tree must reduce
+    // to <= 3 partials before any driver fold; we can't observe the
+    // collect directly, but n/mean must still be exact, proving the
+    // tree merged every partial exactly once.
+    val data = (0 until 200).map(i => (i.toLong, Seq(i.toFloat, (2 * i).toFloat)))
+    val df = data.toDF("vec_id", "embedding").repartition(40)
+    val (n, mean, c) = Covariance.momentsOf(df, "embedding", fanIn = 3)
+    assert(n == 200L)
+    assert(math.abs(mean(0) - 99.5) < 1e-9 && math.abs(mean(1) - 199.0) < 1e-9)
+    // cov(x,2x) = 2·var(x); var_pop(0..199) = (200²−1)/12
+    val varX = (200.0 * 200.0 - 1) / 12.0
+    assert(math.abs(c(0)(1) - 2 * varX) < 1e-6)
+  }
+
   test("fit + project: score variance equals the eigenvalue, scores decorrelate") {
     // anisotropic synthetic cloud: x ~ 10·t, y ~ t + noise, z ~ noise
     val data = (0 until 200).map { i =>
