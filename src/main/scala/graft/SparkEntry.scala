@@ -1625,6 +1625,22 @@ object SparkEntry {
     // a shingle-postings join, so every qualifying pair is pinned
     "d17_prefix_filter_join" -> q((s, d) =>
       Dedup.prefixFilterPairs(Tables.documents(s, d))),
+    // exact substring-level dedup (Lee et al. 2021 ExactSubstr at
+    // shingle granularity): the maximal-span cut list of every token
+    // region whose 8-shingles all repeat somewhere in the corpus
+    "d19_exact_substr" -> q((s, d) =>
+      graft.dedup.ExactSubstr.duplicatedSpans(Tables.documents(s, d), k = 8)),
+    // BPE merge-table training (Sennrich 2016): 10 rounds of
+    // (pair-count aggregation → argmax → row-local merge) over the
+    // vocabulary-sized word table; the merge table is the model
+    "bpe1_merge_table" -> q((s, d) =>
+      graft.text.Bpe.mergeTable(Tables.documents(s, d), nMerges = 10)),
+    // encoded-output pin for the same training run: corpus-weighted
+    // symbol frequencies after all 10 merges (merged subwords must
+    // overtake raw characters exactly as the oracle's replay says)
+    "bpe2_encoded_symbols" -> q((s, d) =>
+      graft.text.Bpe.encodedSymbolCounts(Tables.documents(s, d),
+        nMerges = 10, topK = 20)),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -1819,6 +1835,39 @@ object SparkEntry {
         col("ts") + expr("make_interval(0, CAST(event_id % 6 AS INT), 0, 0, 0, 0, 0)"))
       cli.AnalyticsJob.monthlyTrend(
         cli.EtlJob.transform(taxi.TaxiFixture.yellowFromEvents(spread), "yellow"))
+    }),
+    // P2/P3/P9 constants pinned DIRECTLY (not through downstream
+    // aggregates): per-rule rejection counts over the canonical frame
+    // plus survivor count and derived-duration extrema through the real
+    // EtlJob.transform chain. The fixture straddles every bound, so
+    // dur_min=1/dur_max=1439 pin the (0.5, 1440) duration window and
+    // the rejection counts pin the distance/fare bounds; a constant
+    // drifting by one unit flips a count at every SF.
+    "x11_cleaning_audit" -> q((s, d) => {
+      val raw = taxi.TaxiFixture.yellowFromEvents(Tables.events(s, d))
+      val canon = taxi.SchemaNormalizer.toCanonical(raw, "yellow")
+        .withColumn("duration_min",
+          taxi.Cleaning.durationMin(col("pickup_ts"), col("dropoff_ts")))
+      val sane = taxi.Cleaning.timestampSanity(col("pickup_ts"), col("dropoff_ts"))
+      val rej = canon.agg(
+        count(lit(1)).as("n_raw"),
+        count(when(!sane, 1)).as("rej_ts_sanity"),
+        count(when(sane && col("duration_min") <= taxi.Cleaning.MinDurationMin, 1))
+          .as("rej_dur_short"),
+        count(when(sane && col("duration_min") >= taxi.Cleaning.MaxDurationMin, 1))
+          .as("rej_dur_long"),
+        count(when(col("distance_mi").isNotNull &&
+          (col("distance_mi") <= taxi.Cleaning.MinDistanceMi ||
+            col("distance_mi") >= taxi.Cleaning.MaxDistanceMi), 1))
+          .as("rej_distance"),
+        count(when(col("fare") < taxi.Cleaning.MinFare, 1)).as("rej_fare"))
+      val surv = cli.EtlJob.transform(raw, "yellow").agg(
+        count(lit(1)).as("n_survivors"),
+        round(min("duration_min"), 4).as("dur_min"),
+        round(max("duration_min"), 4).as("dur_max"),
+        round(avg("duration_min"), 4).as("dur_avg"),
+        round(avg("avg_speed_mph"), 4).as("speed_avg"))
+      rej.crossJoin(surv) // two one-row aggregates
     }),
     // J2's literal reference form (`generate_notebooks_auto.py:383-430`):
     // cleaned trips × the zone-lookup CSV dimension, broadcast-joined on
@@ -2266,6 +2315,39 @@ object SparkEntry {
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
   private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** The bpe1/bpe2 oracle's shared CTE chain: `n` unrolled BPE rounds
+    * over the word-frequency table, mirroring [[graft.text.Bpe]] exactly
+    * — same double-space symbol-boundary word state (each symbol owns
+    * its delimiters, so run merges reproduce classical BPE — see
+    * [[graft.text.Bpe]] scaladoc), same `replace()` left-to-right
+    * non-overlapping merge, same `(count desc, pair asc)` tie-break.
+    * `MATERIALIZED` is load-bearing: each round is referenced by both
+    * the next round's pair count and the next word state; inlined CTEs
+    * would re-expand the chain exponentially (2^n parquet scans). */
+  private def bpeRoundsSql(n: Int): String = {
+    val base =
+      s"""wc AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM
+           (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+         w0 AS MATERIALIZED (SELECT word, freq,
+           ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+           FROM wc)"""
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (SELECT pr, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(CASE WHEN len(a) >= 2 THEN
+               list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])
+               ELSE [] END) AS pr
+             FROM (SELECT freq, list_filter(string_split(s, ' '),
+               x -> len(x) > 0) AS a FROM w${r - 1})) GROUP BY 1),
+         b$r AS MATERIALIZED (SELECT pr, cnt FROM p$r
+           ORDER BY cnt DESC, pr LIMIT 1),
+         w$r AS MATERIALIZED (SELECT word, freq,
+           replace(s, ' ' || (SELECT pr FROM b$r) || ' ',
+                   ' ' || replace((SELECT pr FROM b$r), ' ', '') || ' ') AS s
+           FROM w${r - 1})"""
+    }
+    (base +: rounds).mkString(",\n         ")
+  }
 
   /** FROZEN minhash permutation constants `(j, a, b)` — the d3/d9 oracles
     * pin these literals rather than calling
@@ -4636,6 +4718,36 @@ object SparkEntry {
              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""",
+    "d19_exact_substr" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+         p0 AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+             list_transform(range(1, len(t) - 6),
+               i -> struct_pack(pos := i, sh := array_to_string(t[i:i+7], ' ')))
+           ELSE [] END AS ps FROM w),
+         p1 AS (SELECT doc_id, unnest(ps) AS s FROM p0),
+         p AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.sh AS sh FROM p1),
+         d AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2),
+         q AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM d)),
+         i AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk FROM q),
+         j AS (SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_len
+         FROM j GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "bpe1_merge_table" ->
+      s"""WITH ${bpeRoundsSql(10)}
+         SELECT * FROM (${(1 to 10).map(r =>
+           s"SELECT $r AS step, pr AS pair, replace(pr, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+           .mkString(" UNION ALL ")}) ORDER BY step""",
+    "bpe2_encoded_symbols" ->
+      s"""WITH ${bpeRoundsSql(10)}
+         SELECT symbol, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT symbol, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_filter(string_split(s, ' '),
+               x -> len(x) > 0)) AS symbol FROM w10) GROUP BY 1)
+         ORDER BY cnt DESC, symbol LIMIT 20""",
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
              PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt
@@ -4883,6 +4995,29 @@ object SparkEntry {
       s"""$taxiYellowCleaned
          SELECT do_zone, count(*) AS trip_count FROM cl GROUP BY 1
          ORDER BY trip_count DESC, do_zone LIMIT 100""",
+    "x11_cleaning_audit" ->
+      s"""$taxiYellowCleaned,
+         c AS (SELECT *, date_diff('second', pickup_ts, dropoff_ts) / 60.0
+             AS duration_min FROM raw),
+         rej AS (SELECT count(*) AS n_raw,
+           count(CASE WHEN pickup_ts IS NULL OR dropoff_ts IS NULL
+                 OR dropoff_ts <= pickup_ts THEN 1 END) AS rej_ts_sanity,
+           count(CASE WHEN dropoff_ts > pickup_ts AND duration_min <= 0.5
+                 THEN 1 END) AS rej_dur_short,
+           count(CASE WHEN dropoff_ts > pickup_ts AND duration_min >= 1440
+                 THEN 1 END) AS rej_dur_long,
+           count(CASE WHEN distance_mi IS NOT NULL
+                 AND (distance_mi <= 0 OR distance_mi >= 500) THEN 1 END)
+             AS rej_distance,
+           count(CASE WHEN fare < 0 THEN 1 END) AS rej_fare
+           FROM c),
+         surv AS (SELECT count(*) AS n_survivors,
+           round(min(duration_min), 4) AS dur_min,
+           round(max(duration_min), 4) AS dur_max,
+           round(avg(duration_min), 4) AS dur_avg,
+           round(avg(distance_mi / (duration_min / 60.0)), 4) AS speed_avg
+           FROM cl)
+         SELECT * FROM rej, surv""",
     "x6_zone_borough_join" ->
       s"""$taxiYellowCleaned,
          zones AS (SELECT i AS LocationID,

@@ -5,7 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
+import graft.dedup.{Dedup, DupGroups}
+import graft.graph.PageRank
 import graft.operators.{AsOfJoin, Quality, Windows}
+import graft.similarity.{Ivf, Similarity}
 
 /** Hot-key scale probe for the per-key-ordered operators — the
   * measurement harness behind SCALE.md's "Measured 10× scale probe"
@@ -88,15 +91,34 @@ object ScaleProbe {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
     require(opts.size == args.length / 2,
       s"every flag must start with --, got: ${args.mkString(" ")}")
-    val known = Set("rows", "hot-frac")
+    val known = Set("rows", "hot-frac", "family", "diam")
     require(opts.keySet.subsetOf(known),
       s"unknown flag(s): ${(opts.keySet -- known).mkString(", ")} " +
         s"(known: ${known.mkString(", ")})")
     val rows = opts.getOrElse("rows", "1000000").toLong
     val hotFrac = opts.getOrElse("hot-frac", "0.33").toDouble
+    val family = opts.getOrElse("family", "hotkey")
+    val diam = opts.getOrElse("diam", "16").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-scale-probe")
+
+    family match {
+      case "hotkey"     => probeHotKey(spark, rows, hotFrac, cpus)
+      case "dedup"      => probeMinhashBand(spark, rows, hotFrac, cpus)
+      case "components" => probeComponents(spark, rows, diam, cpus)
+      case "ann"        => probeIvf(spark, rows, hotFrac, cpus)
+      case "graph"      => probePagerank(spark, rows, hotFrac, cpus)
+      case other => throw new IllegalArgumentException(
+        s"unknown --family $other (known: hotkey dedup components ann graph)")
+    }
+    spark.stop()
+  }
+
+  /** The original per-key-ordered-operator probe (sessionize / as-of /
+    * quality) — `--family hotkey`, the default. */
+  private def probeHotKey(spark: SparkSession, rows: Long, hotFrac: Double,
+                          cpus: Int): Unit = {
     import spark.implicits._
 
     val events = syntheticEvents(spark, rows, hotFrac, parts = cpus * 2)
@@ -150,7 +172,176 @@ object ScaleProbe {
         .agg(sum(hash(col("rule"), col("n_violations"), col("pass"))))
         .head().getLong(0)
     }
+  }
 
-    spark.stop()
+  /** `--family dedup`: MinHash LSH banding under a planted MEGA-BAND —
+    * `hotFrac` of the corpus is one near-identical cluster (same 40-token
+    * body, per-copy unique tail), so nearly every band maps the whole
+    * cluster into ONE bucket. This is the distribution where naive
+    * banding emits |cluster|²/2 candidate pairs per band; the shipped
+    * guard ([[Dedup.minhashNearDups]] `maxBucket`) degrades oversized
+    * buckets to linear star pairs. The probe measures the guarded form
+    * and asserts it is COMPONENT-EQUIVALENT to the unguarded form: both
+    * edge sets, fed through [[DupGroups.connectedComponents]], must
+    * label every doc identically (star pairs preserve connectivity
+    * through the bucket rep — exactly the property dup-collapse needs). */
+  private def probeMinhashBand(spark: SparkSession, rows: Long,
+                               hotFrac: Double, cpus: Int): Unit = {
+    val clusterBody = (1 to 40).map(i => s"tok${i * 7 % 53}").mkString(" ")
+    val uniqueText = concat_ws(" ",
+      (0 until 30).map(j => pmod(hash(col("id") * 1009 + j), lit(1000000L))): _*)
+    val docs = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("doc_id"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
+        concat(lit(clusterBody), lit(" u"), col("id")))
+        .otherwise(uniqueText).as("text"))
+      .localCheckpoint(eager = true)
+    val clusterRows = docs.filter(col("text").startsWith(clusterBody)).count()
+    println(s"""{"probe":"minhash-band","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"cluster_rows":$clusterRows}""")
+
+    def componentChecksum(pairs: DataFrame): Long = {
+      val edges = pairs.filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      DupGroups.connectedComponents(edges, docs.select(col("doc_id").as("id")))
+        .agg(sum(hash(col("id"), col("comp")))).head().getLong(0)
+    }
+    val (g, _, _) = measure(spark, "minhash_guarded") {
+      componentChecksum(Dedup.minhashNearDups(docs))
+    }
+    // the unguarded twin IS the quadratic pathology being guarded
+    // against — run it (and the equivalence assertion) only while the
+    // planted cluster is small enough that |cluster|²·bands stays in
+    // memory; the 10× row counts measure the guarded form alone
+    if (clusterRows <= 2000) {
+      val (u, _, _) = measure(spark, "minhash_unguarded") {
+        componentChecksum(Dedup.minhashNearDups(docs, maxBucket = Int.MaxValue))
+      }
+      require(g == u,
+        s"star-guard changed component structure: guarded $g vs unguarded $u")
+      // pair-count linearity evidence for the table
+      val nG = Dedup.minhashNearDups(docs).count()
+      val nU = Dedup.minhashNearDups(docs, maxBucket = Int.MaxValue).count()
+      println(s"""{"probe":"minhash-band","guarded_pairs":$nG,"unguarded_pairs":$nU}""")
+    } else
+      println(s"""{"probe":"minhash-band","note":"cluster $clusterRows > 2000 — unguarded twin skipped"}""")
+  }
+
+  /** `--family components`: min-label propagation over `rows` nodes
+    * arranged in parallel chains of length `diam`. Label propagation
+    * moves one hop per round, so rounds ≡ chain diameter — constant as
+    * ROWS grow (the 10× axis), linear as DIAM grows (the pathology
+    * axis; real dup clusters are near-cliques with diameter ≤ 3).
+    * Equivalence: integer min-label is exact, so the checksum must be
+    * invariant to input partitioning. */
+  private def probeComponents(spark: SparkSession, rows: Long, diam: Int,
+                              cpus: Int): Unit = {
+    require(diam >= 2, s"--diam must be >= 2, got $diam")
+    val edges = spark.range(0, rows, 1, cpus * 2)
+      .filter(pmod(col("id") + 1, lit(diam.toLong)) =!= 0 &&
+        col("id") + 1 < rows)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+      .localCheckpoint(eager = true)
+    val nodes = spark.range(rows).select(col("id"))
+    println(s"""{"probe":"components","rows":$rows,"diam":$diam,""" +
+      s""""cpus":$cpus,"edges":${edges.count()}}""")
+    def checksum(es: DataFrame): Long =
+      DupGroups.connectedComponents(es, nodes, maxIter = diam + 2)
+        .agg(sum(hash(col("id"), col("comp")))).head().getLong(0)
+    val (c1, _, _) = measure(spark, s"components_p3") {
+      checksum(edges.repartition(3))
+    }
+    val (c2, _, _) = measure(spark, s"components_p${cpus * 2}") {
+      checksum(edges.repartition(cpus * 2))
+    }
+    require(c1 == c2,
+      s"component labels depend on partitioning: $c1 vs $c2")
+  }
+
+  /** `--family ann`: IVF search with a planted DENSE CELL — `hotFrac`
+    * of all vectors sit in one tight cluster (jitter ~1e-3 around a
+    * fixed point), so one inverted list holds `hotFrac`·N vectors and
+    * any query probing that cell scans it exactly (the max-task
+    * signal). Equivalence: probing ALL cells (`nprobe = nlist`) must
+    * reproduce the brute-force top-k bitwise — same dot products, same
+    * rounding, same (sim desc, vec_id) tie-break — pinning that IVF's
+    * approximation comes ONLY from unprobed cells. */
+  private def probeIvf(spark: SparkSession, rows: Long, hotFrac: Double,
+                       cpus: Int): Unit = {
+    val dim = 16
+    val nlist = 16
+    val hot = (0 until dim).map(j =>
+      (lit(j * 0.25 - 2.0) +
+        pmod(hash(col("id") * 17 + j), lit(1000L)).cast("double") / 1e6)
+        .as(s"_c$j"))
+    val cold = (0 until dim).map(j =>
+      ((pmod(hash(col("id") * 31 + j), lit(2000L)).cast("double") - 1000.0)
+        / 1000.0).as(s"_c$j"))
+    val emb = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("vec_id"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
+        array(hot: _*)).otherwise(array(cold: _*)).as("embedding"))
+      .localCheckpoint(eager = true)
+    val queries = (0L until 8L).toSeq
+    println(s"""{"probe":"ivf-dense-cell","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"dim":$dim,"nlist":$nlist}""")
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(hash(col("query_id"), col("rank"), col("vec_id"),
+        col("sim")))).head().getLong(0)
+    measure(spark, "ivf_nprobe4") {
+      checksum(Ivf.ivfTopK(emb, queries, k = 5, nlist = nlist, nprobe = 4))
+    }
+    val (full, _, _) = measure(spark, "ivf_nprobe_all") {
+      checksum(Ivf.ivfTopK(emb, queries, k = 5, nlist = nlist, nprobe = nlist))
+    }
+    val (brute, _, _) = measure(spark, "brute_force") {
+      checksum(Similarity.bruteForceTopK(emb, queries, k = 5))
+    }
+    require(full == brute,
+      s"IVF probing all cells diverged from brute force: $full vs $brute")
+  }
+
+  /** `--family graph`: PageRank with a planted HUB — `hotFrac` of all
+    * edges point at node 0, so the per-iteration contribution aggregate
+    * has one hot destination key (partial→final aggregation absorbs it
+    * map-side; the probe's max-task number is the evidence).
+    * Equivalence: ranks are float sums whose grouping order varies with
+    * partitioning, so the cross-partitioning assertion is a bound —
+    * max |Δrank| < 1e-9 node-by-node — plus hub-is-top-1 in both runs. */
+  private def probePagerank(spark: SparkSession, rows: Long, hotFrac: Double,
+                            cpus: Int): Unit = {
+    val nSrc = math.max(rows / 10, 100L)
+    val raw = spark.range(0, rows, 1, cpus * 2).select(
+      pmod(hash(col("id") * 13 + 7), lit(nSrc)).as("src"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt), 0L)
+        .otherwise(pmod(hash(col("id") * 29 + 3), lit(nSrc))).as("dst"))
+    val edges = raw.groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("weight"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"pagerank-hub","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"distinct_edges":${edges.count()},""" +
+      s""""hub_in_edges":${edges.filter(col("dst") === 0L).count()}}""")
+    def run(es: DataFrame): DataFrame =
+      PageRank.pagerank(es, iters = 5).localCheckpoint(eager = true)
+    var r1: DataFrame = null
+    var r2: DataFrame = null
+    measure(spark, "pagerank_p3") {
+      r1 = run(edges.repartition(3))
+      r1.agg(sum(hash(col("node"), round(col("rank"), 6)))).head().getLong(0)
+    }
+    measure(spark, s"pagerank_p${cpus * 2}") {
+      r2 = run(edges.repartition(cpus * 2))
+      r2.agg(sum(hash(col("node"), round(col("rank"), 6)))).head().getLong(0)
+    }
+    val maxDiff = r1.withColumnRenamed("rank", "r1")
+      .join(r2.withColumnRenamed("rank", "r2"), "node")
+      .agg(max(abs(col("r1") - col("r2")))).head().getDouble(0)
+    println(s"""{"probe":"pagerank-hub","max_abs_rank_diff":$maxDiff}""")
+    require(maxDiff < 1e-9,
+      s"ranks diverged across partitionings: max |Δ| = $maxDiff")
+    Seq(r1, r2).foreach { r =>
+      val top = r.orderBy(desc("rank")).select("node").head().getLong(0)
+      require(top == 0L, s"hub is not top-ranked: node $top")
+    }
   }
 }

@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkTestBase
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the classic BPE toy corpus (Sennrich 2016 §3.2 uses low/lower/
+  // newest/widest); frequencies forced via repetition
+  private def corpus(words: (String, Int)*) =
+    words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+
+  test("learns the expected first merges on the classic toy corpus") {
+    // low x5, lower x2, newest x6, widest x3
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val (merges, _) = Bpe.train(docs, nMerges = 4)
+    // pair counts round 1: "e s" 9, "s t" 9, "t </>"... no sentinel
+    // token — pairs: l o (7), o w (7), w e (2+... ) etc.
+    // e s: newest 6 + widest 3 = 9 ; s t: 9 ; tie -> lexicographic "e s"
+    assert(merges(0).pair == "e s" && merges(0).pair_count == 9)
+    // after merging es: "s t" is gone, "es t" = 9 wins
+    assert(merges(1).pair == "es t" && merges(1).merged == "est")
+    // then l o (7) and o w (7) tie -> "l o"
+    assert(merges(2).pair == "l o")
+    assert(merges(3).pair == "lo w" && merges(3).merged == "low")
+  }
+
+  test("merge is left-to-right non-overlapping on runs") {
+    // "aaaa" x3: pair (a,a) count 9 (three per word); after merge the
+    // word is [aa, aa] -> next round (aa, aa) count 3
+    val docs = corpus("aaaa" -> 3)
+    val (merges, words) = Bpe.train(docs, nMerges = 2)
+    assert(merges(0).pair == "a a" && merges(0).pair_count == 9)
+    assert(merges(1).pair == "aa aa" && merges(1).pair_count == 3)
+    val state = words.select("s").as[String].collect().head
+    assert(state == " aaaa ")
+  }
+
+  test("odd-length runs leave the dangling symbol unmerged") {
+    // "aaa": merge (a,a) left-to-right -> [aa, a]; symbols are joined
+    // by TWO spaces in the state representation
+    val docs = corpus("aaa" -> 2)
+    val (_, words) = Bpe.train(docs, nMerges = 1)
+    assert(words.select("s").as[String].collect().head == " aa  a ")
+  }
+
+  test("encodedSymbolCounts weights by corpus frequency") {
+    val docs = corpus("low" -> 5, "lower" -> 2)
+    val counts = Bpe.encodedSymbolCounts(docs, nMerges = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merges: "l o" (7) then "lo w" (7) -> symbol "low" appears 7x
+    assert(counts("low") == 7L)
+    assert(counts("e") == 2L && counts("r") == 2L)
+  }
+
+  test("mergeTable output is deterministic across runs") {
+    val docs = corpus("newest" -> 4, "widest" -> 4, "low" -> 3)
+    val a = Bpe.mergeTable(docs, 5).collect().map(_.toSeq)
+    val b = Bpe.mergeTable(docs.repartition(7), 5).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("rejects nMerges < 1 and fails fast when pairs run out") {
+    val docs = corpus("ab" -> 1)
+    intercept[IllegalArgumentException] { Bpe.train(docs, 0) }
+    // "ab" has one pair; after merging it nothing remains
+    intercept[IllegalArgumentException] { Bpe.train(docs, 3) }
+  }
+}
