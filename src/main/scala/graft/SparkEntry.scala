@@ -1630,6 +1630,10 @@ object SparkEntry {
     // region whose 8-shingles all repeat somewhere in the corpus
     "d19_exact_substr" -> q((s, d) =>
       graft.dedup.ExactSubstr.duplicatedSpans(Tables.documents(s, d), k = 8)),
+    // the destructive half of the same pass: the cut list APPLIED —
+    // surviving token counts and rebuilt text pinned per affected doc
+    "d20_strip_spans" -> q((s, d) =>
+      graft.dedup.ExactSubstr.stripSpans(Tables.documents(s, d), k = 8)),
     // BPE merge-table training (Sennrich 2016): 10 rounds of
     // (pair-count aggregation → argmax → row-local merge) over the
     // vocabulary-sized word table; the merge table is the model
@@ -1641,6 +1645,18 @@ object SparkEntry {
     "bpe2_encoded_symbols" -> q((s, d) =>
       graft.text.Bpe.encodedSymbolCounts(Tables.documents(s, d),
         nMerges = 10, topK = 20)),
+    // tokenizer INFERENCE pinned cross-corpus: merges trained on
+    // `documents`, replayed over the part-name vocabulary — subwords
+    // only merge where the trained pairs actually occur, so the
+    // encoded symbol profile is a genuine out-of-domain application
+    "bpe3_cross_encode" -> q((s, d) => {
+      val merges = graft.text.Bpe.train(Tables.documents(s, d), nMerges = 10)._1
+      graft.text.Bpe.encode(
+          Tables.part(s, d).select(col("p_name").as("text")), merges)
+        .select(col("freq"), explode(col("symbols")).as("symbol"))
+        .groupBy("symbol").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("symbol")).limit(20)
+    }),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -2330,7 +2346,7 @@ object SparkEntry {
       s"""wc AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM
            (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
          w0 AS MATERIALIZED (SELECT word, freq,
-           ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
            FROM wc)"""
     val rounds = (1 to n).map { r =>
       s"""p$r AS (SELECT pr, sum(freq) AS cnt FROM (
@@ -2342,7 +2358,7 @@ object SparkEntry {
          b$r AS MATERIALIZED (SELECT pr, cnt FROM p$r
            ORDER BY cnt DESC, pr LIMIT 1),
          w$r AS MATERIALIZED (SELECT word, freq,
-           replace(s, ' ' || (SELECT pr FROM b$r) || ' ',
+           replace(s, ' ' || replace((SELECT pr FROM b$r), ' ', '  ') || ' ',
                    ' ' || replace((SELECT pr FROM b$r), ' ', '') || ' ') AS s
            FROM w${r - 1})"""
     }
@@ -4736,6 +4752,42 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
            max(pos) + 7 - min(pos) + 1 AS span_len
          FROM j GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "d20_strip_spans" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS t FROM documents),
+         p0 AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+             list_transform(range(1, len(t) - 6),
+               i -> struct_pack(pos := i, sh := array_to_string(t[i:i+7], ' ')))
+           ELSE [] END AS ps FROM w),
+         p1 AS (SELECT doc_id, unnest(ps) AS s FROM p0),
+         p AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.sh AS sh FROM p1),
+         d AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2),
+         q AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM d)),
+         i AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk FROM q),
+         j AS (SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM j GROUP BY doc_id, island),
+         cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+         tk0 AS (SELECT doc_id, CASE WHEN len(t) >= 1 THEN
+             list_transform(range(1, len(t) + 1),
+               i -> struct_pack(pos := i, tok := t[i]))
+           ELSE [] END AS ps FROM w),
+         tk1 AS (SELECT doc_id, unnest(ps) AS s FROM tk0),
+         tk AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok FROM tk1),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+           ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos),
+         ka AS (SELECT doc_id, count(*) AS n_after,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id),
+         bf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before FROM w)
+         SELECT sd.doc_id, bf.n_before,
+           CAST(coalesce(ka.n_after, 0) AS BIGINT) AS n_after,
+           coalesce(ka.clean_text, '') AS clean_text
+         FROM (SELECT DISTINCT doc_id FROM sp) sd
+         JOIN bf USING (doc_id) LEFT JOIN ka USING (doc_id)
+         ORDER BY doc_id""",
     "bpe1_merge_table" ->
       s"""WITH ${bpeRoundsSql(10)}
          SELECT * FROM (${(1 to 10).map(r =>
@@ -4747,6 +4799,23 @@ object SparkEntry {
            SELECT symbol, sum(freq) AS cnt FROM (
              SELECT freq, unnest(list_filter(string_split(s, ' '),
                x -> len(x) > 0)) AS symbol FROM w10) GROUP BY 1)
+         ORDER BY cnt DESC, symbol LIMIT 20""",
+    "bpe3_cross_encode" ->
+      s"""WITH ${bpeRoundsSql(10)},
+         pe0 AS (SELECT word, freq,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+           FROM (SELECT tok AS word, count(*) AS freq FROM
+             (SELECT unnest(list_filter(string_split(p_name, ' '),
+                x -> len(x) > 0)) AS tok FROM part) GROUP BY 1)),
+         ${(1 to 10).map(r =>
+           s"""pe$r AS (SELECT word, freq,
+             replace(s, ' ' || replace((SELECT pr FROM b$r), ' ', '  ') || ' ',
+                     ' ' || replace((SELECT pr FROM b$r), ' ', '') || ' ') AS s
+             FROM pe${r - 1})""").mkString(",\n         ")}
+         SELECT symbol, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT symbol, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_filter(string_split(s, ' '),
+               x -> len(x) > 0)) AS symbol FROM pe10) GROUP BY 1)
          ORDER BY cnt DESC, symbol LIMIT 20""",
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (

@@ -87,6 +87,49 @@ object ExactSubstr {
       .orderBy("doc_id", "span_start")
   }
 
+  /** APPLY the cut list: remove every token covered by a duplicated
+    * span and rebuild the surviving text — the destructive half of the
+    * ExactSubstr pass (Lee et al. 2021 §4.1 removes the repeated span
+    * itself, keeping one-off text). Returns one row per AFFECTED doc:
+    * `(doc_id, n_before, n_after, clean_text)` (a fully-duplicated doc
+    * comes back with `n_after = 0` and empty text — the row is the
+    * evidence the doc should drop entirely).
+    *
+    * Scale shape: covered positions explode one row per CUT TOKEN —
+    * bounded by corpus duplication mass, not corpus size; the
+    * keep-filter is a left-anti equi-join on `(doc_id, pos)`; the text
+    * rebuild is a per-document sort-free aggregation (positions ride in
+    * a struct, `array_sort` orders each doc's survivors locally). */
+  def stripSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(docs, k)
+    // spans of one doc are disjoint by construction (islands split on
+    // gap > k, so consecutive spans are separated by ≥1 uncovered
+    // position) — no dedup needed after the explode
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => length(t) > 0))
+          .as(Seq("_p0", "tok")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    val before = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => length(t) > 0))
+        .cast("long").as("n_before"))
+    spans.select("doc_id").distinct()
+      .join(before, "doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document duplication budget from the cut list: how many tokens
     * the removal step would cut, per doc that has any — the accounting
     * number a dedup job publishes before destructive removal. */

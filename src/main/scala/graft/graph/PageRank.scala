@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * shuffle joins the rank vector (|V| rows, 16 bytes each) to the
   * normalized edge list and one partial→final aggregate re-keys by
   * destination. The edge normalization is computed once and persisted.
-  * `localCheckpoint(eager)` cuts lineage each round — without it the
+  * `localCheckpoint` cuts lineage each round — without it the
   * plan tree doubles per iteration and the job dies at planning time
-  * long before 100 TB. The only driver-side values are two scalars:
-  * node count (once) and per-iteration dangling mass — Pregel-style
-  * aggregator reads, never row data.
+  * long before 100 TB. The only driver-side value is one scalar: the
+  * node count (read once). The per-round dangling mass is a one-row
+  * aggregate BROADCAST inside the plan, so a fixed-iteration run
+  * executes as a single job with no per-round driver barrier;
+  * checkpoints turn eager only when `tol > 0` forces a per-round
+  * convergence read anyway.
   *
   * Fixed `iters` keeps the gate deterministic; `tol > 0` adds the
   * convergence early-exit a 100×-scale graph wants — stop as soon as
@@ -66,30 +69,53 @@ object PageRank {
         Seq("node"), "left_anti")
       .persist()
     // checked ONCE: a sink-free graph (the common derived-key case) must
-    // not pay a per-iteration scalar job for a mass that is always zero
+    // not pay a per-iteration dangling subtree for a mass that is
+    // always zero
     val hasDangling = !danglingNodes.isEmpty
+    // Checkpoints are EAGER only when the loop must read a scalar from
+    // the driver each round anyway (tol > 0). With fixed iterations the
+    // whole chain stays lazy: every per-round quantity — including the
+    // dangling mass, folded in as a broadcast one-row aggregate instead
+    // of a per-round collect — lives in the plan, so the caller's first
+    // action runs ONE job for all rounds instead of paying 2 driver
+    // round-trips per round. The lazy localCheckpoint still caches each
+    // round's ranks on first computation (the dangling subtree and the
+    // contribution join share it) and still cuts lineage for large
+    // iteration counts.
+    val eagerRounds = tol > 0.0
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = eagerRounds)
     try {
       var it = 0
       var converged = false
       while (it < iters && !converged) {
-        // rank mass sitting on sink nodes redistributes uniformly — a
-        // scalar aggregator read, the one driver value per round
-        val dangling =
-          if (!hasDangling) 0.0
-          else danglingNodes.join(ranks, "node")
-            .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        // The rank vector is |V| rows of 16 bytes — the driver already
+        // holds |V| (`n`), so the broadcast decision is made from a
+        // MEASURED size, not a planner guess (checkpointed frames carry
+        // no stats, so Spark alone would always shuffle). Small graphs
+        // (≤ ~16 MB of ranks) broadcast and skip re-shuffling the edge
+        // list every round; web-scale graphs keep the shuffle join,
+        // which co-partitions with the persisted normEdges.
+        val rankSide = ranks.withColumnRenamed("node", "src")
         val contrib = normEdges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(if (n <= 1e6) broadcast(rankSide) else rankSide, "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("p") * col("rank")).as("in_rank"))
-        val next = nodes.join(contrib, Seq("node"), "left")
+        val base = nodes.join(contrib, Seq("node"), "left")
+        // rank mass sitting on sink nodes redistributes uniformly — a
+        // one-row aggregate broadcast into every partition (identical
+        // arithmetic to the former driver-side read: same sum, then /n)
+        val withMass =
+          if (hasDangling) base.crossJoin(broadcast(
+            danglingNodes.join(ranks, "node")
+              .agg(coalesce(sum("rank"), lit(0.0)).as("_dmass"))))
+          else base.withColumn("_dmass", lit(0.0))
+        val next = withMass
           .select(col("node"),
             (lit((1 - damping) / n) + lit(damping) *
-              (coalesce(col("in_rank"), lit(0.0)) + lit(dangling / n)))
+              (coalesce(col("in_rank"), lit(0.0)) + col("_dmass") / lit(n)))
               .as("rank"))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = eagerRounds)
         if (tol > 0.0) {
           // L1 delta vs the previous round — both sides are checkpointed
           // |V|-row vectors, so this is one broadcast-or-shuffle join +

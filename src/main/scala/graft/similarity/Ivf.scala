@@ -53,11 +53,35 @@ object Ivf {
 
   /** Top-k cosine neighbors for `queryIds`, probing `nprobe` cells. */
   def search(index: Index, queryIds: Seq[Long], k: Int = 5,
-             nprobe: Int = 4): DataFrame = {
-    val queries = index.assignments
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"))
+             nprobe: Int = 4): DataFrame =
+    searchImpl(index,
+      index.assignments
+        .filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+          col("norm").as("q_norm")),
+      k, nprobe)
+
+  /** k-NN JOIN through the index: for EVERY row of `queries` (needs
+    * `(vec_id, embedding)` — an external frame, not ids of indexed
+    * vectors), the top-k cosine neighbors among the indexed corpus,
+    * probing `nprobe` cells per query. This is the SCALE path for
+    * cross-corpus ANN: queries are never broadcast — cell ranking is a
+    * broadcast of the tiny centroid table, and candidate scoring
+    * shuffles on the cell key, so a corpus-sized query side
+    * distributes like any equi-join (a probed mega-cell is ordinary
+    * join-key skew — AQE's skew split applies). Exact twin for
+    * validation: [[Similarity.knnJoin]]. */
+  def searchJoin(index: Index, queries: DataFrame, k: Int = 5,
+                 nprobe: Int = 4): DataFrame =
+    searchImpl(index,
+      queries
+        .withColumn("q_emb", transform(col("embedding"), _.cast("double")))
+        .withColumn("q_norm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+        .select(col("vec_id").as("query_id"), col("q_emb"), col("q_norm")),
+      k, nprobe)
+
+  private def searchImpl(index: Index, queries: DataFrame, k: Int,
+                         nprobe: Int): DataFrame = {
     // rank cells per query by centroid cosine; keep nprobe
     val byQuery = Window.partitionBy("query_id")
     val probes = queries

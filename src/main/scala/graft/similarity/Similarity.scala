@@ -72,6 +72,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact k-NN JOIN: for EVERY row of `queries`, its `k` nearest
+    * `corpus` vectors by cosine — the cross-corpus primitive behind
+    * semantic dedup between two datasets and retrieval-set
+    * construction. Both frames need `(vec_id, embedding)`; output is
+    * `(query_id, rank, vec_id, sim)`, one row per (query, neighbor).
+    *
+    * Corpus rows whose `vec_id` equals the query's are excluded (same
+    * contract as [[bruteForceTopK]] — with overlapping id spaces "the
+    * same id" means "the same vector"). This exact form BROADCASTS the
+    * query side: it is the validation tier for |queries| small enough
+    * to ship (≲ broadcast threshold). For a corpus-sized query side use
+    * [[Ivf.searchJoin]] — cell-partitioned, no broadcast of queries. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val q = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = prepared(corpus)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        pairSim(col("q_emb"), col("q_norm"), col("emb"), col("norm")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5)
     * (splitmix64 of (bit, dim)) — no stored model needed, any executor
     * derives the same planes. */

@@ -104,6 +104,24 @@ object Bpe {
     train(docs, nMerges)._1.toDF().orderBy("step")
   }
 
+  /** Apply an already-learned merge table to a NEW corpus — the
+    * inference half of the tokenizer: build the target's word-frequency
+    * table, replay the merges in training order (each one the same
+    * row-local two-space-delimited replace used in training), and
+    * return `(word, freq, symbols)` with the final subword segmentation.
+    * The merge table is a driver-side `Seq` (N rows — the model), so
+    * the replay is a pure projection chain: zero joins, zero extra
+    * shuffles beyond the one word-count aggregation. */
+  def encode(docs: DataFrame, merges: Seq[Merge],
+             textCol: String = "text"): DataFrame = {
+    val encoded = merges.sortBy(_.step).foldLeft(wordTable(docs, textCol)) {
+      (df, m) =>
+        df.withColumn("s", replace(col("s"),
+          lit(" " + m.pair.replace(" ", "  ") + " "), lit(s" ${m.merged} ")))
+    }
+    encoded.select(col("word"), col("freq"), symbolsOf(col("s")).as("symbols"))
+  }
+
   /** Corpus-weighted symbol frequencies AFTER the learned merges — the
     * encoded-output pin: top `topK` symbols by `(count desc, symbol)`.
     * Shows merged subwords overtaking raw characters. */

@@ -73,6 +73,37 @@ class ExactSubstrSpec extends SparkTestBase {
     assert(prof.toSeq == Seq((1L, 2L, 6L, 3L), (2L, 1L, 3L, 3L)))
   }
 
+  test("stripSpans removes covered tokens and rebuilds the survivors") {
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "q a b c r s")).toDF("doc_id", "text")
+    val out = ExactSubstr.stripSpans(docs, K).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "a b c" cut from both docs; the rest survives in order
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, "x y z"),
+      (2L, 6L, 3L, "q r s")))
+  }
+
+  test("stripSpans reports a fully-duplicated doc as empty") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = ExactSubstr.stripSpans(docs, K).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 0L, ""), (2L, 0L, "")))
+  }
+
+  test("stripSpans leaves unaffected docs out of the result") {
+    val docs = Seq(
+      (1L, "a b c x"),
+      (2L, "a b c y"),
+      (3L, "totally unique content here")).toDF("doc_id", "text")
+    val out = ExactSubstr.stripSpans(docs, K)
+    assert(out.filter($"doc_id" === 3L).count() == 0)
+    assert(out.count() == 2)
+  }
+
   test("k < 2 is rejected") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -62,6 +62,19 @@ class BpeSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("encode applies learned merges to an unseen corpus in training order") {
+    // train on low/lower: merges "l o" then "lo w"
+    val (merges, _) = Bpe.train(corpus("low" -> 5, "lower" -> 2), nMerges = 2)
+    assert(merges.map(_.pair) == Seq("l o", "lo w"))
+    // "slow" contains l-o-w -> [s, low]; "lot" only l-o -> [lo, t];
+    // "cat" shares no trained pair -> raw chars
+    val enc = Bpe.encode(corpus("slow" -> 1, "lot" -> 1, "cat" -> 1), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc("slow") == Seq("s", "low"))
+    assert(enc("lot") == Seq("lo", "t"))
+    assert(enc("cat") == Seq("c", "a", "t"))
+  }
+
   test("rejects nMerges < 1 and fails fast when pairs run out") {
     val docs = corpus("ab" -> 1)
     intercept[IllegalArgumentException] { Bpe.train(docs, 0) }
