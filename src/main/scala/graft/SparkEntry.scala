@@ -1753,6 +1753,44 @@ object SparkEntry {
     // nprobe=8; 0.62 at the default nprobe=4), plus every reported sim
     // must equal the exact cosine of its (query, vec) pair — a routing
     // or scoring bug fails either boolean loudly
+    // cross-corpus EXACT k-NN join: every even-id vector's 3 nearest
+    // odd-id vectors — the full join surface pinned row by row
+    "n9_knn_join" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 3)
+    }),
+    // the IVF scale tier of the same join (KMeans cells aren't
+    // oracle-replayable → invariant gate, n7's pattern): corpus-sized
+    // query side, never broadcast; recall vs the in-engine exact twin
+    // bounded below, every emitted sim re-verified from raw vectors
+    "n10_ivf_knn_join" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 2 === 0)
+      val corpus = emb.filter(col("vec_id") % 2 === 1)
+      val idx = graft.similarity.Ivf.buildIndex(corpus, nlist = 16)
+      val ivf = graft.similarity.Ivf.searchJoin(idx, queries, k = 3,
+        nprobe = 8).localCheckpoint(true)
+      idx.assignments.unpersist()
+      val exact = Similarity.knnJoin(queries, corpus, k = 3)
+      val hits = ivf.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_semi")
+      val truth = ivf
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), "query_id")
+        .join(corpus.select(col("vec_id"), col("embedding").as("v_emb")),
+          "vec_id")
+        .select((round(Similarity.cosine(col("q_emb"), col("v_emb")), 6)
+          === col("sim")).cast("int").as("ok"))
+      ivf.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(hits.agg(count(lit(1)).as("_hits")))
+        .crossJoin(truth.agg((min("ok") === 1).as("sims_match_exact")))
+        .select(col("n_queries"), col("n_rows"),
+          (col("_hits") >= col("n_rows") * lit(0.6)).as("recall_ge_06"),
+          col("sims_match_exact"))
+    }),
     "n7_ivf_top5" -> q((s, d) => {
       val emb = Tables.embeddings(s, d)
       val ivf = graft.similarity.Ivf.ivfTopK(emb, 0L until 10L, k = 5,
@@ -4255,6 +4293,23 @@ object SparkEntry {
     "n7_ivf_top5" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
          true AS recall_ge_06, true AS sims_match_exact""",
+    "n9_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id % 2 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id % 2 = 1),
+         s AS (SELECT query_id, c.vec_id,
+           list_cosine_similarity(q.q_emb, c.emb) AS sim
+           FROM q JOIN c ON c.vec_id != q.query_id),
+         r AS (SELECT query_id, vec_id, sim, row_number() OVER
+           (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(sim,6) AS sim
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    "n10_ivf_knn_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(3 * count(*) AS BIGINT) AS n_rows,
+         true AS recall_ge_06, true AS sims_match_exact
+         FROM embeddings WHERE vec_id % 2 = 0""",
     "n8_pq_clones" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
          true AS self_at_min, true AS clones_in_top5,

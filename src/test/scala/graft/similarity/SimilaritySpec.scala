@@ -35,6 +35,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.length == 2)
   }
 
+  test("knnJoin ranks each query's corpus neighbors by cosine") {
+    val queries = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.14f, 0.0f)), // nearest to q0
+      (11L, Array(0.1f, 0.99f, 0.0f)),  // nearest to q1
+      (12L, Array(0.6f, 0.6f, 0.52f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(queries, corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 1, 10L), (0L, 2, 12L),
+      (1L, 1, 11L), (1L, 2, 12L)))
+  }
+
+  test("searchJoin probing all cells reproduces the exact knnJoin bitwise") {
+    // deterministic 8-dim vectors; disjoint id spaces
+    def vec(seed: Long) = Array.tabulate(8)(j =>
+      (((seed * 31 + j * 7 + 3) % 13) - 6).toFloat)
+    val queries = (0L until 20L by 2).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val corpus = (1L until 40L by 2).map(i => (i, vec(i * 5)))
+      .toDF("vec_id", "embedding")
+    val idx = Ivf.buildIndex(corpus, nlist = 4)
+    val full = Ivf.searchJoin(idx, queries, k = 3, nprobe = 4)
+      .collect().map(_.toSeq)
+    idx.assignments.unpersist()
+    val exact = Similarity.knnJoin(queries, corpus, k = 3)
+      .collect().map(_.toSeq)
+    assert(full.toSeq == exact.toSeq)
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val emb = Seq((0L, Array.fill(8)(0.3f)), (1L, Array.fill(8)(0.3f)))
       .toDF("vec_id", "embedding")
