@@ -1675,6 +1675,18 @@ object SparkEntry {
     "d6_strip_dup_segments" -> q((s, d) => Dedup.stripDuplicateSegments(Tables.documents(s, d))),
     "d7_segment_dup_stats" -> q((s, d) => Dedup.segmentDupStats(Tables.documents(s, d))),
     "d8_dup_components" -> q((s, d) => DupGroups.dupComponentSizes(Tables.documents(s, d))),
+    // identical component structure via large-star/small-star
+    // contraction (O(log² n) rounds regardless of diameter — the scale
+    // path when clusters chain instead of cliquing); pinned against the
+    // SAME recursive-CTE oracle as d8
+    "d21_components_star" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.StarComponents.connectedComponents(
+          DupGroups.dupEdges(docs), docs.select(col("doc_id").as("id")))
+        .groupBy(col("comp").as("component"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("component")
+    }),
     // test-set decontamination: eval = every 97th doc; any training doc
     // sharing an 8-token shingle with it is dropped (broadcast semi/anti
     // joins — the eval shingle set is the only broadcast state)
@@ -2369,6 +2381,33 @@ object SparkEntry {
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
   private val toks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** Shared by `d8_dup_components` (min-label propagation) and
+    * `d21_components_star` (large-star/small-star contraction): both
+    * algorithms must land on the identical component census, so they
+    * pin against the identical recursive-CTE oracle. */
+  private lazy val dupComponentsSql =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
+         list_distinct(CASE WHEN len($toks) >= 3
+           THEN list_transform(range(0, len($toks) - 2),
+                  i -> array_to_string(($toks)[i+1:i+3], ' '))
+           ELSE [array_to_string($toks, ' ')] END) AS s
+         FROM documents),
+       near AS (SELECT a.doc_id AS a, b.doc_id AS b
+         FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+           len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
+       reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+       exact AS (SELECT d.doc_id AS a, r.rep AS b
+         FROM documents d JOIN reps r ON d.text = r.text WHERE d.doc_id != r.rep),
+       e AS (SELECT a, b FROM exact UNION ALL SELECT a, b FROM near
+             UNION ALL SELECT b, a FROM exact UNION ALL SELECT b, a FROM near),
+       reach(src, node) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
+       lab AS (SELECT node, min(src) AS component FROM reach GROUP BY node)
+       SELECT component, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY component"""
 
   /** The bpe1/bpe2 oracle's shared CTE chain: `n` unrolled BPE rounds
     * over the word-frequency table, mirroring [[graft.text.Bpe]] exactly
@@ -4917,28 +4956,10 @@ object SparkEntry {
              ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3)
          SELECT lang, doc_a, doc_b, jaccard FROM p
          WHERE jaccard >= 0.2 ORDER BY lang, doc_a, doc_b""",
-    "d8_dup_components" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
-           list_distinct(CASE WHEN len($toks) >= 3
-             THEN list_transform(range(0, len($toks) - 2),
-                    i -> array_to_string(($toks)[i+1:i+3], ' '))
-             ELSE [array_to_string($toks, ' ')] END) AS s
-           FROM documents),
-         near AS (SELECT a.doc_id AS a, b.doc_id AS b
-           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-           WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
-             len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5),
-         reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-         exact AS (SELECT d.doc_id AS a, r.rep AS b
-           FROM documents d JOIN reps r ON d.text = r.text WHERE d.doc_id != r.rep),
-         e AS (SELECT a, b FROM exact UNION ALL SELECT a, b FROM near
-               UNION ALL SELECT b, a FROM exact UNION ALL SELECT b, a FROM near),
-         reach(src, node) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
-         lab AS (SELECT node, min(src) AS component FROM reach GROUP BY node)
-         SELECT component, count(*) AS n_docs FROM lab GROUP BY 1 ORDER BY component""",
+    "d8_dup_components" -> dupComponentsSql,
+    // the star-contraction twin must land on the IDENTICAL component
+    // census — same oracle, different distributed algorithm
+    "d21_components_star" -> dupComponentsSql,
     "a26_heavy_hitters" ->
       """SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
          HAVING count(*) > (SELECT count(*) FROM events) * 0.008

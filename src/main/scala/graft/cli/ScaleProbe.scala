@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.dedup.{Dedup, DupGroups}
+import graft.dedup.{Dedup, DupGroups, StarComponents}
 import graft.graph.PageRank
 import graft.operators.{AsOfJoin, Quality, Windows}
 import graft.similarity.{Ivf, Similarity}
@@ -256,6 +256,15 @@ object ScaleProbe {
     }
     require(c1 == c2,
       s"component labels depend on partitioning: $c1 vs $c2")
+    // the diameter-free algorithm on the same chains: rounds are
+    // O(log² n) however long the chain, so the diam axis should stop
+    // mattering — and the labeling must be identical
+    val (c3, _, _) = measure(spark, "components_star") {
+      StarComponents.connectedComponents(edges, nodes)
+        .agg(sum(hash(col("id"), col("comp")))).head().getLong(0)
+    }
+    require(c1 == c3,
+      s"star contraction diverged from label propagation: $c1 vs $c3")
   }
 
   /** `--family ann`: IVF search with a planted DENSE CELL — `hotFrac`
