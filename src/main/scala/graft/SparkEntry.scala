@@ -1372,6 +1372,11 @@ object SparkEntry {
           round(max("avg_logp"), 4).as("max_logp"))
         .orderBy("lang")),
 
+    // CCNet's selection step over the lm1 scores: per-language
+    // head/middle/tail tertile census — what a pipeline keeps or drops
+    "lm3_ccnet_buckets" -> q((s, d) =>
+      graft.text.UnigramLm.ccnetBuckets(Tables.documents(s, d), 1000)),
+
     "t5_langid_confusion" -> q((s, d) => TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "t6_quality_by_lang" -> q((s, d) => TextAnalysis.qualityByLang(Tables.documents(s, d))),
     "t7_token_stats" -> q((s, d) =>
@@ -1765,6 +1770,17 @@ object SparkEntry {
     // nprobe=8; 0.62 at the default nprobe=4), plus every reported sim
     // must equal the exact cosine of its (query, vec) pair — a routing
     // or scoring bug fails either boolean loudly
+    // embedding-space decontamination (the paraphrase-leakage
+    // complement of d11's n-gram pass): every 10th vector is "eval";
+    // training vectors whose max cosine to the eval set reaches the
+    // fixture-calibrated 0.35 (≈ the 90th percentile of max-sims) are
+    // flagged with their nearest eval id
+    "n11_semantic_decontaminate" -> q((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), tau = 0.35)
+    }),
     // cross-corpus EXACT k-NN join: every even-id vector's 3 nearest
     // odd-id vectors — the full join surface pinned row by row
     "n9_knn_join" -> q((s, d) => {
@@ -4092,6 +4108,28 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, round(avg(avg_logp),4) AS mean_logp,
            round(min(avg_logp),4) AS min_logp, round(max(avg_logp),4) AS max_logp
          FROM d GROUP BY 1 ORDER BY lang""",
+    "lm3_ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+         top AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+           ORDER BY cnt DESC, tok LIMIT 1000),
+         sc AS (SELECT doc_id, lang,
+           ln(COALESCE(top.cnt::DOUBLE, 0.5) / (SELECT total FROM tot)) AS lp
+           FROM tok LEFT JOIN top USING (tok)),
+         d AS (SELECT doc_id, lang, count(*) AS n_tokens,
+           round(avg(lp), 6) AS score FROM sc GROUP BY 1, 2),
+         th AS (SELECT lang,
+           quantile_cont(score, (1::DOUBLE) / 3) AS t1,
+           quantile_cont(score, (2::DOUBLE) / 3) AS t2
+           FROM d GROUP BY 1),
+         b AS (SELECT d.lang,
+           CASE WHEN score <= t1 THEN 'tail'
+                WHEN score <= t2 THEN 'middle' ELSE 'head' END AS bucket,
+           score, n_tokens FROM d JOIN th USING (lang))
+         SELECT lang, bucket, count(*) AS n_docs,
+           round(avg(score), 4) AS mean_score,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2 ORDER BY lang, bucket""",
     "lm2_bigram_quality" ->
       s"""WITH w AS (SELECT doc_id, lang, $toks AS t FROM documents),
          tok AS (SELECT doc_id, unnest(t) AS tok FROM w),
@@ -4332,6 +4370,20 @@ object SparkEntry {
     "n7_ivf_top5" ->
       """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_rows,
          true AS recall_ge_06, true AS sims_match_exact""",
+    "n11_semantic_decontaminate" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id % 10 != 0),
+         e AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (SELECT t.vec_id, e.eid,
+           list_cosine_similarity(t.emb, e.emb) AS sim FROM t, e),
+         m AS (SELECT vec_id, max(sim) AS ms FROM s GROUP BY 1),
+         p AS (SELECT s.vec_id, min(s.eid) AS nearest_eval_id,
+           round(any_value(m.ms), 6) AS max_sim
+           FROM s JOIN m ON s.vec_id = m.vec_id AND s.sim = m.ms
+           GROUP BY 1)
+         SELECT vec_id, nearest_eval_id, max_sim FROM p
+         WHERE max_sim >= 0.35 ORDER BY vec_id""",
     "n9_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
            FROM embeddings WHERE vec_id % 2 = 0),

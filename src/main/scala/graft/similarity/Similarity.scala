@@ -101,6 +101,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SEMANTIC decontamination: flag every training vector whose cosine
+    * to ANY eval vector reaches `tau` — the embedding-space
+    * complement of [[graft.dedup.Decontaminate]]'s n-gram overlap
+    * (catches paraphrased test leakage that shares no shingle).
+    * Returns `(vec_id, nearest_eval_id, max_sim)` for flagged vectors,
+    * `nearest_eval_id` = smallest eval id achieving the max.
+    *
+    * Scale shape mirrors the n-gram pass: the EVAL side is small by
+    * nature and broadcasts; training vectors stream through one pass
+    * (|train|·|eval| similarity evaluations map-side, no shuffle of
+    * vectors); the per-vector max and argmax ride one partial→final
+    * aggregation. The threshold compares 6-decimal-rounded sims so the
+    * boundary is float-noise-free across engines. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            tau: Double): DataFrame = {
+    val e = prepared(eval)
+      .select(col("vec_id").as("eid"), col("emb").as("e_emb"),
+        col("norm").as("e_norm"))
+    val sims = prepared(train)
+      .crossJoin(broadcast(e))
+      .select(col("vec_id"), col("eid"),
+        pairSim(col("emb"), col("norm"), col("e_emb"), col("e_norm")).as("sim"))
+    val top = sims.groupBy("vec_id").agg(max("sim").as("_ms"))
+    sims.join(top, "vec_id")
+      .filter(col("sim") === col("_ms"))
+      .groupBy("vec_id")
+      .agg(min("eid").as("nearest_eval_id"),
+        round(first(col("_ms")), 6).as("max_sim"))
+      .filter(col("max_sim") >= tau)
+      .orderBy("vec_id")
+  }
+
   /** Deterministic pseudo-random hyperplane weights in [-0.5, 0.5)
     * (splitmix64 of (bit, dim)) — no stored model needed, any executor
     * derives the same planes. */

@@ -65,4 +65,41 @@ object UnigramLm {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), avg("lp").as("avg_logp"))
   }
+
+  /** CCNet's selection step (Wenzek et al. 2020 §3.3): cut each
+    * language's per-document LM score distribution into head / middle /
+    * tail at the ⅓ and ⅔ quantiles and report the per-(lang, bucket)
+    * census — the table a pipeline reads to keep head (+ middle) and
+    * drop tail. Scores are rounded to 6 decimals BEFORE thresholding so
+    * both the quantile inputs and the boundary comparisons are
+    * float-noise-free across engines (ulp differences in a mean of logs
+    * are ~1e-15; the rounding grid is 1e-6).
+    *
+    * Scale shape: thresholds are one language-keyed aggregation
+    * (languages ≪ corpus) broadcast back — never a per-language window
+    * over the corpus. The gate pins EXACT quantiles for oracle parity;
+    * exact `percentile` buffers each language's score vector in the
+    * aggregation buffer, so at 100 TB pass `exact = false` for the
+    * fixed-size `approx_percentile` sketch (same two-pass shape — the
+    * a12/a27 exact/approx twin convention). */
+  def ccnetBuckets(documents: DataFrame, vocabSize: Int = 1000,
+                   exact: Boolean = true): DataFrame = {
+    val scored = scoreDocuments(documents, vocabSize)
+      .withColumn("score", round(col("avg_logp"), 6))
+    def q(p: Double) =
+      if (exact) percentile(col("score"), lit(p))
+      else percentile_approx(col("score"), lit(p), lit(10000))
+    val th = scored.groupBy("lang")
+      .agg(q(1.0 / 3).as("_t1"), q(2.0 / 3).as("_t2"))
+    scored.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("score") <= col("_t1"), "tail")
+          .when(col("score") <= col("_t2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("score"), 4).as("mean_score"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("lang", "bucket")
+  }
 }

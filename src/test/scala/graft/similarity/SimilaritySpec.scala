@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(full.toSeq == exact.toSeq)
   }
 
+  test("semanticDecontaminate flags only vectors near an eval vector") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // ~identical to eval 100
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to both evals
+      (3L, Array(0.71f, 0.0f, 0.71f))) // cos ~0.71 to eval 100
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(0.999f, 0.01f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(train, eval, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)))
+    // lower threshold pulls in the 45-degree vector (nearest: eval 100
+    // at ~0.7066 vs eval 101 at ~0.7071 -> 101 wins the max)
+    val loose = Similarity.semanticDecontaminate(train, eval, tau = 0.5)
+      .collect().map(r => r.getLong(0))
+    assert(loose.toSeq == Seq(1L, 3L))
+  }
+
   test("hyperplane signature is deterministic and bucket-stable") {
     val emb = Seq((0L, Array.fill(8)(0.3f)), (1L, Array.fill(8)(0.3f)))
       .toDF("vec_id", "embedding")

@@ -29,6 +29,29 @@ class UnigramLmSpec extends SparkTestBase {
     assert(s(3L)._2 < s(1L)._2)
   }
 
+  test("ccnetBuckets tertiles a language into head/middle/tail by score") {
+    // nine docs with strictly ordered scores: three pure-"a" (best),
+    // three mixed, three pure-OOV junk (worst)
+    val corpus = (1L to 3L).map(i => (i, "en", "a a a a")) ++
+      (4L to 6L).map(i => (i, "en", "a b")) ++
+      (7L to 9L).map(i => (i, "en", "qq ww"))
+    val buckets = UnigramLm.ccnetBuckets(
+        corpus.toDF("doc_id", "lang", "text"), vocabSize = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(buckets == Map("head" -> 3L, "middle" -> 3L, "tail" -> 3L))
+  }
+
+  test("ccnetBuckets approx tier matches exact on small data") {
+    val corpus = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", s"a ${"b " * (i % 5).toInt}tok$i"))
+      .toDF("doc_id", "lang", "text")
+    val exact = UnigramLm.ccnetBuckets(corpus, 10, exact = true)
+      .collect().map(_.toSeq)
+    val approx = UnigramLm.ccnetBuckets(corpus, 10, exact = false)
+      .collect().map(_.toSeq)
+    assert(exact.toSeq == approx.toSeq)
+  }
+
   test("empty corpus yields an empty result, not a driver error") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
     assert(UnigramLm.scoreDocuments(empty, 10).isEmpty)
