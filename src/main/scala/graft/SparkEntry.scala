@@ -1692,6 +1692,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("component")
     }),
+    // incremental snapshot-vs-batch dedup: incoming (every 3rd doc)
+    // deduped against the rest of the corpus AND within itself on the
+    // normalized-text digest; accepted membership pinned per language
+    "d22_incremental_dedup" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_accepted"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("lang")
+    }),
     // test-set decontamination: eval = every 97th doc; any training doc
     // sharing an 8-token shingle with it is dropped (broadcast semi/anti
     // joins — the eval shingle set is the only broadcast state)
@@ -2041,6 +2054,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           sum("n_tokens").as("tok_sum"))
         .orderBy("source")),
+    // temperature-scaled mixture (XLM-R α-sampling): the 20 uniform
+    // sources fold into 4 skewed domains (300/100/75/25 at sf0.01), the
+    // α=0.5 rates flatten that distribution toward the tail, and the
+    // kept membership is pinned per domain via id aggregates — the
+    // oracle replays the whole rate computation and the fnv band draw
+    "tp6_temperature_mixture" -> q((s, d) => {
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val docs = Tables.documents(s, d).withColumn("domain",
+        when(srcNum <= 11, "web").when(srcNum <= 15, "books")
+          .when(srcNum <= 18, "code").otherwise("wiki"))
+      val rates = graft.pipeline.TrainingData
+        .temperatureRates(docs, "domain", targetFraction = 0.5, alpha = 0.5)
+      graft.pipeline.TrainingData
+        .temperatureMixture(docs, "domain", targetFraction = 0.5, alpha = 0.5)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .join(rates, "domain")
+        .select(col("domain"), col("n_docs"), col("q_share"),
+          col("keep_band"), col("n_kept"), col("id_sum"))
+        .orderBy("domain")
+    }),
+    // leakage-safe split: every normalized-text dup group lands whole in
+    // one split (split = fnv band of the group's min id); the census
+    // pins membership per split AND the cross-split leakage count the
+    // operator exists to force to zero
+    "tp7_group_split" -> q((s, d) => {
+      val sp = graft.pipeline.TrainingData
+        .splitByGroup(Tables.documents(s, d), trainPct = 80, valPct = 10)
+      val leak = sp.groupBy("group_id")
+        .agg(countDistinct("split").as("_ns"))
+        .agg(coalesce(sum(when(col("_ns") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_leaky_groups"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("group_id").as("n_groups"),
+          sum("doc_id").as("id_sum"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    }),
     // central length-band trim: exact global p5/p95 token-count bounds
     // (single-row agg broadcast back), membership pinned per language
     "t18_length_band" -> q((s, d) =>
@@ -4549,6 +4601,44 @@ object SparkEntry {
          WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 1000000
            < least(q * 0.8, 1.0) * 1000000
          GROUP BY 1 ORDER BY lang""",
+    "tp6_temperature_mixture" ->
+      s"""WITH dom AS (SELECT doc_id,
+           CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) <= 11 THEN 'web'
+                WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) <= 15 THEN 'books'
+                WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) <= 18 THEN 'code'
+                ELSE 'wiki' END AS domain
+           FROM documents),
+         c AS (SELECT domain, count(*) AS n FROM dom GROUP BY 1),
+         w AS (SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS tot FROM c),
+         r AS (SELECT domain, n, round(pow(n, 0.5) / wsum, 6) AS q_share,
+           CAST(least(round(round(pow(n, 0.5) / wsum, 6) * 0.5 * tot / n * 10000, 0),
+             10000.0) AS INT) AS keep_band
+           FROM c, w),
+         kept AS (SELECT dom.domain AS domain, doc_id, keep_band FROM dom
+           JOIN r USING (domain)
+           WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 10000 < keep_band),
+         k AS (SELECT domain, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum FROM kept GROUP BY 1)
+         SELECT r.domain AS domain, CAST(r.n AS BIGINT) AS n_docs, r.q_share,
+           r.keep_band, k.n_kept, k.id_sum
+         FROM r JOIN k USING (domain) ORDER BY domain""",
+    "tp7_group_split" ->
+      s"""WITH g AS (SELECT doc_id,
+           regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g') AS norm
+           FROM documents),
+         reps AS (SELECT norm, min(doc_id) AS grp FROM g GROUP BY 1),
+         sp AS (SELECT g.doc_id, reps.grp,
+           CASE WHEN ${fnvSql("CAST(grp AS VARCHAR)", 2166136261L)} % 100 < 80 THEN 'train'
+                WHEN ${fnvSql("CAST(grp AS VARCHAR)", 2166136261L)} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+           FROM g JOIN reps USING (norm)),
+         leak AS (SELECT CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_leaky
+           FROM (SELECT grp, count(DISTINCT split) AS ns FROM sp GROUP BY 1))
+         SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           (SELECT n_leaky FROM leak) AS n_leaky_groups
+         FROM sp GROUP BY 1 ORDER BY split""",
     "tp3_token_budget" ->
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
            ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} AS ord
@@ -4860,6 +4950,19 @@ object SparkEntry {
            CAST(sum(doc_id) AS BIGINT) AS id_sum,
            CAST(sum(text_len) AS BIGINT) AS len_sum
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY n_variants""",
+    "d22_incremental_dedup" ->
+      """WITH n AS (SELECT doc_id, lang,
+           regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS norm
+           FROM documents),
+         inc AS (SELECT * FROM n WHERE doc_id % 3 = 0),
+         ex AS (SELECT DISTINCT norm FROM n WHERE doc_id % 3 != 0),
+         fresh AS (SELECT inc.* FROM inc
+           WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.norm = inc.norm)),
+         firsts AS (SELECT norm, min(doc_id) AS doc_id FROM fresh GROUP BY 1),
+         acc AS (SELECT fresh.* FROM fresh JOIN firsts USING (norm, doc_id))
+         SELECT lang, count(*) AS n_accepted, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           min(doc_id) AS id_min, max(doc_id) AS id_max
+         FROM acc GROUP BY 1 ORDER BY lang""",
     "z1_zorder_bucket" ->
       s"""WITH z AS (SELECT
            ${zorderSql(Seq("l_partkey % 256", "l_suppkey % 256"), 8)} AS zkey,

@@ -25,6 +25,32 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** Incremental (snapshot-vs-batch) dedup — the shape a CONTINUOUSLY
+    * ingesting corpus actually runs: an incoming batch is deduplicated
+    * (a) against the already-accepted snapshot and (b) within itself,
+    * without ever re-shuffling the snapshot's payloads. Acceptance =
+    * the incoming document's normalized-text digest appears nowhere in
+    * `existing` (anti-join) AND it is the batch's first holder of that
+    * digest (min incoming id per digest).
+    *
+    * Scale shape: both sides reduce to 16-byte md5 digests before any
+    * exchange, so the anti-join and the within-batch election shuffle
+    * fixed-width keys, never text; the snapshot side is
+    * `select distinct digest` — at 100 TB that digest set is what a
+    * pipeline would persist between runs (bucketed by digest, making
+    * every nightly anti-join zero-shuffle on the snapshot side, the
+    * [[graft.sources.Bucketing]] pattern). No stage is
+    * batch×snapshot all-pairs. */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    def digest(df: DataFrame) = df.withColumn("_dg",
+      unhex(md5(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")
+        .cast("binary"))))
+    val seen = digest(existing).select("_dg").distinct()
+    val fresh = digest(incoming).join(seen, Seq("_dg"), "left_anti")
+    val firsts = fresh.groupBy("_dg").agg(min("doc_id").as("doc_id"))
+    fresh.join(firsts, Seq("_dg", "doc_id"), "left_semi").drop("_dg")
+  }
+
   /** Normalization-insensitive exact dedup with a keep-longest election:
     * documents that agree after lowercasing and whitespace collapse are
     * one group (web corpora are full of re-serialized copies that differ

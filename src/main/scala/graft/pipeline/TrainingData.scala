@@ -115,6 +115,93 @@ object TrainingData {
         .otherwise("test"))
   }
 
+  /** Leakage-safe variant of [[splitByHash]]: hash the document's
+    * duplicate-GROUP representative instead of its own id, so every
+    * member of a duplicate cluster lands in the same split — near-copies
+    * of a training document can never contaminate val/test (the split
+    * analogue of dedup-before-split). `groupKey` defines the cluster
+    * (default: whitespace-normalized text, the [[graft.dedup.Dedup]]
+    * exact-dup convention); the representative is the cluster's minimum
+    * id, so group membership — not row order — decides the split.
+    *
+    * Scale shape: one groupBy on the (hashable) group key to elect
+    * representatives plus one join back on the same key — identical
+    * shuffle shape to exact dedup itself, then the band decision is
+    * row-local. For corpora where the group key is long text, pass a
+    * digest column (e.g. `md5(norm)`) to move 16-byte keys through both
+    * exchanges instead of payloads. */
+  def splitByGroup(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+                   groupKey: Option[Column] = None,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val gk = groupKey.getOrElse(
+      regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+    val keyed = documents.withColumn("_gk", gk)
+    val reps = keyed.groupBy("_gk").agg(min(col(idCol)).as("_grp"))
+    val band = graft.functions.HashExpressions
+      .fnv1a32(col("_grp").cast("string")) % 100
+    keyed.join(reps, "_gk")
+      .withColumn("split",
+        when(band < trainPct, "train")
+          .when(band < trainPct + valPct, "val")
+          .otherwise("test"))
+      .withColumn("group_id", col("_grp"))
+      .drop("_gk", "_grp")
+  }
+
+  /** Per-domain sampling rates for temperature-scaled mixing (the
+    * multilingual-pretraining α-sampling of XLM-R / mT5: sample domain
+    * `i` with probability `q_i ∝ n_i^α`, `α < 1` flattening the natural
+    * distribution so long-tail domains are up-weighted relative to their
+    * raw share). Returns one row per domain: raw count, temperature
+    * share `q_i` (rounded to 6 decimals — the cross-engine float
+    * contract), and the keep band `b_i = round(min(1, q_i·T/n_i)·10⁴)`
+    * where `T = targetFraction · N` is the target corpus size.
+    *
+    * Scale shape: the domain census is one partial→final aggregation
+    * (domains ≪ corpus); the normalizing sum rides a one-row broadcast
+    * crossJoin. Nothing here touches corpus-sized data twice. */
+  def temperatureRates(documents: DataFrame, domainCol: String,
+                       targetFraction: Double, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0, s"targetFraction must be positive")
+    val counts = documents.groupBy(domainCol)
+      .agg(count(lit(1)).as("n_docs"))
+    val whole = counts.agg(
+      sum(pow(col("n_docs").cast("double"), lit(alpha))).as("_wsum"),
+      sum(col("n_docs")).as("_n"))
+    counts.crossJoin(broadcast(whole))
+      .withColumn("q_share",
+        round(pow(col("n_docs").cast("double"), lit(alpha)) / col("_wsum"), 6))
+      .withColumn("keep_band",
+        least(round(col("q_share") * lit(targetFraction) * col("_n")
+          / col("n_docs") * 10000, 0), lit(10000.0)).cast("int"))
+      .select(col(domainCol), col("n_docs"), col("q_share"), col("keep_band"))
+  }
+
+  /** Temperature-scaled mixture: keep each document iff
+    * `fnv1a32(id) mod 10⁴` falls under its domain's
+    * [[temperatureRates]] band — a deterministic per-domain Bernoulli
+    * thinning (the [[graft.operators.Relational.hashSample]] mechanism
+    * at 0.01% granularity) whose expected output composition follows
+    * the temperature distribution. Reproducible across re-runs,
+    * engines, and speculative retries; a document's fate never changes
+    * as the corpus grows unless its domain's rate does.
+    *
+    * Scale shape: rates are a domain-cardinality table broadcast into
+    * the corpus scan; the keep decision is row-local. One pass. */
+  def temperatureMixture(documents: DataFrame, domainCol: String,
+                         targetFraction: Double, alpha: Double = 0.5,
+                         idCol: String = "doc_id"): DataFrame = {
+    val rates = temperatureRates(documents, domainCol, targetFraction, alpha)
+      .select(col(domainCol), col("keep_band"))
+    documents.join(broadcast(rates), domainCol)
+      .filter(pmod(graft.functions.HashExpressions
+          .fnv1a32(col(idCol).cast("string")), lit(10000L)) < col("keep_band"))
+      .select(documents.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic shard assignment for training-data output layout:
     * `shard = fnv1a32(id) mod nShards`, a pure row-local function of the
     * id — shards are reproducible across re-runs and engines, stable

@@ -159,4 +159,24 @@ class DedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Dedup.dupNgramCoverage(docs, k = 3, minDocs = 1))
   }
+
+  test("incrementalDedup drops snapshot matches and within-batch copies") {
+    val existing = Seq(
+      (1L, "already in the corpus"),
+      (2L, "another old document")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALREADY  IN THE corpus"),   // normalizes to snapshot doc 1
+      (11L, "a genuinely new document"),
+      (12L, "a GENUINELY new document"), // within-batch copy of 11
+      (13L, "a second new document")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, existing)
+    // schema passes through unchanged; digest column never leaks
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(11L, 13L))
+    // idempotent: feeding accepted docs back as snapshot yields nothing
+    val rerun = Dedup.incrementalDedup(incoming,
+      existing.unionByName(out))
+    assert(rerun.isEmpty)
+  }
 }

@@ -219,6 +219,66 @@ class TrainingDataSpec extends SparkTestBase {
       TrainingData.weightedSamplePerGroup(df, 0, col("w"), "src"))
   }
 
+  test("temperatureRates flattens the domain distribution at alpha < 1") {
+    import org.apache.spark.sql.functions._
+    // 80 web docs vs 20 wiki docs: raw shares .8/.2; sqrt-flattened
+    // shares ~.667/.333 — the tail domain is up-weighted
+    val corpus = ((1L to 80L).map(i => (i, "web")) ++
+      (81L to 100L).map(i => (i, "wiki"))).toDF("doc_id", "domain")
+    val r = TrainingData.temperatureRates(corpus, "domain",
+        targetFraction = 0.5, alpha = 0.5)
+      .collect().map(x => x.getString(0) -> (x.getDouble(2), x.getInt(3))).toMap
+    assert(math.abs(r("web")._1 - 0.666667) < 1e-6)
+    assert(math.abs(r("wiki")._1 - 0.333333) < 1e-6)
+    // keep rate = q*T/n: web 0.666667*50/80 = .4167, wiki .3333*50/20 = .8333
+    assert(r("web")._2 == 4167 && r("wiki")._2 == 8333)
+    // alpha = 1 reproduces the natural distribution (uniform thinning)
+    val nat = TrainingData.temperatureRates(corpus, "domain", 0.5, alpha = 1.0)
+      .collect().map(x => x.getString(0) -> x.getInt(3)).toMap
+    assert(nat("web") == 5000 && nat("wiki") == 5000)
+    // a rate that would exceed 1 clamps to the full band
+    val all = TrainingData.temperatureRates(corpus, "domain", 3.0, alpha = 0.5)
+      .collect().map(x => x.getString(0) -> x.getInt(3)).toMap
+    assert(all.values.forall(_ == 10000))
+    intercept[IllegalArgumentException](
+      TrainingData.temperatureRates(corpus, "domain", 0.5, alpha = 0.0))
+  }
+
+  test("temperatureMixture keeps a deterministic per-domain subset") {
+    import org.apache.spark.sql.functions._
+    val corpus = ((1L to 80L).map(i => (i, "web")) ++
+      (81L to 100L).map(i => (i, "wiki"))).toDF("doc_id", "domain")
+    val kept = TrainingData.temperatureMixture(corpus, "domain", 0.5, 0.5)
+    assert(kept.columns.toSeq == Seq("doc_id", "domain")) // schema preserved
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    // reproducible across re-runs and partitionings
+    val again = TrainingData.temperatureMixture(corpus.repartition(7),
+      "domain", 0.5, 0.5).select("doc_id").as[Long].collect().toSet
+    assert(ids == again)
+    // composition leans toward the flattened shares, not the raw ones
+    val byDom = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("wiki").toDouble / byDom("web") > 20.0 / 80.0)
+  }
+
+  test("splitByGroup keeps duplicate groups whole across splits") {
+    import org.apache.spark.sql.functions._
+    // 30 groups of 3 near-copies (case/whitespace variants)
+    val rows = (1L to 30L).flatMap { g =>
+      Seq((g * 3, s"doc $g body text"), (g * 3 + 1, s"DOC $g BODY TEXT"),
+        (g * 3 + 2, s"doc  $g  body\ttext"))
+    }
+    val sp = TrainingData.splitByGroup(rows.toDF("doc_id", "text"), 60, 20)
+    // every group's members share one split, and group_id is its min id
+    val leaky = sp.groupBy("group_id")
+      .agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+      .filter(col("ns") =!= 1 || col("n") =!= 3)
+    assert(leaky.isEmpty)
+    assert(sp.select("group_id").as[Long].collect().forall(_ % 3 == 0))
+    // all three splits materialize over 30 groups
+    assert(sp.select("split").distinct().count() == 3)
+  }
+
   test("trimToLengthBand drops both tails") {
     import org.apache.spark.sql.functions._
     // lengths 1..100 tokens: p5=~5.95, p95=~95.05 → keep 6..95
