@@ -1460,6 +1460,31 @@ object SparkEntry {
           .otherwise(lit(""))))
       TextAnalysis.c4FilterStats(lined)
     }),
+    // Gopher quality-rule battery (Rae 2021 A1): the corpus is re-lined
+    // like t16, every 13th doc becomes all-bullet lines, every 17th
+    // all-ellipsis lines, every 19th gets a symbol flood — each rule's
+    // per-language failure count and the overall pass census are pinned
+    "t26_gopher_rules" -> q((s, d) => {
+      val seasoned = Tables.documents(s, d).withColumn("text", concat(
+        when(col("doc_id") % 13 === 0,
+          concat(lit("- "), regexp_replace(col("text"), lit(" a "), lit("\n- "))))
+          .when(col("doc_id") % 17 === 0,
+            concat(regexp_replace(col("text"), lit(" a "), lit("...\n")), lit("...")))
+          .otherwise(regexp_replace(col("text"), lit(" a "), lit(".\n"))),
+        when(col("doc_id") % 19 === 0, lit(" # # # # # # # #"))
+          .otherwise(lit(""))))
+      TextAnalysis.gopherRuleCensus(seasoned, minWords = 20,
+        requiredWords = Seq("the", "table", "row", "value"))
+    }),
+    // character-level Shannon entropy (gibberish / compression proxy):
+    // per-language distribution ends pinned; every 11th doc gets a
+    // low-entropy single-char flood appended so the min side separates
+    "t25_char_entropy" -> q((s, d) =>
+      TextAnalysis.charEntropyByLang(
+        Tables.documents(s, d).withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" "), repeat(lit("z"), 200)))
+            .otherwise(col("text"))))),
     // NFC normalization (native expression): decomposed accents are
     // injected into every fifth doc (the corpus is pure ASCII), and the
     // composed output is pinned by length delta + fnv sum — both engines
@@ -2092,6 +2117,20 @@ object SparkEntry {
           sum("doc_id").as("id_sum"))
         .crossJoin(broadcast(leak))
         .orderBy("split")
+    }),
+    // FLAGSHIP composed pipeline: CCNet LM scoring → drop each
+    // language's tail tertile → temperature-rebalance what survives
+    // (α=0.5, 70% target) — three stages as ONE declarative plan, kept
+    // membership pinned per language; the oracle replays every stage
+    "tp8_llm_pipeline" -> q((s, d) => {
+      val kept = graft.text.UnigramLm.ccnetAssign(Tables.documents(s, d), 1000)
+        .filter(col("bucket") =!= "tail")
+      graft.pipeline.TrainingData
+        .temperatureMixture(kept, "lang", targetFraction = 0.7, alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          sum("n_tokens").as("tok_sum"))
+        .orderBy("lang")
     }),
     // central length-band trim: exact global p5/p95 token-count bounds
     // (single-row agg broadcast back), membership pinned per language
@@ -4287,6 +4326,67 @@ object SparkEntry {
                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
              AS n_residual_pii
          FROM s GROUP BY 1 ORDER BY source""",
+    "t26_gopher_rules" ->
+      s"""WITH g AS (SELECT doc_id, lang,
+           CASE WHEN doc_id % 13 = 0
+                  THEN '- ' || replace(text, ' a ', chr(10) || '- ')
+                WHEN doc_id % 17 = 0
+                  THEN replace(text, ' a ', '...' || chr(10)) || '...'
+                ELSE replace(text, ' a ', '.' || chr(10)) END
+           || CASE WHEN doc_id % 19 = 0 THEN ' # # # # # # # #' ELSE '' END
+             AS text
+           FROM documents),
+         m AS (SELECT doc_id, lang, text,
+           list_filter(string_split_regex(text, '[ \\t\\n]+'), t -> len(t) > 0) AS w,
+           string_split(text, chr(10)) AS l
+           FROM g),
+         r AS (SELECT doc_id, lang,
+           len(w) >= 20 AND len(w) <= 100000 AS r_wordcount,
+           len(w) > 0
+             AND list_sum(list_transform(w, t -> len(t)))::DOUBLE / len(w) >= 3.0
+             AND list_sum(list_transform(w, t -> len(t)))::DOUBLE / len(w) <= 10.0
+             AS r_meanlen,
+           len(w) > 0 AND
+             ((len(text) - len(replace(text, '#', '')))::DOUBLE
+              + (len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0)
+             / len(w) <= 0.1 AS r_symbol,
+           len(list_filter(l, x -> regexp_matches(x, '^[-*•] ')))::DOUBLE
+             / len(l) <= 0.9 AS r_bullet,
+           len(list_filter(l, x -> ends_with(x, '...')))::DOUBLE
+             / len(l) <= 0.3 AS r_ellipsis,
+           len(w) > 0 AND
+             len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+             / len(w) >= 0.8 AS r_alpha,
+           len(list_filter(['the', 'table', 'row', 'value'],
+             x -> list_contains(w, x))) >= 2 AS r_stopword
+           FROM m)
+         SELECT lang, count(*) AS n_docs,
+           count(CASE WHEN r_wordcount AND r_meanlen AND r_symbol AND r_bullet
+             AND r_ellipsis AND r_alpha AND r_stopword THEN 1 END) AS n_pass,
+           count(CASE WHEN NOT r_wordcount THEN 1 END) AS f_wordcount,
+           count(CASE WHEN NOT r_meanlen THEN 1 END) AS f_meanlen,
+           count(CASE WHEN NOT r_symbol THEN 1 END) AS f_symbol,
+           count(CASE WHEN NOT r_bullet THEN 1 END) AS f_bullet,
+           count(CASE WHEN NOT r_ellipsis THEN 1 END) AS f_ellipsis,
+           count(CASE WHEN NOT r_alpha THEN 1 END) AS f_alpha,
+           count(CASE WHEN NOT r_stopword THEN 1 END) AS f_stopword
+         FROM r GROUP BY 1 ORDER BY lang""",
+    "t25_char_entropy" ->
+      """WITH aug AS (SELECT doc_id, lang,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' ' || repeat('z', 200)
+                ELSE text END AS text
+           FROM documents),
+         ch AS (SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(text, ''), c -> len(c) > 0)) AS c
+           FROM aug),
+         cc AS (SELECT doc_id, lang, c, count(*) AS k FROM ch GROUP BY 1, 2, 3),
+         e AS (SELECT doc_id, lang,
+           round((ln(sum(k)) - sum(k::DOUBLE * ln(k::DOUBLE)) / sum(k))
+             / ln(2.0), 4) AS h
+           FROM cc GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs, round(avg(h), 4) AS avg_entropy,
+           round(min(h), 4) AS min_entropy, round(max(h), 4) AS max_entropy
+         FROM e GROUP BY 1 ORDER BY lang""",
     "t16_c4_line_filter" ->
       s"""WITH lined AS (SELECT source,
            replace(text, ' a ', '.' || chr(10))
@@ -4601,6 +4701,32 @@ object SparkEntry {
          WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 1000000
            < least(q * 0.8, 1.0) * 1000000
          GROUP BY 1 ORDER BY lang""",
+    "tp8_llm_pipeline" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+         tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
+         top AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1
+           ORDER BY cnt DESC, tok LIMIT 1000),
+         sc AS (SELECT doc_id, lang,
+           ln(COALESCE(top.cnt::DOUBLE, 0.5) / (SELECT total FROM tot)) AS lp
+           FROM tok LEFT JOIN top USING (tok)),
+         d AS (SELECT doc_id, lang, count(*) AS n_tokens,
+           round(avg(lp), 6) AS score FROM sc GROUP BY 1, 2),
+         th AS (SELECT lang,
+           quantile_cont(score, (1::DOUBLE) / 3) AS t1 FROM d GROUP BY 1),
+         kept AS (SELECT d.doc_id, d.lang, d.n_tokens FROM d
+           JOIN th USING (lang) WHERE score > t1),
+         c AS (SELECT lang, count(*) AS n FROM kept GROUP BY 1),
+         w AS (SELECT sum(pow(n, 0.5)) AS wsum, sum(n) AS tot2 FROM c),
+         r AS (SELECT lang,
+           CAST(least(round(round(pow(n, 0.5) / wsum, 6) * 0.7 * tot2 / n
+             * 10000, 0), 10000.0) AS INT) AS band
+           FROM c, w),
+         mx AS (SELECT kept.lang AS lang, doc_id, n_tokens FROM kept
+           JOIN r USING (lang)
+           WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 10000 < band)
+         SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         FROM mx GROUP BY 1 ORDER BY lang""",
     "tp6_temperature_mixture" ->
       s"""WITH dom AS (SELECT doc_id,
            CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) <= 11 THEN 'web'

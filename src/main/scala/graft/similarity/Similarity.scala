@@ -111,24 +111,24 @@ object Similarity {
     * Scale shape mirrors the n-gram pass: the EVAL side is small by
     * nature and broadcasts; training vectors stream through one pass
     * (|train|·|eval| similarity evaluations map-side, no shuffle of
-    * vectors); the per-vector max and argmax ride one partial→final
-    * aggregation. The threshold compares 6-decimal-rounded sims so the
-    * boundary is float-noise-free across engines. */
+    * vectors); the per-vector max AND its argmax ride one
+    * partial→final `max(struct(sim, -eid))` aggregation — ties on the
+    * raw similarity resolve to the smallest eval id, no second join.
+    * The threshold compares 6-decimal-rounded sims so the boundary is
+    * float-noise-free across engines. */
   def semanticDecontaminate(train: DataFrame, eval: DataFrame,
                             tau: Double): DataFrame = {
     val e = prepared(eval)
       .select(col("vec_id").as("eid"), col("emb").as("e_emb"),
         col("norm").as("e_norm"))
-    val sims = prepared(train)
+    prepared(train)
       .crossJoin(broadcast(e))
       .select(col("vec_id"), col("eid"),
         pairSim(col("emb"), col("norm"), col("e_emb"), col("e_norm")).as("sim"))
-    val top = sims.groupBy("vec_id").agg(max("sim").as("_ms"))
-    sims.join(top, "vec_id")
-      .filter(col("sim") === col("_ms"))
       .groupBy("vec_id")
-      .agg(min("eid").as("nearest_eval_id"),
-        round(first(col("_ms")), 6).as("max_sim"))
+      .agg(max(struct(col("sim"), negate(col("eid")).as("neid"))).as("win"))
+      .select(col("vec_id"), (-col("win.neid")).as("nearest_eval_id"),
+        round(col("win.sim"), 6).as("max_sim"))
       .filter(col("max_sim") >= tau)
       .orderBy("vec_id")
   }

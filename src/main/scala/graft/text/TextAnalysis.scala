@@ -502,6 +502,86 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, table A1) — the
+    * heuristic battery real pretraining pipelines run ALONGSIDE the
+    * repetition rules ([[withRepetitionStats]] covers those): word
+    * count bounds, mean-word-length band [3,10], symbol-to-word ratio
+    * (`#` and `...`) ≤ 0.1, ≤90% of lines bullet-started, ≤30% of
+    * lines ellipsis-terminated, ≥80% of words containing a letter, and
+    * ≥2 distinct required stopwords present. Adds one boolean per rule
+    * plus the conjunction `gopher_pass`.
+    *
+    * Words here are `[ \t\n]+`-separated (rules inspect LINE structure,
+    * so the splitter must cross newlines — unlike [[tokens]]' exact
+    * single-space contract shared with the oracle's `string_split`).
+    * Entirely row-local — higher-order functions and `replace`
+    * arithmetic inside whole-stage codegen, zero shuffle: the battery
+    * streams over a 100 TB crawl at scan speed, like [[c4LineFilter]]. */
+  def gopherRules(documents: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  requiredWords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    require(requiredWords.nonEmpty, "requiredWords must not be empty")
+    val toksC = filter(split(col("text"), "[ \\t\\n]+"), t => length(t) > 0)
+    val linesC = split(col("text"), "\n")
+    documents
+      .withColumn("_w", toksC).withColumn("_l", linesC)
+      .withColumn("_nw", size(col("_w")))
+      .withColumn("r_wordcount",
+        col("_nw") >= minWords && col("_nw") <= maxWords)
+      .withColumn("r_meanlen", {
+        val mean = aggregate(col("_w"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("_nw")
+        col("_nw") > 0 && mean >= 3.0 && mean <= 10.0
+      })
+      .withColumn("r_symbol", {
+        val hashes = length(col("text")) - length(replace(col("text"), lit("#")))
+        val ells = (length(col("text")) -
+          length(replace(col("text"), lit("...")))).cast("double") / 3.0
+        col("_nw") > 0 &&
+          (hashes.cast("double") + ells) / col("_nw") <= 0.1
+      })
+      .withColumn("r_bullet",
+        size(filter(col("_l"), l => l.rlike("^[-*•] "))).cast("double")
+          / size(col("_l")) <= 0.9)
+      .withColumn("r_ellipsis",
+        size(filter(col("_l"), l => l.endsWith("..."))).cast("double")
+          / size(col("_l")) <= 0.3)
+      .withColumn("r_alpha",
+        col("_nw") > 0 &&
+          size(filter(col("_w"), t => t.rlike("[A-Za-z]"))).cast("double")
+            / col("_nw") >= 0.8)
+      .withColumn("r_stopword",
+        size(filter(array(requiredWords.map(lit): _*),
+          w => array_contains(col("_w"), w))) >= 2)
+      .withColumn("gopher_pass",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopword"))
+      .drop("_w", "_l", "_nw")
+  }
+
+  /** Per-language census of a [[gopherRules]] pass: how many documents
+    * survive the full battery and which rule each failure trips — the
+    * table a pipeline reads before deciding which thresholds to tune.
+    * One partial→final aggregation over language keys. */
+  def gopherRuleCensus(documents: DataFrame, minWords: Int = 50,
+                       maxWords: Int = 100000,
+                       requiredWords: Seq[String] =
+                         Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    def fails(c: String) = count(when(!col(c), 1)).as(s"f_${c.stripPrefix("r_")}")
+    gopherRules(documents, minWords, maxWords, requiredWords)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("gopher_pass"), 1)).as("n_pass"),
+        fails("r_wordcount"), fails("r_meanlen"), fails("r_symbol"),
+        fails("r_bullet"), fails("r_ellipsis"), fails("r_alpha"),
+        fails("r_stopword"))
+      .orderBy("lang")
+  }
+
   /** Per-source census of a [[c4LineFilter]] pass: document and line
     * keep counts plus character mass and an FNV sum over the cleaned
     * text of surviving documents (byte-level pin of `clean_text`). */
@@ -519,4 +599,41 @@ object TextAnalysis {
           graft.functions.HashExpressions.fnv1a32(col("clean_text")))
           .otherwise(lit(0L))).as("clean_fnv_sum"))
       .orderBy("source")
+
+  /** Per-document character-level Shannon entropy in bits/char — the
+    * cheap compression proxy that separates natural prose (~4 bits) from
+    * gibberish, key dumps, and single-char floods (near 0 or near
+    * log₂|alphabet|); CCNet-adjacent pipelines threshold on it before
+    * paying for LM scoring. Computed as
+    * `H = (ln n − Σ k·ln k / n) / ln 2` over per-character counts `k` —
+    * integer counts walked through the same ln calls on every engine,
+    * the lm1 float convention.
+    *
+    * Scale shape: one explode to characters (linear in corpus bytes,
+    * the same cost class as every tokenizing pass), a partial→final
+    * count on (doc, char) — at most |alphabet| rows per doc survive the
+    * partial agg, so the shuffle is ≤ alphabet × docs, far below the
+    * exploded size — then a per-doc rollup. No window, no join. */
+  def charEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), ""), c => length(c) > 0)).as("ch"))
+      .groupBy("doc_id", "lang", "ch")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("k").as("n"),
+        sum(col("k").cast("double") * log(col("k").cast("double"))).as("_s"))
+      .select(col("doc_id"), col("lang"), col("n").as("n_chars"),
+        round((log(col("n").cast("double")) - col("_s") / col("n")) /
+          log(lit(2.0)), 4).as("entropy_bits"))
+
+  /** Per-language [[charEntropy]] census (rounded distribution ends). */
+  def charEntropyByLang(documents: DataFrame): DataFrame =
+    charEntropy(documents)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("entropy_bits"), 4).as("avg_entropy"),
+        round(min("entropy_bits"), 4).as("min_entropy"),
+        round(max("entropy_bits"), 4).as("max_entropy"))
+      .orderBy("lang")
 }

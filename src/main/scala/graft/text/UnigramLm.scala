@@ -81,9 +81,13 @@ object UnigramLm {
     * exact `percentile` buffers each language's score vector in the
     * aggregation buffer, so at 100 TB pass `exact = false` for the
     * fixed-size `approx_percentile` sketch (same two-pass shape — the
-    * a12/a27 exact/approx twin convention). */
-  def ccnetBuckets(documents: DataFrame, vocabSize: Int = 1000,
-                   exact: Boolean = true): DataFrame = {
+    * a12/a27 exact/approx twin convention).
+    *
+    * [[ccnetAssign]] returns the per-document assignment
+    * (doc_id, lang, n_tokens, avg_logp, score, bucket) — the form a
+    * downstream pipeline filters on; [[ccnetBuckets]] is its census. */
+  def ccnetAssign(documents: DataFrame, vocabSize: Int = 1000,
+                  exact: Boolean = true): DataFrame = {
     val scored = scoreDocuments(documents, vocabSize)
       .withColumn("score", round(col("avg_logp"), 6))
     def q(p: Double) =
@@ -96,10 +100,15 @@ object UnigramLm {
         when(col("score") <= col("_t1"), "tail")
           .when(col("score") <= col("_t2"), "middle")
           .otherwise("head"))
+      .drop("_t1", "_t2")
+  }
+
+  def ccnetBuckets(documents: DataFrame, vocabSize: Int = 1000,
+                   exact: Boolean = true): DataFrame =
+    ccnetAssign(documents, vocabSize, exact)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("score"), 4).as("mean_score"),
         sum("n_tokens").as("n_tokens"))
       .orderBy("lang", "bucket")
-  }
 }

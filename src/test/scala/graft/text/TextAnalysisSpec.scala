@@ -219,4 +219,50 @@ class TextAnalysisSpec extends SparkTestBase {
     // min-support prunes: nothing below 5 occurrences appears
     assert(got.forall(_.getAs[Long]("cab") >= 5L))
   }
+
+  test("gopherRules: each rule trips on its designed offender only") {
+    import org.apache.spark.sql.functions.col
+    val prose = ("the quick brown fox jumps over the lazy dog and " +
+      "that should have been fine with every rule here okay").trim
+    val docs = Seq(
+      (1L, "en", prose),                                   // passes all
+      (2L, "en", "too short"),                             // word count
+      (3L, "en", Seq.fill(20)("a b c").mkString(" ")),     // mean len < 3
+      (4L, "en", prose + " " + Seq.fill(6)("#").mkString(" ")), // symbols
+      (5L, "en", (1 to 10).map(i => s"- bullet item $i").mkString("\n")), // bullets
+      (6L, "en", (1 to 10).map(i => s"line $i trails off...").mkString("\n")), // ellipsis
+      (7L, "en", prose + " " + (1 to 60).map(_.toString).mkString(" ")), // alpha < 80%
+      (8L, "en", Seq.fill(25)("word salad lacks required stops").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.gopherRules(docs, minWords = 10)
+      .select("doc_id", "r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stopword", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(r.getBoolean)).toMap
+    assert(out(1L).forall(identity)) // clean prose passes everything
+    assert(!out(2L)(0)) // r_wordcount
+    assert(!out(3L)(1)) // r_meanlen
+    assert(!out(4L)(2)) // r_symbol
+    assert(!out(5L)(3)) // r_bullet
+    assert(!out(6L)(4)) // r_ellipsis
+    assert(!out(7L)(5)) // r_alpha
+    assert(!out(8L)(6)) // r_stopword
+    assert(out.filterKeys(_ != 1L).values.forall(v => !v(7))) // pass = conj
+    val census = TextAnalysis.gopherRuleCensus(docs, minWords = 10)
+      .collect().head
+    assert(census.getLong(1) == 8L && census.getLong(2) == 1L)
+  }
+
+  test("charEntropy: uniform two-symbol text is exactly 1 bit/char") {
+    val docs = Seq(
+      (1L, "en", "aabb"),        // H = 1.0
+      (2L, "en", "aaaaaaaa"),    // H = 0.0
+      (3L, "en", "abcd"))        // H = 2.0
+      .toDF("doc_id", "lang", "text")
+    val h = TextAnalysis.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(h == Map(1L -> 1.0, 2L -> 0.0, 3L -> 2.0))
+    val byLang = TextAnalysis.charEntropyByLang(docs).collect().head
+    assert(byLang.getLong(1) == 3L && byLang.getDouble(2) == 1.0)
+  }
 }
