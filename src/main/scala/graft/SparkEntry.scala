@@ -1687,6 +1687,25 @@ object SparkEntry {
         .groupBy("symbol").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("symbol")).limit(20)
     }),
+    // tokenizer fertility (symbols per word) per language under the
+    // trained merges — the acceptance metric tokenizer work is judged
+    // by; segmentation table is vocab-sized and broadcasts
+    "bpe4_fertility" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.train(docs, nMerges = 10)._1
+      val seg = graft.text.Bpe.encode(docs, merges)
+        .select(col("word"), size(col("symbols")).as("n_sym"))
+      docs.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        .join(broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(sum("freq").as("n_words"),
+          sum(col("freq") * col("n_sym")).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    }),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -2117,6 +2136,29 @@ object SparkEntry {
           sum("doc_id").as("id_sum"))
         .crossJoin(broadcast(leak))
         .orderBy("split")
+    }),
+    // the MOTIVATION for splitByGroup, machine-checked: with injected
+    // near-copies (d15's variant convention), id-hash splitting strands
+    // copies of the same text across train/val/test while group
+    // splitting never does — both leakage counts pinned exactly
+    "tp9_leakage_compare" -> q((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val aug = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(regexp_replace(col("text"), " ", "  ")).as("text")))
+      val norm = regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")
+      def leakOf(df: org.apache.spark.sql.DataFrame, method: String) =
+        df.withColumn("_gk", norm).groupBy("_gk")
+          .agg(countDistinct("split").as("_ns"))
+          .agg(count(lit(1)).as("n_groups"),
+            coalesce(sum(when(col("_ns") > 1, 1L).otherwise(0L)), lit(0L))
+              .as("n_leaky_groups"))
+          .select(lit(method).as("method"), col("n_groups"),
+            col("n_leaky_groups"))
+      leakOf(graft.pipeline.TrainingData.splitByHash(aug, 80, 10), "hash")
+        .unionByName(
+          leakOf(graft.pipeline.TrainingData.splitByGroup(aug, 80, 10), "group"))
+        .orderBy("method")
     }),
     // FLAGSHIP composed pipeline: CCNet LM scoring → drop each
     // language's tail tertile → temperature-rebalance what survives
@@ -4701,6 +4743,37 @@ object SparkEntry {
          WHERE ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 1000000
            < least(q * 0.8, 1.0) * 1000000
          GROUP BY 1 ORDER BY lang""",
+    "tp9_leakage_compare" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, upper(replace(text, ' ', '  '))
+           FROM documents WHERE doc_id % 10 = 0),
+         k AS (SELECT doc_id,
+           regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g') AS norm
+           FROM aug),
+         hs AS (SELECT norm,
+           CASE WHEN ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 100 < 80 THEN 'train'
+                WHEN ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+           FROM k),
+         hg AS (SELECT count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_leaky
+           FROM (SELECT norm, count(DISTINCT split) AS ns FROM hs GROUP BY 1)),
+         reps AS (SELECT norm, min(doc_id) AS grp FROM k GROUP BY 1),
+         gs AS (SELECT k.norm AS norm,
+           CASE WHEN ${fnvSql("CAST(grp AS VARCHAR)", 2166136261L)} % 100 < 80 THEN 'train'
+                WHEN ${fnvSql("CAST(grp AS VARCHAR)", 2166136261L)} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+           FROM k JOIN reps USING (norm)),
+         gg AS (SELECT count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_leaky
+           FROM (SELECT norm, count(DISTINCT split) AS ns FROM gs GROUP BY 1))
+         SELECT 'group' AS method, n_groups, n_leaky AS n_leaky_groups FROM gg
+         UNION ALL
+         SELECT 'hash' AS method, n_groups, n_leaky AS n_leaky_groups FROM hg
+         ORDER BY method""",
     "tp8_llm_pipeline" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
          tot AS (SELECT count(*)::DOUBLE AS total FROM tok),
@@ -5192,6 +5265,17 @@ object SparkEntry {
              SELECT freq, unnest(list_filter(string_split(s, ' '),
                x -> len(x) > 0)) AS symbol FROM pe10) GROUP BY 1)
          ORDER BY cnt DESC, symbol LIMIT 20""",
+    "bpe4_fertility" ->
+      s"""WITH ${bpeRoundsSql(10)},
+         seg AS (SELECT word,
+           len(list_filter(string_split(s, ' '), x -> len(x) > 0)) AS n_sym
+           FROM w10),
+         lw AS (SELECT lang, tok AS word, count(*) AS freq FROM
+           (SELECT lang, unnest($toks) AS tok FROM documents) GROUP BY 1, 2)
+         SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * n_sym) AS BIGINT) AS n_symbols,
+           round(sum(freq * n_sym)::DOUBLE / sum(freq), 6) AS fertility
+         FROM lw JOIN seg USING (word) GROUP BY 1 ORDER BY lang""",
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
              PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt
