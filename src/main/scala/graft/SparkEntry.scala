@@ -1372,6 +1372,11 @@ object SparkEntry {
           round(max("avg_logp"), 4).as("max_logp"))
         .orderBy("lang")),
 
+    // interpolated Kneser–Ney (Chen & Goodman): the KenLM-class
+    // smoother — continuation-probability backoff, absolute discount
+    // 0.75, same one-explode scale shape as lm2; distribution pinned
+    "lm4_kneser_ney" -> q((s, d) =>
+      graft.text.BigramLm.scoreByLangKN(Tables.documents(s, d))),
     // CCNet's selection step over the lm1 scores: per-language
     // head/middle/tail tertile census — what a pipeline keeps or drops
     "lm3_ccnet_buckets" -> q((s, d) =>
@@ -1735,6 +1740,18 @@ object SparkEntry {
         .groupBy(col("comp").as("component"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("component")
+    }),
+    // cross-source duplication matrix: every 10th doc is mirrored into
+    // the NEXT source (case-mangled so only normalization matches);
+    // the (source_a, source_b, shared-text) census is pinned exactly
+    "d23_cross_source_dups" -> q((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text"),
+          concat(lit("src"), ((srcNum + 1) % 20).cast("string")).as("source"))
+      Dedup.crossSourceDups(docs.unionByName(variants))
     }),
     // incremental snapshot-vs-batch dedup: incoming (every 3rd doc)
     // deduped against the rest of the corpus AND within itself on the
@@ -4291,6 +4308,40 @@ object SparkEntry {
            round(min(avg_logp), 4) AS min_logp,
            round(max(avg_logp), 4) AS max_logp
          FROM d GROUP BY 1 ORDER BY lang""",
+    "lm4_kneser_ney" ->
+      s"""WITH w AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         bgl AS (SELECT doc_id, lang, list_transform(range(1, len(t)),
+             i -> struct_pack(prev := t[i], cur := t[i+1],
+               bg := t[i] || ' ' || t[i+1])) AS bl FROM w),
+         bge AS (SELECT doc_id, lang, unnest(bl) AS b FROM bgl),
+         bg AS (SELECT doc_id, lang, b.prev AS prev, b.cur AS cur,
+           b.bg AS bg FROM bge),
+         bc AS (SELECT bg, count(*) AS bcnt FROM bg GROUP BY 1),
+         bk AS (SELECT bg, bcnt, string_split(bg, ' ')[1] AS prev,
+           string_split(bg, ' ')[2] AS cur FROM bc),
+         hc AS (SELECT prev, sum(bcnt) AS hcnt, count(*) AS nf
+           FROM bk GROUP BY 1),
+         ct AS (SELECT cur, count(*) AS np FROM bk GROUP BY 1),
+         tt AS (SELECT count(*)::DOUBLE AS t FROM bc),
+         bm AS (SELECT bg, greatest(bcnt::DOUBLE - 0.75, 0.0) / hcnt AS bp
+           FROM (SELECT * FROM bk ORDER BY bcnt DESC, bg LIMIT 2000)
+           JOIN hc USING (prev)),
+         pm AS (SELECT prev, 0.75 * nf / hcnt AS w2 FROM
+           (SELECT * FROM hc ORDER BY hcnt DESC, prev LIMIT 1000)),
+         cm AS (SELECT cur, np FROM
+           (SELECT * FROM ct ORDER BY np DESC, cur LIMIT 1000)),
+         sc AS (SELECT doc_id, lang,
+           ln(COALESCE(bp, 0.0) + COALESCE(w2, 0.75)
+             * COALESCE(cm.np::DOUBLE, 0.5) / (SELECT t FROM tt)) AS lp
+           FROM bg LEFT JOIN bm USING (bg) LEFT JOIN pm USING (prev)
+             LEFT JOIN cm USING (cur)),
+         d AS (SELECT doc_id, lang, avg(lp) AS avg_logp FROM sc
+           GROUP BY 1, 2)
+         SELECT lang, count(*) AS n_docs,
+           round(avg(avg_logp), 4) AS mean_logp,
+           round(min(avg_logp), 4) AS min_logp,
+           round(max(avg_logp), 4) AS max_logp
+         FROM d GROUP BY 1 ORDER BY lang""",
     "t7_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
@@ -5149,6 +5200,20 @@ object SparkEntry {
            CAST(sum(doc_id) AS BIGINT) AS id_sum,
            CAST(sum(text_len) AS BIGINT) AS len_sum
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY n_variants""",
+    "d23_cross_source_dups" ->
+      s"""WITH aug AS (SELECT text, source FROM documents
+           UNION ALL
+           SELECT upper(text), 'src' || CAST(
+             (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) + 1) % 20
+             AS VARCHAR)
+           FROM documents WHERE doc_id % 10 = 0),
+         ds AS (SELECT DISTINCT
+           regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g') AS norm,
+           source FROM aug)
+         SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+         FROM ds a JOIN ds b ON a.norm = b.norm AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "d22_incremental_dedup" ->
       """WITH n AS (SELECT doc_id, lang,
            regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS norm

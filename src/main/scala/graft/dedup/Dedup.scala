@@ -51,6 +51,30 @@ object Dedup {
     fresh.join(firsts, Seq("_dg", "doc_id"), "left_semi").drop("_dg")
   }
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct normalized texts the two slices share — the table that
+    * exposes mirror sites, syndication, and double-scraped feeds before
+    * anyone decides which slice to keep. Output
+    * `(source_a, source_b, n_shared)` with `source_a < source_b`.
+    *
+    * Scale shape: texts reduce to 16-byte digests, the (digest, source)
+    * projection is deduplicated (one shuffle on the digest), and the
+    * pair join is digest-keyed — each digest's match group is bounded
+    * by the SOURCE cardinality (a config-sized constant, not a corpus
+    * property), so the join can never go quadratic in documents. */
+  def crossSourceDups(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")
+    val ds = documents
+      .select(unhex(md5(norm.cast("binary"))).as("_dg"), col("source"))
+      .distinct()
+    ds.select(col("_dg"), col("source").as("source_a"))
+      .join(ds.select(col("_dg"), col("source").as("source_b")), "_dg")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Normalization-insensitive exact dedup with a keep-longest election:
     * documents that agree after lowercasing and whitespace collapse are
     * one group (web corpora are full of re-serialized copies that differ

@@ -126,4 +126,72 @@ object BigramLm {
         .localCheckpoint(true)
     } finally { bgs.unpersist(); () }
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Chen & Goodman 1999's
+    * benchmark smoother — what KenLM models, and so what CCNet-style
+    * perplexity filters actually run). Per position t ≥ 2:
+    * `P = max(c₂−D,0)/c₁(prev) + (D·N₁₊(prev,·)/c₁(prev)) · P̃(cur)`,
+    * with the continuation probability `P̃(cur) = N₁₊(·,cur)/|types|` —
+    * "how many contexts has `cur` completed", the correction that makes
+    * KN beat raw interpolation on burst-heavy text. Model cuts and OOV
+    * floors mirror [[scoreByLang]]: bigram/prev/continuation tables are
+    * top-K frequency cuts (TakeOrderedAndProject, broadcast); an
+    * out-of-model bigram contributes only its backoff mass, an
+    * out-of-model prev falls back to the D·1/1 weight of a singleton
+    * head, an out-of-model cur to a 0.5 pseudo-continuation-count — so
+    * probabilities stay finite, positive, and total-ordered.
+    *
+    * Scale shape identical to [[scoreByLang]]: ONE corpus-sized bigram
+    * explode (persisted, consumed by model count + scoring); every
+    * derived table (head counts, continuation counts, type total) is a
+    * re-aggregation of the vocabulary-sized bigram count table, never a
+    * second corpus pass. */
+  def scoreByLangKN(documents: DataFrame, bigramVocab: Int = 2000,
+                    prevVocab: Int = 1000, contVocab: Int = 1000,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1)")
+    val bgs = documents
+      .select(col("doc_id"), col("lang"),
+        explode(bigramStructs(col("text"))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"), col("b.bg").as("bg"))
+      .persist()
+    val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    val keyed = bgCounts
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+      .withColumn("cur", split(col("bg"), " ").getItem(1))
+    val headCounts = keyed.groupBy("prev")
+      .agg(sum("bcnt").as("hcnt"), count(lit(1)).as("nf"))
+    val contCounts = keyed.groupBy("cur").agg(count(lit(1)).as("np"))
+    val nTypes = bgCounts.agg(count(lit(1)).cast("double").as("_t"))
+    val bgModel = keyed.orderBy(desc("bcnt"), asc("bg")).limit(bigramVocab)
+      .join(headCounts, "prev")
+      .select(col("bg"),
+        (greatest(col("bcnt").cast("double") - discount, lit(0.0))
+          / col("hcnt")).as("_bp"))
+    val prevModel = headCounts.orderBy(desc("hcnt"), asc("prev")).limit(prevVocab)
+      .select(col("prev"), (lit(discount) * col("nf") / col("hcnt")).as("_w"))
+    val contModel = contCounts.orderBy(desc("np"), asc("cur")).limit(contVocab)
+    try {
+      bgs
+        .join(broadcast(bgModel), Seq("bg"), "left")
+        .join(broadcast(prevModel), Seq("prev"), "left")
+        .join(broadcast(contModel), Seq("cur"), "left")
+        .crossJoin(broadcast(nTypes))
+        .select(col("doc_id"), col("lang"),
+          log(coalesce(col("_bp"), lit(0.0))
+            + coalesce(col("_w"), lit(discount))
+              * coalesce(col("np").cast("double"), lit(0.5)) / col("_t"))
+            .as("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(avg("lp").as("avg_logp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_logp"), 4).as("mean_logp"),
+          round(min("avg_logp"), 4).as("min_logp"),
+          round(max("avg_logp"), 4).as("max_logp"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally { bgs.unpersist(); () }
+  }
 }

@@ -160,6 +160,23 @@ class DedupSpec extends SparkTestBase {
       Dedup.dupNgramCoverage(docs, k = 3, minDocs = 1))
   }
 
+  test("crossSourceDups counts normalized shared texts per source pair") {
+    val docs = Seq(
+      (1L, "shared text one", "a"),
+      (2L, "SHARED  TEXT one", "b"), // norm-equal to doc 1
+      (3L, "shared text one", "c"),
+      (4L, "unique to a", "a"),
+      (5L, "another shared", "b"),
+      (6L, "another  SHARED", "c")).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDups(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 2L))
+    // duplication WITHIN one source never appears as a pair
+    val solo = Seq((1L, "same", "a"), (2L, "same", "a"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.crossSourceDups(solo).isEmpty)
+  }
+
   test("incrementalDedup drops snapshot matches and within-batch copies") {
     val existing = Seq(
       (1L, "already in the corpus"),
