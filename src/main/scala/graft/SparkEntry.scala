@@ -1753,6 +1753,17 @@ object SparkEntry {
           concat(lit("src"), ((srcNum + 1) % 20).cast("string")).as("source"))
       Dedup.crossSourceDups(docs.unionByName(variants))
     }),
+    // language-label conflict census: every 7th doc is re-labeled with
+    // a reversed lang code (disjoint from the real label set), so the
+    // fixture plants texts that appear under 2 languages; the
+    // (n_langs, n_texts, n_docs) census is pinned exactly
+    "d24_lang_conflicts" -> q((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          reverse(col("lang")).as("lang"))
+      Dedup.langConflictCensus(docs.unionByName(variants))
+    }),
     // incremental snapshot-vs-batch dedup: incoming (every 3rd doc)
     // deduped against the rest of the corpus AND within itself on the
     // normalized-text digest; accepted membership pinned per language
@@ -5214,6 +5225,17 @@ object SparkEntry {
            count(*) AS n_shared
          FROM ds a JOIN ds b ON a.norm = b.norm AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d24_lang_conflicts" ->
+      """WITH aug AS (SELECT text, lang FROM documents
+           UNION ALL
+           SELECT text, reverse(lang) FROM documents WHERE doc_id % 7 = 0),
+         g AS (SELECT
+             regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS norm,
+             count(DISTINCT lang) AS n_langs, count(*) AS n_docs
+           FROM aug GROUP BY 1)
+         SELECT n_langs, count(*) AS n_texts,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+         FROM g GROUP BY 1 ORDER BY 1""",
     "d22_incremental_dedup" ->
       """WITH n AS (SELECT doc_id, lang,
            regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g') AS norm

@@ -75,6 +75,29 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Language-label conflict census: how many distinct normalized texts
+    * carry 1, 2, 3… different `lang` labels across their copies. In a
+    * real corpus a text under multiple language labels is almost always
+    * a language-ID error (lang-ID models disagree most on exactly the
+    * boilerplate that duplicates most), so the `n_langs >= 2` mass is
+    * the standing QA number a pipeline tracks before trusting any
+    * per-language mixture weight. Output
+    * `(n_langs, n_texts, n_docs)` ordered by `n_langs`.
+    *
+    * Scale shape: one shuffle on the 16-byte digest (partial→final
+    * count-distinct over the per-text lang set), then a census
+    * aggregation whose cardinality is bounded by the language count. */
+  def langConflictCensus(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")
+    documents
+      .select(unhex(md5(norm.cast("binary"))).as("_dg"), col("lang"))
+      .groupBy("_dg")
+      .agg(countDistinct("lang").as("n_langs"), count(lit(1)).as("n_docs"))
+      .groupBy("n_langs")
+      .agg(count(lit(1)).as("n_texts"), sum("n_docs").as("n_docs"))
+      .orderBy("n_langs")
+  }
+
   /** Normalization-insensitive exact dedup with a keep-longest election:
     * documents that agree after lowercasing and whitespace collapse are
     * one group (web corpora are full of re-serialized copies that differ

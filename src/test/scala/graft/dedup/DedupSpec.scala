@@ -177,6 +177,22 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.crossSourceDups(solo).isEmpty)
   }
 
+  test("langConflictCensus buckets texts by distinct-label count") {
+    val docs = Seq(
+      (1L, "same text", "en"),
+      (2L, "SAME  text", "de"), // norm-equal, second label
+      (3L, "same text", "en"),  // third copy, no new label
+      (4L, "tri text", "en"),
+      (5L, "tri text", "de"),
+      (6L, "tri text", "fr"),
+      (7L, "lonely", "en")).toDF("doc_id", "text", "lang")
+    val out = Dedup.langConflictCensus(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1 label: "lonely" (1 doc); 2 labels: "same text" (3 docs);
+    // 3 labels: "tri text" (3 docs)
+    assert(out == Map(1L -> (1L, 1L), 2L -> (1L, 3L), 3L -> (1L, 3L)))
+  }
+
   test("incrementalDedup drops snapshot matches and within-batch copies") {
     val existing = Seq(
       (1L, "already in the corpus"),
