@@ -2126,6 +2126,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           sum("n_tokens").as("tok_sum"))
         .orderBy("source")),
+    // per-source epoch schedule (LLaMA-style epochs table): weights
+    // rise linearly with the source number (w = srcNum+1, Σ=210), so a
+    // 60k-token budget makes heavy sources repeat multiple epochs while
+    // light ones sample fractionally; the whole table is pinned
+    "tp10_epoch_schedule" -> q((s, d) => {
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble).toMap
+      graft.pipeline.TrainingData.epochSchedule(
+        Tables.documents(s, d), weights, budgetTokens = 60000L)
+    }),
     // temperature-scaled mixture (XLM-R α-sampling): the 20 uniform
     // sources fold into 4 skewed domains (300/100/75/25 at sf0.01), the
     // α=0.5 rates flatten that distribution toward the tail, and the
@@ -4900,6 +4909,20 @@ object SparkEntry {
            CAST(sum(doc_id) AS BIGINT) AS id_sum,
            (SELECT n_leaky FROM leak) AS n_leaky_groups
          FROM sp GROUP BY 1 ORDER BY split""",
+    "tp10_epoch_schedule" ->
+      s"""WITH a AS (SELECT source,
+           CAST(sum(len($toks)) AS BIGINT) AS avail_tokens,
+           CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) + 1
+             AS DOUBLE) AS w
+           FROM documents GROUP BY source),
+         t AS (SELECT source, avail_tokens,
+           w / 210.0 * 60000 AS target FROM a)
+         SELECT source, avail_tokens,
+           round(target, 2) AS target_tokens,
+           CAST(floor(target / avail_tokens) AS BIGINT) AS n_epochs,
+           round((target - floor(target / avail_tokens) * avail_tokens)
+             / avail_tokens, 6) AS frac_p
+         FROM t ORDER BY source""",
     "tp3_token_budget" ->
       s"""WITH t AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
            ${fnvSql("CAST(doc_id AS VARCHAR)", 2166136261L)} AS ord

@@ -256,6 +256,40 @@ object TrainingData {
       .drop("_ord", "cum_before")
   }
 
+  /** Per-source epoch schedule for hitting a token-budget mixture: for
+    * each source with mixture weight `w`, the target token mass is
+    * `budget · w / Σw`, and the schedule to reach it is "repeat the
+    * source `n_epochs = floor(target / avail)` full times, then
+    * Bernoulli-sample one more pass at `frac_p = (target − n_epochs ·
+    * avail) / avail`" — the epochs table LLaMA-style data recipes
+    * publish, telling you up front which sources will be over-sampled
+    * (n_epochs ≥ 1, memorization risk) and which barely contribute.
+    *
+    * Scale shape: ONE corpus pass (per-source token sums — a
+    * |sources|-row table), then pure column arithmetic on that table;
+    * the weight map rides along as a broadcast map literal. Sources
+    * absent from `weights` are excluded (no target → no schedule). */
+  def epochSchedule(documents: DataFrame, weights: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val wSum = weights.values.sum
+    val target = element_at(typedLit(weights), col("source")) / wSum * budgetTokens
+    documents
+      .withColumn("_n", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .groupBy("source").agg(sum("_n").as("avail_tokens"))
+      .withColumn("_target", target)
+      .filter(col("_target").isNotNull)
+      .select(col("source"), col("avail_tokens"),
+        round(col("_target"), 2).as("target_tokens"),
+        floor(col("_target") / col("avail_tokens")).as("n_epochs"),
+        round((col("_target")
+            - floor(col("_target") / col("avail_tokens")) * col("avail_tokens"))
+          / col("avail_tokens"), 6).as("frac_p"))
+      .orderBy("source")
+  }
+
   /** Quality-weighted deterministic downsampling: keep each document
     * with probability `min(quality · rate, 1)`, decided by comparing
     * `fnv1a32(id) mod 10^6` against that probability — a pure row-local

@@ -289,4 +289,23 @@ class TrainingDataSpec extends SparkTestBase {
     assert(kept.min >= 6L && kept.max <= 95L)
     assert(kept.length == 90)
   }
+
+  test("epochSchedule: hand-checked epochs and fractional pass") {
+    // a: 5 tokens avail, weight 1; b: 2 tokens avail, weight 3; Σw=4,
+    // budget 20 → target a=5 (1 epoch, frac 0), b=15 (7 epochs, frac .5)
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "p q", "a"), (3L, "m n", "b"),
+      (4L, "ignored text here", "c")).toDF("doc_id", "text", "source")
+    val out = TrainingData.epochSchedule(
+        docs, Map("a" -> 1.0, "b" -> 3.0), budgetTokens = 20L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      "a" -> (5L, 5.0, 1L, 0.0),
+      "b" -> (2L, 15.0, 7L, 0.5))) // source c absent from weights: dropped
+    intercept[IllegalArgumentException](
+      TrainingData.epochSchedule(docs, Map("a" -> 1.0), 0L))
+    intercept[IllegalArgumentException](
+      TrainingData.epochSchedule(docs, Map("a" -> -1.0), 10L))
+  }
 }
