@@ -1785,6 +1785,16 @@ object SparkEntry {
       graft.dedup.Decontaminate.report(docs,
         docs.filter(col("doc_id") % 97 === 0), k = 8)
     }),
+    // contamination ATTRIBUTION: the same every-97th eval slice split
+    // into two benchmarks (even/odd multiples of 97); which training
+    // source leaked which benchmark, and how many shingles, is pinned
+    "d25_contamination_matrix" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("eval_set",
+          when(col("doc_id") % 194 === 0, "benchA").otherwise("benchB"))
+      graft.dedup.Decontaminate.contaminationMatrix(docs, evalDocs, k = 8)
+    }),
     // Bloom-filter scale variant machine-checked against the exact path:
     // the oracle re-derives the exact contaminated-id count; the engine
     // proves the bloom id set covers it (false negatives impossible) and
@@ -4559,6 +4569,20 @@ object SparkEntry {
            n_docs - coalesce(n_kept, 0) AS n_dropped
          FROM base LEFT JOIN kept ON base.lang = kept.lang
          ORDER BY 1""",
+    "d25_contamination_matrix" ->
+      s"""WITH tk AS (SELECT doc_id, source, $toks AS t FROM documents),
+         sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(range(0, len(t) - 7),
+                    i -> array_to_string(t[i+1:i+8], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+         ev AS (SELECT DISTINCT CASE WHEN doc_id % 194 = 0
+             THEN 'benchA' ELSE 'benchB' END AS eval_set,
+             unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         tr AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+         m AS (SELECT source, eval_set, doc_id, g FROM tr JOIN ev USING (g))
+         SELECT source, eval_set, count(DISTINCT doc_id) AS n_docs,
+           count(DISTINCT g) AS n_shingles
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "d12_decontaminate_bloom" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8

@@ -93,6 +93,37 @@ object Decontaminate {
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, k: Int = 8): DataFrame =
     docs.join(broadcast(contaminatedIds(docs, evalDocs, k)), Seq("doc_id"), "left_anti")
 
+  /** Contamination matrix: for every (training source, eval set) pair,
+    * how many training documents share ≥1 `k`-token shingle with that
+    * eval set and how many distinct shingles leaked — the attribution
+    * table that answers "WHICH slice of the corpus leaked WHICH
+    * benchmark" before anyone re-crawls or re-filters a source. Output
+    * `(source, eval_set, n_docs, n_shingles)`.
+    *
+    * Same scale contract as [[contaminatedIds]]: the eval side's
+    * distinct (eval_set, shingle-hash) pairs are broadcast (eval sets
+    * are benchmark-sized by definition); the corpus side is ONE shingle
+    * explode; the final aggregation's cardinality is bounded by
+    * |sources| × |eval sets|. */
+  def contaminationMatrix(docs: DataFrame, evalDocs: DataFrame,
+                          evalLabelCol: String = "eval_set",
+                          k: Int = 8): DataFrame = {
+    val evalSh = evalDocs
+      .select(col(evalLabelCol).as("eval_set"),
+        explode(graft.functions.HashExpressions
+          .shingleHashes(col("text"), k, fnv = true)).as("sh"))
+      .distinct()
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.HashExpressions
+          .shingleHashes(col("text"), k, fnv = true)).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy("source", "eval_set")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        countDistinct("sh").as("n_shingles"))
+      .orderBy("source", "eval_set")
+  }
+
   /** Per-language report: original vs kept vs dropped counts. */
   def report(docs: DataFrame, evalDocs: DataFrame, k: Int = 8): DataFrame = {
     val kept = decontaminate(docs, evalDocs, k)

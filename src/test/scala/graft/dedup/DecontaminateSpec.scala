@@ -59,4 +59,27 @@ class DecontaminateSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(2L))
   }
+
+  test("contaminationMatrix attributes leaks per (source, eval set)") {
+    // benchA = tokens 0..11, benchB = tokens 30..41; source sA leaks
+    // benchA via two docs, source sB leaks benchB via one doc, and sB
+    // also has a clean doc that must not appear anywhere
+    val eval = Seq(
+      (100L, "benchA", sent(0 to 11: _*)),
+      (200L, "benchB", sent(30 to 41: _*))).toDF("doc_id", "eval_set", "text")
+    val train = Seq(
+      (1L, "sA", "x y " + sent(2 to 9: _*)),
+      (2L, "sA", sent(0 to 7: _*) + " q r"),
+      (3L, "sB", "p " + sent(32 to 39: _*)),
+      (4L, "sB", sent(60 to 70: _*)))
+      .toDF("doc_id", "source", "text")
+    val out = Decontaminate.contaminationMatrix(train, eval, k = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 leaks shingle (2..9), doc 2 leaks (0..7): 2 docs, 2 shingles
+    assert(out == Map(
+      ("sA", "benchA") -> ((2L, 2L)),
+      ("sB", "benchB") -> ((1L, 1L))))
+  }
 }
