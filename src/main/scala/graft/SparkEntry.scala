@@ -1753,6 +1753,10 @@ object SparkEntry {
           concat(lit("src"), ((srcNum + 1) % 20).cast("string")).as("source"))
       Dedup.crossSourceDups(docs.unionByName(variants))
     }),
+    // per-source shingle novelty: what fraction of each source's
+    // distinct 8-gram shingles no other source has; full table pinned
+    "d26_source_novelty" -> q((s, d) =>
+      graft.dedup.Dedup.sourceNovelty(Tables.documents(s, d), k = 8)),
     // language-label conflict census: every 7th doc is re-labeled with
     // a reversed lang code (disjoint from the real label set), so the
     // fixture plants texts that appear under 2 languages; the
@@ -4583,6 +4587,20 @@ object SparkEntry {
          SELECT source, eval_set, count(DISTINCT doc_id) AS n_docs,
            count(DISTINCT g) AS n_shingles
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d26_source_novelty" ->
+      s"""WITH tk AS (SELECT source, $toks AS t FROM documents),
+         sh AS (SELECT source, list_distinct(CASE WHEN len(t) >= 8
+             THEN list_transform(range(0, len(t) - 7),
+                    i -> array_to_string(t[i+1:i+8], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+         ss AS (SELECT DISTINCT source, unnest(s) AS g FROM sh),
+         c AS (SELECT g, count(*) AS n_sources FROM ss GROUP BY 1)
+         SELECT source, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS novelty
+         FROM ss JOIN c USING (g) GROUP BY 1 ORDER BY 1""",
     "d12_decontaminate_bloom" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 8

@@ -75,6 +75,39 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-source shingle novelty: for each source, its distinct `k`-token
+    * shingle count and the fraction of those shingles that appear in NO
+    * other source — the originality number that separates a slice
+    * contributing genuinely new text from one that only re-serves what
+    * the rest of the corpus already has (syndication feeds score near
+    * zero, niche forums near one). Output
+    * `(source, n_shingles, n_unique, novelty)`.
+    *
+    * Scale shape: one corpus shingle explode, deduplicated to distinct
+    * (source, 8-byte hash) pairs; the per-shingle source count and the
+    * join back are both keyed on the fixed-width hash, and the
+    * source-count column is bounded by |sources| — no all-pairs, no
+    * corpus-sized task state. The hash is xxhash64, NOT the 32-bit FNV
+    * the decontamination oracles replay: this statistic counts
+    * singleton hashes directly, so 32-bit birthday collisions (expected
+    * ≥1 past ~10⁵ distinct shingles — observed at sf0.1) would bias
+    * novelty down; 64 bits pushes collision odds below 1e-7 at 10⁶. */
+  def sourceNovelty(documents: DataFrame, k: Int = 8): DataFrame = {
+    val ss = documents
+      .select(col("source"), explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k)).as("sh"))
+      .distinct()
+    val bySh = ss.groupBy("sh").agg(count(lit(1)).as("n_sources"))
+    ss.join(bySh, "sh")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("source")
+  }
+
   /** Language-label conflict census: how many distinct normalized texts
     * carry 1, 2, 3… different `lang` labels across their copies. In a
     * real corpus a text under multiple language labels is almost always

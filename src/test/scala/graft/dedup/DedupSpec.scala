@@ -177,6 +177,21 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.crossSourceDups(solo).isEmpty)
   }
 
+  test("sourceNovelty scores unique vs shared shingle mass") {
+    // k=3; doc texts of exactly 3 tokens → one shingle each.
+    // a: two distinct shingles, one shared with b → novelty 0.5
+    // b: one shingle, shared → novelty 0.0
+    val docs = Seq(
+      (1L, "w1 w2 w3", "a"),
+      (2L, "w4 w5 w6", "a"),
+      (3L, "w1 w2 w3", "b"),
+      (4L, "w1 w2 w3", "b")).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceNovelty(docs, k = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map("a" -> (2L, 1L, 0.5), "b" -> (1L, 0L, 0.0)))
+  }
+
   test("langConflictCensus buckets texts by distinct-label count") {
     val docs = Seq(
       (1L, "same text", "en"),
