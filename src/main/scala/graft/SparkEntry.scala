@@ -662,6 +662,20 @@ object SparkEntry {
     // degree-ordered triangle counting (Schank-Wagner orientation:
     // O(m^1.5) wedge work, hub-safe) over a sparser derived graph;
     // counts + global clustering coefficient pinned exactly
+    // bounded-round k-core peeling on the same synthetic order graph
+    // family as g3: 6 rounds at k=2 AND k=5 (k=2 cascades hard on the
+    // sparse sf0.001 graph, k=5 on the denser SFs), both survivor
+    // degree histograms pinned under one k-labeled output
+    "g7_kcore" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(3000L)).as("src"),
+        pmod(col("o_orderkey"), lit(2999L)).as("dst"))
+      Seq(2, 5).map(k =>
+          graft.graph.Kcore.degreeHistogram(edges, k = k, rounds = 6)
+            .select(lit(k).as("k"), col("deg"), col("n_vertices")))
+        .reduce(_.unionAll(_))
+        .orderBy("k", "deg")
+    }),
     "g3_triangle_count" -> q((s, d) => {
       val edges = Tables.orders(s, d).select(
         pmod(col("o_custkey"), lit(500L)).as("src"),
@@ -2586,6 +2600,44 @@ object SparkEntry {
     * `d21_components_star` (large-star/small-star contraction): both
     * algorithms must land on the identical component census, so they
     * pin against the identical recursive-CTE oracle. */
+  /** g7's oracle: `rounds` unrolled peel rounds (k-core by iterative
+    * deletion) — each round keeps vertices whose surviving degree is
+    * ≥ k, then edges with both endpoints kept; mirrors
+    * [[graft.graph.Kcore.degreeHistogram]] round for round. */
+  private def kcoreSql(ks: Seq[Int], rounds: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    // reference, and e_i references e_{i-1} three times, so the
+    // unrolled chain would expand e0 3^rounds times (observed as "too
+    // many open files" on the orders view at rounds = 6)
+    def chain(p: String, k: Int) = (1 to rounds).map { i =>
+      s"""${p}k$i AS MATERIALIZED (SELECT v FROM
+             (SELECT a AS v FROM ${p}e${i - 1}
+              UNION ALL SELECT b FROM ${p}e${i - 1})
+           GROUP BY v HAVING count(*) >= $k),
+         ${p}e$i AS MATERIALIZED (SELECT a, b FROM ${p}e${i - 1}
+           WHERE a IN (SELECT v FROM ${p}k$i)
+             AND b IN (SELECT v FROM ${p}k$i))"""
+    }.mkString(",\n")
+    val parts = ks.map { k =>
+      val p = s"p${k}_"
+      s"""${p}e0 AS MATERIALIZED (SELECT a, b FROM base),
+         ${chain(p, k)},
+         ${p}h AS (SELECT $k AS k, deg, count(*) AS n_vertices FROM
+           (SELECT v, count(*) AS deg FROM
+             (SELECT a AS v FROM ${p}e$rounds
+              UNION ALL SELECT b FROM ${p}e$rounds) GROUP BY v)
+           GROUP BY deg)"""
+    }.mkString(",\n")
+    val union = ks.map(k => s"SELECT k, deg, n_vertices FROM p${k}_h")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS MATERIALIZED (
+           SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+           FROM (SELECT o_custkey % 3000 AS s, o_orderkey % 2999 AS d
+                 FROM orders) WHERE s <> d),
+       $parts
+       SELECT * FROM ($union) ORDER BY k, deg"""
+  }
+
   private lazy val dupComponentsSql =
     s"""WITH RECURSIVE sh AS (SELECT doc_id, source,
          list_distinct(CASE WHEN len($toks) >= 3
@@ -4036,6 +4088,7 @@ object SparkEntry {
            count(CASE WHEN abs(zz) > 3.5 THEN 1 END) AS n_flagged,
            round(max(abs(zz)), 4) AS max_abs_score
          FROM z GROUP BY 1 ORDER BY event_type""",
+    "g7_kcore" -> kcoreSql(ks = Seq(2, 5), rounds = 6),
     "g3_triangle_count" ->
       """WITH e0 AS (SELECT DISTINCT
            least(o_custkey % 500, o_orderkey % 499) AS a,
