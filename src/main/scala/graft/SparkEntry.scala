@@ -257,6 +257,17 @@ object SparkEntry {
     // curation-classifier shape; full confusion matrix pinned
     "ml6_naive_bayes" -> q((s, d) =>
       graft.ml.NaiveBayes.confusionMatrix(Tables.documents(s, d))),
+    // full-batch GD logistic regression, 3 rounds from zero over
+    // population-standardized features: the oracle replays each round
+    // as an unrolled CTE (gradient aggregate → weight update), so the
+    // whole optimization trajectory is value-pinned, not just the fit
+    "ml7_logreg_gd" -> q((s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("is_return",
+        (col("l_returnflag") === "R").cast("int"))
+      graft.ml.LogReg.fitGd(li, "is_return",
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        iters = 3, lr = 0.5)
+    }),
     // dedup-aware mixing: duplicate clusters (d8 machinery) weight each
     // doc 1/cluster_size, then the deterministic exact-40 A-ES draw —
     // a cluster's expected pick mass is ~equal no matter how many
@@ -675,6 +686,45 @@ object SparkEntry {
             .select(lit(k).as("k"), col("deg"), col("n_vertices")))
         .reduce(_.unionAll(_))
         .orderBy("k", "deg")
+    }),
+    // Kleinberg HITS over a 200-src/211-dst derived graph, 5 full
+    // hub+auth rounds with per-half-step L2 norms — the oracle replays
+    // every half-step as unrolled CTE layers, so both mutually
+    // recursive score vectors are value-pinned end to end
+    "g8_hits" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(200L)).as("src"),
+        pmod(col("o_orderkey"), lit(211L)).as("dst"))
+      graft.graph.Hits.hits(edges, iters = 5)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("node")
+    }),
+    // synchronous min-tie-break label propagation, 4 rounds: community
+    // sizes pinned exactly (integer counts + deterministic tie-break →
+    // no float drift anywhere in this gate)
+    "g9_label_prop" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(997L)).as("dst"))
+      graft.graph.LabelProp.communities(edges, rounds = 4)
+        .orderBy("label")
+    }),
+    // ordered 3-step funnel (view → click → purchase) per user, both
+    // strict-ordering and 48h-max-gap variants in one pinned output;
+    // every stage join/agg is keyed on user_id so the plan reuses one
+    // hash partitioning end to end
+    "f1_funnel" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+      val steps = Seq("view", "click", "purchase")
+      val strict = graft.operators.Funnel
+        .ordered(ev, "user_id", "ts", "event_type", steps)
+        .withColumn("variant", lit("strict"))
+      val gapped = graft.operators.Funnel
+        .ordered(ev, "user_id", "ts", "event_type", steps,
+          Some(expr("INTERVAL 48 HOURS")))
+        .withColumn("variant", lit("gap48h"))
+      strict.unionByName(gapped).orderBy("variant", "step")
     }),
     "g3_triangle_count" -> q((s, d) => {
       val edges = Tables.orders(s, d).select(
@@ -2131,6 +2181,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_features"),
           round(col("log_w"), 6).as("log_w"),
           round(col("gumbel_key"), 6).as("gumbel_key"))),
+    // hybrid-retrieval RRF: BM25 top-50 (r1's query) fused with the
+    // dense cosine top-50 around vec_id 0 at k=60 — ranks are integer
+    // and both engines' reciprocal sums are bit-identical, so the fused
+    // ordering is exact; top-20 with both source ranks pinned
+    "r5_rrf_fusion" -> q((s, d) => {
+      val lex = graft.text.Fusion.withRank(
+        graft.text.Bm25.topK(Tables.documents(s, d),
+          Seq("hash", "join", "window", "spark"), k = 50),
+        "bm25", "doc_id")
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          Seq(0L), k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.text.Fusion.rrf(
+        Seq("lex" -> lex, "dense" -> dense), "doc_id", k = 60, topN = 20)
+    }),
     // quality-proportional deterministic thinning: keep probability
     // min(quality·rate, 1) decided by the id hash — kept membership is a
     // pure function of (id, text); the oracle recomputes the same
@@ -2778,6 +2843,111 @@ object SparkEntry {
          SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
   }
 
+  /** [[graft.graph.Hits]] as unrolled DuckDB CTE layers: one
+    * `(authority raw-sum, L2 norm, normalize)` + `(hub raw-sum, L2
+    * norm, normalize)` pair of layer triples per iteration. */
+  private def hitsSql(srcExpr: String, dstExpr: String,
+                      iters: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT DISTINCT $srcExpr AS src,
+           $dstExpr AS dst FROM orders),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e
+           UNION SELECT dst FROM e),
+         h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS hub FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (SELECT dst AS node, sum(h.hub) AS s
+           FROM e JOIN $prev h ON e.src = h.node GROUP BY 1),
+         az$i AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS z FROM ar$i),
+         a$i AS MATERIALIZED (SELECT nodes.node,
+           COALESCE(ar.s, 0) / (SELECT z FROM az$i) AS auth
+           FROM nodes LEFT JOIN ar$i ar ON nodes.node = ar.node),
+         hr$i AS MATERIALIZED (SELECT src AS node, sum(a.auth) AS s
+           FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         hz$i AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS z FROM hr$i),
+         h$i AS MATERIALIZED (SELECT nodes.node,
+           COALESCE(hr.s, 0) / (SELECT z FROM hz$i) AS hub
+           FROM nodes LEFT JOIN hr$i hr ON nodes.node = hr.node)"""
+    }.mkString(",\n         ")
+    s"""WITH $base,
+         $iterCtes
+         SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+         FROM h$iters h JOIN a$iters a ON h.node = a.node ORDER BY h.node"""
+  }
+
+  /** [[graft.graph.LabelProp]] as unrolled DuckDB CTE layers: per round
+    * one neighbor-label count and one `row_number()`-over-`(count DESC,
+    * label ASC)` modal pick — the SQL mirror of the Spark side's
+    * `min_by(label, (-count, label))`. */
+  private def labelPropSql(srcExpr: String, dstExpr: String,
+                           rounds: Int): String = {
+    val base =
+      s"""und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+           greatest(s, d) AS b FROM
+           (SELECT $srcExpr AS s, $dstExpr AS d FROM orders) WHERE s <> d),
+         adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+           UNION ALL SELECT b, a FROM und),
+         l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM adj)"""
+    val iterCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT adj.v, l.label, count(*) AS c
+           FROM adj JOIN l${i - 1} l ON adj.u = l.v GROUP BY 1, 2),
+         l$i AS MATERIALIZED (SELECT v, label FROM
+           (SELECT v, label, row_number() OVER
+             (PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c$i)
+           WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH $base,
+         $iterCtes
+         SELECT label, count(*) AS n_members FROM l$rounds
+         GROUP BY 1 ORDER BY label"""
+  }
+
+  /** [[graft.ml.LogReg.fitGd]] as unrolled DuckDB CTE layers: one
+    * standardization-moments CTE, then per GD round a `(sigmoid margin
+    * → mean-gradient aggregate → weight update)` CTE pair; final
+    * log-loss from the last weights. Weight columns are `w0..w{d-1},
+    * b`. */
+  private def logregSql(labelExpr: String, features: Seq[String],
+                        iters: Int, lr: Double): String = {
+    val d = features.length
+    val idx = features.indices
+    val momCols = features.zipWithIndex.map { case (f, i) =>
+      s"avg($f) AS mu$i, stddev_pop($f) AS sd$i" }.mkString(", ")
+    val xCols = features.zipWithIndex.map { case (f, i) =>
+      s"($f - mu$i) / sd$i AS x$i" }.mkString(", ")
+    val zeroW = idx.map(i => s"0.0 AS w$i").mkString(", ") + ", 0.0 AS b"
+    def marginOf(w: String): String =
+      s"$w.b + " + idx.map(i => s"$w.w$i * f.x$i").mkString(" + ")
+    val iterCtes = (1 to iters).map { t =>
+      val prev = s"wt${t - 1}"
+      val gradCols = idx.map(i => s"avg((p - y) * x$i) AS g$i")
+        .mkString(", ") + ", avg(p - y) AS gb"
+      val updCols = idx.map(i => s"w$i - $lr * g$i AS w$i")
+        .mkString(", ") + s", b - $lr * gb AS b"
+      s"""g$t AS MATERIALIZED (SELECT $gradCols FROM
+           (SELECT f.y, ${idx.map(i => s"f.x$i").mkString(", ")},
+              1.0 / (1.0 + exp(-(${marginOf(prev)}))) AS p
+            FROM f CROSS JOIN $prev $prev)),
+         wt$t AS MATERIALIZED (SELECT $updCols
+           FROM wt${t - 1} CROSS JOIN g$t)"""
+    }.mkString(",\n         ")
+    val wFinal = s"wt$iters"
+    val termRows = features.zipWithIndex.map { case (f, i) =>
+      s"SELECT 'w_$f' AS term, w$i AS v FROM $wFinal" } ++ Seq(
+      s"SELECT 'intercept', b FROM $wFinal",
+      s"""SELECT 'log_loss', (SELECT avg(CASE WHEN f.y = 1.0
+            THEN ln(1.0 + exp(-(${marginOf(wFinal)})))
+            ELSE ln(1.0 + exp(${marginOf(wFinal)})) END)
+          FROM f CROSS JOIN $wFinal $wFinal)""")
+    s"""WITH st AS MATERIALIZED (SELECT $momCols FROM lineitem),
+         f AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
+           FROM lineitem CROSS JOIN st),
+         wt0 AS (SELECT $zeroW),
+         $iterCtes
+         SELECT term, round(v, 6) AS value
+         FROM (${termRows.mkString(" UNION ALL ")}) ORDER BY term"""
+  }
+
   /** Morton bit-interleave of N integer expressions as plain DuckDB
     * shift/mask arithmetic — the SQL mirror of
     * [[graft.operators.ZOrder.zorderKeyN]] (bit i of expr j at
@@ -2990,6 +3160,37 @@ object SparkEntry {
              WHERE o_custkey = c_custkey) THEN 1 END) AS n_dormant
          FROM customer GROUP BY 1 ORDER BY 1""",
     "g1_pagerank" -> pagerankSql("o_custkey % 100", "o_orderkey % 97", 5),
+    "g8_hits" -> hitsSql("o_custkey % 200", "o_orderkey % 211", 5),
+    "g9_label_prop" -> labelPropSql("o_custkey % 1000", "o_orderkey % 997", 4),
+    "f1_funnel" ->
+      """WITH s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+         g2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t
+             AND e.ts <= s1.t + INTERVAL 48 HOURS GROUP BY 1),
+         g3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN g2 ON e.user_id = g2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > g2.t
+             AND e.ts <= g2.t + INTERVAL 48 HOURS GROUP BY 1),
+         n1 AS (SELECT count(*) AS n FROM s1),
+         counts(variant, step, event_type, n_users) AS (
+           SELECT 'strict', 1, 'view', (SELECT n FROM n1)
+           UNION ALL SELECT 'strict', 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 'strict', 3, 'purchase', (SELECT count(*) FROM s3)
+           UNION ALL SELECT 'gap48h', 1, 'view', (SELECT n FROM n1)
+           UNION ALL SELECT 'gap48h', 2, 'click', (SELECT count(*) FROM g2)
+           UNION ALL SELECT 'gap48h', 3, 'purchase', (SELECT count(*) FROM g3))
+         SELECT step, event_type, n_users,
+           round(n_users::DOUBLE / (SELECT n FROM n1), 4) AS pct_of_first,
+           variant
+         FROM counts ORDER BY variant, step""",
     "g2_pagerank_dangling" ->
       pagerankSql("o_custkey % 50", "50 + o_orderkey % 53", 5),
     "io5_schema_evolution" ->
@@ -3447,6 +3648,10 @@ object SparkEntry {
          SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
          FROM documents d JOIN pred p ON d.doc_id = p.doc_id
          GROUP BY 1, 2 ORDER BY actual, predicted""",
+    "ml7_logreg_gd" -> logregSql(
+      "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      iters = 3, lr = 0.5),
     "w20_ohlc_bars" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
            (epoch_ms(ts) - 1700000000000) * 10000000
@@ -5279,6 +5484,42 @@ object SparkEntry {
            FROM c JOIN dfx USING (term) CROSS JOIN nd GROUP BY 1)
          SELECT doc_id, round(score, 6) AS bm25 FROM sc
          ORDER BY round(score, 6) DESC, doc_id LIMIT 25""",
+    "r5_rrf_fusion" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+         dd AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+         nd AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dd),
+         q AS (SELECT unnest(['hash', 'join', 'window', 'spark']) AS term),
+         tf AS (SELECT doc_id, dl, term,
+             len(list_filter(tk, x -> x = term)) AS tf
+           FROM dd CROSS JOIN q),
+         c AS (SELECT * FROM tf WHERE tf > 0),
+         dfx AS (SELECT term, count(*) AS df FROM c GROUP BY 1),
+         sc AS (SELECT doc_id,
+             sum(ln(1 + (nd.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               * c.tf * (1.2 + 1.0)
+               / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * c.dl / nd.avgdl))) AS score
+           FROM c JOIN dfx USING (term) CROSS JOIN nd GROUP BY 1),
+         lex AS (SELECT doc_id, rank_lex FROM
+           (SELECT doc_id, row_number() OVER
+              (ORDER BY round(score, 6) DESC, doc_id) AS rank_lex FROM sc)
+           WHERE rank_lex <= 50),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id = 0),
+         ds AS (SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(qv.q_emb,
+               CAST(e.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+         dense AS (SELECT doc_id, rank_dense FROM
+           (SELECT doc_id, row_number() OVER
+              (ORDER BY sim DESC, doc_id) AS rank_dense FROM ds)
+           WHERE rank_dense <= 50),
+         fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+             l.rank_lex, de.rank_dense,
+             round(COALESCE(1.0 / (60 + l.rank_lex), 0)
+               + COALESCE(1.0 / (60 + de.rank_dense), 0), 6) AS rrf_score
+           FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+         SELECT doc_id, rank_lex, rank_dense, rrf_score FROM fused
+         ORDER BY rrf_score DESC, doc_id LIMIT 20""",
     "t15_tfidf_top_terms" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
