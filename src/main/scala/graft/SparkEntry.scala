@@ -59,6 +59,21 @@ object SparkEntry {
       n == p || n.startsWith(p + "_") || n.takeWhile(_.isLetter) == p))
   }
 
+  /** Labeled lineitem for the classifier gates (ml7/ml8/ml9): the
+    * fixture's columns are mutually independent, so a LEARNABLE binary
+    * label must be derived from the features themselves —
+    * `l_quantity + 20·l_discount > 28` mixes two features (quantity
+    * dominant, discount a perturbation, price irrelevant), giving a
+    * model with genuinely nonzero weights, a populated calibration
+    * diagram, and WOE values spanning both signs. */
+  private def liLabeled(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).withColumn("is_big",
+      (col("l_quantity") + col("l_discount") * 20.0 > 28.0).cast("int"))
+
+  /** The same label as DuckDB SQL (the ml oracle fixtures). */
+  private val isBigSql =
+    "CASE WHEN l_quantity + l_discount * 20.0 > 28.0 THEN 1.0 ELSE 0.0 END"
+
   /** Deterministic near-duplicate planting for the similarity gates: for
     * each `vec_id < n`, add a clone at `vec_id + 10000` with every
     * component scaled by `1 + 1e-4·((vec_id+i) mod 3 − 1)` — pure
@@ -261,13 +276,31 @@ object SparkEntry {
     // population-standardized features: the oracle replays each round
     // as an unrolled CTE (gradient aggregate → weight update), so the
     // whole optimization trajectory is value-pinned, not just the fit
-    "ml7_logreg_gd" -> q((s, d) => {
-      val li = Tables.lineitem(s, d).withColumn("is_return",
-        (col("l_returnflag") === "R").cast("int"))
-      graft.ml.LogReg.fitGd(li, "is_return",
+    "ml7_logreg_gd" -> q((s, d) =>
+      graft.ml.LogReg.fitGd(liLabeled(s, d), "is_big",
         Seq("l_quantity", "l_extendedprice", "l_discount"),
-        iters = 3, lr = 0.5)
-    }),
+        iters = 3, lr = 0.5)),
+    // reliability diagram over the ml7 model's scores: the oracle
+    // replays the full GD trajectory AND the row-level sigmoid scoring,
+    // then the identical fixed-width binning — calibration quality is
+    // pinned end-to-end, not just the weights
+    "ml8_calibration" -> q((s, d) =>
+      graft.ml.Calibration.reliabilityBins(
+        graft.ml.LogReg.fitAndScore(liLabeled(s, d), "is_big",
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          iters = 3, lr = 0.5),
+        "p", "label", bins = 10)),
+    // weight-of-evidence / information value of a categorical feature
+    // against the same label — the feature screen run before any model;
+    // the quantity bucket is strongly associated, so the woe values
+    // span both signs and the iv terms are far from the zero floor
+    "ml9_woe_iv" -> q((s, d) =>
+      graft.ml.Calibration.woeIv(
+        liLabeled(s, d).withColumn("qty_bucket",
+          when(col("l_quantity") <= 15, "low")
+            .when(col("l_quantity") <= 35, "mid")
+            .otherwise("high")),
+        "qty_bucket", "is_big")),
     // dedup-aware mixing: duplicate clusters (d8 machinery) weight each
     // doc 1/cluster_size, then the deterministic exact-40 A-ES draw —
     // a cluster's expected pick mass is ~equal no matter how many
@@ -1733,6 +1766,15 @@ object SparkEntry {
     // surviving token counts and rebuilt text pinned per affected doc
     "d20_strip_spans" -> q((s, d) =>
       graft.dedup.ExactSubstr.stripSpans(Tables.documents(s, d), k = 8)),
+    // CCNet-style boilerplate-line removal over the line-structured
+    // fixture (t16's '.\n' device): every line repeating in ≥3 docs is
+    // dropped corpus-wide and each doc's full reassembled text is
+    // pinned — order preserved, all-boiler docs survive empty
+    "d27_boilerplate_lines" -> q((s, d) => {
+      val lined = Tables.documents(s, d).withColumn("text",
+        regexp_replace(col("text"), lit(" a "), lit(".\n")))
+      Dedup.removeBoilerplateLines(lined, minDocs = 3).orderBy("doc_id")
+    }),
     // BPE merge-table training (Sennrich 2016): 10 rounds of
     // (pair-count aggregation → argmax → row-local merge) over the
     // vocabulary-sized word table; the merge table is the model
@@ -2902,14 +2944,15 @@ object SparkEntry {
          GROUP BY 1 ORDER BY label"""
   }
 
-  /** [[graft.ml.LogReg.fitGd]] as unrolled DuckDB CTE layers: one
-    * standardization-moments CTE, then per GD round a `(sigmoid margin
-    * → mean-gradient aggregate → weight update)` CTE pair; final
-    * log-loss from the last weights. Weight columns are `w0..w{d-1},
-    * b`. */
-  private def logregSql(labelExpr: String, features: Seq[String],
-                        iters: Int, lr: Double): String = {
-    val d = features.length
+  /** Shared CTE body for the logreg oracles — one standardization-
+    * moments CTE, then per GD round a `(sigmoid margin → mean-gradient
+    * aggregate → weight update)` CTE pair; weight columns `w0..w{d-1},
+    * b`. Returns `(cteBody, finalWeightCte, marginOf)` — [[logregSql]]
+    * pins the model, [[logregCalibSql]] reuses the identical
+    * trajectory to score rows. */
+  private def logregCtes(labelExpr: String, features: Seq[String],
+                         iters: Int, lr: Double)
+      : (String, String, String => String) = {
     val idx = features.indices
     val momCols = features.zipWithIndex.map { case (f, i) =>
       s"avg($f) AS mu$i, stddev_pop($f) AS sd$i" }.mkString(", ")
@@ -2931,7 +2974,20 @@ object SparkEntry {
          wt$t AS MATERIALIZED (SELECT $updCols
            FROM wt${t - 1} CROSS JOIN g$t)"""
     }.mkString(",\n         ")
-    val wFinal = s"wt$iters"
+    val body =
+      s"""st AS MATERIALIZED (SELECT $momCols FROM lineitem),
+         f AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
+           FROM lineitem CROSS JOIN st),
+         wt0 AS (SELECT $zeroW),
+         $iterCtes"""
+    (body, s"wt$iters", marginOf)
+  }
+
+  /** [[graft.ml.LogReg.fitGd]] as unrolled DuckDB CTE layers
+    * ([[logregCtes]]); final log-loss from the last weights. */
+  private def logregSql(labelExpr: String, features: Seq[String],
+                        iters: Int, lr: Double): String = {
+    val (body, wFinal, marginOf) = logregCtes(labelExpr, features, iters, lr)
     val termRows = features.zipWithIndex.map { case (f, i) =>
       s"SELECT 'w_$f' AS term, w$i AS v FROM $wFinal" } ++ Seq(
       s"SELECT 'intercept', b FROM $wFinal",
@@ -2939,13 +2995,26 @@ object SparkEntry {
             THEN ln(1.0 + exp(-(${marginOf(wFinal)})))
             ELSE ln(1.0 + exp(${marginOf(wFinal)})) END)
           FROM f CROSS JOIN $wFinal $wFinal)""")
-    s"""WITH st AS MATERIALIZED (SELECT $momCols FROM lineitem),
-         f AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
-           FROM lineitem CROSS JOIN st),
-         wt0 AS (SELECT $zeroW),
-         $iterCtes
+    s"""WITH $body
          SELECT term, round(v, 6) AS value
          FROM (${termRows.mkString(" UNION ALL ")}) ORDER BY term"""
+  }
+
+  /** [[graft.ml.Calibration.reliabilityBins]] over the ml7 model:
+    * identical GD trajectory CTEs, then row-level sigmoid scoring and
+    * the fixed-width binning. */
+  private def logregCalibSql(labelExpr: String, features: Seq[String],
+                             iters: Int, lr: Double, bins: Int): String = {
+    val (body, wFinal, marginOf) = logregCtes(labelExpr, features, iters, lr)
+    s"""WITH $body,
+         scored AS (SELECT f.y,
+             1.0 / (1.0 + exp(-(${marginOf(wFinal)}))) AS p
+           FROM f CROSS JOIN $wFinal $wFinal)
+         SELECT CAST(least(floor(p * $bins), ${bins - 1}) AS INT) AS bin,
+           count(*) AS n, round(avg(p), 6) AS mean_p,
+           round(avg(y), 6) AS pos_rate,
+           round(sum((p - y) * (p - y)), 6) AS brier_sum
+         FROM scored GROUP BY 1 ORDER BY 1"""
   }
 
   /** Morton bit-interleave of N integer expressions as plain DuckDB
@@ -3648,10 +3717,28 @@ object SparkEntry {
          SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
          FROM documents d JOIN pred p ON d.doc_id = p.doc_id
          GROUP BY 1, 2 ORDER BY actual, predicted""",
-    "ml7_logreg_gd" -> logregSql(
-      "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+    "ml7_logreg_gd" -> logregSql(isBigSql,
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       iters = 3, lr = 0.5),
+    "ml8_calibration" -> logregCalibSql(isBigSql,
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      iters = 3, lr = 0.5, bins = 10),
+    "ml9_woe_iv" ->
+      s"""WITH c AS (SELECT CASE WHEN l_quantity <= 15 THEN 'low'
+             WHEN l_quantity <= 35 THEN 'mid' ELSE 'high' END AS value,
+           sum($isBigSql) AS n_pos,
+           sum(1.0 - $isBigSql) AS n_neg
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM c),
+         s AS (SELECT value, n_pos, n_neg,
+             (n_pos + 0.5) / (tot_pos + 0.5) AS ps,
+             (n_neg + 0.5) / (tot_neg + 0.5) AS ns
+           FROM c CROSS JOIN t)
+         SELECT value, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(ln(ps / ns), 6) AS woe,
+           round((ps - ns) * ln(ps / ns), 6) AS iv_term
+         FROM s ORDER BY value""",
     "w20_ohlc_bars" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
            (epoch_ms(ts) - 1700000000000) * 10000000
@@ -5682,6 +5769,29 @@ object SparkEntry {
          FROM (SELECT DISTINCT doc_id FROM sp) sd
          JOIN bf USING (doc_id) LEFT JOIN ka USING (doc_id)
          ORDER BY doc_id""",
+    "d27_boilerplate_lines" ->
+      """WITH lined AS MATERIALIZED (SELECT doc_id,
+           replace(text, ' a ', '.' || chr(10)) AS text FROM documents),
+         lx AS MATERIALIZED (SELECT doc_id,
+           string_split(text, chr(10)) AS lines FROM lined),
+         ln AS MATERIALIZED (SELECT doc_id,
+           generate_subscripts(lines, 1) AS line_no, unnest(lines) AS line
+           FROM lx),
+         nrm AS MATERIALIZED (SELECT doc_id, line_no, line,
+           lower(trim(line)) AS norm FROM ln),
+         boiler AS MATERIALIZED (SELECT norm FROM
+           (SELECT norm, count(DISTINCT doc_id) AS nd FROM nrm
+            WHERE len(norm) > 0 GROUP BY 1) WHERE nd >= 3),
+         kept AS (SELECT n.doc_id, n.line_no, n.line
+           FROM nrm n ANTI JOIN boiler b ON n.norm = b.norm),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY line_no) AS text
+           FROM kept GROUP BY 1),
+         base AS (SELECT doc_id, len(lines) AS n_lines FROM lx)
+         SELECT b.doc_id, coalesce(a.text, '') AS text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
     "bpe1_merge_table" ->
       s"""WITH ${bpeRoundsSql(10)}
          SELECT * FROM (${(1 to 10).map(r =>

@@ -243,6 +243,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style boilerplate-line removal: drop every line whose
+    * normalized form (trimmed, lowercased) appears in at least
+    * `minDocs` DISTINCT documents — navigation chrome, cookie
+    * banners, license footers — and reassemble each document from its
+    * surviving lines in order.
+    *
+    * Scale shape: within-doc line repeats collapse BEFORE the
+    * frequency count (one distinct over `(doc_id, line_hash)` — 8-byte
+    * hash keys, never raw lines, on the shuffle), the frequency count
+    * is a partial→final aggregate on the hash, and the boilerplate
+    * membership comes back as a LEFT SEMI join on the hash — the
+    * boilerplate set is the ≥minDocs head of the line-frequency
+    * distribution, so its size is bounded by total_lines/minDocs and
+    * it shrinks as the threshold rises; no broadcast assumption is
+    * needed, both joins key on the 8-byte hash. Reassembly is one
+    * per-doc `array_sort(collect_list)` whose state is the document's
+    * own lines — row-local mass, never corpus-sized. Empty lines are
+    * never counted as boilerplate (they'd link unrelated docs).
+    *
+    * Returns `(doc_id, text, n_kept, n_dropped)` — docs whose every
+    * line is boilerplate survive with empty text, so the output is a
+    * total map of the input. 64-bit hash collisions at 10^12 lines are
+    * the same documented trade as [[segmentDupStats]]. */
+  def removeBoilerplateLines(documents: DataFrame,
+                             minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"boilerplate threshold must be >= 2, got $minDocs")
+    val lines = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("_norm", lower(trim(col("line"))))
+      .withColumn("_h", xxhash64(col("_norm")))
+    val boiler = lines
+      .filter(length(col("_norm")) > 0)
+      .select(col("doc_id"), col("_h")).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("_h")
+    val kept = lines.join(boiler, Seq("_h"), "left_anti")
+    val keptByDoc = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("_n_lines"))
+      .join(keptByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Word k-shingles, distinct per doc. Built by zipping k SHIFTED
     * SLICES of the token array positionally — the tokenize expression
     * evaluates O(k) times per document. (The `transform(sequence(...),

@@ -30,13 +30,14 @@ object LogReg {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(negate(z)))
 
-  /** Fit by `iters` rounds of full-batch GD with learning rate `lr`
-    * from a zero start, over POPULATION-standardized `featureCols`;
-    * returns `(term, value)` rows: `w_<feature>` weights, `intercept`,
-    * and `log_loss` at the final weights (natural log, mean over rows).
-    * `labelCol` must be 0/1 (cast to double). */
-  def fitGd(df: DataFrame, labelCol: String, featureCols: Seq[String],
-            iters: Int = 3, lr: Double = 0.5): DataFrame = {
+  /** The standardized feature projection + final GD weights — the
+    * shared core of [[fitGd]] (reports the model) and [[fitAndScore]]
+    * (applies it). Returns the persisted feature frame (caller
+    * unpersists), the weight vector (index d = intercept), and the
+    * margin builder. */
+  private def fitCore(df: DataFrame, labelCol: String,
+                      featureCols: Seq[String], iters: Int, lr: Double)
+      : (DataFrame, Array[Double], Array[Double] => Column) = {
     require(featureCols.nonEmpty, "logreg: need at least one feature")
     require(iters >= 1 && lr > 0, s"logreg: invalid iters=$iters lr=$lr")
     val spark = df.sparkSession
@@ -73,6 +74,20 @@ object LogReg {
       w = w.indices.map(i => w(i) - lr * g.getDouble(i)).toArray
     }
 
+    (feats, w, margin)
+  }
+
+  /** Fit by `iters` rounds of full-batch GD with learning rate `lr`
+    * from a zero start, over POPULATION-standardized `featureCols`;
+    * returns `(term, value)` rows: `w_<feature>` weights, `intercept`,
+    * and `log_loss` at the final weights (natural log, mean over rows).
+    * `labelCol` must be 0/1 (cast to double). */
+  def fitGd(df: DataFrame, labelCol: String, featureCols: Seq[String],
+            iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (feats, w, margin) = fitCore(df, labelCol, featureCols, iters, lr)
+    val d = featureCols.length
     val m = margin(w)
     // ln(1 + e^{-|m|}) + max(-ym', 0) form is unnecessary at these
     // magnitudes; standardized features keep |m| small enough that the
@@ -89,5 +104,16 @@ object LogReg {
     rows.toDF("term", "_raw")
       .select(col("term"), round(col("_raw"), 6).as("value"))
       .orderBy("term")
+  }
+
+  /** Fit as [[fitGd]], then score every row: returns `(label, p)` —
+    * the frame [[Calibration.reliabilityBins]] consumes. The scoring
+    * pass reuses the persisted standardized projection (it stays
+    * cached for the consumer's action — narrow d+1-column rows; the
+    * session evicts it LRU), so fit + score is iters+2 passes. */
+  def fitAndScore(df: DataFrame, labelCol: String, featureCols: Seq[String],
+                  iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (feats, w, margin) = fitCore(df, labelCol, featureCols, iters, lr)
+    feats.select(col("_y").as("label"), sigmoid(margin(w)).as("p"))
   }
 }
