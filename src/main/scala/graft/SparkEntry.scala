@@ -2261,6 +2261,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
           sum("n_tokens").as("tok_sum"))
         .orderBy("source")),
+    // cross-source quantile normalization: each doc's within-source
+    // percentile mapped to the GLOBAL distribution's value at that
+    // percentile — per-source window + prefix-sum global rank + one
+    // integer-keyed join; every (raw, pct, normalized) triple pinned
+    "tp11_quantile_norm" -> q((s, d) =>
+      graft.pipeline.QuantileNorm.normalize(
+          Tables.documents(s, d), "source", "n_chars", "doc_id")
+        .orderBy("doc_id")),
     // per-source epoch schedule (LLaMA-style epochs table): weights
     // rise linearly with the source number (w = srcNum+1, Σ=210), so a
     // 60k-token budget makes heavy sources repeat multiple epochs while
@@ -5320,6 +5328,19 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS tok_sum
          FROM c WHERE COALESCE(cb, 0) + n_tokens <= 15000
          GROUP BY 1 ORDER BY source""",
+    "tp11_quantile_norm" ->
+      """WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS q
+           FROM documents WHERE n_chars IS NOT NULL),
+         pr AS (SELECT doc_id, source, q, percent_rank() OVER
+           (PARTITION BY source ORDER BY q, doc_id) AS p FROM s),
+         g AS (SELECT q, row_number() OVER (ORDER BY q, doc_id) AS rk
+           FROM s),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT pr.doc_id, pr.source, round(pr.q, 6) AS raw_score,
+           round(pr.p, 6) AS pct_rank, round(g.q, 6) AS norm_score
+         FROM pr CROSS JOIN n JOIN g
+           ON g.rk = CAST(floor(pr.p * (n.n - 1)) AS BIGINT) + 1
+         ORDER BY pr.doc_id""",
     "t18_length_band" ->
       s"""WITH t AS (SELECT lang, doc_id,
            CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
