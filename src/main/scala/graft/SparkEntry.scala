@@ -290,6 +290,15 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount"),
           iters = 3, lr = 0.5),
         "p", "label", bins = 10)),
+    // 3-fold cross-validated held-out log-loss: deterministic
+    // arithmetic fold assignment, each fold trains its OWN trajectory
+    // on the other folds and held-out rows standardize with TRAIN
+    // moments — the oracle replays all three trajectories in one WITH
+    "ml10_kfold_cv" -> q((s, d) =>
+      graft.ml.LogReg.kfoldLogLoss(liLabeled(s, d), "is_big",
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        foldCol = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(3)),
+        k = 3, iters = 2, lr = 0.5)),
     // weight-of-evidence / information value of a categorical feature
     // against the same label — the feature screen run before any model;
     // the quantity bucket is strongly associated, so the woe values
@@ -2959,9 +2968,11 @@ object SparkEntry {
     * pins the model, [[logregCalibSql]] reuses the identical
     * trajectory to score rows. */
   private def logregCtes(labelExpr: String, features: Seq[String],
-                         iters: Int, lr: Double)
+                         iters: Int, lr: Double, prefix: String = "",
+                         where: String = "", evalWhere: String = "")
       : (String, String, String => String) = {
     val idx = features.indices
+    val p = prefix
     val momCols = features.zipWithIndex.map { case (f, i) =>
       s"avg($f) AS mu$i, stddev_pop($f) AS sd$i" }.mkString(", ")
     val xCols = features.zipWithIndex.map { case (f, i) =>
@@ -2970,25 +2981,57 @@ object SparkEntry {
     def marginOf(w: String): String =
       s"$w.b + " + idx.map(i => s"$w.w$i * f.x$i").mkString(" + ")
     val iterCtes = (1 to iters).map { t =>
-      val prev = s"wt${t - 1}"
+      val prev = s"${p}wt${t - 1}"
       val gradCols = idx.map(i => s"avg((p - y) * x$i) AS g$i")
         .mkString(", ") + ", avg(p - y) AS gb"
       val updCols = idx.map(i => s"w$i - $lr * g$i AS w$i")
         .mkString(", ") + s", b - $lr * gb AS b"
-      s"""g$t AS MATERIALIZED (SELECT $gradCols FROM
+      s"""${p}g$t AS MATERIALIZED (SELECT $gradCols FROM
            (SELECT f.y, ${idx.map(i => s"f.x$i").mkString(", ")},
               1.0 / (1.0 + exp(-(${marginOf(prev)}))) AS p
-            FROM f CROSS JOIN $prev $prev)),
-         wt$t AS MATERIALIZED (SELECT $updCols
-           FROM wt${t - 1} CROSS JOIN g$t)"""
+            FROM ${p}f f CROSS JOIN $prev $prev)),
+         ${p}wt$t AS MATERIALIZED (SELECT $updCols
+           FROM ${p}wt${t - 1} CROSS JOIN ${p}g$t)"""
     }.mkString(",\n         ")
+    // held-out rows standardized with the TRAIN (${p}st) moments — the
+    // CV protocol the Spark side implements
+    val evalCte = if (evalWhere.isEmpty) "" else
+      s""",
+         ${p}ev AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
+           FROM lineitem CROSS JOIN ${p}st $evalWhere)"""
     val body =
-      s"""st AS MATERIALIZED (SELECT $momCols FROM lineitem),
-         f AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
-           FROM lineitem CROSS JOIN st),
-         wt0 AS (SELECT $zeroW),
-         $iterCtes"""
-    (body, s"wt$iters", marginOf)
+      s"""${p}st AS MATERIALIZED (SELECT $momCols FROM lineitem $where),
+         ${p}f AS MATERIALIZED (SELECT $labelExpr AS y, $xCols
+           FROM lineitem CROSS JOIN ${p}st $where),
+         ${p}wt0 AS (SELECT $zeroW),
+         $iterCtes$evalCte"""
+    (body, s"${p}wt$iters", marginOf)
+  }
+
+  /** [[graft.ml.LogReg.kfoldLogLoss]]: one full [[logregCtes]]
+    * trajectory per fold (train subset + train-moments eval CTE),
+    * folded into a single WITH; per-fold counts and held-out log-loss
+    * UNION'd. */
+  private def logregCvSql(labelExpr: String, features: Seq[String],
+                          foldExpr: String, k: Int, iters: Int,
+                          lr: Double): String = {
+    val parts = (0 until k).map { fo =>
+      logregCtes(labelExpr, features, iters, lr, prefix = s"cv$fo",
+        where = s"WHERE ($foldExpr) <> $fo",
+        evalWhere = s"WHERE ($foldExpr) = $fo")
+    }
+    val body = parts.map(_._1).mkString(",\n         ")
+    val rows = parts.zipWithIndex.map { case ((_, wF, marginOf), fo) =>
+      s"""SELECT $fo AS fold,
+           (SELECT count(*) FROM cv${fo}f) AS n_train,
+           (SELECT count(*) FROM cv${fo}ev) AS n_eval,
+           (SELECT round(avg(CASE WHEN f.y = 1.0
+               THEN ln(1.0 + exp(-(${marginOf(wF)})))
+               ELSE ln(1.0 + exp(${marginOf(wF)})) END), 6)
+            FROM cv${fo}ev f CROSS JOIN $wF $wF) AS eval_log_loss"""
+    }
+    s"""WITH $body
+         SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY fold"""
   }
 
   /** [[graft.ml.LogReg.fitGd]] as unrolled DuckDB CTE layers
@@ -3731,6 +3774,9 @@ object SparkEntry {
     "ml8_calibration" -> logregCalibSql(isBigSql,
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       iters = 3, lr = 0.5, bins = 10),
+    "ml10_kfold_cv" -> logregCvSql(isBigSql,
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      "(l_orderkey * 7 + l_linenumber) % 3", k = 3, iters = 2, lr = 0.5),
     "ml9_woe_iv" ->
       s"""WITH c AS (SELECT CASE WHEN l_quantity <= 15 THEN 'low'
              WHEN l_quantity <= 35 THEN 'mid' ELSE 'high' END AS value,

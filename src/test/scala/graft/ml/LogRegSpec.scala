@@ -46,6 +46,21 @@ class LogRegSpec extends SparkTestBase {
       b.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("kfold: folds partition the data; eval uses train moments") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 30).map(i =>
+      (i.toLong, i.toDouble - 15.5, if (i > 15) 1 else 0))
+      .toDF("id", "x", "y")
+    val out = LogReg.kfoldLogLoss(df, "y", Seq("x"),
+      foldCol = pmod(col("id"), lit(3)), k = 3, iters = 2)
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getLong(2)).sum == 30)          // eval rows partition
+    out.foreach(r => assert(r.getLong(1) + r.getLong(2) == 30))
+    // separable data: held-out loss beats the ln(2) ~ 0.693 zero-model
+    out.foreach(r => assert(r.getDouble(3) < 0.693))
+  }
+
   test("multi-feature: irrelevant constant-ish feature gets ~zero weight") {
     // noise has identical per-class distribution → exactly zero gradient
     val df = Seq(
