@@ -290,6 +290,17 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount"),
           iters = 3, lr = 0.5),
         "p", "label", bins = 10)),
+    // exact ROC-AUC of the ml7 model by the Mann–Whitney midrank
+    // identity — scores pre-rounded to 9 dp so float-noise near-ties
+    // group identically in both engines; distinct-score aggregation +
+    // prefix-sum ranks, never a row-level sort
+    "ml11_auc" -> q((s, d) =>
+      graft.ml.Calibration.aucExact(
+        graft.ml.LogReg.fitAndScore(liLabeled(s, d), "is_big",
+            Seq("l_quantity", "l_extendedprice", "l_discount"),
+            iters = 3, lr = 0.5)
+          .select(col("label"), round(col("p"), 9).as("p")),
+        "p", "label")),
     // 3-fold cross-validated held-out log-loss: deterministic
     // arithmetic fold assignment, each fold trains its OWN trajectory
     // on the other folds and held-out rows standardize with TRAIN
@@ -3068,6 +3079,29 @@ object SparkEntry {
          FROM scored GROUP BY 1 ORDER BY 1"""
   }
 
+  /** [[graft.ml.Calibration.aucExact]] over the ml7 model's 9-dp
+    * scores: identical trajectory CTEs, then the distinct-score
+    * midrank rank-sum. */
+  private def logregAucSql(labelExpr: String, features: Seq[String],
+                           iters: Int, lr: Double): String = {
+    val (body, wFinal, marginOf) = logregCtes(labelExpr, features, iters, lr)
+    s"""WITH $body,
+         scored AS (SELECT f.y,
+             round(1.0 / (1.0 + exp(-(${marginOf(wFinal)}))), 9) AS p
+           FROM f CROSS JOIN $wFinal $wFinal),
+         g AS (SELECT p AS s, count(*) AS c, sum(y) AS pos
+           FROM scored GROUP BY 1),
+         r AS (SELECT s, c, pos, COALESCE(sum(c) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM g)
+         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(c) - sum(pos) AS BIGINT) AS n_neg,
+           round((sum(pos * (cb + (c + 1) / 2.0))
+               - sum(pos) * (sum(pos) + 1) / 2.0)
+             / (sum(pos) * (sum(c) - sum(pos))), 6) AS auc
+         FROM r"""
+  }
+
   /** Morton bit-interleave of N integer expressions as plain DuckDB
     * shift/mask arithmetic — the SQL mirror of
     * [[graft.operators.ZOrder.zorderKeyN]] (bit i of expr j at
@@ -3777,6 +3811,9 @@ object SparkEntry {
     "ml10_kfold_cv" -> logregCvSql(isBigSql,
       Seq("l_quantity", "l_extendedprice", "l_discount"),
       "(l_orderkey * 7 + l_linenumber) % 3", k = 3, iters = 2, lr = 0.5),
+    "ml11_auc" -> logregAucSql(isBigSql,
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      iters = 3, lr = 0.5),
     "ml9_woe_iv" ->
       s"""WITH c AS (SELECT CASE WHEN l_quantity <= 15 THEN 'low'
              WHEN l_quantity <= 35 THEN 'mid' ELSE 'high' END AS value,

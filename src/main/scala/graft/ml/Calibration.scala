@@ -34,6 +34,37 @@ object Calibration {
       .orderBy("bin")
   }
 
+  /** Exact ROC-AUC by the Mann–Whitney rank-sum identity:
+    * `AUC = (Σ midrank(positives) − nPos(nPos+1)/2) / (nPos·nNeg)`,
+    * with MIDRANKS so ties (repeated scores — the norm when scores
+    * come from a model over discrete features) contribute exactly the
+    * tie-averaged probability.
+    *
+    * Scale shape: scores collapse to `(score, count, n_pos)` via one
+    * aggregation BEFORE any ranking (state = distinct scores, not
+    * rows); the global rank base comes from the two-pass
+    * range-partitioned prefix sum over that distinct-score table —
+    * never a data-sized single-task window — and the final AUC is one
+    * scalar aggregate. Callers should pre-round scores (e.g. 9 dp) so
+    * float-noise near-ties group identically across engines/runs. */
+  def aucExact(scored: DataFrame, pCol: String, labelCol: String): DataFrame = {
+    val g = scored
+      .groupBy(col(pCol).cast("double").as("_s"))
+      .agg(count(lit(1)).as("_c"),
+        sum(col(labelCol).cast("double")).as("_pos"))
+    // exclusive running row count in ascending score order: every row
+    // tied at score s has midrank cb + (c+1)/2
+    val ranked = graft.pipeline.Packing
+      .withGlobalCumsumBefore(g, col("_c"), "_s", "_cb")
+    ranked.agg(
+        sum(col("_pos") * (col("_cb") + (col("_c") + 1) / 2.0)).as("_pr"),
+        sum("_pos").as("_np"), sum("_c").as("_n"))
+      .select(col("_np").cast("long").as("n_pos"),
+        (col("_n") - col("_np")).cast("long").as("n_neg"),
+        round((col("_pr") - col("_np") * (col("_np") + 1) / 2.0) /
+          (col("_np") * (col("_n") - col("_np"))), 6).as("auc"))
+  }
+
   /** Weight of evidence + information value of a CATEGORICAL feature
     * against a binary label: per feature value,
     * `woe = ln((pos_share)/(neg_share))` with add-0.5 smoothing

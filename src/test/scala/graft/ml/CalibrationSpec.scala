@@ -51,6 +51,24 @@ class CalibrationSpec extends SparkTestBase {
     assert(math.abs(flatIv) < 1e-9)
   }
 
+  test("auc: perfect separation = 1, reversed = 0, random-ish = 0.5") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("p", "y")
+    assert(Calibration.aucExact(perfect, "p", "y").head().getDouble(2) == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)).toDF("p", "y")
+    assert(Calibration.aucExact(reversed, "p", "y").head().getDouble(2) == 0.0)
+    val coin = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("p", "y")
+    val r = Calibration.aucExact(coin, "p", "y").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5) // all tied → midranks give exactly 1/2
+  }
+
+  test("auc midranks match the pairwise definition under partial ties") {
+    // pairs (pos, neg): pos {0.7, 0.5}, neg {0.5, 0.3}
+    // P(pos>neg) + 0.5 P(=) over 4 pairs: (1 + 1 + 0.5 + 1)/4 = 0.875
+    val df = Seq((0.7, 1), (0.5, 1), (0.5, 0), (0.3, 0)).toDF("p", "y")
+    assert(Calibration.aucExact(df, "p", "y").head().getDouble(2) == 0.875)
+  }
+
   test("fitAndScore feeds bins: all probabilities are in (0,1)") {
     val df = Seq((-2.0, 0), (-1.0, 0), (1.0, 1), (2.0, 1)).toDF("x", "y")
     val scored = LogReg.fitAndScore(df, "y", Seq("x"), iters = 2)
