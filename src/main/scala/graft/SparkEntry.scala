@@ -557,6 +557,68 @@ object SparkEntry {
     // dense_rank top-k WITH ties (vs w1's row_number semantics)
     "w18_dense_topk_ties" -> q((s, d) =>
       Relational.topValueBucketsWithTies(Tables.orders(s, d))),
+    // bounded-state top-k per group: a custom Aggregator keeps ≤k
+    // (value,id) pairs per group (O(k) state, map-side combine) instead
+    // of the window route's full per-group sort; rows and ranks are
+    // identical to the row_number oracle under (value desc, id asc)
+    "w25_heap_topk" -> q((s, d) =>
+      graft.operators.TopK.topKByGroup(Tables.orders(s, d),
+          "o_orderpriority", "o_totalprice", "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "rank")),
+    // gaps-and-islands interval union per key: merge overlapping event
+    // intervals, report covered seconds / island counts — both windows
+    // partition by the key, so no global sort exists in the plan
+    "u10_interval_union" -> q((s, d) => {
+      val iv = Tables.events(s, d).select(
+          pmod(col("user_id"), lit(50L)).as("ukey"),
+          expr("unix_millis(cast(ts as timestamp)) DIV 1000").as("s0"),
+          col("value"))
+        .withColumn("e0", col("s0") +
+          floor(least(greatest(col("value"), lit(0.0)), lit(300.0)) * 12)
+            .cast("long") + lit(60L))
+        .drop("value")
+      graft.operators.Intervals.unionCoverage(iv, "ukey", "s0", "e0")
+    }),
+    // two-regressor OLS by normal equations in covariance form: ONE
+    // partial→final aggregation pass, closed-form 2×2 inverse as
+    // expressions, zero driver math (see MultiOls scaladoc)
+    "ml12_multi_ols" -> q((s, d) =>
+      graft.ml.MultiOls.ols2(Tables.lineitem(s, d),
+        col("l_extendedprice") / 1000.0,
+        col("l_quantity"), col("l_discount"), digits = 4)),
+    // histogram-mode decision-stump split finding (the LightGBM/XGBoost
+    // "hist" primitive): one corpus scan builds per-(feature,bin) label
+    // stats; every candidate split is then scored on that tiny table
+    "ml13_stump_split" -> q((s, d) =>
+      graft.ml.Stump.bestSplits(liLabeled(s, d), "is_big", Seq(
+        graft.ml.Stump.Feature("l_quantity", col("l_quantity"), 0.0, 50.0, 25),
+        graft.ml.Stump.Feature("l_discount", col("l_discount"), 0.0, 0.1, 10),
+        graft.ml.Stump.Feature("l_extendedprice", col("l_extendedprice"),
+          0.0, 100000.0, 20)), topK = 5)),
+    // precision/recall/F1 threshold ladder in ONE aggregation pass
+    // (2·|T|+1 conditional sums — no explode, no per-threshold scan);
+    // score and label are distinct columns so the curve is non-trivial
+    "ml14_threshold_sweep" -> q((s, d) =>
+      graft.ml.Thresholds.sweep(Tables.lineitem(s, d),
+        col("l_quantity"),
+        (col("l_extendedprice") > lit(30000.0)).cast("int"),
+        thresholds = Seq(5.0, 15.0, 25.0, 35.0, 45.0))),
+    // per-group skewness/excess-kurtosis from raw power moments (one
+    // agg pass; explicit algebra, not the engine-specific builtins)
+    "a47_higher_moments" -> q((s, d) =>
+      Relational.higherMoments(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity")),
+    // bounded-round Bellman-Ford from a seed set: exact integer
+    // distances, one join + one min-agg per round (weighted g5)
+    "g11_sssp" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(120L)).as("src"),
+          pmod(col("o_orderkey"), lit(127L)).as("dst"))
+        .agg(min(pmod(col("o_orderkey"), lit(7L)) + lit(1L)).as("w"))
+      val seeds = s.range(5).select(col("id").as("node"))
+      graft.graph.Sssp.boundedSssp(edges, seeds, rounds = 4)
+        .orderBy("node")
+    }),
     // anti-join: per-segment customers with NO high-value order (the
     // raw "no orders at all" set is empty in these fixtures — every
     // custkey appears — so the filter makes the anti-set non-trivial)
@@ -762,6 +824,23 @@ object SparkEntry {
         pmod(col("o_orderkey"), lit(997L)).as("dst"))
       graft.graph.LabelProp.communities(edges, rounds = 4)
         .orderBy("label")
+    }),
+    // personalized PageRank (TrustRank shape): teleport mass uniform
+    // over a small seed set instead of everywhere; the oracle replays
+    // all 5 rounds — including the dangling mass re-entering through
+    // the seed vector — as unrolled CTE layers
+    "g10_ppr" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .groupBy(pmod(col("o_custkey"), lit(80L)).as("src"),
+          pmod(col("o_orderkey"), lit(83L)).as("dst"))
+        .agg(count(lit(1)).as("weight"))
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct().filter(col("node") < 8)
+      graft.graph.PageRank.personalized(edges, seeds,
+          damping = 0.85, iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
     }),
     // ordered 3-step funnel (view → click → purchase) per user, both
     // strict-ordering and 48h-max-gap variants in one pinned output;
@@ -2913,6 +2992,62 @@ object SparkEntry {
          SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
   }
 
+  /** [[graft.graph.Sssp.boundedSssp]] as unrolled DuckDB CTEs: one
+    * `min(dist) over (prev ∪ relaxed)` layer per round — exact integer
+    * arithmetic end to end, so the pin is bit-exact. */
+  private def ssspSql(srcExpr: String, dstExpr: String, wExpr: String,
+                      nSeeds: Int, rounds: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT $srcExpr AS src, $dstExpr AS dst,
+           min($wExpr) AS w FROM orders GROUP BY 1,2),
+         d0 AS (SELECT CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+           FROM range($nSeeds))"""
+    val iterCtes = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM $prev
+           UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM e JOIN $prev d ON e.src = d.node) GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH $base,
+         $iterCtes
+         SELECT node, dist FROM d$rounds ORDER BY node"""
+  }
+
+  /** [[graft.graph.PageRank.personalized]] as unrolled DuckDB CTEs:
+    * teleport vector uniform over `seedPred` nodes, dangling mass
+    * re-entering through the same vector. */
+  private def pprSql(srcExpr: String, dstExpr: String, seedPred: String,
+                     iters: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT $srcExpr AS src, $dstExpr AS dst,
+           count(*) AS w FROM orders GROUP BY 1,2),
+         ow AS MATERIALIZED (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         ne AS MATERIALIZED (SELECT src, dst, w::DOUBLE / out_w AS p
+           FROM e JOIN ow USING (src)),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         ns AS MATERIALIZED (SELECT sum(CASE WHEN $seedPred THEN 1 ELSE 0 END)::DOUBLE
+           AS k FROM nodes),
+         tv AS MATERIALIZED (SELECT node, CASE WHEN $seedPred
+           THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS t FROM nodes),
+         r0 AS MATERIALIZED (SELECT node, t AS rank FROM tv)"""
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(r.rank), 0) AS dm FROM $prev r
+           WHERE r.node NOT IN (SELECT src FROM ow)),
+         c$i AS MATERIALIZED (SELECT dst AS node, sum(p * r.rank) AS in_rank
+           FROM ne JOIN $prev r ON ne.src = r.node GROUP BY 1),
+         r$i AS MATERIALIZED (SELECT tv.node,
+           (1 - 0.85) * tv.t + 0.85 * (COALESCE(c$i.in_rank, 0)
+             + (SELECT dm FROM d$i) * tv.t) AS rank
+           FROM tv LEFT JOIN c$i ON tv.node = c$i.node)"""
+    }.mkString(",\n         ")
+    s"""WITH $base,
+         $iterCtes
+         SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
+  }
+
   /** [[graft.graph.Hits]] as unrolled DuckDB CTE layers: one
     * `(authority raw-sum, L2 norm, normalize)` + `(hub raw-sum, L2
     * norm, normalize)` pair of layer triples per iteration. */
@@ -3316,6 +3451,142 @@ object SparkEntry {
     "g1_pagerank" -> pagerankSql("o_custkey % 100", "o_orderkey % 97", 5),
     "g8_hits" -> hitsSql("o_custkey % 200", "o_orderkey % 211", 5),
     "g9_label_prop" -> labelPropSql("o_custkey % 1000", "o_orderkey % 997", 4),
+    "g10_ppr" -> pprSql("o_custkey % 80", "o_orderkey % 83", "node < 8", 5),
+    "w25_heap_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+         SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+         FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
+    "u10_interval_union" ->
+      """WITH iv AS (SELECT user_id % 50 AS ukey,
+           epoch_ms(ts) // 1000 AS s0,
+           epoch_ms(ts) // 1000
+             + CAST(floor(least(greatest(value, 0), 300) * 12) AS BIGINT)
+             + 60 AS e0
+           FROM events),
+         f AS (SELECT ukey, s0, e0,
+           CASE WHEN s0 > COALESCE(max(e0) OVER (PARTITION BY ukey
+               ORDER BY s0, e0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS newf
+           FROM iv),
+         i AS (SELECT ukey, s0, e0, sum(newf) OVER (PARTITION BY ukey
+             ORDER BY s0, e0
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM f),
+         g AS (SELECT ukey, isl, min(s0) AS s, max(e0) AS e
+           FROM i GROUP BY 1, 2)
+         SELECT ukey, count(*) AS n_islands,
+           CAST(sum(e - s) AS BIGINT) AS covered,
+           max(e - s) AS max_island
+         FROM g GROUP BY 1 ORDER BY ukey""",
+    "ml12_multi_ols" ->
+      """WITH m AS (SELECT
+           covar_pop(l_quantity, l_extendedprice / 1000.0) AS c1y,
+           covar_pop(l_discount, l_extendedprice / 1000.0) AS c2y,
+           covar_pop(l_quantity, l_discount) AS c12,
+           var_pop(l_quantity) AS v1, var_pop(l_discount) AS v2,
+           var_pop(l_extendedprice / 1000.0) AS vy,
+           avg(l_extendedprice / 1000.0) AS my,
+           avg(l_quantity) AS m1, avg(l_discount) AS m2
+           FROM lineitem),
+         b AS (SELECT *,
+           (v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) AS bb1,
+           (v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) AS bb2
+           FROM m)
+         SELECT round(my - bb1 * m1 - bb2 * m2, 4) AS b0,
+           round(bb1, 4) AS b1, round(bb2, 4) AS b2,
+           round((bb1 * c1y + bb2 * c2y) / vy, 4) AS r2
+         FROM b""",
+    "ml13_stump_split" ->
+      """WITH pts AS (
+           SELECT 'l_quantity' AS feature,
+             CAST(least(greatest(floor((l_quantity - 0.0) / 2.0), 0), 24) AS BIGINT) AS bin,
+             CASE WHEN l_quantity + l_discount * 20.0 > 28.0 THEN 1 ELSE 0 END AS y
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount',
+             CAST(least(greatest(floor((l_discount - 0.0) / 0.01), 0), 9) AS BIGINT),
+             CASE WHEN l_quantity + l_discount * 20.0 > 28.0 THEN 1 ELSE 0 END
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice',
+             CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 19) AS BIGINT),
+             CASE WHEN l_quantity + l_discount * 20.0 > 28.0 THEN 1 ELSE 0 END
+           FROM lineitem),
+         stats AS (SELECT feature, bin, count(*) AS n, sum(y) AS pos
+           FROM pts GROUP BY 1, 2),
+         cum AS (SELECT *,
+           sum(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+           sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+           sum(n) OVER (PARTITION BY feature) AS ntot,
+           sum(pos) OVER (PARTITION BY feature) AS postot
+           FROM stats),
+         g AS (SELECT feature,
+           CASE feature WHEN 'l_quantity' THEN 0.0 + (bin + 1) * 2.0
+                        WHEN 'l_discount' THEN 0.0 + (bin + 1) * 0.01
+                        ELSE 0.0 + (bin + 1) * 5000.0 END AS threshold,
+           nl AS n_left, ntot - nl AS n_right,
+           (1.0 - (postot * 1.0 / ntot) * (postot * 1.0 / ntot)
+              - (1.0 - postot * 1.0 / ntot) * (1.0 - postot * 1.0 / ntot))
+           - ((nl * 1.0 / ntot) * (1.0 - (posl * 1.0 / nl) * (posl * 1.0 / nl)
+                - (1.0 - posl * 1.0 / nl) * (1.0 - posl * 1.0 / nl))
+              + ((ntot - nl) * 1.0 / ntot)
+                * (1.0 - ((postot - posl) * 1.0 / (ntot - nl))
+                     * ((postot - posl) * 1.0 / (ntot - nl))
+                   - (1.0 - (postot - posl) * 1.0 / (ntot - nl))
+                     * (1.0 - (postot - posl) * 1.0 / (ntot - nl)))) AS raw_gain
+           FROM cum WHERE nl > 0 AND ntot - nl > 0)
+         SELECT feature, round(threshold, 6) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+           round(raw_gain, 6) AS gain
+         FROM g ORDER BY gain DESC, feature, threshold LIMIT 5""",
+    "ml14_threshold_sweep" -> {
+      val thr = Seq(5.0, 15.0, 25.0, 35.0, 45.0)
+      val sums = thr.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN l_quantity > $t AND l_extendedprice > 30000.0
+             THEN 1 ELSE 0 END) AS tp$i,
+           count(CASE WHEN l_quantity > $t THEN 1 END) AS pp$i"""
+      }.mkString(",\n           ")
+      val rows = thr.zipWithIndex.map { case (t, i) =>
+        s"""SELECT $t AS threshold, CAST(tp$i AS BIGINT) AS tp,
+             CAST(pp$i - tp$i AS BIGINT) AS fp,
+             CAST(pos - tp$i AS BIGINT) AS fn FROM a"""
+      }.mkString("\n           UNION ALL ")
+      s"""WITH a AS MATERIALIZED (SELECT
+           sum(CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END) AS pos,
+           $sums
+           FROM lineitem),
+         r AS ($rows)
+         SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+             THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           END AS f1
+         FROM r ORDER BY threshold"""
+    },
+    "a47_higher_moments" ->
+      """WITH r AS (SELECT l_returnflag, count(*) AS n, avg(l_quantity) AS m,
+           avg(l_quantity * l_quantity) AS e2,
+           avg(l_quantity * l_quantity * l_quantity) AS e3,
+           avg(l_quantity * l_quantity * l_quantity * l_quantity) AS e4
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, n, m,
+           e2 - m * m AS m2,
+           e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+           e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+           FROM r)
+         SELECT l_returnflag, n, round(m, 6) AS mean, round(m2, 6) AS m2,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM c ORDER BY l_returnflag""",
+    "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
+      "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
     "f1_funnel" ->
       """WITH s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t
            FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -135,4 +135,82 @@ object PageRank {
       danglingNodes.unpersist()
     }
   }
+
+  /** Personalized PageRank: teleportation jumps to a SEED SET instead of
+    * uniformly everywhere, so rank measures proximity to the seeds —
+    * the "expand from a trusted whitelist" signal (TrustRank, Gyöngyi
+    * et al. 2004) web-corpus curation uses to score domains near known
+    * good ones, and the standard similarity kernel for
+    * recommend-by-graph.
+    *
+    * Recurrence: `r = (1−d)·t + d·(Σ in + dangling·t)` with `t`
+    * uniform over `seeds` and zero elsewhere — dangling mass re-enters
+    * through the seed vector too, keeping Σr = 1 exactly. Same scale
+    * shape as [[pagerank]]: one join + one aggregate per round over a
+    * persisted normalized edge list, lineage cut each round, the
+    * dangling mass a broadcast one-row aggregate; the teleport column
+    * is carried on the node vector (one broadcast semi-join at setup),
+    * so per-round cost is identical to the global variant.
+    *
+    * `seeds` is a one-column (`node`) frame; seeds absent from the
+    * graph still receive teleport mass (they exist in the output). */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+                   damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seedIds = seeds.select(col("node")).distinct().persist()
+    val nSeeds = seedIds.count().toDouble
+    require(nSeeds > 0, "personalized: seed set is empty")
+    // node universe = graph nodes ∪ seeds, each tagged with its teleport
+    // probability (1/|S| or 0) once, up front
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .union(seedIds.select(col("node")))
+      .distinct()
+      .join(seedIds.withColumn("_t", lit(1.0 / nSeeds)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_t"), lit(0.0)).as("t"))
+      .persist()
+    val outW = edges.groupBy("src").agg(sum("weight").as("out_w"))
+    val normEdges = edges.join(outW, "src")
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("out_w")).as("p"))
+      .persist()
+    val danglingNodes = nodes.select("node")
+      .join(normEdges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .persist()
+    val hasDangling = !danglingNodes.isEmpty
+    // same measured-size broadcast policy as [[pagerank]]
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), col("t").as("rank"))
+      .localCheckpoint(eager = false)
+    try {
+      var it = 0
+      while (it < iters) {
+        val rankSide = ranks.withColumnRenamed("node", "src")
+        val contrib = normEdges
+          .join(if (n <= 1e6) broadcast(rankSide) else rankSide, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("p") * col("rank")).as("in_rank"))
+        val base = nodes.join(contrib, Seq("node"), "left")
+        val withMass =
+          if (hasDangling) base.crossJoin(broadcast(
+            danglingNodes.join(ranks, "node")
+              .agg(coalesce(sum("rank"), lit(0.0)).as("_dmass"))))
+          else base.withColumn("_dmass", lit(0.0))
+        ranks = withMass
+          .select(col("node"), col("t"),
+            (lit(1 - damping) * col("t") + lit(damping) *
+              (coalesce(col("in_rank"), lit(0.0)) + col("_dmass") * col("t")))
+              .as("rank"))
+          .localCheckpoint(eager = false)
+        it += 1
+      }
+      ranks.select("node", "rank")
+    } finally {
+      seedIds.unpersist()
+      nodes.unpersist()
+      normEdges.unpersist()
+      danglingNodes.unpersist()
+    }
+  }
 }

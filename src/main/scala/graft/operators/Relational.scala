@@ -650,4 +650,36 @@ object Relational {
       .select("o_orderpriority", "rank", "price_bucket", "n_orders")
       .orderBy("o_orderpriority", "rank")
   }
+
+  /** Per-group skewness and excess kurtosis from RAW power moments —
+    * one partial→final aggregation computing E[x..x⁴], then central-
+    * moment algebra on the group-cardinality result. Built-in
+    * `skewness`/`kurtosis` are avoided deliberately: engines disagree
+    * on sample-vs-population corrections (Spark is population-g₁,
+    * DuckDB sample-adjusted), while explicit raw-moment algebra is the
+    * SAME arithmetic everywhere, so the oracle pins the definition and
+    * not a library choice. Population forms:
+    * m₂ = E[x²]−μ², m₃ = E[x³]−3μE[x²]+2μ³,
+    * m₄ = E[x⁴]−4μE[x³]+6μ²E[x²]−3μ⁴;
+    * skew = m₃/m₂^1.5, excess kurtosis = m₄/m₂²−3. */
+  def higherMoments(df: DataFrame, groupCol: String, valCol: String,
+                    digits: Int = 6): DataFrame = {
+    val x = col(valCol).cast("double")
+    val raw = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      avg(x).as("m"), avg(x * x).as("e2"),
+      avg(x * x * x).as("e3"), avg(x * x * x * x).as("e4"))
+    val m2 = col("e2") - col("m") * col("m")
+    val m3 = col("e3") - lit(3.0) * col("m") * col("e2") +
+      lit(2.0) * col("m") * col("m") * col("m")
+    val m4 = col("e4") - lit(4.0) * col("m") * col("e3") +
+      lit(6.0) * col("m") * col("m") * col("e2") -
+      lit(3.0) * col("m") * col("m") * col("m") * col("m")
+    raw.select(col(groupCol), col("n"),
+        round(col("m"), digits).as("mean"),
+        round(m2, digits).as("m2"),
+        round(m3 / pow(m2, 1.5), digits).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), digits).as("kurtosis_excess"))
+      .orderBy(groupCol)
+  }
 }

@@ -60,4 +60,34 @@ class PageRankSpec extends SparkTestBase {
     assert(r(2L) > r(3L))
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
+
+  test("personalized with seeds = ALL nodes equals global pagerank") {
+    val edges = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 1L, 1L),
+      (1L, 5L, 1L)) // 5 is dangling — exercises the seed-vector re-entry
+      .toDF("src", "dst", "weight")
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val global = PageRank.pagerank(edges, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppr = PageRank.personalized(edges, allNodes, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // uniform teleport over every node IS the global recurrence
+    for ((node, rank) <- global)
+      assert(math.abs(ppr(node) - rank) < 1e-12,
+        s"node $node: ppr ${ppr(node)} vs global $rank")
+  }
+
+  test("personalized ranks concentrate near the seeds and sum to 1") {
+    // two symmetric triangles bridged by one edge; seed only the left one
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L),
+      (3L, 4L, 1L), (6L, 1L, 1L)).toDF("src", "dst", "weight")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val r = PageRank.personalized(edges, seeds, iters = 40)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass leaked: ${r.values.sum}")
+    assert(r(1L) > r(4L) && r(2L) > r(5L),
+      s"seed side must outrank the far triangle: $r")
+  }
 }
