@@ -608,6 +608,27 @@ object SparkEntry {
     "a47_higher_moments" -> q((s, d) =>
       Relational.higherMoments(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity")),
+    // grouped Spearman rank correlation: average ranks (tie-correct)
+    // from per-group windows, then ONE corr aggregate — value vs
+    // hour-of-day, so the heavy y-ties exercise the averaging
+    "a48_spearman" -> q((s, d) =>
+      Relational.spearmanByGroup(
+        Tables.events(s, d).withColumn("hr", hour(col("ts")).cast("long")),
+        "event_type", "value", "hr")),
+    // degree assortativity (Newman 2002): corr of endpoint degrees
+    // over both orientations of the undirected simple graph
+    "g12_assortativity" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(300L)).as("src"),
+        pmod(col("o_orderkey"), lit(307L)).as("dst"))
+      graft.graph.GraphStats.degreeAssortativity(edges)
+    }),
+    // merge/purge entity resolution: sorted-neighborhood adjacency →
+    // JW-chained clusters as gaps-and-islands (no recursion) → golden
+    // record election; per-brand census pinned
+    "er1_golden_record" -> q((s, d) =>
+      graft.dedup.GoldenRecord.censusByBlock(Tables.part(s, d),
+        "p_brand", "p_name", "p_partkey")),
     // bounded-round Bellman-Ford from a seed set: exact integer
     // distances, one join + one min-agg per round (weighted g5)
     "g11_sssp" -> q((s, d) => {
@@ -3587,6 +3608,57 @@ object SparkEntry {
          FROM c ORDER BY l_returnflag""",
     "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
       "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
+    "a48_spearman" ->
+      """WITH r AS (SELECT event_type,
+           rank() OVER (PARTITION BY event_type ORDER BY value)
+             + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+           rank() OVER (PARTITION BY event_type ORDER BY hour(ts))
+             + (count(*) OVER (PARTITION BY event_type, hour(ts)) - 1) / 2.0 AS ry
+           FROM events)
+         SELECT event_type, count(*) AS n, round(corr(rx, ry), 6) AS spearman
+         FROM r GROUP BY 1 ORDER BY event_type""",
+    "g12_assortativity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT
+           least(o_custkey % 300, o_orderkey % 307) AS a,
+           greatest(o_custkey % 300, o_orderkey % 307) AS b
+           FROM orders WHERE o_custkey % 300 <> o_orderkey % 307),
+         deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+           GROUP BY 1),
+         wd AS (SELECT da.deg AS da, db.deg AS db FROM e
+           JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+         bo AS (SELECT da AS dx, db AS dy FROM wd
+           UNION ALL SELECT db AS dx, da AS dy FROM wd)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           count(*) AS n_endpoints,
+           round(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+             AS assortativity
+         FROM bo""",
+    "er1_golden_record" ->
+      """WITH s AS (SELECT p_brand, p_name, p_partkey,
+           lag(p_name) OVER (PARTITION BY p_brand
+             ORDER BY p_name, p_partkey) AS prev
+           FROM part),
+         f AS (SELECT p_brand, p_partkey,
+           CASE WHEN prev IS NULL
+             OR round(jaro_winkler_similarity(prev, p_name), 6) < 0.95
+           THEN 1 ELSE 0 END AS newf,
+           row_number() OVER (PARTITION BY p_brand
+             ORDER BY p_name, p_partkey) AS rn
+           FROM s),
+         i AS (SELECT p_brand, p_partkey,
+           sum(newf) OVER (PARTITION BY p_brand ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+           FROM f),
+         c AS (SELECT p_brand, cl, count(*) AS sz, min(p_partkey) AS canon
+           FROM i GROUP BY 1, 2)
+         SELECT p_brand, count(*) AS n_clusters,
+           CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_merged_rows,
+           CAST(sum(sz - 1) AS BIGINT) AS n_retired,
+           CAST(sum(CASE WHEN sz >= 2 THEN canon ELSE 0 END) AS BIGINT)
+             AS canon_id_sum
+         FROM c GROUP BY 1 ORDER BY p_brand""",
     "f1_funnel" ->
       """WITH s1 AS MATERIALIZED (SELECT user_id, min(ts) AS t
            FROM events WHERE event_type = 'view' GROUP BY 1),

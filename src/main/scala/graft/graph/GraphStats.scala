@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph summary statistics that read off joins + one aggregate —
+  * no iteration. First resident: degree assortativity (Newman 2002),
+  * the "do hubs link to hubs" coefficient — Pearson correlation of
+  * endpoint degrees over the undirected edge list, a one-number health
+  * check for link-graph-derived quality signals (web graphs are
+  * disassortative; a positive value on crawl data usually means link
+  * farms).
+  *
+  * Scale shape: canonicalize + distinct (one shuffle), a degree count
+  * (one partial→final agg), two degree joins back to edges (node-keyed;
+  * the degree table is |V| rows of 16 bytes — broadcastable for most
+  * graphs), then ONE corr aggregate over both edge orientations. No
+  * window, no loop, nothing driver-side.
+  */
+object GraphStats {
+
+  /** Degree assortativity of the undirected simple graph induced by
+    * `edges` (self-loops dropped, parallel edges collapsed). Returns
+    * one row: (n_nodes, n_edges, assortativity rounded to `digits`) —
+    * corr computed over BOTH orientations of every edge, the standard
+    * undirected formulation. */
+  def degreeAssortativity(edges: DataFrame, digits: Int = 6): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    try {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      val both = withDeg.select(col("da").as("dx"), col("db").as("dy"))
+        .unionAll(withDeg.select(col("db").as("dx"), col("da").as("dy")))
+      // explicit Pearson (cov/σσ in population form — the n/(n−1)
+      // factors cancel, so ≡ SQL corr): Spark's corr AGGREGATE divides
+      // unconditionally and under ANSI throws DIVIDE_BY_ZERO on a
+      // degree-regular graph; a CaseWhen-guarded division evaluates
+      // lazily, yielding SQL's NULL instead
+      val dx = col("dx").cast("double")
+      val dy = col("dy").cast("double")
+      val (cov, vx, vy) = (covar_pop(dx, dy), var_pop(dx), var_pop(dy))
+      both.agg(
+          count(lit(1)).as("n_endpoints"),
+          when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), digits))
+            .as("assortativity"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(col("n_edges"), col("n_endpoints"), col("assortativity"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
+  }
+}

@@ -651,6 +651,38 @@ object Relational {
       .orderBy("o_orderpriority", "rank")
   }
 
+  /** Per-group Spearman rank correlation — Pearson over AVERAGE ranks
+    * (the tie-correct definition: min-rank + (ties−1)/2), the robust
+    * complement to [[corrSlope]]'s Pearson: monotone-but-nonlinear
+    * relationships score 1, and outliers move a rank by at most one
+    * position. Both ranking windows PARTITION BY the group (per-group
+    * sorts — the exact-median cost class; group-cardinality work, never
+    * a global sort), and the correlation itself is one partial→final
+    * aggregate. Rank arithmetic is exact over integers, so only the
+    * final corr rounding touches floats. */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String, digits: Int = 6): DataFrame = {
+    def avgRank(c: String) =
+      rank().over(Window.partitionBy(groupCol).orderBy(c))
+        .cast("double") +
+        (count(lit(1)).over(Window.partitionBy(groupCol, c)) - lit(1L))
+          .cast("double") / 2.0
+    // explicit Pearson over the ranks (population form ≡ SQL corr, the
+    // n/(n−1) factors cancel): Spark's corr aggregate divides
+    // unconditionally and under ANSI throws on an all-tied column; the
+    // CaseWhen guard evaluates lazily → SQL's NULL semantics
+    val (cov, vx, vy) = (covar_pop(col("_rx"), col("_ry")),
+      var_pop(col("_rx")), var_pop(col("_ry")))
+    df.select(col(groupCol), col(xCol), col(yCol))
+      .withColumn("_rx", avgRank(xCol))
+      .withColumn("_ry", avgRank(yCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), digits))
+          .as("spearman"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group skewness and excess kurtosis from RAW power moments —
     * one partial→final aggregation computing E[x..x⁴], then central-
     * moment algebra on the group-cardinality result. Built-in
