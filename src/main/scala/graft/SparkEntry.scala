@@ -558,9 +558,10 @@ object SparkEntry {
     "w18_dense_topk_ties" -> q((s, d) =>
       Relational.topValueBucketsWithTies(Tables.orders(s, d))),
     // bounded-state top-k per group: a custom Aggregator keeps ≤k
-    // (value,id) pairs per group (O(k) state, map-side combine) instead
-    // of the window route's full per-group sort; rows and ranks are
-    // identical to the row_number oracle under (value desc, id asc)
+    // (value,id) pairs per group (O(k) state, map-side combine) — the
+    // composable/streamable twin of the WindowGroupLimit route (see
+    // TopK scaladoc); rows and ranks are identical to the row_number
+    // oracle under (value desc, id asc)
     "w25_heap_topk" -> q((s, d) =>
       graft.operators.TopK.topKByGroup(Tables.orders(s, d),
           "o_orderpriority", "o_totalprice", "o_orderkey", k = 3)

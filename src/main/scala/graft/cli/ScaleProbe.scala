@@ -109,8 +109,9 @@ object ScaleProbe {
       case "components" => probeComponents(spark, rows, diam, cpus)
       case "ann"        => probeIvf(spark, rows, hotFrac, cpus)
       case "graph"      => probePagerank(spark, rows, hotFrac, cpus)
+      case "topk"       => probeTopK(spark, rows, hotFrac, cpus)
       case other => throw new IllegalArgumentException(
-        s"unknown --family $other (known: hotkey dedup components ann graph)")
+        s"unknown --family $other (known: hotkey dedup components ann graph topk)")
     }
     spark.stop()
   }
@@ -352,5 +353,42 @@ object ScaleProbe {
       val top = r.orderBy(desc("rank")).select("node").head().getLong(0)
       require(top == 0L, s"hub is not top-ranked: node $top")
     }
+  }
+
+  /** `--family topk`: top-3 per group with ONE PLANTED MEGA-GROUP
+    * (`hotFrac` of all rows on group 0, the rest over 200 groups) —
+    * the regime where [[graft.operators.TopK]]'s O(k)-state aggregate
+    * must beat the `row_number` window, whose hot partition SORTS the
+    * whole mega-group to keep 3 rows, and where map-side combine
+    * collapses each task's per-group rows to ≤k before any exchange
+    * (with groups ≈ rows the partials can't compress and the two
+    * routes converge — that regime is the window's, and the measured
+    * table in SCALE.md shows both). Both routes must agree bitwise
+    * (same (value desc, id asc) order contract), asserted by checksum. */
+  private def probeTopK(spark: SparkSession, rows: Long, hotFrac: Double,
+                        cpus: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, rows, 1, cpus * 2).select(
+        col("id"),
+        when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt), 0L)
+          .otherwise(pmod(hash(col("id") * 7 + 13), lit(200L))).as("g"),
+        (pmod(hash(col("id") * 17), lit(1000000L)).cast("double") / 100.0)
+          .as("v"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"topk-hot-group","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"hot_rows":${df.filter(col("g") === 0L).count()}}""")
+    def checksum(r: DataFrame): Long =
+      r.agg(sum(hash(col("g"), col("rank"), col("id"), col("v"))))
+        .head().getLong(0)
+    val (heap, _, _) = measure(spark, "topk_heap_agg") {
+      checksum(graft.operators.TopK.topKByGroup(df, "g", "v", "id", k = 3))
+    }
+    val (win, _, _) = measure(spark, "topk_window_sort") {
+      val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+      checksum(df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3).select("g", "rank", "id", "v"))
+    }
+    require(heap == win,
+      s"heap top-k diverged from the window oracle: $heap vs $win")
   }
 }

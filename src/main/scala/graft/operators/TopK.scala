@@ -7,16 +7,25 @@ import org.apache.spark.sql.functions._
 
 /** Bounded-state top-k per group as a partial→final aggregate.
   *
-  * The window route (`row_number() OVER (PARTITION BY g ORDER BY v DESC)
-  * ... WHERE rn <= k`) is correct but shuffles and SORTS every row of
-  * every group: at 100 TB a hot group sorts billions of rows to keep 3.
-  * This operator instead runs a custom [[Aggregator]] whose state is a
-  * bounded ordered buffer of at most k (value, id) pairs — each input
-  * row is an O(log k) insertion, partials merge pairwise, and the
-  * shuffle carries one ≤k-element buffer per (partition, group) instead
-  * of the group's rows. Exactly the partial→final (map-side combine)
-  * shape a HashAggregate gives built-in functions; `row_number`'s
-  * window has no partial phase at all.
+  * A custom [[Aggregator]] whose state is a bounded ordered buffer of
+  * at most k (value, id) pairs — each input row is an O(log k)
+  * insertion, partials merge pairwise, and the shuffle carries one
+  * ≤k-element buffer per (partition, group) instead of the group's
+  * rows.
+  *
+  * Honest scope note (measured, ScaleProbe `--family topk`): for the
+  * PLAIN batch query, Spark 4's `InferWindowGroupLimit` already
+  * rewrites `row_number() ... WHERE rn <= k` into a map-side group
+  * limit, so the window route is bounded-state too (0.7 MB shuffle on
+  * a 20M-row planted-hot-group probe) and its specialized
+  * WindowGroupLimit exec beats this udaf's object-agg serialization
+  * ~2× on wall clock. What the aggregate form buys instead:
+  * (1) COMPOSABILITY — `groupBy(g).agg(sum(...), avg(...), topk(...))`
+  * computes top-k alongside other aggregates in ONE aggregation pass,
+  * where the window route needs a second shuffle plus a join back; and
+  * (2) STREAMING — window functions are unsupported on streaming
+  * Datasets, but this Aggregator runs inside a streaming groupBy
+  * aggregation unchanged.
   *
   * Determinism contract: strictly ordered by (value DESC, id ASC) —
   * value ties break on the id, so the emitted rows and ranks are unique
