@@ -2075,6 +2075,22 @@ object SparkEntry {
         dim = 64, n = 20)),
     "n4_exact_top_pairs" -> q((s, d) =>
       Similarity.exactTopPairs(Tables.embeddings(s, d), n = 20)),
+    // reciprocal best match (bitext-mining criterion): per-id argmax is
+    // a rank-1 window (WindowGroupLimit caps it map-side), reciprocity
+    // is a self-join of the n-row NN table — exact twin like n4; the
+    // scale path feeds IVF/LSH candidates through the same filter
+    "n12_mutual_nn" -> q((s, d) =>
+      Similarity.mutualNearestNeighbors(Tables.embeddings(s, d))),
+    // exact ±3-row rolling median per user (interpolating percentile
+    // as a window aggregate — frame-bounded state, per-key parallel)
+    "w26_rolling_median" -> q((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(25L)) === 7)
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.operators.Windows
+        .rollingMedian(ev, "user_id", Seq("event_id"), "value", radius = 3)
+        .orderBy("user_id", "event_id")
+    }),
     "n5_label_centroids" -> q((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
     // IVF pinned gate: with a planted clone per query, the index must
@@ -5522,6 +5538,23 @@ object SparkEntry {
            round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, id_a, id_b LIMIT 20""",
+    "n12_mutual_nn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         p AS (SELECT a.vec_id AS id, b.vec_id AS other,
+           list_cosine_similarity(a.emb, b.emb) AS sim
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT id, other, sim, row_number() OVER (PARTITION BY id
+             ORDER BY sim DESC, other) AS rn FROM p),
+         nn AS (SELECT id, other AS nn, sim FROM r WHERE rn = 1)
+         SELECT x.id AS id_a, x.nn AS id_b, round(x.sim, 6) AS sim
+         FROM nn x JOIN nn y ON x.nn = y.id AND y.nn = x.id AND x.id < x.nn
+         ORDER BY id_a""",
+    "w26_rolling_median" ->
+      """SELECT user_id, event_id, value,
+           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS rolling_median
+         FROM events WHERE user_id % 25 = 7 ORDER BY user_id, event_id""",
     "t9_bpeish_tokens" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT)

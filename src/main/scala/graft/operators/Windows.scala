@@ -469,6 +469,23 @@ object Windows {
     * per-(user,day) DISTINCT frame (bounded by users × days, never the
     * raw event count) plus two hash aggregations. No self-join, no
     * iteration, no per-user sort beyond the windows' own. */
+  /** Exact rolling median over a centered ±`radius`-row frame — the
+    * spike-robust smoother a level-shift monitor wants where `w3`'s
+    * rolling MEAN chases outliers. `percentile(…, 0.5)` runs as a
+    * window AGGREGATE over the frame (state bounded by the frame's
+    * 2·radius+1 rows, never the partition), interpolating exactly like
+    * SQL `quantile_cont` — verified cross-engine. The window partitions
+    * by key: per-key parallel, no global sort. Order must be unique
+    * (orderCols) or frames are engine-dependent. */
+  def rollingMedian(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                    valCol: String, radius: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-radius, radius)
+    df.withColumn("rolling_median",
+      round(expr(s"percentile($valCol, 0.5)").over(w), 6))
+  }
+
   def activityStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), col("ts").cast("date").as("day"))

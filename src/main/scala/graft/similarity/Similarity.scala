@@ -198,6 +198,42 @@ object Similarity {
     * paths are [[lshNearNeighbors]] (near-dup) and [[Ivf]] (top-k
     * search). Ranking uses the unrounded similarity so ties in the
     * rounded output stay deterministic. */
+  /** Mutual nearest neighbors: pairs (a, b) where b is a's single
+    * closest vector AND a is b's — the reciprocal-best-match criterion
+    * bitext mining and cross-dataset alignment use (Artetxe & Schwenk
+    * 2019's margin criterion reduces to this at k = 1), far more
+    * precise than one-directional top-1.
+    *
+    * This exact form scores all ordered pairs (the n4-style O(n²)
+    * validation twin — the scale path feeds candidates from [[Ivf]] /
+    * LSH buckets into the same reciprocal filter); the per-id argmax is
+    * a rank-1 window which Spark 4's InferWindowGroupLimit caps
+    * map-side, and the reciprocity check is a self-join of the
+    * n-row NN table on (id, nn) — never pairs. Tie-break: higher sim,
+    * then smaller neighbor id. */
+  def mutualNearestNeighbors(embeddings: DataFrame): DataFrame = {
+    val prep = prepared(embeddings)
+    val a = prep.select(col("vec_id").as("id"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = prep.select(col("vec_id").as("other"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    val w = Window.partitionBy("id").orderBy(desc("sim"), col("other"))
+    val nn = a.join(b, col("id") =!= col("other"))
+      .select(col("id"), col("other"),
+        pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b"))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("other").as("nn"), col("sim"))
+    nn.alias("x")
+      .join(nn.select(col("id").as("nn"), col("nn").as("back")).alias("y"),
+        Seq("nn"))
+      .filter(col("back") === col("id") && col("id") < col("nn"))
+      .select(col("id").as("id_a"), col("nn").as("id_b"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("id_a")
+  }
+
   def exactTopPairs(embeddings: DataFrame, n: Int = 20): DataFrame = {
     val prep = prepared(embeddings)
     val a = prep.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
