@@ -1396,6 +1396,17 @@ object SparkEntry {
           col("event_type").as("last_type"),
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")),
+    // streaming leaderboard through the REAL runtime: the bounded-state
+    // TopK Aggregator as a streaming aggregation (window functions are
+    // rejected on streams — this is the shape that works); final state
+    // ≡ the batch row_number oracle regardless of micro-batch splits
+    "st11_stream_topk" -> q((s, d) =>
+      graft.streaming.EventStreams.topKThroughStream(s,
+          Tables.events(s, d)
+            .select("event_id", "ts", "user_id", "event_type", "value"),
+          keyCol = "event_type", valCol = "value", idCol = "event_id",
+          k = 3, inputFiles = 3, statePartitions = Some(4))
+        .orderBy("event_type", "rank")),
     // the real runtime into a FILE sink: micro-batches land in a curated
     // partitioned tree via foreachBatch + the drift-guarded writer,
     // overwrite-by-batch-id (replay-idempotent). The tree's CONTENTS are
@@ -4794,6 +4805,13 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id,
            event_type AS last_type, round(value, 4) AS last_value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "st11_stream_topk" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY value DESC, event_id) AS rank
+           FROM events)
+         SELECT event_type, rank, event_id, value
+         FROM r WHERE rank <= 3 ORDER BY event_type, rank""",
     "ml2_iqr_anomalies" ->
       """WITH bounds AS (SELECT event_type,
            quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3

@@ -285,6 +285,30 @@ object EventStreams {
     throughStream(spark, batch, OutputMode.Append(), inputFiles, statePartitions)(
       dedupStream(_, keyCols, tsCol, watermark))
 
+  /** Streaming top-k per key via [[graft.operators.TopK.TopKAgg]] — the
+    * leaderboard shape window functions CANNOT express on a stream
+    * (Structured Streaming rejects window functions outright; the
+    * bounded-state Aggregator runs as an ordinary streaming
+    * aggregation, ≤k rows of state per key). Complete-mode memory sink:
+    * after `processAllAvailable` the state equals the batch answer
+    * EXACTLY regardless of micro-batch arrival order, because the
+    * aggregator's merge is order-insensitive under its strict
+    * (value desc, id asc) contract (merge ≡ reduce, TopKSpec). */
+  def topKThroughStream(spark: SparkSession, batch: DataFrame,
+                        keyCol: String, valCol: String, idCol: String,
+                        k: Int, inputFiles: Int = 3,
+                        statePartitions: Option[Int] = None): DataFrame =
+    throughStream(spark, batch, OutputMode.Complete(), inputFiles,
+      statePartitions) { st =>
+      val topk = udaf(new graft.operators.TopK.TopKAgg(k))
+      st.groupBy(keyCol)
+        .agg(topk(col(valCol).cast("double"), col(idCol).cast("long"))
+          .as("_top"))
+        .select(col(keyCol), posexplode(col("_top")))
+        .select(col(keyCol), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as(idCol), col("col._1").as(valCol))
+    }
+
   /** One micro-batch of [[writeCuratedStream]]: land `batch` into the
     * curated tree under partition `_batch_id=batchId` (plus the user's
     * partition columns) via the drift-guarded dynamic-overwrite writer.
