@@ -2092,6 +2092,19 @@ object SparkEntry {
     // scale path feeds IVF/LSH candidates through the same filter
     "n12_mutual_nn" -> q((s, d) =>
       Similarity.mutualNearestNeighbors(Tables.embeddings(s, d))),
+    // leave-one-out kNN label accuracy (embedding-quality eval): top-5
+    // vote with deterministic (count desc, label asc) tie-break —
+    // everything after the sim ranking is exact integer arithmetic
+    "ml15_knn_loo" -> q((s, d) =>
+      Similarity.knnLooAccuracy(Tables.embeddings(s, d), k = 5)),
+    // Clauset-MLE power-law exponent of the degree distribution (the
+    // graph twin of t22's Zipf slope): one degree agg + one scalar agg
+    "g13_powerlaw_alpha" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(400L)).as("src"),
+        pmod(col("o_orderkey"), lit(401L)).as("dst"))
+      graft.graph.GraphStats.powerLawAlpha(edges, kmin = 2)
+    }),
     // exact ±3-row rolling median per user (interpolating percentile
     // as a window aggregate — frame-bounded state, per-key parallel)
     "w26_rolling_median" -> q((s, d) => {
@@ -5573,6 +5586,39 @@ object SparkEntry {
              ORDER BY event_id
              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS rolling_median
          FROM events WHERE user_id % 25 = 7 ORDER BY user_id, event_id""",
+    "ml15_knn_loo" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS id, a.label AS true_label,
+           b.vec_id AS other, b.label AS other_label,
+           list_cosine_similarity(a.emb, b.emb) AS sim
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY sim DESC, other) AS rn FROM p),
+         v AS (SELECT id, true_label, other_label, count(*) AS v
+           FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+         w AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY v DESC, other_label) AS w FROM v),
+         pred AS (SELECT id, true_label, other_label AS pred
+           FROM w WHERE w = 1)
+         SELECT true_label AS label, count(*) AS n,
+           CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS accuracy
+         FROM pred GROUP BY 1 ORDER BY label""",
+    "g13_powerlaw_alpha" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT
+           least(o_custkey % 400, o_orderkey % 401) AS a,
+           greatest(o_custkey % 400, o_orderkey % 401) AS b
+           FROM orders WHERE o_custkey % 400 <> o_orderkey % 401),
+         deg AS (SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+           GROUP BY 1),
+         t AS (SELECT count(*) AS n_tail, max(deg) AS max_degree,
+           sum(ln(deg / 1.5)) AS s FROM deg WHERE deg >= 2)
+         SELECT 2 AS kmin, n_tail, max_degree,
+           round(1.0 + n_tail / s, 6) AS alpha FROM t""",
     "t9_bpeish_tokens" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT)

@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
+  /** Discrete power-law exponent of the degree distribution by the
+    * Clauset–Shalizi–Newman continuous-approximation MLE:
+    * α = 1 + n / Σ ln(d / (kmin − ½)) over degrees ≥ kmin — the
+    * "is this graph scale-free" summary (web/link graphs: α ≈ 2–3;
+    * α far outside that on crawl data flags synthetic link spam).
+    * Companion to the text-side Zipf slope (t22).
+    *
+    * One degree aggregation, one filtered scalar aggregate; the only
+    * floats are the final logs. Output: (kmin, n_tail, max_degree,
+    * alpha). */
+  def powerLawAlpha(edges: DataFrame, kmin: Int = 2,
+                    digits: Int = 6): DataFrame = {
+    require(kmin >= 1, s"kmin must be >= 1, got $kmin")
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= kmin)
+      .agg(count(lit(1)).as("n_tail"), max("deg").as("max_degree"),
+        sum(log(col("deg").cast("double") / lit(kmin - 0.5))).as("_s"))
+      .select(lit(kmin).as("kmin"), col("n_tail"), col("max_degree"),
+        round(lit(1.0) + col("n_tail").cast("double") / col("_s"), digits)
+          .as("alpha"))
+  }
+
   /** Degree assortativity of the undirected simple graph induced by
     * `edges` (self-loops dropped, parallel edges collapsed). Returns
     * one row: (n_nodes, n_edges, assortativity rounded to `digits`) —

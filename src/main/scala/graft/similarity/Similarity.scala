@@ -234,6 +234,49 @@ object Similarity {
       .orderBy("id_a")
   }
 
+  /** Leave-one-out kNN label accuracy — the standard embedding-quality
+    * eval: for every vector, predict its label by majority vote of its
+    * k nearest neighbors (self excluded) and compare to its own label.
+    * Catches what [[labelCentroids]]-style coherence misses: locally
+    * tangled class boundaries with well-separated centroids.
+    *
+    * Exact all-pairs twin (n4/n12 class — the scale path feeds IVF/LSH
+    * candidates into the same vote); the top-k cut is a rank window
+    * (map-side capped), the vote is two integer aggregations with a
+    * deterministic (count desc, label asc) tie-break, so everything
+    * after the sim ranking is exact arithmetic. Output: per true label
+    * n, n_correct, accuracy. */
+  def knnLooAccuracy(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val prep = prepared(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+    val a = prep.select(col("vec_id").as("id"), col("label").as("true_label"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = prep.select(col("vec_id").as("other"),
+      col("label").as("other_label"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    val wTop = Window.partitionBy("id").orderBy(desc("sim"), col("other"))
+    val votes = a.join(b, col("id") =!= col("other"))
+      .select(col("id"), col("true_label"), col("other"), col("other_label"),
+        pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b"))
+          .as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .groupBy("id", "true_label", "other_label")
+      .agg(count(lit(1)).as("v"))
+    val wWin = Window.partitionBy("id")
+      .orderBy(desc("v"), col("other_label"))
+    votes
+      .withColumn("w", row_number().over(wWin))
+      .filter(col("w") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("other_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
+
   def exactTopPairs(embeddings: DataFrame, n: Int = 20): DataFrame = {
     val prep = prepared(embeddings)
     val a = prep.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
