@@ -596,6 +596,15 @@ object SparkEntry {
         graft.ml.Stump.Feature("l_discount", col("l_discount"), 0.0, 0.1, 10),
         graft.ml.Stump.Feature("l_extendedprice", col("l_extendedprice"),
           0.0, 100000.0, 20)), topK = 5)),
+    // two-round discrete AdaBoost over stumps: misclassified rows
+    // DOUBLE their integer weight, so the whole boosting trajectory is
+    // exact arithmetic; per round one corpus scan + a 1-row broadcast
+    "ml16_boosted_stumps" -> q((s, d) =>
+      graft.ml.Stump.boostedSplits(liLabeled(s, d), "is_big", Seq(
+        graft.ml.Stump.Feature("l_quantity", col("l_quantity"), 0.0, 50.0, 25),
+        graft.ml.Stump.Feature("l_discount", col("l_discount"), 0.0, 0.1, 10),
+        graft.ml.Stump.Feature("l_extendedprice", col("l_extendedprice"),
+          0.0, 100000.0, 20)), rounds = 2)),
     // precision/recall/F1 threshold ladder in ONE aggregation pass
     // (2·|T|+1 conditional sums — no explode, no per-threshold scan);
     // score and label are distinct columns so the curve is non-trivial
@@ -609,6 +618,13 @@ object SparkEntry {
     "a47_higher_moments" -> q((s, d) =>
       Relational.higherMoments(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity")),
+    // per-segment Gini over customer spend totals (rank formula; the
+    // window ranks the key-cardinality totals table, never raw rows)
+    "a49_gini" -> q((s, d) => {
+      val j = Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      Relational.giniByGroup(j, "c_mktsegment", "c_custkey", "o_totalprice")
+    }),
     // grouped Spearman rank correlation: average ranks (tie-correct)
     // from per-group windows, then ONE corr aggregate — value vs
     // hour-of-day, so the heavy y-ties exercise the averaging
@@ -3054,6 +3070,74 @@ object SparkEntry {
          SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
   }
 
+  /** [[graft.ml.Stump.boostedSplits]] (2 rounds, the ml13 fixture) as
+    * unrolled DuckDB CTEs: each round = one weighted histogram + rank-1
+    * winner; between rounds the winner predicts (maj_l/maj_r by side)
+    * and misses double their integer weight. All-integer statistics —
+    * only the final gains are floats. */
+  private def boostedStumpSql: String = {
+    // (name, lo, width, bins) — widths are the IDENTICAL doubles the
+    // Scala Feature computes ((hi-lo)/bins; 0.1/10 == 0.01 bitwise)
+    val feats = Seq(
+      ("l_quantity", "0.0", "2.0", 25),
+      ("l_discount", "0.0", "0.01", 10),
+      ("l_extendedprice", "0.0", "5000.0", 20))
+    def hist(n: Int) = {
+      val branches = feats.map { case (nm, lo, w, bins) =>
+        s"""SELECT '$nm' AS feature,
+             CAST(least(greatest(floor(($nm - $lo) / $w), 0), ${bins - 1})
+               AS BIGINT) AS bin, y, w FROM rows$n"""
+      }.mkString("\n           UNION ALL ")
+      val thrCase = feats.map { case (nm, lo, w, _) =>
+        s"WHEN '$nm' THEN $lo + (bin + 1) * $w"
+      }.mkString(" ")
+      s"""h$n AS (SELECT feature, bin, CAST(sum(w) AS BIGINT) AS n,
+           CAST(sum(w * y) AS BIGINT) AS pos FROM (
+           $branches) GROUP BY 1, 2),
+         c$n AS (SELECT *,
+           sum(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+           sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+           sum(n) OVER (PARTITION BY feature) AS ntot,
+           sum(pos) OVER (PARTITION BY feature) AS postot
+           FROM h$n),
+         g$n AS (SELECT feature,
+           round(CASE feature $thrCase END, 6) AS threshold,
+           CAST(nl AS BIGINT) AS w_left, CAST(ntot - nl AS BIGINT) AS w_right,
+           round((1.0 - (postot * 1.0 / ntot) * (postot * 1.0 / ntot)
+              - (1.0 - postot * 1.0 / ntot) * (1.0 - postot * 1.0 / ntot))
+           - ((nl * 1.0 / ntot) * (1.0 - (posl * 1.0 / nl) * (posl * 1.0 / nl)
+                - (1.0 - posl * 1.0 / nl) * (1.0 - posl * 1.0 / nl))
+              + ((ntot - nl) * 1.0 / ntot)
+                * (1.0 - ((postot - posl) * 1.0 / (ntot - nl))
+                     * ((postot - posl) * 1.0 / (ntot - nl))
+                   - (1.0 - (postot - posl) * 1.0 / (ntot - nl))
+                     * (1.0 - (postot - posl) * 1.0 / (ntot - nl)))), 6)
+             AS gain,
+           CASE WHEN posl * 2 > nl THEN 1 ELSE 0 END AS maj_l,
+           CASE WHEN (postot - posl) * 2 > ntot - nl THEN 1 ELSE 0 END AS maj_r
+           FROM c$n WHERE nl > 0 AND ntot - nl > 0),
+         w$n AS (SELECT * FROM (SELECT *, row_number() OVER (
+             ORDER BY gain DESC, feature, threshold) AS rk FROM g$n)
+           WHERE rk = 1)"""
+    }
+    val featValCase = feats.map { case (nm, _, _, _) =>
+      s"WHEN '$nm' THEN r.$nm" }.mkString(" ")
+    s"""WITH rows1 AS (SELECT l_quantity, l_discount, l_extendedprice,
+           CASE WHEN l_quantity + l_discount * 20.0 > 28.0 THEN 1 ELSE 0 END AS y,
+           1 AS w FROM lineitem),
+         ${hist(1)},
+         rows2 AS (SELECT r.l_quantity, r.l_discount, r.l_extendedprice, r.y,
+           CASE WHEN (CASE WHEN (CASE w1.feature $featValCase END) <= w1.threshold
+               THEN w1.maj_l ELSE w1.maj_r END) <> r.y
+             THEN 2 ELSE 1 END AS w
+           FROM rows1 r CROSS JOIN w1),
+         ${hist(2)}
+         SELECT 1 AS round, feature, threshold, w_left, w_right, gain FROM w1
+         UNION ALL
+         SELECT 2 AS round, feature, threshold, w_left, w_right, gain FROM w2
+         ORDER BY round"""
+  }
+
   /** [[graft.graph.Sssp.boundedSssp]] as unrolled DuckDB CTEs: one
     * `min(dist) over (prev ∪ relaxed)` layer per round — exact integer
     * arithmetic end to end, so the pin is bit-exact. */
@@ -3605,6 +3689,7 @@ object SparkEntry {
            CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
            round(raw_gain, 6) AS gain
          FROM g ORDER BY gain DESC, feature, threshold LIMIT 5""",
+    "ml16_boosted_stumps" -> boostedStumpSql,
     "ml14_threshold_sweep" -> {
       val thr = Seq(5.0, 15.0, 25.0, 35.0, 45.0)
       val sums = thr.zipWithIndex.map { case (t, i) =>
@@ -3649,6 +3734,15 @@ object SparkEntry {
          FROM c ORDER BY l_returnflag""",
     "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
       "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
+    "a49_gini" ->
+      """WITH t AS (SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         r AS (SELECT c_mktsegment, x, row_number() OVER (
+             PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS i FROM t)
+         SELECT c_mktsegment, count(*) AS n_keys,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+         FROM r GROUP BY 1 ORDER BY c_mktsegment""",
     "a48_spearman" ->
       """WITH r AS (SELECT event_type,
            rank() OVER (PARTITION BY event_type ORDER BY value)

@@ -651,6 +651,34 @@ object Relational {
       .orderBy("o_orderpriority", "rank")
   }
 
+  /** Per-group Gini coefficient over per-key value totals — the
+    * inequality summary behind [[paretoShare]]'s curve ("how
+    * concentrated is spend/traffic/token mass across keys"), the
+    * number a mixture designer watches when capping dominant domains.
+    * Computed by the rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * values sorted ascending (i = 1-based rank, unique key tie-break).
+    *
+    * Scale shape: the window ranks the per-(group, key) TOTALS table —
+    * bounded by key cardinality like a12's exact median, partitioned
+    * per group; the corpus itself is touched by one hash aggregation.
+    * For billion-key groups the two-pass range-partitioned rank
+    * (pipeline.Packing) replaces the window, as in w21. */
+  def giniByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  valCol: String, digits: Int = 6): DataFrame = {
+    val totals = df.groupBy(col(groupCol), col(keyCol))
+      .agg(sum(valCol).as("x"))
+    val w = Window.partitionBy(groupCol).orderBy(col("x"), col(keyCol))
+    totals
+      .withColumn("i", row_number().over(w).cast("double"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_keys"),
+        round(lit(2.0) * sum(col("i") * col("x")) /
+            (count(lit(1)) * sum(col("x"))) -
+          (count(lit(1)) + lit(1L)).cast("double") / count(lit(1)),
+          digits).as("gini"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group Spearman rank correlation — Pearson over AVERAGE ranks
     * (the tie-correct definition: min-rank + (ties−1)/2), the robust
     * complement to [[corrSlope]]'s Pearson: monotone-but-nonlinear

@@ -24,6 +24,30 @@ class StumpSpec extends SparkTestBase {
     assert(best.getDouble(4) == 0.5)
   }
 
+  test("boosting reweights misses and the second stump fixes them") {
+    // y = (a > 5 OR b > 5) on a 10×10 grid. Round 1: a≤5 and b≤5 tie on
+    // gain → feature-name tiebreak picks a. Its left side misclassifies
+    // the (a≤5, b>5) quadrant; doubling those weights makes the b-split
+    // the clear round-2 winner (weighted gains: b 0.12 vs a 0.0533).
+    val df = (0 until 100).map { i =>
+      val a = (i % 10).toDouble + 0.5
+      val b = (i / 10).toDouble + 0.5
+      (a, b, if (a > 5 || b > 5) 1 else 0)
+    }.toDF("a", "b", "y")
+    val rows = Stump.boostedSplits(df, "y", Seq(
+      Stump.Feature("a", col("a"), 0.0, 10.0, 10),
+      Stump.Feature("b", col("b"), 0.0, 10.0, 10)), rounds = 2)
+      .collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "a" &&
+      rows(0).getDouble(2) == 5.0)
+    assert(rows(1).getInt(0) == 2 && rows(1).getString(1) == "b" &&
+      rows(1).getDouble(2) == 5.0,
+      s"round 2 must switch to b: ${rows(1)}")
+    // weighted masses: left b≤5 = 50, right = 25·2 + 25 = 75
+    assert(rows(1).getLong(3) == 50L && rows(1).getLong(4) == 75L)
+    assert(rows(1).getDouble(5) == 0.12)
+  }
+
   test("split stats are invariant to partitioning") {
     val df = (0 until 500).map(i =>
       ((i * 31 % 100).toDouble, if (i % 3 == 0) 1 else 0)).toDF("x", "y")
