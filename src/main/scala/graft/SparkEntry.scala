@@ -2108,6 +2108,12 @@ object SparkEntry {
     // scale path feeds IVF/LSH candidates through the same filter
     "n12_mutual_nn" -> q((s, d) =>
       Similarity.mutualNearestNeighbors(Tables.embeddings(s, d))),
+    // MMR diversified top-3 (λ=0.7 over top-10 relevance candidates):
+    // greedy trajectory pinned step by step — rounded-score argmax with
+    // vec_id tie-break makes the whole greedy path engine-independent
+    "r6_mmr_diversified" -> q((s, d) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d), queryId = 0L,
+        nCand = 10, k = 3, lambda = 0.7)),
     // leave-one-out kNN label accuracy (embedding-quality eval): top-5
     // vote with deterministic (count desc, label asc) tie-break —
     // everything after the sim ranking is exact integer arithmetic
@@ -5680,6 +5686,49 @@ object SparkEntry {
              ORDER BY event_id
              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS rolling_median
          FROM events WHERE user_id % 25 = 7 ORDER BY user_id, event_id""",
+    "r6_mmr_diversified" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         qq AS (SELECT emb FROM e WHERE vec_id = 0),
+         c0 AS (SELECT vec_id, emb,
+           list_cosine_similarity(emb, (SELECT emb FROM qq)) AS rel
+           FROM e WHERE vec_id <> 0),
+         cand AS (SELECT vec_id, emb, rel FROM (SELECT *,
+             row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM c0)
+           WHERE rn <= 10),
+         p1 AS (SELECT vec_id, emb, rel, 1 AS pick,
+             round(0.7 * rel, 6) AS score
+           FROM (SELECT *, row_number() OVER (
+               ORDER BY round(0.7 * rel, 6) DESC, vec_id) AS w FROM cand)
+           WHERE w = 1),
+         s1 AS (SELECT vec_id, emb FROM p1),
+         r2 AS (SELECT c.vec_id, any_value(c.emb) AS emb, c.rel,
+             max(list_cosine_similarity(c.emb, s.emb)) AS ms
+           FROM cand c, s1 s WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+           GROUP BY c.vec_id, c.rel),
+         p2 AS (SELECT vec_id, emb, rel, 2 AS pick,
+             round(0.7 * rel - (1 - 0.7) * ms, 6) AS score
+           FROM (SELECT *, row_number() OVER (
+               ORDER BY round(0.7 * rel - (1 - 0.7) * ms, 6) DESC, vec_id)
+               AS w FROM r2)
+           WHERE w = 1),
+         s2 AS (SELECT vec_id, emb FROM p1
+           UNION ALL SELECT vec_id, emb FROM p2),
+         r3 AS (SELECT c.vec_id, any_value(c.emb) AS emb, c.rel,
+             max(list_cosine_similarity(c.emb, s.emb)) AS ms
+           FROM cand c, s2 s WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+           GROUP BY c.vec_id, c.rel),
+         p3 AS (SELECT vec_id, emb, rel, 3 AS pick,
+             round(0.7 * rel - (1 - 0.7) * ms, 6) AS score
+           FROM (SELECT *, row_number() OVER (
+               ORDER BY round(0.7 * rel - (1 - 0.7) * ms, 6) DESC, vec_id)
+               AS w FROM r3)
+           WHERE w = 1)
+         SELECT pick, vec_id, round(rel, 6) AS rel, score FROM (
+           SELECT pick, vec_id, rel, score FROM p1
+           UNION ALL SELECT pick, vec_id, rel, score FROM p2
+           UNION ALL SELECT pick, vec_id, rel, score FROM p3)
+         ORDER BY pick""",
     "ml15_knn_loo" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings),

@@ -234,6 +234,63 @@ object Similarity {
       .orderBy("id_a")
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    * diversified top-k — each step picks
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s), the standard
+    * redundancy-free retrieval/sampling rule (RAG context packing,
+    * diverse few-shot selection, coreset-flavored subsampling).
+    *
+    * Scale shape: the corpus is touched ONCE by the relevance top-nCand
+    * cut (rank window, map-side capped by InferWindowGroupLimit); the
+    * greedy loop then runs entirely on the ≤nCand-row candidate frame
+    * (k−1 steps of a tiny cross join + argmax — no corpus re-scan, no
+    * driver-side data). Scores are rounded to 6 BEFORE each argmax and
+    * ties break on vec_id, so the greedy trajectory is reproducible
+    * cross-engine. */
+  def mmrSelect(embeddings: DataFrame, queryId: Long, nCand: Int = 10,
+                k: Int = 3, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got k=$k nCand=$nCand")
+    val prep = prepared(embeddings)
+    val q = prep.filter(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val wTop = Window.orderBy(desc("rel"), col("vec_id"))
+    val cand = prep.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        pairSim(col("emb"), col("norm"), col("q_emb"), col("q_norm"))
+          .as("rel"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= nCand).drop("rn")
+      .localCheckpoint(eager = true) // ≤nCand rows; cut the corpus lineage
+    var selected = cand
+      .withColumn("score", round(lit(lambda) * col("rel"), 6))
+      .orderBy(desc("score"), col("vec_id")).limit(1)
+      .withColumn("pick", lit(1))
+    var step = 2
+    while (step <= k) {
+      val sel = selected.select(col("vec_id").as("s_id"),
+        col("emb").as("s_emb"), col("norm").as("s_norm"))
+      val next = cand
+        .join(selected.select(col("vec_id").as("s_done")),
+          col("vec_id") === col("s_done"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .groupBy("vec_id", "rel")
+        .agg(first("emb").as("emb"), first("norm").as("norm"),
+          max(pairSim(col("emb"), col("norm"), col("s_emb"), col("s_norm")))
+            .as("ms"))
+        .withColumn("score",
+          round(lit(lambda) * col("rel") - lit(1 - lambda) * col("ms"), 6))
+        .orderBy(desc("score"), col("vec_id")).limit(1)
+        .withColumn("pick", lit(step))
+      selected = selected.unionByName(
+        next.select("vec_id", "emb", "norm", "rel", "score", "pick"))
+      step += 1
+    }
+    selected.select(col("pick"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), col("score"))
+      .orderBy("pick")
+  }
+
   /** Leave-one-out kNN label accuracy — the standard embedding-quality
     * eval: for every vector, predict its label by majority vote of its
     * k nearest neighbors (self excluded) and compare to its own label.
