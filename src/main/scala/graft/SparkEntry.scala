@@ -1412,6 +1412,16 @@ object SparkEntry {
           col("event_type").as("last_type"),
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")),
+    // skip-friendly layout PROVEN from parquet footers: write events
+    // partitioned by type + sorted within files, then pin the footer
+    // row counts and min/max statistics (zero data pages read) against
+    // the oracle's full-scan aggregates — the write side of zone maps
+    "io11_sorted_layout_stats" -> q((s, d) => withTempDir("graft_io11") { dir =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_millis(cast(ts as timestamp)) DIV 1000").as("ts_sec"))
+      graft.sources.SortedLayout.writeSorted(ev, dir, "event_type", "ts_sec")
+      graft.sources.SortedLayout.footerStats(s, dir, "event_type", "ts_sec")
+    }),
     // streaming leaderboard through the REAL runtime: the bounded-state
     // TopK Aggregator as a streaming aggregation (window functions are
     // rejected on streams — this is the shape that works); final state
@@ -4918,6 +4928,11 @@ object SparkEntry {
          SELECT user_id, event_id AS last_event_id,
            event_type AS last_type, round(value, 4) AS last_value
          FROM r WHERE rn = 1 ORDER BY user_id""",
+    "io11_sorted_layout_stats" ->
+      """SELECT event_type, 1 AS n_files, count(*) AS n_rows,
+           min(epoch_ms(ts) // 1000) AS min_ts_sec,
+           max(epoch_ms(ts) // 1000) AS max_ts_sec
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "st11_stream_topk" ->
       """WITH r AS (SELECT event_type, event_id, value,
            row_number() OVER (PARTITION BY event_type
