@@ -618,6 +618,12 @@ object SparkEntry {
     "a47_higher_moments" -> q((s, d) =>
       Relational.higherMoments(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity")),
+    // k-anonymity / l-diversity census over quasi-identifiers: one
+    // hash agg keyed by the QI tuple, scalar roll-up over group sizes
+    "dq4_k_anonymity" -> q((s, d) =>
+      graft.operators.Privacy.kAnonymityCensus(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"),
+        (col("c_acctbal") < 0).cast("int"), k = 10)),
     // per-segment Gini over customer spend totals (rank formula; the
     // window ranks the key-cardinality totals table, never raw rows)
     "a49_gini" -> q((s, d) => {
@@ -3750,6 +3756,17 @@ object SparkEntry {
          FROM c ORDER BY l_returnflag""",
     "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
       "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
+    "dq4_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l
+           FROM customer GROUP BY 1, 2)
+         SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           min(n) AS min_group_size, min(l) AS min_l_diversity
+         FROM g""",
     "a49_gini" ->
       """WITH t AS (SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS x
            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
