@@ -605,6 +605,30 @@ object SparkEntry {
         graft.ml.Stump.Feature("l_discount", col("l_discount"), 0.0, 0.1, 10),
         graft.ml.Stump.Feature("l_extendedprice", col("l_extendedprice"),
           0.0, 100000.0, 20)), rounds = 2)),
+    // decile lift/gains table over a continuous score vs an independent
+    // outcome: tiles on (score desc, unique key); exact-int aggregation
+    "ml17_decile_lift" -> q((s, d) =>
+      graft.ml.Thresholds.decileLift(Tables.lineitem(s, d),
+        col("l_quantity") + col("l_discount") * 20.0,
+        (col("l_extendedprice") > lit(30000.0)).cast("int"),
+        expr("l_orderkey * 10 + l_linenumber"))),
+    // hop-reach profile N(h) from a 4-seed set: ONE bounded-SSSP run
+    // with unit weights, then a cumulative count over the ≤5-row
+    // distance histogram (the neighborhood function of HyperBall,
+    // computed exactly on the probe seeds)
+    "g14_reach_profile" -> q((s, d) => {
+      val edges = Tables.orders(s, d)
+        .select(pmod(col("o_custkey"), lit(150L)).as("src"),
+          pmod(col("o_orderkey"), lit(151L)).as("dst"))
+        .distinct().withColumn("w", lit(1L))
+      val seeds = s.range(4).select(col("id").as("node"))
+      val dist = graft.graph.Sssp.boundedSssp(edges, seeds, rounds = 4)
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("hop")
+      dist.groupBy(col("dist").as("hop")).agg(count(lit(1)).as("n_at"))
+        .withColumn("n_within", sum("n_at").over(wc))
+        .select(col("hop"), col("n_at"), col("n_within"))
+        .orderBy("hop")
+    }),
     // precision/recall/F1 threshold ladder in ONE aggregation pass
     // (2·|T|+1 conditional sums — no explode, no per-threshold scan);
     // score and label are distinct columns so the curve is non-trivial
@@ -3712,6 +3736,47 @@ object SparkEntry {
            round(raw_gain, 6) AS gain
          FROM g ORDER BY gain DESC, feature, threshold LIMIT 5""",
     "ml16_boosted_stumps" -> boostedStumpSql,
+    "ml17_decile_lift" ->
+      """WITH t AS (SELECT l_quantity + l_discount * 20.0 AS s,
+           CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END AS y,
+           l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+         d AS (SELECT ntile(10) OVER (ORDER BY s DESC, id) AS decile, y
+           FROM t),
+         g AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+           FROM d GROUP BY 1),
+         c AS (SELECT *, sum(n) OVER (ORDER BY decile) AS cum_n,
+           sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+           sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos FROM g)
+         SELECT decile, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS response_rate,
+           round((CAST(cum_pos AS DOUBLE) / cum_n)
+             / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS cum_lift
+         FROM c ORDER BY decile""",
+    "g14_reach_profile" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % 150 AS src,
+           o_orderkey % 151 AS dst, 1 AS w FROM orders),
+         d0 AS (SELECT CAST(range AS BIGINT) AS node,
+           CAST(0 AS BIGINT) AS dist FROM range(4)),
+         d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d0 UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM e JOIN d0 d ON e.src = d.node) GROUP BY 1),
+         d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d1 UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM e JOIN d1 d ON e.src = d.node) GROUP BY 1),
+         d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d2 UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM e JOIN d2 d ON e.src = d.node) GROUP BY 1),
+         d4 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d3 UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM e JOIN d3 d ON e.src = d.node) GROUP BY 1),
+         h AS (SELECT dist AS hop, count(*) AS n_at FROM d4 GROUP BY 1)
+         SELECT hop, n_at,
+           CAST(sum(n_at) OVER (ORDER BY hop) AS BIGINT) AS n_within
+         FROM h ORDER BY hop""",
     "ml14_threshold_sweep" -> {
       val thr = Seq(5.0, 15.0, 25.0, 35.0, 45.0)
       val sums = thr.zipWithIndex.map { case (t, i) =>

@@ -17,6 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object Thresholds {
 
+  /** Decile lift/gains table — the campaign-targeting eval: sort by
+    * score descending, cut into 10 equal-count buckets, report each
+    * decile's response rate and the CUMULATIVE lift over the base rate
+    * ("how much better than random are the top-k% by model score").
+    * A healthy model shows monotone-ish decay; lift(1) is the headline.
+    *
+    * Scale shape: `ntile` needs a total order — here over (score desc,
+    * unique id), the same contract as the quartile/percentile-ladder
+    * gates (w7/a42); at extreme scale the two-pass range-partitioned
+    * rank substitutes, as documented there. Everything after the tile
+    * assignment is exact integer aggregation; only the final ratios are
+    * floats. */
+  def decileLift(df: DataFrame, score: Column, label: Column,
+                 id: Column, buckets: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc, col("_id").asc)
+    val tiled = df.select(score.as("_s"), label.cast("long").as("_y"),
+        id.as("_id"))
+      .withColumn("decile", ntile(buckets).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+    val tot = tiled.agg(sum("n").as("tot_n"), sum("n_pos").as("tot_pos"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("decile")
+    tiled.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("response_rate"),
+        round((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tot_pos").cast("double") / col("tot_n")), 6).as("cum_lift"))
+      .orderBy("decile")
+  }
+
   /** Confusion counts + precision/recall/F1 for `score > t` at each
     * threshold. Output: (threshold, tp, fp, fn, precision, recall, f1)
     * ordered by threshold; ratios rounded to 6, null when undefined

@@ -23,6 +23,20 @@ class ThresholdsSpec extends SparkTestBase {
     assert(rows(2).getDouble(4) == 1.0 && rows(2).getDouble(5) == 0.5)
   }
 
+  test("decile lift: top decile captures the planted high-score positives") {
+    // score = i; positives are exactly the top 100 of 1000 scores
+    val df = (1 to 1000).map(i =>
+      (i.toDouble, if (i > 900) 1 else 0, i.toLong)).toDF("s", "y", "id")
+    val rows = Thresholds.decileLift(df, col("s"), col("y"), col("id"))
+      .collect()
+    // decile 1 = scores 901..1000 → all positive; lift = 1.0 / 0.1 = 10
+    assert(rows(0).getLong(2) == 100L && rows(0).getDouble(4) == 10.0)
+    // decile 2 has no positives; cumulative lift halves to 5
+    assert(rows(1).getLong(2) == 0L && rows(1).getDouble(4) == 5.0)
+    // final cumulative lift is 1 by construction
+    assert(rows(9).getDouble(4) == 1.0)
+  }
+
   test("empty-denominator ratios are null, not NaN") {
     val df = Seq((1.0, 0), (2.0, 0)).toDF("s", "y") // no positives at all
     val r = Thresholds.sweep(df, col("s"), col("y"), Seq(5.0)).collect()(0)
