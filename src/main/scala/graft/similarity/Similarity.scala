@@ -312,7 +312,10 @@ object Similarity {
       col("label").as("other_label"), col("emb").as("emb_b"),
       col("norm").as("norm_b"))
     val wTop = Window.partitionBy("id").orderBy(desc("sim"), col("other"))
-    val votes = a.join(b, col("id") =!= col("other"))
+    // broadcast the candidate side: same BNLJ shape as the other exact
+    // twins (n4/n12) — never a CartesianProduct, which would shuffle
+    // BOTH sides into partition pairs
+    val votes = a.join(broadcast(b), col("id") =!= col("other"))
       .select(col("id"), col("true_label"), col("other"), col("other_label"),
         pairSim(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b"))
           .as("sim"))
