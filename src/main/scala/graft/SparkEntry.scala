@@ -2167,6 +2167,16 @@ object SparkEntry {
         pmod(col("o_orderkey"), lit(401L)).as("dst"))
       graft.graph.GraphStats.powerLawAlpha(edges, kmin = 2)
     }),
+    // running-peak max drawdown over a signed step series: two stacked
+    // windows sharing one exchange; running sums are order-identical
+    // cross-engine, so the trajectory pins exactly
+    "w28_max_drawdown" -> q((s, d) =>
+      graft.operators.Windows.maxDrawdown(
+        Tables.events(s, d)
+          .select(pmod(col("user_id"), lit(20L)).as("ukey"),
+            col("event_id").as("oid"),
+            (col("value") - 100.0).as("step")),
+        "ukey", Seq("oid"), "step")),
     // exact ±3-row rolling median per user (interpolating percentile
     // as a window aggregate — frame-bounded state, per-key parallel)
     "w26_rolling_median" -> q((s, d) => {
@@ -5777,6 +5787,21 @@ object SparkEntry {
          SELECT x.id AS id_a, x.nn AS id_b, round(x.sim, 6) AS sim
          FROM nn x JOIN nn y ON x.nn = y.id AND y.nn = x.id AND x.id < x.nn
          ORDER BY id_a""",
+    "w28_max_drawdown" ->
+      """WITH t AS (SELECT user_id % 20 AS ukey, event_id AS oid,
+           value - 100.0 AS step FROM events),
+         c AS (SELECT ukey, oid, step, sum(step) OVER (PARTITION BY ukey
+             ORDER BY oid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         p AS (SELECT ukey, step, cum, max(cum) OVER (PARTITION BY ukey
+             ORDER BY oid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM c)
+         SELECT ukey, count(*) AS n,
+           round(max(peak - cum), 4) AS max_drawdown,
+           round(sum(step), 4) AS final_sum
+         FROM p GROUP BY 1 ORDER BY ukey""",
     "w26_rolling_median" ->
       """SELECT user_id, event_id, value,
            round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

@@ -486,6 +486,26 @@ object Windows {
       round(expr(s"percentile($valCol, 0.5)").over(w), 6))
   }
 
+  /** Per-key maximum drawdown of the running value sum — "how far below
+    * its historical peak did this series fall", the burn-rate /
+    * regression-from-peak monitor (and the classic finance stat).
+    * Two stacked windows over the SAME (key, order) spec — running sum,
+    * then running max of it — share one exchange+sort; the final
+    * numbers come from one aggregation. Per-key parallel throughout;
+    * order must be unique for reproducible sums. */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  valCol: String, digits: Int = 4): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_cum", sum(valCol).over(w))
+      .withColumn("_peak", max("_cum").over(w))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        round(max(col("_peak") - col("_cum")), digits).as("max_drawdown"),
+        round(sum(valCol), digits).as("final_sum"))
+      .orderBy(keyCol)
+  }
+
   def activityStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), col("ts").cast("date").as("day"))
