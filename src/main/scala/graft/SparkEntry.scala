@@ -893,6 +893,14 @@ object SparkEntry {
       graft.graph.LabelProp.communities(edges, rounds = 4)
         .orderBy("label")
     }),
+    // modularity of g9's label-prop partition: is the community
+    // structure real? (counts integer end-to-end; one float roll-up)
+    "g15_modularity" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1000L)).as("src"),
+        pmod(col("o_orderkey"), lit(997L)).as("dst"))
+      graft.graph.GraphStats.modularity(edges, rounds = 4)
+    }),
     // personalized PageRank (TrustRank shape): teleport mass uniform
     // over a small seed set instead of everywhere; the oracle replays
     // all 5 rounds — including the dangling mass re-entering through
@@ -3286,8 +3294,11 @@ object SparkEntry {
     * one neighbor-label count and one `row_number()`-over-`(count DESC,
     * label ASC)` modal pick — the SQL mirror of the Spark side's
     * `min_by(label, (-count, label))`. */
-  private def labelPropSql(srcExpr: String, dstExpr: String,
-                           rounds: Int): String = {
+  /** The shared label-propagation CTE chain (und/adj/l0 … l`rounds`),
+    * used by both the g9 community-size oracle and the g15 modularity
+    * oracle so the two can never replay different trajectories. */
+  private def labelPropCtes(srcExpr: String, dstExpr: String,
+                            rounds: Int): String = {
     val base =
       s"""und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
            greatest(s, d) AS b FROM
@@ -3303,11 +3314,37 @@ object SparkEntry {
              (PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c$i)
            WHERE rn = 1)"""
     }.mkString(",\n         ")
-    s"""WITH $base,
-         $iterCtes
+    s"""$base,
+         $iterCtes"""
+  }
+
+  private def labelPropSql(srcExpr: String, dstExpr: String,
+                           rounds: Int): String =
+    s"""WITH ${labelPropCtes(srcExpr, dstExpr, rounds)}
          SELECT label, count(*) AS n_members FROM l$rounds
          GROUP BY 1 ORDER BY label"""
-  }
+
+  /** [[graft.graph.GraphStats.modularity]]: the same label-prop replay,
+    * then Q = Σ_c [e_c/m − (d_c/2m)²] over integer counts. */
+  private def modularitySql(srcExpr: String, dstExpr: String,
+                            rounds: Int): String =
+    s"""WITH ${labelPropCtes(srcExpr, dstExpr, rounds)},
+         deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+         mm AS (SELECT count(*)::DOUBLE AS m FROM und),
+         dc AS (SELECT l.label, sum(deg.deg) AS d_c
+           FROM l$rounds l JOIN deg ON l.v = deg.v GROUP BY 1),
+         ec AS (SELECT la.label, count(*) AS e_c FROM und
+           JOIN l$rounds la ON und.a = la.v
+           JOIN l$rounds lb ON und.b = lb.v
+           WHERE la.label = lb.label GROUP BY 1),
+         qq AS (SELECT dc.label, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+           FROM dc LEFT JOIN ec USING (label))
+         SELECT count(*) AS n_communities,
+           CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+           round(sum(e_c / (SELECT m FROM mm)
+             - (d_c / (2 * (SELECT m FROM mm)))
+               * (d_c / (2 * (SELECT m FROM mm)))), 6) AS modularity
+         FROM qq"""
 
   /** Shared CTE body for the logreg oracles — one standardization-
     * moments CTE, then per GD round a `(sigmoid margin → mean-gradient
@@ -3654,6 +3691,7 @@ object SparkEntry {
     "g8_hits" -> hitsSql("o_custkey % 200", "o_orderkey % 211", 5),
     "g9_label_prop" -> labelPropSql("o_custkey % 1000", "o_orderkey % 997", 4),
     "g10_ppr" -> pprSql("o_custkey % 80", "o_orderkey % 83", "node < 8", 5),
+    "g15_modularity" -> modularitySql("o_custkey % 1000", "o_orderkey % 997", 4),
     "w25_heap_topk" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_orderpriority

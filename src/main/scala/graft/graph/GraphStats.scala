@@ -48,6 +48,48 @@ object GraphStats {
           .as("alpha"))
   }
 
+  /** Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the communities
+    * [[LabelProp]] finds — the standard "are these communities real"
+    * score (Q ≈ 0: no better than random; Q ≳ 0.3: strong structure),
+    * closing the loop on g9: not just WHICH communities, but whether
+    * the partition means anything.
+    *
+    * Scale shape: label propagation's own rounds dominate; the
+    * modularity read-out is one degree aggregate, two node-keyed label
+    * joins over the edge list, and a community-cardinality roll-up.
+    * All counts integer; only the final Q arithmetic is float. */
+  def modularity(edges: DataFrame, rounds: Int = 4,
+                 digits: Int = 6): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct().persist()
+    try {
+      val labels = LabelProp.labelsOf(edges, rounds)
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val m1 = und.agg(count(lit(1)).cast("double").as("m"))
+      val dc = labels.join(deg, "v")
+        .groupBy("label").agg(sum("deg").as("d_c"))
+      val ec = und
+        .join(labels.select(col("v").as("a"), col("label").as("la")), "a")
+        .join(labels.select(col("v").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+      val term = col("e_c") / col("m") -
+        (col("d_c") / (lit(2) * col("m"))) * (col("d_c") / (lit(2) * col("m")))
+      dc.join(ec, Seq("label"), "left")
+        .na.fill(0L, Seq("e_c"))
+        .crossJoin(broadcast(m1))
+        .agg(count(lit(1)).as("n_communities"),
+          max(col("m")).cast("long").as("n_edges"),
+          round(sum(term), digits).as("modularity"))
+        .localCheckpoint(true)
+    } finally und.unpersist()
+  }
+
   /** Degree assortativity of the undirected simple graph induced by
     * `edges` (self-loops dropped, parallel edges collapsed). Returns
     * one row: (n_nodes, n_edges, assortativity rounded to `digits`) —
