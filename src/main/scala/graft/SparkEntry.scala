@@ -648,6 +648,12 @@ object SparkEntry {
       graft.operators.Privacy.kAnonymityCensus(Tables.customer(s, d),
         Seq("c_mktsegment", "c_nationkey"),
         (col("c_acctbal") < 0).cast("int"), k = 10)),
+    // Kish effective sample size per source for an uneven weight
+    // column — the diagnostic every importance-weighted mix publishes
+    "tp12_effective_sample_size" -> q((s, d) =>
+      graft.pipeline.TrainingData.effectiveSampleSize(
+        Tables.documents(s, d), "source",
+        pmod(col("n_chars"), lit(101L)) + lit(1L))),
     // per-segment Gini over customer spend totals (rank formula; the
     // window ranks the key-cardinality totals table, never raw rows)
     "a49_gini" -> q((s, d) => {
@@ -3869,6 +3875,14 @@ object SparkEntry {
          FROM c ORDER BY l_returnflag""",
     "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
       "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
+    "tp12_effective_sample_size" ->
+      """WITH t AS (SELECT source,
+           CAST(n_chars % 101 + 1 AS DOUBLE) AS w FROM documents),
+         g AS (SELECT source, count(*) AS n, sum(w) AS sw,
+           sum(w * w) AS sw2 FROM t GROUP BY 1)
+         SELECT source, n, round(sw * sw / sw2, 6) AS ess,
+           round(sw * sw / sw2 / n, 6) AS ess_ratio
+         FROM g ORDER BY source""",
     "dq4_k_anonymity" ->
       """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n,
            count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l

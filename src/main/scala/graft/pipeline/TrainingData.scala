@@ -388,6 +388,25 @@ object TrainingData {
       .drop("_lo", "_hi")
   }
 
+  /** Kish effective sample size of an importance-weighted mix —
+    * ESS = (Σw)²/Σw², the diagnostic every weighted-sampling scheme
+    * (DSIR, quality-weighted, temperature mixes) should publish: n docs
+    * selected with wildly uneven weights behave statistically like ESS
+    * ≪ n docs, and ess_ratio → 0 flags a mix dominated by a few rows.
+    * One partial→final aggregation per group (two running sums);
+    * nothing downstream of the group table. */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weight: Column, digits: Int = 6): DataFrame = {
+    val w = weight.cast("double")
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(w).as("_sw"), sum(w * w).as("_sw2"))
+      .select(col(groupCol), col("n"),
+        round(col("_sw") * col("_sw") / col("_sw2"), digits).as("ess"),
+        round(col("_sw") * col("_sw") / col("_sw2") / col("n"), digits)
+          .as("ess_ratio"))
+      .orderBy(groupCol)
+  }
+
   /** Per-language yield of the prepared corpus — the acceptance report a
     * data pipeline publishes per snapshot (docs kept, token budget,
     * mean quality). */

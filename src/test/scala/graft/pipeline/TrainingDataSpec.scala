@@ -308,4 +308,16 @@ class TrainingDataSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TrainingData.epochSchedule(docs, Map("a" -> -1.0), 10L))
   }
+
+  test("effective sample size: uniform weights give ESS = n; one heavy row collapses it") {
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 100).map(i => ("uni", i.toLong, 3.0)) ++
+      ((1 to 99).map(i => ("skew", i.toLong, 0.0001)) :+ (("skew", 100L, 1000.0))))
+      .toDF("src", "id", "w")
+    val rows = TrainingData.effectiveSampleSize(df, "src", col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("uni") == ((100L, 100.0)), s"uniform: ${rows("uni")}")
+    assert(rows("skew")._2 < 1.001,
+      s"one dominant weight must collapse ESS to ~1: ${rows("skew")._2}")
+  }
 }
