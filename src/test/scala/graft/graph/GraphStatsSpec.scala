@@ -15,6 +15,17 @@ class GraphStatsSpec extends SparkTestBase {
     assert(r.getDouble(2) == -1.0, "star = perfectly disassortative")
   }
 
+  test("assortativity and power-law alpha are partition-invariant") {
+    val edges = (0 until 400).map(i =>
+      ((i % 50).toLong, ((i * 7) % 61).toLong)).toDF("src", "dst")
+    def runs(parts: Int) = (
+      GraphStats.degreeAssortativity(edges.repartition(parts))
+        .collect().map(_.toSeq).toSeq,
+      GraphStats.powerLawAlpha(edges.repartition(parts), kmin = 2)
+        .collect().map(_.toSeq).toSeq)
+    assert(runs(1) == runs(9))
+  }
+
   test("degree-regular graph has undefined (null) assortativity") {
     // 4-cycle: every node degree 2 → zero variance → corr null
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")

@@ -20,6 +20,15 @@ class ModularitySpec extends SparkTestBase {
       s"Q = ${r.getDouble(2)}")
   }
 
+  test("modularity is invariant to edge partitioning") {
+    val edges = (0 until 300).map(i =>
+      ((i % 40).toLong, ((i * 13) % 37).toLong)).toDF("src", "dst")
+    def run(parts: Int) =
+      GraphStats.modularity(edges.repartition(parts), rounds = 3)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(11))
+  }
+
   test("a clique is a single community with Q = 0") {
     val nodes = 1L to 5L
     val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b))

@@ -37,6 +37,20 @@ class ThresholdsSpec extends SparkTestBase {
     assert(rows(9).getDouble(4) == 1.0)
   }
 
+  test("sweep and lift are invariant to input partitioning") {
+    val df = (1 to 2000).map(i =>
+      ((i * 31 % 97).toDouble, if (i % 3 == 0) 1 else 0, i.toLong))
+      .toDF("s", "y", "id")
+    def sweep(parts: Int) =
+      Thresholds.sweep(df.repartition(parts), col("s"), col("y"),
+        Seq(10.0, 50.0, 90.0)).collect().map(_.toSeq).toSeq
+    def lift(parts: Int) =
+      Thresholds.decileLift(df.repartition(parts), col("s"), col("y"),
+        col("id")).collect().map(_.toSeq).toSeq
+    assert(sweep(1) == sweep(13))
+    assert(lift(1) == lift(13))
+  }
+
   test("empty-denominator ratios are null, not NaN") {
     val df = Seq((1.0, 0), (2.0, 0)).toDF("s", "y") // no positives at all
     val r = Thresholds.sweep(df, col("s"), col("y"), Seq(5.0)).collect()(0)
