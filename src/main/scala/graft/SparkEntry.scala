@@ -2952,7 +2952,89 @@ object SparkEntry {
             Tables.documents(s, d).filter(col("doc_id") < 100)), factor = 2))
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_px"), 6).as("mean_px"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // neighborhood-overlap link prediction: wedges via ONE adjacency
+    // self-join on the middle node, scores summed per canonical pair,
+    // existing edges anti-joined out, top-20 by Adamic-Adar with a
+    // total-order tie-break on the pair id
+    "g16_link_prediction" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(2000L)).as("src"),
+        pmod(col("o_orderkey"), lit(1999L)).as("dst"))
+      graft.graph.LinkPrediction.adamicAdarTopK(edges, k = 20)
+    }),
+    // Fellegi–Sunter probabilistic linkage: nation-blocked customer
+    // pairs, three agreement fields (segment / balance band / name
+    // tail), u-rates estimated from the candidate-pair population in
+    // one aggregate, log2 match weights reported per agreement pattern
+    "er2_fs_weights" -> q((s, d) => {
+      import graft.dedup.Linkage
+      val recs = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"),
+        substring(col("c_name"), -1, 1).as("name_tail"))
+      Linkage.matchWeights(recs, "c_custkey", "c_nationkey", Seq(
+        Linkage.CompareField("seg",
+          col("l_c_mktsegment") === col("r_c_mktsegment"), 0.95),
+        Linkage.CompareField("band",
+          col("l_bal_band") === col("r_bal_band"), 0.80),
+        Linkage.CompareField("tail",
+          col("l_name_tail") === col("r_name_tail"), 0.90)))
+    }),
+    // seasonal-naive forecast accuracy (MASE, Hyndman-Koehler
+    // denominator) over the 30-day × 5-type daily event series
+    "w29_seasonal_mase" -> q((s, d) =>
+      graft.operators.Forecast.seasonalNaiveMase(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("v")),
+        "event_type", "day", "v", season = 7)),
+    // Holt linear-trend smoothing as a declarative higher-order fold
+    // (no closures, fixed evaluation order); the oracle replays the
+    // identical recurrence as a recursive CTE
+    "w30_holt_forecast" -> q((s, d) =>
+      graft.operators.Forecast.holt(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("v")),
+        "event_type", "day", "v", alpha = 0.3, beta = 0.1)),
+    // split-conformal OLS intervals: fit on orderkey%10<6, calibrate
+    // the |residual| quantile on %10∈{6,7}, report coverage on the
+    // rest; coefficients snapped to the 6dp grid so every residual is
+    // bit-identical across engines (see Conformal scaladoc)
+    "ml18_conformal" -> q((s, d) => {
+      val f = Tables.lineitem(s, d)
+        .withColumn("_s", pmod(col("l_orderkey"), lit(10L)))
+      graft.ml.Conformal.intervalReport(
+        f.filter(col("_s") < 6), f.filter(col("_s").isin(6, 7)),
+        f.filter(col("_s") >= 8),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        level = 0.9)
+    }),
+    // grouped Theil–Sen robust trend over the monthly revenue series
+    // per returnflag: pairwise slopes only at the calendar-bounded
+    // aggregated tier, exact interpolating medians
+    "a50_theil_sen" -> q((s, d) =>
+      graft.ml.TheilSen.slopeByGroup(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            ((year(col("l_shipdate")) - 1995) * 12
+              + month(col("l_shipdate")) - 1).as("mx"))
+          .agg(avg(col("l_extendedprice")).as("my")),
+        "l_returnflag", "mx", "my")),
+    // Hilbert-curve layout key (better range locality than z1/z2's
+    // Morton key): bucket census over the order-4 curve position,
+    // pinned against an oracle UNROLLED from the same quadrant fold
+    "z3_hilbert_bucket" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .select(graft.operators.Hilbert.hilbertKey2(
+          pmod(col("l_partkey"), lit(16L)), pmod(col("l_suppkey"), lit(16L)),
+          bits = 4).as("hkey"),
+          col("l_orderkey"))
+        .groupBy(floor(col("hkey") / 16).as("h_bucket"))
+        .agg(count(lit(1)).as("n_rows"), min("hkey").as("h_min"),
+          max("hkey").as("h_max"), sum("l_orderkey").as("key_sum"))
+        .orderBy("h_bucket"))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -7069,6 +7151,141 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_source,
          true AS ids_unique_subset, true AS cnt_in_bounds,
          true AS avg_in_range
-         FROM events"""
+         FROM events""",
+    "g16_link_prediction" ->
+      """WITH e0 AS (SELECT DISTINCT
+           least(o_custkey % 2000, o_orderkey % 1999) AS a,
+           greatest(o_custkey % 2000, o_orderkey % 1999) AS b
+           FROM orders WHERE o_custkey % 2000 <> o_orderkey % 1999),
+         deg AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+           GROUP BY 1),
+         adj AS (SELECT a AS z, b AS n FROM e0
+           UNION ALL SELECT b AS z, a AS n FROM e0),
+         wed AS (SELECT a1.n AS u, a2.n AS w, dz.d AS dz
+           FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+           JOIN deg dz ON dz.n = a1.z),
+         sc AS (SELECT u, w, count(*) AS n_common,
+             sum(1.0 / ln(dz)) AS aa FROM wed GROUP BY 1, 2),
+         ne AS (SELECT sc.* FROM sc LEFT JOIN e0
+             ON e0.a = sc.u AND e0.b = sc.w
+           WHERE e0.a IS NULL)
+         SELECT u, w, n_common,
+           round(n_common / (du.d + dw.d - n_common), 6) AS jaccard,
+           round(aa, 6) AS adamic_adar
+         FROM ne JOIN deg du ON du.n = ne.u JOIN deg dw ON dw.n = ne.w
+         ORDER BY adamic_adar DESC, u, w LIMIT 20""",
+    "er2_fs_weights" ->
+      """WITH r AS (SELECT c_custkey AS id, c_nationkey AS blk,
+           c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+           right(c_name, 1) AS tail FROM customer),
+         p AS (SELECT CAST(l.seg = r2.seg AS INT) AS g_seg,
+             CAST(l.band = r2.band AS INT) AS g_band,
+             CAST(l.tail = r2.tail AS INT) AS g_tail
+           FROM r l JOIN r r2 ON l.blk = r2.blk AND l.id < r2.id),
+         u AS (SELECT avg(g_seg) AS u_seg, avg(g_band) AS u_band,
+             avg(g_tail) AS u_tail FROM p),
+         pat AS (SELECT g_seg, g_band, g_tail, count(*) AS n_pairs
+           FROM p GROUP BY 1, 2, 3)
+         SELECT g_seg, g_band, g_tail, n_pairs,
+           round((CASE WHEN g_seg = 1 THEN ln(0.95::DOUBLE / u_seg) / ln(2.0::DOUBLE)
+               ELSE ln((1 - 0.95::DOUBLE) / (1 - u_seg)) / ln(2.0::DOUBLE) END)
+             + (CASE WHEN g_band = 1 THEN ln(0.8::DOUBLE / u_band) / ln(2.0::DOUBLE)
+               ELSE ln((1 - 0.8::DOUBLE) / (1 - u_band)) / ln(2.0::DOUBLE) END)
+             + (CASE WHEN g_tail = 1 THEN ln(0.9::DOUBLE / u_tail) / ln(2.0::DOUBLE)
+               ELSE ln((1 - 0.9::DOUBLE) / (1 - u_tail)) / ln(2.0::DOUBLE) END),
+             4) AS weight
+         FROM pat CROSS JOIN u
+         ORDER BY weight DESC, g_seg, g_band, g_tail""",
+    "w29_seasonal_mase" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, v,
+             lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS lm,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+           FROM s)
+         SELECT event_type, count(lm) AS n_scored,
+           round(avg(abs(v - lm)), 6) AS mae_seasonal,
+           round(avg(abs(v - l1)), 6) AS mae_naive1,
+           round(avg(abs(v - lm)) / avg(abs(v - l1)), 6) AS mase
+         FROM l GROUP BY 1 ORDER BY event_type""",
+    "w30_holt_forecast" ->
+      """WITH RECURSIVE s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, v, row_number()
+             OVER (PARTITION BY event_type ORDER BY day) AS rn FROM s),
+         rec AS (
+           SELECT event_type, rn, v AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS sse
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.rn,
+             0.3 * o.v + 0.7 * (rec.l + rec.b),
+             0.1 * ((0.3 * o.v + 0.7 * (rec.l + rec.b)) - rec.l)
+               + 0.9 * rec.b,
+             rec.sse + (o.v - (rec.l + rec.b)) * (o.v - (rec.l + rec.b))
+           FROM rec JOIN o ON o.event_type = rec.event_type
+             AND o.rn = rec.rn + 1),
+         n AS (SELECT event_type, max(rn) AS nn FROM o GROUP BY 1)
+         SELECT r.event_type AS event_type, CAST(n.nn AS BIGINT) AS n_obs,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(r.sse, 6) AS sse, round(r.l + r.b, 6) AS fcst_1,
+           round(r.l + 2.0 * r.b, 6) AS fcst_2,
+           round(r.l + 3.0 * r.b, 6) AS fcst_3
+         FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.nn
+         ORDER BY 1""",
+    "ml18_conformal" ->
+      """WITH f AS (SELECT l_extendedprice AS y, l_quantity AS x1,
+           l_discount AS x2, l_orderkey % 10 AS sp FROM lineitem),
+         m AS (SELECT covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+             covar_pop(x1, x2) AS c12, var_pop(x1) AS v1,
+             var_pop(x2) AS v2, avg(y) AS my, avg(x1) AS m1,
+             avg(x2) AS m2, count(*) AS n_train
+           FROM f WHERE sp < 6),
+         fit AS (SELECT n_train,
+             round((v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12), 6) AS b1,
+             round((v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12), 6) AS b2,
+             my, m1, m2 FROM m),
+         fit2 AS (SELECT n_train, b1, b2,
+             round(my - b1 * m1 - b2 * m2, 6) AS b0 FROM fit),
+         q AS (SELECT count(*) AS n_calib,
+             round(quantile_cont(
+               round(abs(y - (b0 + b1 * x1 + b2 * x2)), 6), 0.9), 6) AS q_hat
+           FROM f CROSS JOIN fit2 WHERE sp IN (6, 7))
+         SELECT f2.n_train, q.n_calib, count(*) AS n_eval, q.q_hat,
+           CAST(sum(CASE WHEN round(abs(y - (b0 + b1 * x1 + b2 * x2)), 6)
+               <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           round(sum(CASE WHEN round(abs(y - (b0 + b1 * x1 + b2 * x2)), 6)
+               <= q.q_hat THEN 1 ELSE 0 END) / count(*), 4) AS coverage,
+           round(2.0 * q.q_hat, 6) AS avg_width
+         FROM f CROSS JOIN fit2 f2 CROSS JOIN q
+         WHERE sp >= 8
+         GROUP BY 1, 2, 4""",
+    "a50_theil_sen" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+           CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+             AS DOUBLE) AS x,
+           avg(l_extendedprice) AS y
+           FROM lineitem GROUP BY 1, 2),
+         sl AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+           FROM s a JOIN s b ON a.g = b.g AND a.x < b.x),
+         m AS (SELECT g, count(*) AS n_pairs, quantile_cont(s, 0.5) AS mm
+           FROM sl GROUP BY 1),
+         r AS (SELECT s.g, count(*) AS n_points, max(m.n_pairs) AS n_pairs,
+             max(m.mm) AS mm, quantile_cont(s.y - m.mm * s.x, 0.5) AS bb
+           FROM s JOIN m ON m.g = s.g GROUP BY 1)
+         SELECT g AS l_returnflag, n_points, n_pairs,
+           round(mm, 6) AS ts_slope, round(bb, 6) AS ts_intercept
+         FROM r ORDER BY l_returnflag""",
+    "z3_hilbert_bucket" ->
+      s"""WITH ${graft.operators.Hilbert.hilbertSql2(
+             "l_partkey % 16", "l_suppkey % 16", 4,
+             "FROM lineitem", "l_orderkey")}
+         SELECT CAST(floor(d / 16) AS BIGINT) AS h_bucket,
+           count(*) AS n_rows, CAST(min(d) AS BIGINT) AS h_min,
+           CAST(max(d) AS BIGINT) AS h_max,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+         FROM h4 GROUP BY 1 ORDER BY h_bucket"""
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecast-grade time-series summaries over grouped ordered series —
+  * the evaluation loop a data pipeline runs over millions of per-key
+  * metrics (ingest volume per source, token yield per domain) to flag
+  * drift and project capacity. Everything here is per-key independent
+  * (embarrassingly parallel across keys) and bounded per key by the
+  * CALENDAR, not the row count: a key's daily series over a decade is
+  * ~3.7k points, so collecting ONE series into a task is O(days), the
+  * same bound the chunked sessionizer documents — while the corpus
+  * underneath may be 100 TB, the aggregated series tier it feeds is
+  * keys × days.
+  */
+object Forecast {
+
+  /** Holt's linear-trend exponential smoothing (Holt 1957; the
+    * workhorse double-smoother behind every capacity dashboard), run as
+    * a DECLARATIVE fold: the series is sort_array-collected per key and
+    * folded with a higher-order `aggregate` over a (level, trend, sse)
+    * struct accumulator — fixed evaluation order, fully codegen'd, no
+    * closures, so the float trajectory is exactly reproducible by any
+    * IEEE-754 engine replaying the same recurrence.
+    *
+    * Recurrence (init l₀ = y₁, b₀ = 0; for t ≥ 2):
+    *   ŷ_t = l + b  (one-step forecast, error accumulated into sse)
+    *   l_t = α·y_t + (1−α)·(l + b)
+    *   b_t = β·(l_t − l) + (1−β)·b
+    *
+    * Output one row per key: n_obs, final level/trend, one-step-ahead
+    * SSE, and the h-step forecasts level + h·trend for h = 1..3. */
+  def holt(series: DataFrame, keyCol: String, ordCol: String,
+           valCol: String, alpha: Double = 0.3, beta: Double = 0.1,
+           digits: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("o"), col(valCol).cast("double").as("y")))).as("_s"))
+      .withColumn("_ys", expr("transform(_s, p -> p.y)"))
+      .withColumn("_fit", expr(
+        s"""aggregate(
+              slice(_ys, 2, greatest(size(_ys) - 1, 0)),
+              named_struct('l', _ys[0], 'b', 0D, 'sse', 0D),
+              (acc, y) -> named_struct(
+                'l', ${alpha}D * y + ${1 - alpha}D * (acc.l + acc.b),
+                'b', ${beta}D * ((${alpha}D * y
+                        + ${1 - alpha}D * (acc.l + acc.b)) - acc.l)
+                      + ${1 - beta}D * acc.b,
+                'sse', acc.sse + (y - (acc.l + acc.b))
+                                 * (y - (acc.l + acc.b))))"""))
+    folded.select(col(keyCol),
+      size(col("_ys")).cast("long").as("n_obs"),
+      round(col("_fit.l"), digits).as("level"),
+      round(col("_fit.b"), digits).as("trend"),
+      round(col("_fit.sse"), digits).as("sse"),
+      round(col("_fit.l") + col("_fit.b"), digits).as("fcst_1"),
+      round(col("_fit.l") + lit(2.0) * col("_fit.b"), digits).as("fcst_2"),
+      round(col("_fit.l") + lit(3.0) * col("_fit.b"), digits).as("fcst_3"))
+      .orderBy(keyCol)
+  }
+
+  /** Seasonal-naive forecast accuracy per key: MAE of the
+    * season-lagged forecast ŷ_t = y_{t−m}, the naive-1 in-sample MAE
+    * (the denominator convention of Hyndman & Koehler 2006's MASE),
+    * and their ratio. A MASE < 1 means "the seasonal pattern beats
+    * persistence" — the one-number seasonality screen. Two window
+    * lags + one aggregation; positions are row-number order over
+    * `ordCol`, so gaps in the calendar count as adjacent. */
+  def seasonalNaiveMase(series: DataFrame, keyCol: String, ordCol: String,
+                        valCol: String, season: Int = 7,
+                        digits: Int = 6): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+    series
+      .select(col(keyCol), col(ordCol), col(valCol).cast("double").as("_y"))
+      .withColumn("_lag_m", lag(col("_y"), season).over(w))
+      .withColumn("_lag_1", lag(col("_y"), 1).over(w))
+      .groupBy(keyCol)
+      .agg(count(col("_lag_m")).as("n_scored"),
+        avg(abs(col("_y") - col("_lag_m"))).as("_mae_m"),
+        avg(abs(col("_y") - col("_lag_1"))).as("_mae_1"))
+      .select(col(keyCol), col("n_scored"),
+        round(col("_mae_m"), digits).as("mae_seasonal"),
+        round(col("_mae_1"), digits).as("mae_naive1"),
+        round(col("_mae_m") / col("_mae_1"), digits).as("mase"))
+      .orderBy(keyCol)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ForecastSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("holt reproduces a hand-stepped recurrence") {
+    // α = β = 0.5, series 10, 12, 14:
+    //   init l=10, b=0
+    //   t2: err 2   → sse 4;     l = .5·12 + .5·10   = 11,    b = .5·1 + 0 = .5
+    //   t3: err 2.5 → sse 10.25; l = .5·14 + .5·11.5 = 12.75, b = .5·1.75 + .25 = 1.125
+    val df = Seq(("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 14.0))
+      .toDF("k", "o", "y")
+    val r = Forecast.holt(df, "k", "o", "y", alpha = 0.5, beta = 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n_obs") == 3)
+    assert(r.getAs[Double]("level") == 12.75)
+    assert(r.getAs[Double]("trend") == 1.125)
+    assert(r.getAs[Double]("sse") == 10.25)
+    assert(r.getAs[Double]("fcst_1") == 13.875)
+    assert(r.getAs[Double]("fcst_2") == 15.0)
+    assert(r.getAs[Double]("fcst_3") == 16.125)
+  }
+
+  test("holt handles a length-1 series (level only, no steps)") {
+    val r = Forecast.holt(Seq(("a", 1, 7.0)).toDF("k", "o", "y"),
+      "k", "o", "y").collect().head
+    assert(r.getAs[Long]("n_obs") == 1)
+    assert(r.getAs[Double]("level") == 7.0)
+    assert(r.getAs[Double]("trend") == 0.0)
+    assert(r.getAs[Double]("sse") == 0.0)
+  }
+
+  test("holt is invariant to input partitioning and row order") {
+    val base = (1 to 200).map(i =>
+      (s"k${i % 5}", i, math.sin(i * 0.37) * 50 + i * 0.2))
+    val a = Forecast.holt(base.toDF("k", "o", "y"), "k", "o", "y")
+      .collect().toSeq
+    val b = Forecast.holt(
+        scala.util.Random.shuffle(base).toDF("k", "o", "y").repartition(13),
+        "k", "o", "y")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("seasonalNaiveMase on a hand case") {
+    // season 2, series 1..6: |y_t − y_{t−2}| = 2 for t=3..6 → mae 2;
+    // |y_t − y_{t−1}| = 1 for t=2..6 → mae 1; mase = 2
+    val df = (1 to 6).map(i => ("a", i, i.toDouble)).toDF("k", "o", "y")
+    val r = Forecast.seasonalNaiveMase(df, "k", "o", "y", season = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_scored") == 4)
+    assert(r.getAs[Double]("mae_seasonal") == 2.0)
+    assert(r.getAs[Double]("mae_naive1") == 1.0)
+    assert(r.getAs[Double]("mase") == 2.0)
+  }
+
+  test("seasonalNaiveMase flags a perfectly seasonal series as MASE 0") {
+    val df = (0 until 28).map(i => ("a", i, (i % 7).toDouble))
+      .toDF("k", "o", "y")
+    val r = Forecast.seasonalNaiveMase(df, "k", "o", "y", season = 7)
+      .collect().head
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("mase") == 0.0)
+  }
+}
