@@ -2956,11 +2956,14 @@ object SparkEntry {
     // neighborhood-overlap link prediction: wedges via ONE adjacency
     // self-join on the middle node, scores summed per canonical pair,
     // existing edges anti-joined out, top-20 by Adamic-Adar with a
-    // total-order tie-break on the pair id
+    // total-order tie-break on the pair id. Fixture is a SPARSE
+    // bipartite graph (customer — order-bucket, avg degree ~10) — the
+    // realistic regime; a dense mod-2000 variant ran 22M wedges at
+    // sf0.1 for the same 20 answers
     "g16_link_prediction" -> q((s, d) => {
       val edges = Tables.orders(s, d).select(
-        pmod(col("o_custkey"), lit(2000L)).as("src"),
-        pmod(col("o_orderkey"), lit(1999L)).as("dst"))
+        col("o_custkey").as("src"),
+        (lit(20000L) + pmod(col("o_orderkey"), lit(19997L))).as("dst"))
       graft.graph.LinkPrediction.adamicAdarTopK(edges, k = 20)
     }),
     // Fellegi–Sunter probabilistic linkage: nation-blocked customer
@@ -3022,6 +3025,67 @@ object SparkEntry {
               + month(col("l_shipdate")) - 1).as("mx"))
           .agg(avg(col("l_extendedprice")).as("my")),
         "l_returnflag", "mx", "my")),
+    // ordered sequential-pattern support (any-gap "a before b", the
+    // length-2 Agrawal-Srikant core): corpus collapses to the
+    // (user, item, first-ts) tier, quadratic only per user's item set
+    "mb2_sequence_pairs" -> q((s, d) =>
+      graft.operators.Sequences.orderedPairSupport(
+        Tables.events(s, d), "user_id", "ts", "event_type")),
+    // incremental view maintenance: the maintained (key -> n, sum)
+    // view after a CDC batch (delete %11, update %13, insert %17) must
+    // EQUAL the oracle's full recompute over the merged base — the
+    // delta rule touches only the batch, never the corpus
+    "u11_incremental_agg" -> q((s, d) => {
+      import graft.operators.IncrementalAgg
+      val base = Tables.orders(s, d)
+      val view = IncrementalAgg.viewOf(base, "o_orderstatus", "o_totalprice")
+      val deletes = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderstatus"), lit("delete").as("op"),
+          col("o_totalprice").as("before"),
+          lit(null).cast("double").as("after"))
+      val updates = base
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderstatus"), lit("update").as("op"),
+          col("o_totalprice").as("before"),
+          (col("o_totalprice") * 1.1).as("after"))
+      val inserts = base.filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderstatus"), lit("insert").as("op"),
+          lit(null).cast("double").as("before"),
+          (col("o_totalprice") + 5).as("after"))
+      IncrementalAgg.applyCdc(view,
+          deletes.unionByName(updates).unionByName(inserts), "o_orderstatus")
+        .select(col("o_orderstatus"), col("n"),
+          round(col("total"), 0).as("total"),
+          round(col("total") / col("n"), 4).as("avg_value"))
+        .orderBy("o_orderstatus")
+    }),
+    // Mann-Kendall monotone-trend test with tie-corrected variance and
+    // Kendall tau_b, over the same monthly series as a50 — the
+    // significance companion to the Theil-Sen slope
+    "a51_mann_kendall" -> q((s, d) =>
+      graft.ml.MannKendall.testByGroup(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            ((year(col("l_shipdate")) - 1995) * 12
+              + month(col("l_shipdate")) - 1).as("mx"))
+          .agg(avg(col("l_extendedprice")).as("my")),
+        "l_returnflag", "mx", "my")),
+    // classical additive seasonal decomposition: centered 7-point MA
+    // trend, zero-centered per-phase seasonal indices
+    "w31_seasonal_decompose" -> q((s, d) =>
+      graft.operators.Forecast.seasonalDecompose(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(avg(col("value")).as("v")),
+        "event_type", "day", "v", period = 7)),
+    // one-pass Poisson bootstrap CI for per-type mean value: all 48
+    // replicates build in a single partial->final aggregation;
+    // multiplicities from the seeded FNV grid, reproduced by the oracle
+    "ml21_poisson_bootstrap" -> q((s, d) =>
+      graft.ml.Bootstrap.groupMeanCI(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull && !isnan(col("value"))),
+        "event_type", "event_id", "value", b = 48)),
     // Hilbert-curve layout key (better range locality than z1/z2's
     // Morton key): bucket census over the order-4 curve position,
     // pinned against an oracle UNROLLED from the same quadrant fold
@@ -7154,9 +7218,8 @@ object SparkEntry {
          FROM events""",
     "g16_link_prediction" ->
       """WITH e0 AS (SELECT DISTINCT
-           least(o_custkey % 2000, o_orderkey % 1999) AS a,
-           greatest(o_custkey % 2000, o_orderkey % 1999) AS b
-           FROM orders WHERE o_custkey % 2000 <> o_orderkey % 1999),
+           o_custkey AS a, 20000 + o_orderkey % 19997 AS b
+           FROM orders),
          deg AS (SELECT n, count(*) AS d FROM
            (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
            GROUP BY 1),
@@ -7278,6 +7341,112 @@ object SparkEntry {
          SELECT g AS l_returnflag, n_points, n_pairs,
            round(mm, 6) AS ts_slope, round(bb, 6) AS ts_intercept
          FROM r ORDER BY l_returnflag""",
+    "mb2_sequence_pairs" ->
+      """WITH f AS (SELECT user_id, event_type, min(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS ns FROM f),
+         p AS (SELECT a.event_type AS ant, b.event_type AS cons,
+             sum(CASE WHEN a.t < b.t THEN 1 ELSE 0 END) AS n_ordered,
+             count(*) AS n_both
+           FROM f a JOIN f b ON a.user_id = b.user_id
+             AND a.event_type <> b.event_type
+           GROUP BY 1, 2)
+         SELECT ant, cons, CAST(n_ordered AS BIGINT) AS n_ordered, n_both,
+           round(n_ordered / n_both, 6) AS ordered_share,
+           round(n_ordered / ns, 6) AS support
+         FROM p CROSS JOIN tot WHERE n_ordered > 0
+         ORDER BY ant, cons""",
+    "u11_incremental_agg" ->
+      """WITH survivors AS (SELECT o_orderstatus AS k,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END AS v
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         ins AS (SELECT o_orderstatus AS k, o_totalprice + 5 AS v
+           FROM orders WHERE o_orderkey % 17 = 0),
+         m AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+         SELECT k AS o_orderstatus, count(*) AS n,
+           round(sum(v), 0) AS total,
+           round(sum(v) / count(*), 4) AS avg_value
+         FROM m GROUP BY 1 ORDER BY 1""",
+    "a51_mann_kendall" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+           CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+             AS DOUBLE) AS x,
+           avg(l_extendedprice) AS y
+           FROM lineitem GROUP BY 1, 2),
+         pr AS (SELECT a.g, sign(b.y - a.y) AS sg
+           FROM s a JOIN s b ON a.g = b.g AND a.x < b.x),
+         st AS (SELECT g, CAST(sum(sg) AS BIGINT) AS s_stat,
+             count(*) AS n_pairs FROM pr GROUP BY 1),
+         tg AS (SELECT g, y, count(*) AS t FROM s GROUP BY 1, 2),
+         ti AS (SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tie_term,
+             sum(t * (t - 1) / 2) AS tied_pairs,
+             CAST(sum(t) AS BIGINT) AS n_points FROM tg GROUP BY 1),
+         j AS (SELECT st.g, ti.n_points, st.s_stat,
+             (CAST(ti.n_points AS DOUBLE) * (CAST(ti.n_points AS DOUBLE) - 1)
+               * (2.0 * CAST(ti.n_points AS DOUBLE) + 5) - ti.tie_term)
+               / 18.0 AS var_s,
+             st.n_pairs, ti.tied_pairs
+           FROM st JOIN ti ON ti.g = st.g)
+         SELECT g AS l_returnflag, n_points, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0
+               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             ELSE 0.0 END, 6) AS z,
+           round(CAST(s_stat AS DOUBLE)
+             / (sqrt(CAST(n_pairs AS DOUBLE))
+               * sqrt(CAST(n_pairs - tied_pairs AS DOUBLE))), 6) AS tau_b
+         FROM j ORDER BY l_returnflag""",
+    "w31_seasonal_decompose" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           avg(value) AS v FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             avg(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+           FROM s),
+         d AS (SELECT event_type, (rn - 1) % 7 AS phase, v - tr AS dd
+           FROM o WHERE cnt = 7),
+         raw AS (SELECT event_type, phase, count(*) AS n_obs,
+             avg(dd) AS sr FROM d GROUP BY 1, 2),
+         c AS (SELECT event_type, avg(sr) AS cc FROM raw GROUP BY 1)
+         SELECT raw.event_type AS event_type, CAST(phase AS INT) AS phase,
+           n_obs, round(sr - cc, 6) AS seasonal_index
+         FROM raw JOIN c ON c.event_type = raw.event_type
+         ORDER BY 1, 2""",
+    "ml21_poisson_bootstrap" ->
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT event_type, value, event_id,
+             unnest(range(0, 48)) AS b FROM e),
+         h AS (SELECT event_type, value, b,
+             (${fnvSql("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)",
+               2166136261L)} % 10000) / 10000.0 AS u
+           FROM r),
+         w AS (SELECT event_type, b, value,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.996340153172656 THEN 4
+               ELSE 5 END AS w
+           FROM h),
+         m AS (SELECT event_type, b, sum(w * value) / sum(w) AS mm
+           FROM w GROUP BY 1, 2),
+         base AS (SELECT event_type, count(*) AS n_rows, avg(value) AS mean
+           FROM e GROUP BY 1)
+         SELECT base.event_type AS event_type, n_rows,
+           round(mean, 6) AS mean,
+           round(quantile_cont(mm, 0.025), 6) AS boot_lo,
+           round(quantile_cont(mm, 0.5), 6) AS boot_mid,
+           round(quantile_cont(mm, 0.975), 6) AS boot_hi
+         FROM base JOIN m ON m.event_type = base.event_type
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "z3_hilbert_bucket" ->
       s"""WITH ${graft.operators.Hilbert.hilbertSql2(
              "l_partkey % 16", "l_suppkey % 16", 4,

@@ -64,6 +64,41 @@ object Forecast {
       .orderBy(keyCol)
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method of Macaulay 1931, the default of every stats package's
+    * `decompose`): trend = centered length-`period` moving average
+    * (only where the window is FULL — edges yield no trend, exactly
+    * like R), detrended = y − trend, and the seasonal index per phase
+    * is the mean detrended value re-centered to sum to zero over the
+    * period. Phase is computed engine-neutrally as epoch-position mod
+    * period over `ordCol` row order. Window + two aggregations; the
+    * per-key series tier only. Output: one row per (key, phase) with
+    * n_obs (full-window points at that phase) and seasonal_index. */
+  def seasonalDecompose(series: DataFrame, keyCol: String, ordCol: String,
+                        valCol: String, period: Int = 7,
+                        digits: Int = 6): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period (even periods need the " +
+        "2×MA variant)")
+    val half = period / 2
+    val w = Window.partitionBy(keyCol).orderBy(ordCol)
+    val frame = w.rowsBetween(-half, half)
+    val detr = series
+      .select(col(keyCol), col(ordCol), col(valCol).cast("double").as("_y"))
+      .withColumn("_phase", pmod(row_number().over(w) - 1, lit(period)))
+      .withColumn("_trend",
+        when(count(lit(1)).over(frame) === period, avg(col("_y")).over(frame)))
+      .filter(col("_trend").isNotNull)
+      .withColumn("_d", col("_y") - col("_trend"))
+    val raw = detr.groupBy(col(keyCol), col("_phase"))
+      .agg(count(lit(1)).as("n_obs"), avg(col("_d")).as("_s_raw"))
+    val centers = raw.groupBy(col(keyCol)).agg(avg(col("_s_raw")).as("_c"))
+    raw.join(centers, Seq(keyCol))
+      .select(col(keyCol), col("_phase").as("phase"), col("n_obs"),
+        round(col("_s_raw") - col("_c"), digits).as("seasonal_index"))
+      .orderBy(keyCol, "phase")
+  }
+
   /** Seasonal-naive forecast accuracy per key: MAE of the
     * season-lagged forecast ŷ_t = y_{t−m}, the naive-1 in-sample MAE
     * (the denominator convention of Hyndman & Koehler 2006's MASE),

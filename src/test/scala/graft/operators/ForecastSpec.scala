@@ -57,6 +57,33 @@ class ForecastSpec extends SparkTestBase {
     assert(r.getAs[Double]("mase") == 2.0)
   }
 
+  test("seasonalDecompose recovers an exact additive trend + season") {
+    // y = rn + s[(rn−1) % 3] with s = (3, −1, −2): every full 3-window
+    // average is exactly the linear trend, so detrended = s(phase) and
+    // the zero-centered indices come back exactly
+    val s = Seq(3.0, -1.0, -2.0)
+    val df = (1 to 9).map(rn => ("a", rn, rn + s((rn - 1) % 3)))
+      .toDF("k", "o", "y")
+    val rows = Forecast.seasonalDecompose(df, "k", "o", "y", period = 3)
+      .collect()
+    val m = rows.map(r => r.getAs[Int]("phase") ->
+      (r.getAs[Long]("n_obs"), r.getAs[Double]("seasonal_index"))).toMap
+    assert(m(0) == ((2L, 3.0)))
+    assert(m(1) == ((3L, -1.0)))
+    assert(m(2) == ((2L, -2.0)))
+  }
+
+  test("seasonalDecompose is invariant to partitioning") {
+    val base = (1 to 140).map(i =>
+      (s"k${i % 2}", i, 10.0 + (i % 7) * 2 + i * 0.1))
+    val a = Forecast.seasonalDecompose(base.toDF("k", "o", "y"),
+      "k", "o", "y", period = 7).collect().toSeq
+    val b = Forecast.seasonalDecompose(
+      scala.util.Random.shuffle(base).toDF("k", "o", "y").repartition(9),
+      "k", "o", "y", period = 7).collect().toSeq
+    assert(a == b)
+  }
+
   test("seasonalNaiveMase flags a perfectly seasonal series as MASE 0") {
     val df = (0 until 28).map(i => ("a", i, (i % 7).toDouble))
       .toDF("k", "o", "y")
