@@ -3025,6 +3025,34 @@ object SparkEntry {
               + month(col("l_shipdate")) - 1).as("mx"))
           .agg(avg(col("l_extendedprice")).as("my")),
         "l_returnflag", "mx", "my")),
+    // CDC log compaction: each key's op sequence collapses to its net
+    // endpoint effect in ONE min_by/max_by aggregation (no per-key
+    // sort); ~75 ops per key net to one row
+    "u12_cdc_compaction" -> q((s, d) => {
+      val log = Tables.orders(s, d).select(
+        pmod(col("o_orderkey"), lit(200L)).as("k"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "insert")
+          .when(col("o_orderkey") % 7 < 4, "update")
+          .otherwise("delete").as("op"),
+        when(col("o_orderkey") % 7 =!= 0, col("o_totalprice")).as("before"),
+        when(col("o_orderkey") % 7 < 4, col("o_totalprice") + 1).as("after"))
+      graft.operators.CdcCompact.compact(log, "k", "seq").orderBy("k")
+    }),
+    // unsupervised EM fit of the Fellegi-Sunter mixture over the same
+    // blocked census as er2 (Winkler 1988): corpus work is ONE pattern
+    // aggregation; the 8-row EM fold is driver-side by construction,
+    // in fixed pattern-lexicographic order
+    "er3_fs_em" -> q((s, d) => {
+      val recs = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"),
+        substring(col("c_name"), -1, 1).as("name_tail"))
+      graft.dedup.Linkage.emFit(recs, "c_custkey", "c_nationkey", Seq(
+        ("seg", col("l_c_mktsegment") === col("r_c_mktsegment")),
+        ("band", col("l_bal_band") === col("r_bal_band")),
+        ("tail", col("l_name_tail") === col("r_name_tail"))), iters = 3)
+    }),
     // ordered sequential-pattern support (any-gap "a before b", the
     // length-2 Agrawal-Srikant core): corpus collapses to the
     // (user, item, first-ts) tier, quadratic only per user's item set
@@ -3636,6 +3664,47 @@ object SparkEntry {
     val n = exprs.length
     (for { i <- 0 until bits; (e, j) <- exprs.zipWithIndex }
       yield s"((($e) >> $i) & 1) * ${1L << (i * n + j)}").mkString(" + ")
+  }
+
+  /** Fellegi–Sunter EM as unrolled DuckDB CTEs — generated by the same
+    * loop count as [[graft.dedup.Linkage.emFit]] so engine and oracle
+    * can never drift on the iteration structure. Expects CTEs `c`
+    * (pattern census: g_<name>.. , n) and `tot` (nn = Σn as DOUBLE) to
+    * be defined upstream; emits `e1..eI, prm0..prmI` plus the final
+    * SELECT. Inits are CAST to DOUBLE so `1 − m` is double arithmetic
+    * (a bare `1 - 0.8` would be exact DECIMAL — a DIFFERENT float than
+    * the JVM's `1.0 - 0.8`). */
+  private def fsEmSql(names: Seq[String], iters: Int): String = {
+    val pm = "(" + names.map(n =>
+      s"(CASE WHEN g_$n = 1 THEN m_$n ELSE 1 - m_$n END)").mkString(" * ") + ")"
+    val pu = "(" + names.map(n =>
+      s"(CASE WHEN g_$n = 1 THEN u_$n ELSE 1 - u_$n END)").mkString(" * ") + ")"
+    val prm0 = s"""prm0 AS (SELECT CAST(0.5 AS DOUBLE) AS l,
+      ${names.map(n => s"CAST(0.8 AS DOUBLE) AS m_$n").mkString(", ")},
+      ${names.map(n => s"CAST(0.2 AS DOUBLE) AS u_$n").mkString(", ")})"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""e$i AS (SELECT c.*, (l * $pm) / (l * $pm + (1 - l) * $pu) AS w
+            FROM c CROSS JOIN prm${i - 1}),
+          prm$i AS (SELECT sum(n * w) / (SELECT nn FROM tot) AS l,
+            ${names.map(n =>
+              s"sum(n * w * g_$n) / sum(n * w) AS m_$n").mkString(", ")},
+            ${names.map(n =>
+              s"sum(n * (1 - w) * g_$n) / ((SELECT nn FROM tot) - sum(n * w)) AS u_$n")
+              .mkString(", ")}
+            FROM e$i)"""
+    }
+    val patItem = "'pattern:' || " +
+      names.map(n => s"CAST(g_$n AS VARCHAR)").mkString(" || ")
+    s"""$prm0,
+        ${iterCtes.mkString(",\n        ")}
+        SELECT item, n, value FROM (
+          SELECT $patItem AS item, CAST(n AS DOUBLE) AS n,
+            round(w, 6) AS value FROM e$iters
+          UNION ALL SELECT 'lambda', (SELECT nn FROM tot),
+            round(l, 6) FROM prm$iters
+          ${names.map(n => s"UNION ALL SELECT 'm_$n', (SELECT nn FROM tot), round(m_$n, 6) FROM prm$iters").mkString("\n          ")}
+          ${names.map(n => s"UNION ALL SELECT 'u_$n', (SELECT nn FROM tot), round(u_$n, 6) FROM prm$iters").mkString("\n          ")}
+        ) ORDER BY item"""
   }
 
   private def fnvSql(expr: String, basis: Long): String =
@@ -7341,6 +7410,45 @@ object SparkEntry {
          SELECT g AS l_returnflag, n_points, n_pairs,
            round(mm, 6) AS ts_slope, round(bb, 6) AS ts_intercept
          FROM r ORDER BY l_returnflag""",
+    "u12_cdc_compaction" ->
+      """WITH log AS (SELECT o_orderkey % 200 AS k, o_orderkey AS seq,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'insert'
+             WHEN o_orderkey % 7 < 4 THEN 'update'
+             ELSE 'delete' END AS op,
+           CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS before,
+           CASE WHEN o_orderkey % 7 < 4 THEN o_totalprice + 1 END AS after
+           FROM orders),
+         ends AS (SELECT k, min(seq) AS fs, max(seq) AS ls
+           FROM log GROUP BY 1),
+         j AS (SELECT e.k, f.op AS fop, l.op AS lop,
+             f.before AS fb, l.after AS la
+           FROM ends e
+           JOIN log f ON f.k = e.k AND f.seq = e.fs
+           JOIN log l ON l.k = e.k AND l.seq = e.ls),
+         net AS (SELECT k,
+             CASE WHEN fop <> 'insert' AND lop <> 'delete' THEN 'update'
+               WHEN fop <> 'insert' THEN 'delete'
+               WHEN lop <> 'delete' THEN 'insert' END AS op,
+             CASE WHEN fop <> 'insert' THEN fb END AS before,
+             CASE WHEN lop <> 'delete' THEN la END AS after
+           FROM j)
+         SELECT k, op, before, after FROM net
+         WHERE op IS NOT NULL
+           AND NOT (op = 'update' AND before IS NOT DISTINCT FROM after)
+         ORDER BY k""",
+    "er3_fs_em" ->
+      s"""WITH r AS (SELECT c_custkey AS id, c_nationkey AS blk,
+           c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+           right(c_name, 1) AS tail FROM customer),
+         p AS (SELECT CAST(l.seg = r2.seg AS INT) AS g_seg,
+             CAST(l.band = r2.band AS INT) AS g_band,
+             CAST(l.tail = r2.tail AS INT) AS g_tail
+           FROM r l JOIN r r2 ON l.blk = r2.blk AND l.id < r2.id),
+         c AS (SELECT g_seg, g_band, g_tail, count(*) AS n
+           FROM p GROUP BY 1, 2, 3),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+         ${fsEmSql(Seq("seg", "band", "tail"), iters = 3)}""",
     "mb2_sequence_pairs" ->
       """WITH f AS (SELECT user_id, event_type, min(ts) AS t FROM events
            WHERE user_id IS NOT NULL AND ts IS NOT NULL

@@ -1,7 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter, "A
   * Theory for Record Linkage", JASA 1969) — the scoring model behind
@@ -68,5 +69,91 @@ object Linkage {
       .select((fields.map(f => col(s"g_${f.name}"))
         :+ col("n_pairs") :+ round(weight, 4).as("weight")): _*)
       .orderBy(desc("weight") +: fields.map(f => col(s"g_${f.name}")): _*)
+  }
+
+  /** The blocked agreement-pattern census — 2^|fields| rows of
+    * (γ₁..γ_k, n_pairs) — the sufficient statistic both [[matchWeights]]
+    * and [[emFit]] consume. One aggregation over the pair stream. */
+  def patternCounts(records: DataFrame, idCol: String, blockCol: String,
+                    fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "linkage: need at least one compare field")
+    val lhs = records.columns.foldLeft(records) { (df, c) =>
+      df.withColumnRenamed(c, s"l_$c") }
+    val rhs = records.columns.foldLeft(records) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c") }
+    lhs.join(rhs,
+        col(s"l_$blockCol") === col(s"r_$blockCol")
+          && col(s"l_$idCol") < col(s"r_$idCol"))
+      .select(fields.map { case (n, agree) =>
+        agree.cast("int").as(s"g_$n") }: _*)
+      .groupBy(fields.map { case (n, _) => col(s"g_$n") }: _*)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Unsupervised EM fit of the Fellegi–Sunter mixture (the Splink /
+    * Winkler 1988 estimator): treat the agreement patterns as a
+    * two-component product-of-Bernoullis mixture and iterate
+    *   E: w_γ = λ·Π m^γ(1−m)^(1−γ) / [λ·Π… + (1−λ)·Π u^γ(1−u)^(1−γ)]
+    *   M: λ = Σ n_γ w_γ / N,  m_f = Σ n_γ w_γ γ_f / Σ n_γ w_γ,
+    *      u_f = Σ n_γ (1−w_γ) γ_f / Σ n_γ (1−w_γ)
+    * for `iters` rounds from fixed literal inits (λ=0.5, m=0.8, u=0.2).
+    *
+    * Scale shape: the corpus-sized work is [[patternCounts]] (one
+    * aggregation); EM itself runs on the 2^|fields|-row census —
+    * bounded by construction (≤ 6 fields ⇒ ≤ 64 rows), collected and
+    * folded in sorted-pattern order so every float op has ONE fixed
+    * evaluation order regardless of cluster partitioning. Returns the
+    * census with each pattern's posterior match probability plus the
+    * fitted parameters as `param`/`value` rows appended. */
+  def emFit(records: DataFrame, idCol: String, blockCol: String,
+            fields: Seq[(String, Column)], iters: Int = 3,
+            digits: Int = 6): DataFrame = {
+    require(fields.lengthCompare(6) <= 0,
+      s"emFit: at most 6 fields (2^k census), got ${fields.length}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = records.sparkSession
+    val k = fields.length
+    val census = patternCounts(records, idCol, blockCol, fields)
+      .collect()
+      .map { r => (fields.indices.map(i => r.getInt(i).toLong),
+        r.getLong(k)) }
+      .sortBy(_._1.mkString) // fixed fold order: pattern-lexicographic
+    val n = census.map(_._2).sum.toDouble
+    var lambda = 0.5
+    var m = Array.fill(k)(0.8)
+    var u = Array.fill(k)(0.2)
+    var w = Array.fill(census.length)(0.0)
+    for (_ <- 1 to iters) {
+      w = census.map { case (g, _) =>
+        val pm = lambda * g.indices.map(f =>
+          if (g(f) == 1L) m(f) else 1.0 - m(f)).product
+        val pu = (1.0 - lambda) * g.indices.map(f =>
+          if (g(f) == 1L) u(f) else 1.0 - u(f)).product
+        pm / (pm + pu)
+      }.toArray
+      val sw = census.indices.map(i => census(i)._2 * w(i)).sum
+      val su = n - sw
+      lambda = sw / n
+      m = Array.tabulate(k)(f => census.indices
+        .map(i => census(i)._2 * w(i) * census(i)._1(f)).sum / sw)
+      u = Array.tabulate(k)(f => census.indices
+        .map(i => census(i)._2 * (1.0 - w(i)) * census(i)._1(f)).sum / su)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val patternRows = census.indices.map { i =>
+      val (g, c) = census(i)
+      Row.fromSeq(Seq("pattern:" + g.mkString(""), c.toDouble, r6(w(i))))
+    }
+    val paramRows = (Seq(Row("lambda", n, r6(lambda)))
+      ++ fields.indices.map(f =>
+        Row(s"m_${fields(f)._1}", n, r6(m(f))))
+      ++ fields.indices.map(f =>
+        Row(s"u_${fields(f)._1}", n, r6(u(f)))))
+    val schema = StructType(Seq(StructField("item", StringType),
+      StructField("n", DoubleType), StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((patternRows ++ paramRows).toSeq, 1),
+      schema).orderBy("item")
   }
 }
