@@ -3025,6 +3025,38 @@ object SparkEntry {
               + month(col("l_shipdate")) - 1).as("mx"))
           .agg(avg(col("l_extendedprice")).as("my")),
         "l_returnflag", "mx", "my")),
+    // peak-concurrency sweep over value-length intervals: +1/-1 event
+    // explode, one running-sum window, half-open tie semantics; peak
+    // and first-peak time are order-invariant under timestamp ties
+    "w32_max_concurrency" -> q((s, d) => {
+      val iv = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && !isnan(col("value")))
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("start_s"), col("value"))
+        .withColumn("end_s",
+          col("start_s") + floor(abs(col("value"))).cast("long") + 1)
+        .drop("value")
+      graft.operators.Intervals.maxConcurrency(iv, "event_type",
+        "start_s", "end_s")
+    }),
+    // entity-resolution blocking quality (reduction ratio + pairs
+    // completeness): every count is a closed form over group sizes —
+    // zero pairs materialized at any corpus size
+    "er4_blocking_quality" -> q((s, d) =>
+      graft.dedup.Linkage.blockingQuality(
+        Tables.customer(s, d)
+          .withColumn("entity", pmod(col("c_custkey"), lit(60L))),
+        "c_nationkey", "entity")),
+    // per-edge embeddedness histogram (tie strength): same oriented
+    // O(m^1.5) wedge enumeration as g3, triangles exploded to their
+    // three canonical edges, bridges kept via the left join
+    "g17_edge_embeddedness" -> q((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(3000L)).as("src"),
+        pmod(col("o_orderkey"), lit(2999L)).as("dst"))
+      graft.graph.Triangles.edgeEmbeddedness(edges)
+    }),
     // CDC log compaction: each key's op sequence collapses to its net
     // endpoint effect in ONE min_by/max_by aggregation (no per-key
     // sort); ~75 ops per key net to one row
@@ -7410,6 +7442,65 @@ object SparkEntry {
          SELECT g AS l_returnflag, n_points, n_pairs,
            round(mm, 6) AS ts_slope, round(bb, 6) AS ts_intercept
          FROM r ORDER BY l_returnflag""",
+    "w32_max_concurrency" ->
+      """WITH iv AS (SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             + CAST(floor(abs(value)) AS BIGINT) + 1 AS e
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+         ev AS (SELECT event_type, s AS t, 1 AS d FROM iv
+           UNION ALL SELECT event_type, e AS t, -1 AS d FROM iv),
+         run AS (SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+               ROWS UNBOUNDED PRECEDING) AS r
+           FROM ev),
+         pk AS (SELECT event_type, max(r) AS peak FROM run GROUP BY 1)
+         SELECT r.event_type AS event_type,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(max(pk.peak) AS BIGINT) AS peak,
+           min(CASE WHEN r.r = pk.peak THEN r.t END) AS peak_at
+         FROM run r JOIN pk ON pk.event_type = r.event_type
+         GROUP BY 1 ORDER BY 1""",
+    "er4_blocking_quality" ->
+      """WITH n AS (SELECT count(*) AS nr,
+           count(*) * (count(*) - 1) // 2 AS ap FROM customer),
+         cand AS (SELECT COALESCE(sum(c * (c - 1) // 2), 0) AS cd
+           FROM (SELECT count(*) AS c FROM customer GROUP BY c_nationkey)),
+         tr AS (SELECT COALESCE(sum(c * (c - 1) // 2), 0) AS tp
+           FROM (SELECT count(*) AS c FROM customer
+             GROUP BY c_custkey % 60)),
+         cap AS (SELECT COALESCE(sum(c * (c - 1) // 2), 0) AS cp
+           FROM (SELECT count(*) AS c FROM customer
+             GROUP BY c_custkey % 60, c_nationkey))
+         SELECT nr AS n_records, CAST(ap AS BIGINT) AS n_all_pairs,
+           CAST(cd AS BIGINT) AS n_candidates,
+           CAST(tp AS BIGINT) AS n_true_pairs,
+           CAST(cp AS BIGINT) AS n_captured,
+           CASE WHEN ap > 0
+             THEN round(1.0 - cd / CAST(ap AS DOUBLE), 6) END
+             AS reduction_ratio,
+           CASE WHEN tp > 0
+             THEN round(cp / CAST(tp AS DOUBLE), 6) END
+             AS pairs_completeness
+         FROM n CROSS JOIN cand CROSS JOIN tr CROSS JOIN cap""",
+    "g17_edge_embeddedness" ->
+      """WITH e0 AS (SELECT DISTINCT
+           least(o_custkey % 3000, o_orderkey % 2999) AS a,
+           greatest(o_custkey % 3000, o_orderkey % 2999) AS b
+           FROM orders WHERE o_custkey % 3000 <> o_orderkey % 2999),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+           JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         te AS (SELECT x AS a, y AS b FROM tri
+           UNION ALL SELECT x AS a, z AS b FROM tri
+           UNION ALL SELECT y AS a, z AS b FROM tri),
+         pe AS (SELECT a, b, count(*) AS emb FROM te GROUP BY 1, 2),
+         ed AS (SELECT COALESCE(pe.emb, 0) AS embeddedness
+           FROM e0 LEFT JOIN pe ON pe.a = e0.a AND pe.b = e0.b)
+         SELECT CAST(embeddedness AS BIGINT) AS embeddedness,
+           count(*) AS n_edges
+         FROM ed GROUP BY 1 ORDER BY 1""",
     "u12_cdc_compaction" ->
       """WITH log AS (SELECT o_orderkey % 200 AS k, o_orderkey AS seq,
            CASE WHEN o_orderkey % 7 = 0 THEN 'insert'

@@ -90,6 +90,45 @@ object Linkage {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Blocking-quality census (Christen, "Data Matching", 2012 §7.5's
+    * reduction ratio + pairs completeness): how much of the quadratic
+    * does the blocking key kill, and what fraction of TRUE duplicate
+    * pairs survive it — the two numbers that justify any blocked
+    * linkage pipeline. `entityCol` labels ground-truth entities
+    * (planted clones, or adjudicated matches).
+    *
+    * Zero pairs are materialized: every count is a closed form over
+    * group sizes — candidates = Σ_b C(|b|,2) from the block census,
+    * true pairs = Σ_e C(|e|,2) from the entity census, captured =
+    * Σ_{e,b} C(c,2) from the (entity, block) census — three aggregation
+    * passes, each output-bounded, at ANY corpus size. */
+  def blockingQuality(records: DataFrame, blockCol: String,
+                      entityCol: String, digits: Int = 6): DataFrame = {
+    def pairsOf(c: Column) = (c * (c - 1) / 2).cast("long")
+    val n = records.agg(count(lit(1)).as("_n"))
+      .select(col("_n"), pairsOf(col("_n")).as("_all"))
+    val cand = records.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(pairsOf(col("_c"))), lit(0L)).as("_cand"))
+    val truth = records.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(pairsOf(col("_c"))), lit(0L)).as("_true"))
+    val captured = records.groupBy(col(entityCol), col(blockCol))
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(pairsOf(col("_c"))), lit(0L)).as("_cap"))
+    n.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+      .crossJoin(broadcast(captured))
+      .select(col("_n").as("n_records"), col("_all").as("n_all_pairs"),
+        col("_cand").as("n_candidates"), col("_true").as("n_true_pairs"),
+        col("_cap").as("n_captured"),
+        when(col("_all") > 0,
+          round(lit(1.0) - col("_cand") / col("_all").cast("double"), digits))
+          .as("reduction_ratio"),
+        when(col("_true") > 0,
+          round(col("_cap") / col("_true").cast("double"), digits))
+          .as("pairs_completeness"))
+  }
+
   /** Unsupervised EM fit of the Fellegi–Sunter mixture (the Splink /
     * Winkler 1988 estimator): treat the agreement patterns as a
     * two-component product-of-Bernoullis mixture and iterate

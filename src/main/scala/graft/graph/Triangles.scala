@@ -110,4 +110,37 @@ object Triangles {
           .otherwise(lit(0.0)))
       .orderBy("node")
   }
+
+  /** Edge-embeddedness histogram (Granovetter tie strength, and the
+    * signal Ugander et al. 2012 used on the Facebook graph): per
+    * UNDIRECTED EDGE, how many triangles contain it (= common neighbors
+    * of its endpoints); reported as (embeddedness → n_edges), bounded
+    * by the max embeddedness. Same O(m^{3/2}) oriented wedge
+    * enumeration as [[triangleStats]] — each triangle explodes to its
+    * three canonical edges, one aggregation per edge, left-join back so
+    * bridge edges (embeddedness 0, the weak ties) are counted too. */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val (und, _, ranked) = oriented(edges)
+    val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
+    val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
+      .select(col("u"), col("v1").as("wu"), col("v2").as("wv"))
+    val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
+    val triEdges = wedges.join(closing, Seq("wu", "wv"))
+      .select(explode(array(
+        struct(least(col("u"), col("wu")).as("a"),
+          greatest(col("u"), col("wu")).as("b")),
+        struct(least(col("u"), col("wv")).as("a"),
+          greatest(col("u"), col("wv")).as("b")),
+        struct(least(col("wu"), col("wv")).as("a"),
+          greatest(col("wu"), col("wv")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val perEdge = triEdges.groupBy("a", "b")
+      .agg(count(lit(1)).as("_emb"))
+    und.join(perEdge, Seq("a", "b"), "left")
+      .select(coalesce(col("_emb"), lit(0L)).as("embeddedness"))
+      .groupBy("embeddedness")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("embeddedness")
+  }
 }

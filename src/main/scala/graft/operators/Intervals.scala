@@ -46,4 +46,32 @@ object Intervals {
         max(col("_e") - col("_s")).as("max_island"))
       .orderBy(keyCol)
   }
+
+  /** Peak concurrency per key — the "max rooms in use at once" sweep
+    * (interval scheduling's lower bound, = the clique number of an
+    * interval graph): explode each interval to a +1 start / −1 end
+    * event, running-sum in (time, delta) order, take the max. Half-open
+    * [start, end) semantics: an interval ending exactly where another
+    * starts does NOT overlap it, encoded by sorting the −1 before the
+    * +1 at equal times. One window over 2× the interval rows per key;
+    * the same hot-key bound (and chunked remedy) as sessionize. Also
+    * reports when the peak is first reached — deterministic because the
+    * running sum is a pure function of the totally-ordered event list. */
+  def maxConcurrency(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val events = df.select(col(keyCol), col(startCol).as("_t"),
+        lit(1L).as("_d"))
+      .unionAll(df.select(col(keyCol), col(endCol).as("_t"),
+        lit(-1L).as("_d")))
+    val ord = Window.partitionBy(keyCol).orderBy(col("_t"), col("_d"))
+    events
+      .withColumn("_run",
+        sum("_d").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_peak", max("_run").over(Window.partitionBy(keyCol)))
+      .groupBy(keyCol)
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max("_peak").as("peak"),
+        min(when(col("_run") === col("_peak"), col("_t"))).as("peak_at"))
+      .orderBy(keyCol)
+  }
 }
