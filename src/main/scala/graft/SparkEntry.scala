@@ -3159,6 +3159,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min("hkey").as("h_min"),
           max("hkey").as("h_max"), sum("l_orderkey").as("key_sum"))
         .orderBy("h_bucket"))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+    // Kaplan-Meier churn curve on the sparse high-value stream (value >
+    // 150 varies per-user lifetimes; the dense stream collapses every
+    // duration to the full span) — risk sets, event counts, and the
+    // product-limit survival all pinned
+    "ml20_kaplan_meier" -> q((s, d) =>
+      graft.ml.Survival.kaplanMeier(
+        Tables.events(s, d).filter(col("value") > 150),
+        "user_id", "ts", censorHorizonDays = 7)),
+    // one full rank-1 ALS round over (customer × partkey-mod-50)
+    // quantity ratings — deterministic integer init makes the user
+    // half-step exact, so the oracle pins real alternating dataflow
+    "ml19_als_rank1" -> q((s, d) =>
+      graft.ml.Als.rank1Round(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"),
+            (col("l_partkey") % 50).as("i"), col("l_quantity").as("r")),
+        "u", "i", "r", lambda = 1.0)),
+    // equal-credit multi-touch attribution: purchases split value over
+    // same-user touches in the trailing 3 days; untouched purchases
+    // credit 'direct'
+    "at1_linear_attribution" -> q((s, d) =>
+      graft.operators.Attribution.linear(Tables.events(s, d),
+        "event_id", "user_id", "ts", "event_type", "value",
+        convType = "purchase", windowDays = 3)),
+    // exact trailing-7-day distinct users per day (WAU) on the sparse
+    // high-value stream — bounded explode fan-out, one distinct agg
+    "w33_rolling_distinct" -> q((s, d) =>
+      Windows.rollingDistinctUsers(
+        Tables.events(s, d).filter(col("value") > 250),
+        "user_id", "ts", windowDays = 7)),
+    // compaction planning over a deterministic pseudo-listing (one
+    // "file" per (source, lang) slice, size = character mass) — the
+    // bin assignment itself is the operator under test
+    "io12_compaction_plan" -> q((s, d) =>
+      graft.sources.Compaction.plan(
+        Tables.documents(s, d)
+          .groupBy(concat_ws("/", col("source"), col("lang")).as("path"))
+          .agg(sum("n_chars").as("bytes")),
+        "path", "bytes", nBins = 6))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -7654,6 +7696,87 @@ object SparkEntry {
            count(*) AS n_rows, CAST(min(d) AS BIGINT) AS h_min,
            CAST(max(d) AS BIGINT) AS h_max,
            CAST(sum(l_orderkey) AS BIGINT) AS key_sum
-         FROM h4 GROUP BY 1 ORDER BY h_bucket"""
+         FROM h4 GROUP BY 1 ORDER BY h_bucket""",
+    // Kaplan-Meier product-limit estimator: risk sets from a cumulative
+    // window over the duration-level table; survival via exp∘sum∘ln
+    // with the d == n_risk row pinned to exactly 0 (ln(0) guard)
+    "ml20_kaplan_meier" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day
+           FROM events WHERE value > 150),
+         u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM a GROUP BY 1),
+         m AS (SELECT max(l) AS mx FROM u),
+         s AS (SELECT datediff('day', f, l) AS dur,
+             CASE WHEN datediff('day', l, (SELECT mx FROM m)) >= 7
+               THEN 1 ELSE 0 END AS ev FROM u),
+         g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c FROM s GROUP BY 1),
+         r AS (SELECT dur, d, c,
+             CAST((SELECT count(*) FROM s) - coalesce(sum(d + c) OVER
+               (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk FROM g),
+         k AS (SELECT dur, d, n_risk,
+             CASE WHEN d >= n_risk THEN 0.0
+               ELSE exp(sum(ln(CASE WHEN d < n_risk
+                 THEN 1.0 - CAST(d AS DOUBLE) / n_risk ELSE 1.0 END))
+                 OVER (ORDER BY dur)) END AS surv
+           FROM r WHERE d > 0)
+         SELECT CAST(dur AS INT) AS duration_days, n_risk, d AS n_events,
+           round(surv, 4) AS survival
+         FROM k ORDER BY 1""",
+    // rank-1 ALS round: the integer-valued init factor keeps the user
+    // half-step's sums exact, so both engines divide identical doubles
+    "ml19_als_rank1" ->
+      """WITH r AS (SELECT o.o_custkey AS u, l.l_partkey % 50 AS i,
+             l.l_quantity AS r
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         uf AS (SELECT u,
+             sum(r * (1.0 + i % 7)) /
+               (1.0 + sum((1.0 + i % 7) * (1.0 + i % 7))) AS f
+           FROM r GROUP BY 1)
+         SELECT CAST(r.i AS BIGINT) AS item, count(*) AS n_ratings,
+           round(sum(r.r * uf.f) / (1.0 + sum(uf.f * uf.f)), 4) AS factor
+         FROM r JOIN uf USING (u) GROUP BY 1 ORDER BY 1""",
+    // linear multi-touch attribution with a 'direct' remainder bucket
+    "at1_linear_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type <> 'purchase'),
+         pairs AS (SELECT c.event_id, c.value, t.event_type AS touch_type
+           FROM conv c JOIN tch t ON c.user_id = t.user_id
+             AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 3 DAY),
+         cnt AS (SELECT event_id, count(*) AS n_touch FROM pairs GROUP BY 1),
+         credited AS (SELECT p.touch_type, p.value / n.n_touch AS v
+           FROM pairs p JOIN cnt n USING (event_id)),
+         direct AS (SELECT 'direct' AS touch_type, value AS v FROM conv
+           WHERE event_id NOT IN (SELECT event_id FROM cnt))
+         SELECT touch_type, count(*) AS n_touches,
+           round(sum(v), 4) AS attributed_value
+         FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+         GROUP BY 1 ORDER BY 1""",
+    // exact trailing-7-day distinct users per occurring day
+    "w33_rolling_distinct" ->
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+           FROM events WHERE value > 250),
+         d AS (SELECT DISTINCT day FROM p)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT p.user_id) AS users_7d
+         FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1 ORDER BY 1""",
+    // compaction bins by cumulative size over the (bytes, path) order
+    "io12_compaction_plan" ->
+      """WITH f AS (SELECT source || '/' || lang AS path,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(ceil(sum(bytes) / 6.0) AS BIGINT) AS target FROM f),
+         cb AS (SELECT path, bytes,
+             CAST(coalesce(sum(bytes) OVER (ORDER BY bytes, path
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before FROM f)
+         SELECT CAST(floor(CAST(cum_before AS DOUBLE) / t.target) AS INT)
+             AS bin,
+           count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+           round(CAST(sum(bytes) AS DOUBLE) / t.target, 4) AS fill_ratio
+         FROM cb, t GROUP BY 1, t.target ORDER BY 1"""
   )
 }

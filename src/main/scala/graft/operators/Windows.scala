@@ -506,6 +506,35 @@ object Windows {
       .orderBy(keyCol)
   }
 
+  /** EXACT rolling distinct-user counts per day over a trailing
+    * `windowDays` window — the DAU/WAU/MAU family. `count(DISTINCT)`
+    * can't live inside a sliding window frame, so the rolling set
+    * union is re-expressed as a bounded fan-out: each distinct
+    * (user, day) pair contributes to the `windowDays` target days it
+    * falls inside, then one distinct aggregate per target day. Fan-out
+    * is windowDays× the DISTINCT pair table (already collapsed from
+    * the corpus by the first aggregate), never windowDays× the raw
+    * events — and the alternative naive day↔day range self-join would
+    * shuffle the pair table per day instead. Targets are semi-joined
+    * to days that actually occur, so silent calendar gaps stay gaps. */
+  def rollingDistinctUsers(events: DataFrame, userCol: String,
+                           tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val pairs = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
+      .distinct()
+    val days = pairs.select(col("_day").as("day")).distinct()
+    pairs
+      .withColumn("day", explode(sequence(col("_day"),
+        date_add(col("_day"), windowDays - 1))))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct("_u").as(s"users_${windowDays}d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col(s"users_${windowDays}d"))
+      .orderBy("day")
+  }
+
   def activityStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), col("ts").cast("date").as("day"))

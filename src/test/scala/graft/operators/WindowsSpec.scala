@@ -90,4 +90,31 @@ class WindowsSpec extends SparkTestBase {
       .orderBy("event_id").collect().map(_.getDouble(3)).toSeq
     assert(a == b)
   }
+
+  test("rollingDistinctUsers counts each user once per window") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-03-${day + 1}%02d 08:00:00")
+    // day 0: {u1, u2}; day 3: {u1} (already seen inside the window);
+    // day 9: {u3, u4} + u1's day-3 visit still in range
+    val ev = Seq((1L, d(0)), (2L, d(0)), (1L, d(3)), (1L, d(3)),
+      (3L, d(9)), (4L, d(9))).toDF("user_id", "ts")
+    val r = Windows.rollingDistinctUsers(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("2024-03-01", 2L), ("2024-03-04", 2L),
+      ("2024-03-10", 3L)))
+  }
+
+  test("rollingDistinctUsers skips absent calendar days and stays deterministic") {
+    def d(day: Int) = Timestamp.valueOf(f"2024-03-${day + 1}%02d 08:00:00")
+    val ev = (1 to 200).map(k => ((k % 23).toLong, d(k % 28)))
+      .toDF("user_id", "ts")
+    val base = Windows.rollingDistinctUsers(ev, "user_id", "ts")
+    // every output day must be a day that actually occurs in the input
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd"))
+      .distinct().as[String].collect().toSet
+    assert(base.select("day").as[String].collect().forall(days.contains))
+    val a = base.collect().toSeq
+    val b = Windows.rollingDistinctUsers(ev.repartition(17), "user_id", "ts")
+      .collect().toSeq
+    assert(a == b)
+  }
 }
