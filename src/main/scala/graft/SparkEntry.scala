@@ -3200,7 +3200,28 @@ object SparkEntry {
         Tables.documents(s, d)
           .groupBy(concat_ws("/", col("source"), col("lang")).as("path"))
           .agg(sum("n_chars").as("bytes")),
-        "path", "bytes", nBins = 6))
+        "path", "bytes", nBins = 6)),
+    // Box-Jenkins cross-correlation: does click volume lead purchase
+    // volume? lags −3..+3 over the aligned daily-count tier
+    "w34_lead_lag_corr" -> q((s, d) =>
+      graft.operators.Forecast.crossCorrelation(Tables.events(s, d),
+        "ts", "event_type", typeX = "click", typeY = "purchase", maxLag = 3)),
+    // time-to-convert per consecutive funnel step (exact median/p90
+    // minutes from microsecond-exact latencies)
+    "f2_funnel_latency" -> q((s, d) =>
+      graft.operators.Funnel.stepLatency(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))),
+    // calendar-aligned MoM/YoY growth over 80 months of order revenue
+    "w35_period_growth" -> q((s, d) =>
+      graft.operators.Forecast.periodOverPeriod(
+        Tables.orders(s, d), "o_orderdate", "o_totalprice")),
+    // approximate-FD mining over (lang, source, length band): all 6
+    // ordered pairs' confidences from one melt + self-join pass
+    "dq5_approx_fds" -> q((s, d) =>
+      graft.operators.Quality.approxFds(
+        Tables.documents(s, d)
+          .withColumn("band", floor(col("n_chars") / 500)),
+        "doc_id", Seq("lang", "source", "band")))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -7777,6 +7798,79 @@ object SparkEntry {
              AS bin,
            count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
            round(CAST(sum(bytes) AS DOUBLE) / t.target, 4) AS fill_ratio
-         FROM cb, t GROUP BY 1, t.target ORDER BY 1"""
+         FROM cb, t GROUP BY 1, t.target ORDER BY 1""",
+    // sample Pearson CCF between the two daily count series per lag
+    "w34_lead_lag_corr" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         l AS (SELECT * FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(lag))
+         SELECT l.lag, count(*) AS n_days, round(corr(a.x, b.y), 4) AS ccf
+         FROM l JOIN a ON true JOIN b ON b.day = a.day + l.lag
+         GROUP BY 1 ORDER BY 1""",
+    // exact interpolating percentiles over microsecond-exact latencies
+    "f2_funnel_latency" ->
+      """WITH p1_fa AS (SELECT user_id, min(ts) AS ta FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         p1_c AS (SELECT fa.user_id, fa.ta, min(e.ts) AS tb
+           FROM p1_fa fa JOIN events e ON e.user_id = fa.user_id
+             AND e.event_type = 'click' AND e.ts >= fa.ta GROUP BY 1, 2),
+         p1_l AS (SELECT (epoch_us(tb) - epoch_us(ta)) / 60000000.0 AS lat
+           FROM p1_c),
+         p2_fa AS (SELECT user_id, min(ts) AS ta FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         p2_c AS (SELECT fa.user_id, fa.ta, min(e.ts) AS tb
+           FROM p2_fa fa JOIN events e ON e.user_id = fa.user_id
+             AND e.event_type = 'purchase' AND e.ts >= fa.ta GROUP BY 1, 2),
+         p2_l AS (SELECT (epoch_us(tb) - epoch_us(ta)) / 60000000.0 AS lat
+           FROM p2_c)
+         SELECT 'signup->click' AS step,
+           (SELECT count(*) FROM p1_fa) AS n_entered,
+           (SELECT count(*) FROM p1_c) AS n_converted,
+           round(quantile_cont(lat, 0.5), 4) AS median_minutes,
+           round(quantile_cont(lat, 0.9), 4) AS p90_minutes FROM p1_l
+         UNION ALL
+         SELECT 'click->purchase',
+           (SELECT count(*) FROM p2_fa),
+           (SELECT count(*) FROM p2_c),
+           round(quantile_cont(lat, 0.5), 4),
+           round(quantile_cont(lat, 0.9), 4) FROM p2_l
+         ORDER BY step""",
+    // growth joined on COMPUTED prior-period keys; totals rounded
+    // before the ratios
+    "w35_period_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 4) AS revenue
+           FROM orders GROUP BY 1),
+         k AS (SELECT month, revenue,
+             strftime(CAST(month || '-01' AS DATE) - INTERVAL 1 MONTH,
+               '%Y-%m') AS prev_m,
+             strftime(CAST(month || '-01' AS DATE) - INTERVAL 12 MONTH,
+               '%Y-%m') AS prev_y
+           FROM m)
+         SELECT k.month, k.revenue,
+           round((k.revenue - pm.revenue) / pm.revenue, 4) AS mom_pct,
+           round((k.revenue - py.revenue) / py.revenue, 4) AS yoy_pct
+         FROM k LEFT JOIN m pm ON pm.month = k.prev_m
+           LEFT JOIN m py ON py.month = k.prev_y
+         ORDER BY 1""",
+    // per ordered pair: confidence = Σ_x max_y n(x,y) / N (TANE g3)
+    "dq5_approx_fds" -> {
+      val cols = Seq("lang", "source", "band")
+      val pairSql = (for {
+        x <- cols; y <- cols if x != y
+      } yield
+        s"""SELECT '$x' AS det, '$y' AS dep, count(*) AS n_det_values,
+             round(CAST(sum(mx) AS DOUBLE) / (SELECT n FROM nn), 6)
+               AS confidence FROM
+             (SELECT x, max(c) AS mx FROM
+               (SELECT $x AS x, $y AS y, count(*) AS c FROM d GROUP BY 1, 2)
+              GROUP BY 1)""").mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT lang, source,
+             CAST(floor(n_chars / 500) AS BIGINT) AS band FROM documents),
+         nn AS (SELECT count(*) AS n FROM d)
+         $pairSql ORDER BY det, dep"""
+    }
   )
 }

@@ -125,4 +125,56 @@ object Forecast {
         round(col("_mae_m") / col("_mae_1"), digits).as("mase"))
       .orderBy(keyCol)
   }
+
+  /** Sample cross-correlation function (Box–Jenkins CCF) between two
+    * event types' daily volumes at lags −maxLag..+maxLag — the lead/lag
+    * diagnostic behind "do clicks predict purchases three days out".
+    * Positive lag = y lags x by `lag` days.
+    *
+    * Scale shape: the corpus collapses to two day-level count series
+    * first; the lag fan-out (2·maxLag+1 copies) and the alignment join
+    * run on that calendar-bounded tier only. One Pearson `corr`
+    * aggregate per lag, all in a single grouped aggregation. */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+                       typeX: String, typeY: String,
+                       maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be non-negative, got $maxLag")
+    def daily(t: String, out: String) = events
+      .filter(col(typeCol) === t)
+      .groupBy(to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as(out))
+    val a = daily(typeX, "_x")
+    val b = daily(typeY, "_y").withColumnRenamed("_day", "_bday")
+    val lags = (-maxLag to maxLag).map(l => lit(l)).toArray
+    a.withColumn("lag", explode(array(lags: _*)))
+      .join(b, col("_bday") === date_add(col("_day"), col("lag")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"), round(corr("_x", "_y"), 4).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Calendar-aligned period-over-period growth: monthly totals with
+    * month-over-month and year-over-year percentage change, joined on
+    * COMPUTED prior-period keys (not row lag), so calendar gaps yield
+    * NULL growth instead of comparing against the wrong month. The
+    * monthly tier is calendar-bounded; both prior-period joins run on
+    * it alone. Totals are rounded before the ratios so the growth
+    * figures are reproducible across engines. */
+  def periodOverPeriod(df: DataFrame, dateCol: String, valCol: String,
+                       digits: Int = 4): DataFrame = {
+    val monthly = df
+      .groupBy(date_format(col(dateCol), "yyyy-MM").as("month"))
+      .agg(round(sum(valCol), digits).as("revenue"))
+    def shifted(months: Int, out: String) = monthly.select(
+      date_format(add_months(to_date(concat(col("month"), lit("-01"))),
+        months), "yyyy-MM").as("month"),
+      col("revenue").as(out))
+    monthly
+      .join(shifted(1, "_pm"), Seq("month"), "left")
+      .join(shifted(12, "_py"), Seq("month"), "left")
+      .select(col("month"), col("revenue"),
+        round((col("revenue") - col("_pm")) / col("_pm"), digits).as("mom_pct"),
+        round((col("revenue") - col("_py")) / col("_py"), digits).as("yoy_pct"))
+      .orderBy("month")
+  }
 }

@@ -65,4 +65,47 @@ object Funnel {
         round(col("n_users") / col("_n1"), 4).as("pct_of_first"))
       .orderBy("step")
   }
+
+  /** Time-to-convert distribution per consecutive step pair: for each
+    * user's FIRST occurrence of step i, the earliest step-(i+1) event
+    * at-or-after it, summarized as conversion count plus exact median
+    * and p90 latency in minutes. The "how long does the funnel take"
+    * companion to [[ordered]]'s "how many make it".
+    *
+    * Latencies are exact microsecond differences divided by a constant
+    * (one deterministic double each), so the interpolating percentiles
+    * agree bit-for-bit across engines at the rounded precision.
+    *
+    * Scale shape per pair: one filtered min-aggregation for the entry
+    * step, one user-keyed join+min against the follow step's events
+    * (same hash partitioning reused), then a two-value exact percentile
+    * over the converted-user tier. Pairs are a handful by construction
+    * — the unioned result is pairs-sized. */
+  def stepLatency(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need at least two steps, got $steps")
+    val pairs = steps.zip(steps.tail).map { case (from, to) =>
+      val fa = events.filter(col(typeCol) === from)
+        .groupBy(col(userCol).as("_u")).agg(min(tsCol).as("_ta"))
+      val nEntered = fa.agg(count(lit(1)).as("_n_entered"))
+      val conv = fa.join(
+          events.filter(col(typeCol) === to)
+            .select(col(userCol).as("_u"), col(tsCol).as("_tb")), "_u")
+        .filter(col("_tb") >= col("_ta"))
+        .groupBy("_u", "_ta").agg(min("_tb").as("_tb"))
+        // NTZ-safe: unix_micros rejects TIMESTAMP_NTZ; the session TZ
+        // is pinned UTC, so the cast is deterministic
+        .withColumn("_lat_min",
+          (unix_micros(col("_tb").cast("timestamp")) -
+            unix_micros(col("_ta").cast("timestamp"))) / 6.0e7)
+      conv.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(_lat_min, 0.5)"), 4).as("median_minutes"),
+          round(expr("percentile(_lat_min, 0.9)"), 4).as("p90_minutes"))
+        .crossJoin(broadcast(nEntered))
+        .select(lit(s"$from->$to").as("step"),
+          col("_n_entered").as("n_entered"), col("n_converted"),
+          col("median_minutes"), col("p90_minutes"))
+    }
+    pairs.reduce(_.unionAll(_)).orderBy("step")
+  }
 }

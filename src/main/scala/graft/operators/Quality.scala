@@ -189,4 +189,39 @@ object Quality {
         spark.read.parquet(badPath).count())
     } finally { tagged.unpersist(); () }
   }
+
+  /** Approximate functional-dependency MINING (TANE's g₃-style
+    * confidence, Kivinen–Mannila error measure) over every ordered pair
+    * of the given columns: confidence(X→Y) = Σ_x max_y n(x,y) / N — the
+    * share of rows kept by the best per-determinant-value mapping.
+    * 1.0 = exact FD; [[fdViolations]] is the checker for DECLARED FDs,
+    * this is the discoverer that proposes them.
+    *
+    * Scale shape: the frame is melted once to (key, column, value) —
+    * k× fan-out, row-local — and pairs come from ONE self-join
+    * co-partitioned on the row key (k² pairs per row, k a handful by
+    * construction), feeding a partial→final count aggregation whose
+    * result is bounded by Σ pairwise distinct-value products. The
+    * alternative k² separate corpus scans is what this shape avoids;
+    * all reductions after the pair count run on value-cardinality
+    * tables. Values are stringified for the melt — injective, so
+    * counts and confidences are representation-independent. */
+  def approxFds(df: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    val n = df.agg(count(lit(1)).as("_n"))
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val melted = df.selectExpr(s"`$keyCol` AS _id",
+      s"stack(${cols.size}, $stackArgs) AS (_c, _v)")
+    val a = melted.select(col("_id"), col("_c").as("det"), col("_v").as("_dv"))
+    val b = melted.select(col("_id"), col("_c").as("dep"), col("_v").as("_pv"))
+    a.join(b, Seq("_id")).filter(col("det") =!= col("dep"))
+      .groupBy("det", "dep", "_dv", "_pv").agg(count(lit(1)).as("_cnt"))
+      .groupBy("det", "dep", "_dv").agg(max("_cnt").as("_mx"))
+      .groupBy("det", "dep")
+      .agg(count(lit(1)).as("n_det_values"), sum("_mx").as("_kept"))
+      .crossJoin(broadcast(n))
+      .select(col("det"), col("dep"), col("n_det_values"),
+        round(col("_kept").cast("double") / col("_n"), 6).as("confidence"))
+      .orderBy("det", "dep")
+  }
 }

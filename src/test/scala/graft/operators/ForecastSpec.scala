@@ -92,4 +92,39 @@ class ForecastSpec extends SparkTestBase {
     assert(r.getAs[Double]("mae_seasonal") == 0.0)
     assert(r.getAs[Double]("mase") == 0.0)
   }
+
+  test("crossCorrelation peaks at the planted lag") {
+    // y volume = x volume shifted 2 days later → CCF exactly 1 at lag 2
+    def t(day: Int, k: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-${day + 1}%02d ${10 + k}%02d:00:00")
+    // aperiodic volumes — a d%5 pattern would ALSO align at lag 2−5
+    val vol = Seq(1, 3, 2, 5, 4, 2, 1, 5, 3, 4, 1, 2, 5, 3).zipWithIndex
+      .map { case (n, d) => d -> n }
+    val ev = vol.flatMap { case (d, n) =>
+      (0 until n).map(k => ("click", t(d, k))) ++
+        (0 until n).map(k => ("purchase", t(d + 2, k)))
+    }.toDF("event_type", "ts")
+    val r = Forecast.crossCorrelation(ev, "ts", "event_type",
+      "click", "purchase", maxLag = 3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(r(2) == 1.0)
+    assert(r.filterNot(_._1 == 2).values.forall(_ < 1.0))
+  }
+
+  test("periodOverPeriod aligns on the calendar, not row order") {
+    def d(m: String) = java.sql.Timestamp.valueOf(s"$m-15 00:00:00")
+    // 2023-12 missing → 2024-01 has NULL MoM but a real YoY
+    val df = Seq(("2023-01", 100.0), ("2023-02", 110.0), ("2023-11", 50.0),
+      ("2024-01", 150.0)).map { case (m, v) => (d(m), v) }
+      .toDF("dt", "v")
+    val r = Forecast.periodOverPeriod(df, "dt", "v").collect()
+      .map(x => (x.getString(0), x.getDouble(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]),
+        Option(x.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(r == Seq(
+      ("2023-01", 100.0, None, None),
+      ("2023-02", 110.0, Some(0.1), None),
+      ("2023-11", 50.0, None, None),
+      ("2024-01", 150.0, None, Some(0.5))))
+  }
 }

@@ -53,4 +53,35 @@ class FunnelSpec extends SparkTestBase {
     // window — greedy chaining, not backtracking
     assert(out == Map(1 -> 1L, 2 -> 0L))
   }
+
+  test("stepLatency measures first-A to first-B-after-A") {
+    val ev = Seq(
+      // u1: signup@0, clicks at 10 and 20 → latency 10 min
+      (1L, ts(0), "signup"), (1L, ts(10), "click"), (1L, ts(20), "click"),
+      // u2: click@5 BEFORE signup@30 doesn't count; click@60 does → 30
+      (2L, ts(5), "click"), (2L, ts(30), "signup"), (2L, ts(60), "click"),
+      // u3: signup only → entered but not converted
+      (3L, ts(0), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.stepLatency(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click")).collect().head
+    assert(r.getString(0) == "signup->click")
+    assert(r.getLong(1) == 3L)    // entered
+    assert(r.getLong(2) == 2L)    // converted
+    assert(r.getDouble(3) == 20.0) // median of {10, 30}
+    assert(r.getDouble(4) == 28.0) // p90 interpolated between 10 and 30
+  }
+
+  test("stepLatency is deterministic across partitionings") {
+    val ev = (1 to 300).map { k =>
+      val typ = Seq("signup", "click", "purchase")(k % 3)
+      ((k % 13).toLong, ts(k % 97), typ)
+    }.toDF("user_id", "ts", "event_type")
+    val steps = Seq("signup", "click", "purchase")
+    val a = Funnel.stepLatency(ev, "user_id", "ts", "event_type", steps)
+      .collect().toSeq
+    val b = Funnel.stepLatency(ev.repartition(17), "user_id", "ts",
+      "event_type", steps).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -106,4 +106,30 @@ class QualitySpec extends SparkTestBase {
       }
     } finally graft.Fs.deleteRecursively(dir)
   }
+
+  test("approxFds finds the exact FD and scores the leaky one") {
+    // city → zip is exact (every city maps to one zip); zip → city is
+    // broken once: zip 10 maps to cityA 3× and cityB 1× → (3+2)/6
+    val df = Seq((1L, "cityA", 10L), (2L, "cityA", 10L), (3L, "cityA", 10L),
+      (4L, "cityB", 10L), (5L, "cityC", 20L), (6L, "cityC", 20L))
+      .toDF("id", "city", "zip")
+    val r = Quality.approxFds(df, "id", Seq("city", "zip")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(r == Seq(("city", "zip", 3L, 1.0),
+      ("zip", "city", 2L, math.rint(5.0 / 6.0 * 1e6) / 1e6)))
+  }
+
+  test("approxFds is deterministic across partitionings") {
+    val df = (1 to 400).map(k =>
+      (k.toLong, s"c${k % 9}", (k % 9 / 3).toLong, s"s${k % 5}"))
+      .toDF("id", "a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val x = Quality.approxFds(df, "id", cols).collect().toSeq
+    val y = Quality.approxFds(df.repartition(21), "id", cols).collect().toSeq
+    assert(x == y)
+    // a → b is exact by construction (b = a's bucket)
+    val ab = x.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getDouble(3) == 1.0)
+  }
 }
