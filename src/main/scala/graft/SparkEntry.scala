@@ -3221,7 +3221,26 @@ object SparkEntry {
       graft.operators.Quality.approxFds(
         Tables.documents(s, d)
           .withColumn("band", floor(col("n_chars") / 500)),
-        "doc_id", Seq("lang", "source", "band")))
+        "doc_id", Seq("lang", "source", "band"))),
+    // "bought X also bought Y": per-item top-3 neighbors by basket
+    // cosine, rounded before ranking so the cut is engine-independent
+    "mb3_item_item_cf" -> q((s, d) =>
+      graft.operators.MarketBasket.itemItemTopK(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), (col("l_partkey") % 40).as("item")),
+        "l_orderkey", "item", k = 3)),
+    // Neyman budget split across sources by N_h·sigma_h over n_chars
+    "tp13_neyman_allocation" -> q((s, d) =>
+      graft.pipeline.TrainingData.neymanAllocation(
+        Tables.documents(s, d), "source", "n_chars", sampleN = 1000)),
+    // leave-one-source-out ablation of mean document length — the
+    // whole sweep from ONE grouped aggregation, never |groups| passes
+    "tp14_loo_source_influence" -> q((s, d) =>
+      graft.pipeline.TrainingData.looGroupInfluence(
+        Tables.documents(s, d), "source", "n_chars")),
+    // chance-corrected label agreement over the t5 confusion tier
+    "t27_langid_kappa" -> q((s, d) =>
+      TextAnalysis.langIdKappa(Tables.documents(s, d)))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -7871,6 +7890,74 @@ object SparkEntry {
              CAST(floor(n_chars / 500) AS BIGINT) AS band FROM documents),
          nn AS (SELECT count(*) AS n FROM d)
          $pairSql ORDER BY det, dep"""
-    }
+    },
+    // per-item top-3 by rounded basket cosine, neighbor-id tie-break
+    "mb3_item_item_cf" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 40 AS item
+           FROM lineitem),
+         m AS (SELECT item, count(*) AS n FROM bk GROUP BY 1),
+         p AS (SELECT a.item AS item, b.item AS other, count(*) AS n_both
+           FROM bk a JOIN bk b ON a.bk = b.bk AND a.item <> b.item
+           GROUP BY 1, 2),
+         s AS (SELECT p.item, p.other, p.n_both,
+             round(p.n_both / sqrt(mx.n * my.n), 6) AS cosine
+           FROM p JOIN m mx ON mx.item = p.item
+             JOIN m my ON my.item = p.other),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY item ORDER BY cosine DESC, other) AS rank FROM s)
+         SELECT CAST(item AS BIGINT) AS item, CAST(rank AS INT) AS rank,
+           CAST(other AS BIGINT) AS other, n_both, cosine
+         FROM r WHERE rank <= 3 ORDER BY item, rank""",
+    // budget ∝ N_h·sigma_h; share rounded BEFORE the floor
+    "tp13_neyman_allocation" ->
+      """WITH g AS (SELECT source, count(*) AS n_rows,
+             stddev_pop(n_chars) AS sd FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_rows * sd) AS tw FROM g)
+         SELECT source, n_rows, round(sd, 4) AS sigma,
+           round(n_rows * sd / t.tw, 6) AS share,
+           CAST(floor(1000.0 * round(n_rows * sd / t.tw, 6)) AS BIGINT)
+             AS alloc_n
+         FROM g, t ORDER BY source""",
+    // closed-form leave-one-group-out means from one grouped aggregate
+    "tp14_loo_source_influence" ->
+      """WITH g AS (SELECT source, count(*) AS n_rows, sum(n_chars) AS s
+           FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_rows) AS nt, sum(s) AS st FROM g)
+         SELECT source, n_rows,
+           round(CAST(st - s AS DOUBLE) / (nt - n_rows), 4) AS mean_without,
+           round(CAST(st - s AS DOUBLE) / (nt - n_rows)
+             - CAST(st AS DOUBLE) / nt, 4) AS influence
+         FROM g, t ORDER BY source""",
+    // Cohen's kappa over the SAME heuristic CTE chain as t5
+    "t27_langid_kappa" ->
+      s"""WITH m AS (SELECT lang,
+           len(list_filter($toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter($toks, x -> x IN ('der','und','die','ist'))) AS s_de,
+           len(list_filter($toks, x -> x IN ('el','los','que','es'))) AS s_es,
+           len(list_filter($toks, x -> x IN ('le','les','et','est'))) AS s_fr,
+           len(list_filter($toks, x -> x IN ('de','shi','le','he'))) AS s_zh
+           FROM documents),
+         g AS (SELECT lang,
+           CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) THEN 'en'
+                ELSE 'de' END AS lang_guess FROM m),
+         c AS (SELECT lang, lang_guess, count(*) AS cnt FROM g GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+         a AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS agree
+           FROM c WHERE lang = lang_guess),
+         x AS (SELECT CAST(sum(mr.rn * mc.cn) AS BIGINT) AS crossn FROM
+           (SELECT lang AS k, sum(cnt) AS rn FROM c GROUP BY 1) mr
+           JOIN (SELECT lang_guess AS k, sum(cnt) AS cn FROM c GROUP BY 1) mc
+             USING (k))
+         SELECT n.n AS n_docs,
+           round(agree / CAST(n.n AS DOUBLE), 6) AS p_observed,
+           round(crossn / (CAST(n.n AS DOUBLE) * n.n), 6) AS p_expected,
+           round((agree / CAST(n.n AS DOUBLE)
+               - crossn / (CAST(n.n AS DOUBLE) * n.n))
+             / (1.0 - crossn / (CAST(n.n AS DOUBLE) * n.n)), 6) AS kappa
+         FROM n, a, x"""
   )
 }

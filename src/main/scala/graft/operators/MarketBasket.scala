@@ -45,4 +45,42 @@ object MarketBasket {
         round(col("n_both") * col("n_baskets") / (col("n_a") * col("n_b")), 4).as("lift"))
       .orderBy("item_a", "item_b")
   }
+
+  /** Item-item collaborative filtering (Linden, Smith & York,
+    * "Amazon.com Recommendations: Item-to-Item Collaborative
+    * Filtering", IEEE Internet Computing 2003): per item, the top-k
+    * co-occurring items by cosine similarity n_xy / √(n_x·n_y) over
+    * basket membership. [[pairRules]]'s global association twin,
+    * re-ranked per item — the "customers who bought X also bought"
+    * operator.
+    *
+    * Scale shape: identical pair generation (per-basket-bounded
+    * quadratic, co-partitioned on the basket key); marginals broadcast;
+    * the per-item top-k is a rank window partitioned by item, which
+    * Spark caps map-side via WindowGroupLimit. Cosines are ROUNDED
+    * before ranking and ties break on the neighbor id, so the cut is
+    * engine-independent. All integers until the one division. */
+  def itemItemTopK(df: DataFrame, basketCol: String, itemCol: String,
+                   k: Int = 3, digits: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val baskets = df.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    val marg = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val a = baskets.select(col("bk"), col("item"))
+    val b = baskets.select(col("bk"), col("item").as("other"))
+    val pairs = a.join(b, Seq("bk")).filter(col("item") =!= col("other"))
+      .groupBy("item", "other").agg(count(lit(1)).as("n_both"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(col("cosine").desc, col("other"))
+    pairs
+      .join(broadcast(marg.select(col("item"), col("n_item").as("n_x"))), "item")
+      .join(broadcast(marg.select(col("item").as("other"),
+        col("n_item").as("n_y"))), "other")
+      .withColumn("cosine",
+        round(col("n_both") / sqrt(col("n_x") * col("n_y")), digits))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("item", "rank", "other", "n_both", "cosine")
+      .orderBy("item", "rank")
+  }
 }

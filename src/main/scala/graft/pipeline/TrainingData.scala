@@ -418,4 +418,48 @@ object TrainingData {
         round(avg("n_tokens"), 4).as("avg_tokens"),
         round(avg("quality"), 6).as("avg_quality"))
       .orderBy("lang_guess")
+
+  /** Neyman optimal allocation (Neyman 1934): split a sampling budget
+    * of `sampleN` across strata proportionally to N_h·σ_h — the design
+    * step ahead of [[weightedSamplePerGroup]] when strata differ in
+    * spread, not just size. One grouped moment aggregation + one scalar
+    * broadcast; output is strata-sized. Shares are rounded BEFORE the
+    * floor so the integer allocations can't flip on a 1-ulp moment
+    * difference. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
+                       sampleN: Int): DataFrame = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    val g = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_rows"), stddev_pop(valCol).as("_sd"))
+      .withColumn("_w", col("n_rows") * col("_sd"))
+    val tot = g.agg(sum("_w").as("_tw"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("_w") / col("_tw"), 6))
+      .select(col(strataCol), col("n_rows"), round(col("_sd"), 4).as("sigma"),
+        col("share"),
+        floor(lit(sampleN.toDouble) * col("share")).cast("long").as("alloc_n"))
+      .orderBy(strataCol)
+  }
+
+  /** Leave-one-group-out influence on a corpus mean — the ablation
+    * ledger ("which source is dragging mean quality down?") behind
+    * source-level data-valuation sweeps. Closed form from the grouped
+    * sums: mean_without_g = (T − T_g)/(N − n_g), influence = that minus
+    * the overall mean — so the whole sweep is ONE grouped aggregation
+    * plus a broadcast scalar, never |groups| recomputations. Exact
+    * integer sums until the final divisions. */
+  def looGroupInfluence(df: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"), sum(valCol).as("_s"))
+    val tot = g.agg(sum("n_rows").as("_nt"), sum("_s").as("_st"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("_mean_all", col("_st").cast("double") / col("_nt"))
+      .withColumn("_mean_wo",
+        (col("_st") - col("_s")).cast("double") / (col("_nt") - col("n_rows")))
+      .select(col(groupCol), col("n_rows"),
+        round(col("_mean_wo"), 4).as("mean_without"),
+        round(col("_mean_wo") - col("_mean_all"), 4).as("influence"))
+      .orderBy(groupCol)
+  }
 }

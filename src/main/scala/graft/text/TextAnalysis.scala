@@ -190,6 +190,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "lang_guess")
 
+  /** Cohen's kappa (1960) between the stored label and the n-gram
+    * guess — chance-corrected agreement, the standard label-quality
+    * summary over [[langIdConfusion]]'s tier. Everything after the
+    * confusion aggregation is label-cardinality-sized: two marginal
+    * roll-ups, one tiny join, three scalar broadcasts. All counts stay
+    * exact integers; p_o, p_e, and kappa are computed with ONE shared
+    * operand order so both engines round identical doubles. */
+  def langIdKappa(documents: DataFrame): DataFrame = {
+    val c = langIdConfusion(documents)
+    val n = c.agg(sum("cnt").as("_n"))
+    val agree = c.filter(col("lang") === col("lang_guess"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("_agree"))
+    val cross = c.groupBy(col("lang").as("k")).agg(sum("cnt").as("_r"))
+      .join(c.groupBy(col("lang_guess").as("k")).agg(sum("cnt").as("_c")), "k")
+      .agg(sum(col("_r") * col("_c")).as("_cross"))
+    val nd = col("_n").cast("double")
+    val po = col("_agree") / nd
+    val pe = col("_cross") / (nd * nd)
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(cross))
+      .select(col("_n").as("n_docs"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Vocabulary stats per language: exact distinct-token counts via
     * explode + countDistinct. Exact distinct shuffles every (lang,
     * token) pair — fine per-language; the 100 TB whole-corpus variant

@@ -320,4 +320,35 @@ class TrainingDataSpec extends SparkTestBase {
     assert(rows("skew")._2 < 1.001,
       s"one dominant weight must collapse ESS to ~1: ${rows("skew")._2}")
   }
+
+  test("neymanAllocation splits the budget by N_h·sigma_h") {
+    // stratum a: 4 rows, sd 0 (constant) → zero allocation;
+    // b and c have equal spread, c has twice the rows → 2× the budget
+    val df = ((1 to 4).map(i => ("a", 10.0)) ++
+      (1 to 10).map(i => ("b", if (i % 2 == 0) 0.0 else 2.0)) ++
+      (1 to 20).map(i => ("c", if (i % 2 == 0) 0.0 else 2.0)))
+      .toDF("s", "v")
+    val r = TrainingData.neymanAllocation(df, "s", "v", sampleN = 300)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(3), x.getLong(4))).toMap
+    assert(r("a") == ((0.0, 0L)))
+    assert(r("b") == ((math.rint(1.0 / 3 * 1e6) / 1e6, 99L)))
+    assert(r("c") == ((math.rint(2.0 / 3 * 1e6) / 1e6, 200L)))
+  }
+
+  test("looGroupInfluence matches direct leave-one-out recomputation") {
+    val df = (1 to 90).map(i => (s"g${i % 3}", (i % 11).toLong))
+      .toDF("g", "v")
+    val got = TrainingData.looGroupInfluence(df, "g", "v")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    val rows = (1 to 90).map(i => (s"g${i % 3}", (i % 11).toLong))
+    for (g <- Seq("g0", "g1", "g2")) {
+      val rest = rows.filterNot(_._1 == g).map(_._2)
+      val expect = math.rint(rest.sum.toDouble / rest.size * 1e4) / 1e4
+      assert(got(g) == expect, s"$g: ${got(g)} vs $expect")
+    }
+    val inv = TrainingData.looGroupInfluence(df.repartition(13), "g", "v")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(inv == got)
+  }
 }

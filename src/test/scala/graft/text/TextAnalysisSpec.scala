@@ -265,4 +265,19 @@ class TextAnalysisSpec extends SparkTestBase {
     val byLang = TextAnalysis.charEntropyByLang(docs).collect().head
     assert(byLang.getLong(1) == 3L && byLang.getDouble(2) == 1.0)
   }
+
+  test("langIdKappa computes chance-corrected agreement") {
+    // confusion: en→en 2, en→de 1, de→de 2 ⇒ po = 4/5,
+    // pe = (3·2 + 2·3)/25 = 0.48, kappa = 0.32/0.52 = 0.615385
+    val docs = Seq(
+      (1L, "en", "the and of is"), (2L, "en", "the and of is"),
+      (3L, "en", "der und die ist"),
+      (4L, "de", "der und die ist"), (5L, "de", "der und die ist"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langIdKappa(docs).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == 0.8)
+    assert(r.getDouble(2) == 0.48)
+    assert(r.getDouble(3) == math.rint(0.32 / 0.52 * 1e6) / 1e6)
+  }
 }
