@@ -3240,7 +3240,16 @@ object SparkEntry {
         Tables.documents(s, d), "source", "n_chars")),
     // chance-corrected label agreement over the t5 confusion tier
     "t27_langid_kappa" -> q((s, d) =>
-      TextAnalysis.langIdKappa(Tables.documents(s, d)))
+      TextAnalysis.langIdKappa(Tables.documents(s, d))),
+    // 4-truss peeling, 3 rounds, on a dense derived graph; census =
+    // surviving support histogram (engine runs hub-safe oriented
+    // wedges; oracle replays the naive adjacency join — same numbers)
+    "g18_ktruss" -> q((s, d) =>
+      graft.graph.Ktruss.trussHistogram(
+        Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(150L)).as("src"),
+          pmod(col("o_orderkey"), lit(149L)).as("dst")),
+        k = 4, rounds = 3))
   )
 
   private val stop = "('the','a','an','of','and','or','to','in','is','it')"
@@ -7958,6 +7967,39 @@ object SparkEntry {
            round((agree / CAST(n.n AS DOUBLE)
                - crossn / (CAST(n.n AS DOUBLE) * n.n))
              / (1.0 - crossn / (CAST(n.n AS DOUBLE) * n.n)), 6) AS kappa
-         FROM n, a, x"""
+         FROM n, a, x""",
+    "g18_ktruss" -> ktrussSql(k = 4, rounds = 3)
   )
+
+  /** g18's oracle: `rounds` unrolled 4-truss peeling rounds — per-edge
+    * support via the naive common-neighbor adjacency join (fine at
+    * fixture density; the engine's oriented wedges produce the same
+    * counts hub-safely), keep support ≥ k−2, then one final support
+    * pass for the census. MATERIALIZED for the same CTE-inlining
+    * reason as [[kcoreSql]]. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    def round(i: Int) =
+      s"""adj$i AS MATERIALIZED (SELECT a AS u, b AS v FROM e$i
+           UNION ALL SELECT b, a FROM e$i),
+         s$i AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup FROM e$i e
+           JOIN adj$i p ON p.u = e.a
+           JOIN adj$i q ON q.u = e.b AND q.v = p.v
+           GROUP BY 1, 2),
+         e${i + 1} AS MATERIALIZED (SELECT a, b FROM s$i
+           WHERE sup >= ${k - 2})"""
+    val chain = (0 until rounds).map(round).mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT DISTINCT least(o_custkey % 150, o_orderkey % 149) AS a,
+           greatest(o_custkey % 150, o_orderkey % 149) AS b
+         FROM orders WHERE o_custkey % 150 <> o_orderkey % 149),
+       $chain,
+       adjF AS MATERIALIZED (SELECT a AS u, b AS v FROM e$rounds
+         UNION ALL SELECT b, a FROM e$rounds),
+       sF AS (SELECT e.a, e.b, count(*) AS sup FROM e$rounds e
+         JOIN adjF p ON p.u = e.a
+         JOIN adjF q ON q.u = e.b AND q.v = p.v
+         GROUP BY 1, 2)
+       SELECT sup AS support, count(*) AS n_edges
+       FROM sF GROUP BY 1 ORDER BY 1"""
+  }
 }

@@ -121,12 +121,25 @@ object Triangles {
     * bridge edges (embeddedness 0, the weak ties) are counted too. */
   def edgeEmbeddedness(edges: DataFrame): DataFrame = {
     val (und, _, ranked) = oriented(edges)
+    und.join(positiveEdgeSupport(ranked), Seq("a", "b"), "left")
+      .select(coalesce(col("sup"), lit(0L)).as("embeddedness"))
+      .groupBy("embeddedness")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("embeddedness")
+  }
+
+  /** Per-edge triangle support (common-neighbor count) for every
+    * canonical edge in ≥1 triangle, from the oriented wedge stream —
+    * each triangle explodes to its three canonical edges, one
+    * aggregation. Shared by [[edgeEmbeddedness]] (which left-joins the
+    * zeros back) and [[Ktruss]]'s peeling rounds (which drop them). */
+  private[graph] def positiveEdgeSupport(ranked: DataFrame): DataFrame = {
     val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
     val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
       .select(col("u"), col("v1").as("wu"), col("v2").as("wv"))
     val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
-    val triEdges = wedges.join(closing, Seq("wu", "wv"))
+    wedges.join(closing, Seq("wu", "wv"))
       .select(explode(array(
         struct(least(col("u"), col("wu")).as("a"),
           greatest(col("u"), col("wu")).as("b")),
@@ -135,12 +148,12 @@ object Triangles {
         struct(least(col("wu"), col("wv")).as("a"),
           greatest(col("wu"), col("wv")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-    val perEdge = triEdges.groupBy("a", "b")
-      .agg(count(lit(1)).as("_emb"))
-    und.join(perEdge, Seq("a", "b"), "left")
-      .select(coalesce(col("_emb"), lit(0L)).as("embeddedness"))
-      .groupBy("embeddedness")
-      .agg(count(lit(1)).as("n_edges"))
-      .orderBy("embeddedness")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("sup"))
   }
+
+  /** [[positiveEdgeSupport]] from a raw (src, dst) edge list — runs the
+    * same cleaning + degree orientation first. */
+  private[graph] def edgeSupportOf(edges: DataFrame): DataFrame =
+    positiveEdgeSupport(oriented(edges)._3)
 }
