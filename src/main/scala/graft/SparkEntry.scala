@@ -3198,7 +3198,9 @@ object SparkEntry {
     "io12_compaction_plan" -> q((s, d) =>
       graft.sources.Compaction.plan(
         Tables.documents(s, d)
-          .groupBy(concat_ws("/", col("source"), col("lang")).as("path"))
+          // concat, not concat_ws: NULL-propagating like the oracle's
+          // `||`, so a NULL source/lang can't silently fork the path key
+          .groupBy(concat(col("source"), lit("/"), col("lang")).as("path"))
           .agg(sum("n_chars").as("bytes")),
         "path", "bytes", nBins = 6)),
     // Box-Jenkins cross-correlation: does click volume lead purchase
@@ -7917,16 +7919,23 @@ object SparkEntry {
          SELECT CAST(item AS BIGINT) AS item, CAST(rank AS INT) AS rank,
            CAST(other AS BIGINT) AS other, n_both, cosine
          FROM r WHERE rank <= 3 ORDER BY item, rank""",
-    // budget ∝ N_h·sigma_h; share rounded BEFORE the floor
+    // budget ∝ N_h·sigma_h; share rounded BEFORE the floor; flooring
+    // shortfall redistributed largest-remainder so Σalloc = budget
     "tp13_neyman_allocation" ->
       """WITH g AS (SELECT source, count(*) AS n_rows,
              stddev_pop(n_chars) AS sd FROM documents GROUP BY 1),
-         t AS (SELECT sum(n_rows * sd) AS tw FROM g)
-         SELECT source, n_rows, round(sd, 4) AS sigma,
-           round(n_rows * sd / t.tw, 6) AS share,
-           CAST(floor(1000.0 * round(n_rows * sd / t.tw, 6)) AS BIGINT)
+         t AS (SELECT sum(n_rows * sd) AS tw FROM g),
+         s AS (SELECT source, n_rows, sd,
+             round(n_rows * sd / t.tw, 6) AS share FROM g, t),
+         f AS (SELECT *, 1000.0 * share AS raw,
+             CAST(floor(1000.0 * share) AS BIGINT) AS fl FROM s),
+         r AS (SELECT *,
+             row_number() OVER (ORDER BY raw - fl DESC, source) AS rn,
+             1000 - sum(fl) OVER () AS short FROM f)
+         SELECT source, n_rows, round(sd, 4) AS sigma, share,
+           CAST(fl + CASE WHEN rn <= short THEN 1 ELSE 0 END AS BIGINT)
              AS alloc_n
-         FROM g, t ORDER BY source""",
+         FROM r ORDER BY source""",
     // closed-form leave-one-group-out means from one grouped aggregate
     "tp14_loo_source_influence" ->
       """WITH g AS (SELECT source, count(*) AS n_rows, sum(n_chars) AS s

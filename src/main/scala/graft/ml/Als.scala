@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * here are seeded deterministically from the item id (`1 + id mod 7`),
   * so the user half-step needs no join at all: the init factor is a
   * row-local expression. Nothing is collected to the driver.
+  *
+  * Exactness: the user half-step's sums are integer-valued doubles, so
+  * they are order-independent and bit-exact. The ITEM half-step sums
+  * (`sum(_r*_f)`, `sum(_f*_f)`) accumulate arbitrary doubles in
+  * partition-dependent order — associativity is only approximate there,
+  * so the final `round(_, 4)` could in principle flip at an exact
+  * rounding boundary across engines/partitionings (probability ~ulp;
+  * widen the rounding headroom if a flaky gate ever appears).
   */
 object Als {
 

@@ -149,7 +149,16 @@ object Forecast {
     a.withColumn("lag", explode(array(lags: _*)))
       .join(b, col("_bday") === date_add(col("_day"), col("lag")))
       .groupBy("lag")
-      .agg(count(lit(1)).as("n_days"), round(corr("_x", "_y"), 4).as("ccf"))
+      // Not corr(): under ANSI mode Spark's corr THROWS DIVIDE_BY_ZERO
+      // for a zero-variance series (and yields NaN for a 1-row lag
+      // bucket) where SQL engines yield NULL. covar/stddev are
+      // internally guarded, try_divide nulls the 0-variance divisor,
+      // nanvl nulls the n=1 bucket — algebraically identical to corr
+      // on the non-degenerate path
+      .agg(count(lit(1)).as("n_days"),
+        round(nanvl(try_divide(covar_samp("_x", "_y"),
+            stddev_samp("_x") * stddev_samp("_y")),
+          lit(null).cast("double")), 4).as("ccf"))
       .orderBy("lag")
   }
 

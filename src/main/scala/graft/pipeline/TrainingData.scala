@@ -425,19 +425,32 @@ object TrainingData {
     * spread, not just size. One grouped moment aggregation + one scalar
     * broadcast; output is strata-sized. Shares are rounded BEFORE the
     * floor so the integer allocations can't flip on a 1-ulp moment
-    * difference. */
+    * difference, and the flooring shortfall is redistributed by the
+    * largest-remainder (Hamilton) rule — +1 to the strata with the
+    * biggest fractional parts, ties to the smaller stratum key — so
+    * `sum(alloc_n) = sampleN` exactly (unless the 6-decimal share
+    * rounding pushes Σfloor past the budget, in which case nothing is
+    * added). The remainder windows run on the strata-sized tier only. */
   def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
                        sampleN: Int): DataFrame = {
     require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    import org.apache.spark.sql.expressions.Window
     val g = df.groupBy(strataCol)
       .agg(count(lit(1)).as("n_rows"), stddev_pop(valCol).as("_sd"))
       .withColumn("_w", col("n_rows") * col("_sd"))
     val tot = g.agg(sum("_w").as("_tw"))
     g.crossJoin(broadcast(tot))
       .withColumn("share", round(col("_w") / col("_tw"), 6))
+      .withColumn("_raw", lit(sampleN.toDouble) * col("share"))
+      .withColumn("_fl", floor(col("_raw")).cast("long"))
+      .withColumn("_short",
+        lit(sampleN.toLong) - sum("_fl").over(Window.partitionBy()))
+      .withColumn("_rn", row_number().over(Window.partitionBy()
+        .orderBy((col("_raw") - col("_fl")).desc, col(strataCol).asc)))
       .select(col(strataCol), col("n_rows"), round(col("_sd"), 4).as("sigma"),
         col("share"),
-        floor(lit(sampleN.toDouble) * col("share")).cast("long").as("alloc_n"))
+        (col("_fl") + when(col("_rn") <= col("_short"), 1L).otherwise(0L))
+          .as("alloc_n"))
       .orderBy(strataCol)
   }
 

@@ -111,6 +111,25 @@ class ForecastSpec extends SparkTestBase {
     assert(r.filterNot(_._1 == 2).values.forall(_ < 1.0))
   }
 
+  test("crossCorrelation yields NULL, not NaN, for degenerate lags") {
+    // constant x volume → zero variance → corr undefined; SQL engines
+    // (the oracle) emit NULL there, so the engine must too
+    def t(day: Int, k: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-${day + 1}%02d ${10 + k}%02d:00:00")
+    val ev = (0 until 8).flatMap { d =>
+      (0 until 3).map(k => ("click", t(d, k))) ++
+        (0 until (d % 4) + 1).map(k => ("purchase", t(d, k)))
+    }.toDF("event_type", "ts")
+    val r = Forecast.crossCorrelation(ev, "ts", "event_type",
+      "click", "purchase", maxLag = 1).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val ccf = Option(x.get(2)).map(_.asInstanceOf[Double])
+      assert(ccf.forall(v => !v.isNaN), s"lag ${x.get(0)}: NaN leaked")
+      assert(ccf.isEmpty, s"constant x series must yield NULL ccf, got $ccf")
+    }
+  }
+
   test("periodOverPeriod aligns on the calendar, not row order") {
     def d(m: String) = java.sql.Timestamp.valueOf(s"$m-15 00:00:00")
     // 2023-12 missing → 2024-01 has NULL MoM but a real YoY

@@ -332,8 +332,11 @@ class TrainingDataSpec extends SparkTestBase {
       .collect().map(x => x.getString(0) ->
         (x.getDouble(3), x.getLong(4))).toMap
     assert(r("a") == ((0.0, 0L)))
-    assert(r("b") == ((math.rint(1.0 / 3 * 1e6) / 1e6, 99L)))
+    // largest-remainder: floors are (0, 99, 200); the 1-unit shortfall
+    // goes to b (fractional part .9999 beats c's .0001)
+    assert(r("b") == ((math.rint(1.0 / 3 * 1e6) / 1e6, 100L)))
     assert(r("c") == ((math.rint(2.0 / 3 * 1e6) / 1e6, 200L)))
+    assert(r.values.map(_._2).sum == 300L, "budget must be fully allocated")
   }
 
   test("looGroupInfluence matches direct leave-one-out recomputation") {
