@@ -529,6 +529,24 @@ object SparkEntry {
           .as("s_lon"))
       graft.operators.Geo.nearestStationProfile(pts, st)
     }),
+    // the same assignment through the latitude-band grid escalation
+    // (the non-broadcastable-catalog path) — must reproduce x9's
+    // brute-force oracle bit-for-bit
+    "x9b_nearest_station_grid" -> q((s, d) => {
+      val pts = Tables.events(s, d).select(
+        col("event_id").as("point_id"),
+        (pmod(col("user_id"), lit(171L)).cast("double") - 85.0 + 0.25)
+          .as("lat"),
+        (pmod(col("event_id"), lit(360L)).cast("double") - 180.0 + 0.5)
+          .as("lon"))
+      val st = Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("station_id"),
+        (pmod(col("n_nationkey") * 37, lit(171)).cast("double") - 85.0 + 0.1)
+          .as("s_lat"),
+        (pmod(col("n_nationkey") * 91, lit(360)).cast("double") - 180.0 + 0.2)
+          .as("s_lon"))
+      graft.operators.Geo.nearestStationProfileGrid(pts, st, bandDeg = 10.0)
+    }),
     // per-group TWO-feature ridge regression: closed-form 2×2 normal-
     // equation solve from one co-moment pass (multivariate a35)
     "a37_grouped_ridge" -> q((s, d) =>
@@ -4582,6 +4600,28 @@ object SparkEntry {
            round(max(l_extendedprice), 4) AS hi
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     "x9_nearest_station" ->
+      """WITH p AS (SELECT event_id AS point_id,
+           (user_id % 171)::DOUBLE - 85.0 + 0.25 AS lat,
+           (event_id % 360)::DOUBLE - 180.0 + 0.5 AS lon FROM events),
+         s AS (SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+           ((n_nationkey * 37) % 171)::DOUBLE - 85.0 + 0.1 AS s_lat,
+           ((n_nationkey * 91) % 360)::DOUBLE - 180.0 + 0.2 AS s_lon
+           FROM nation),
+         d AS (SELECT point_id, station_id,
+           12742.0 * asin(sqrt(
+             sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(s_lat))
+               * sin(radians(s_lon - lon) / 2)
+               * sin(radians(s_lon - lon) / 2))) AS dist
+           FROM p CROSS JOIN s),
+         best AS (SELECT point_id, station_id, dist, row_number() OVER (
+             PARTITION BY point_id ORDER BY dist, station_id) AS rn
+           FROM d)
+         SELECT station_id, count(*) AS n_points,
+           round(avg(dist), 2) AS avg_km, round(max(dist), 2) AS max_km
+         FROM best WHERE rn = 1 GROUP BY 1 ORDER BY station_id""",
+    // same brute-force oracle as x9: the grid escalation is exact
+    "x9b_nearest_station_grid" ->
       """WITH p AS (SELECT event_id AS point_id,
            (user_id % 171)::DOUBLE - 85.0 + 0.25 AS lat,
            (event_id % 360)::DOUBLE - 180.0 + 0.5 AS lon FROM events),

@@ -83,6 +83,28 @@ class NewOpsSpec extends SparkTestBase {
     assert(d0 == 0.0)
   }
 
+  test("grid-band escalation reproduces the broadcast nearest-station " +
+    "profile exactly, including far-from-any-station points") {
+    // stations clustered near the equator + one polar outlier: points at
+    // high latitude need several ring doublings before their bound
+    // certifies the argmin — the escalation path, not just ring 1
+    val pts = (0L until 400L).map(i =>
+      (i, (i * 37 % 171).toDouble - 85.0 + 0.3, (i * 91 % 360).toDouble - 180.0 + 0.7))
+      .toDF("point_id", "lat", "lon")
+    val st = Seq((0L, 1.0, 10.0), (1L, -3.0, 160.0), (2L, 4.5, -100.0),
+      (3L, 82.0, 55.0)).toDF("station_id", "s_lat", "s_lon")
+    val broad = Geo.nearestStationProfile(pts, st).collect().toSeq
+    val grid = Geo.nearestStationProfileGrid(pts, st, bandDeg = 10.0)
+      .collect().toSeq
+    assert(grid == broad, s"grid:\n$grid\nbroadcast:\n$broad")
+    // narrow bands force the deepest escalation (maxRadius rounds)
+    val grid2 = Geo.nearestStationProfileGrid(pts, st, bandDeg = 2.5)
+      .collect().toSeq
+    assert(grid2 == broad)
+    // empty catalog: both forms yield an empty profile
+    assert(Geo.nearestStationProfileGrid(pts, st.limit(0)).isEmpty)
+  }
+
   test("weightedMedian and equi-depth histogram on a hand computed frame") {
     // values 1..4 with weights 1,1,1,5: total 8, half 4 -> cw hits 4 at
     // value 4? cw: 1,2,3,8 -> first cw>=4 is value 4
