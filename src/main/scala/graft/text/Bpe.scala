@@ -63,12 +63,75 @@ object Bpe {
         array_join(filter(split(col("word"), ""), c => length(c) > 0), "  "),
         lit(" ")))
 
-  /** Train `nMerges` rounds; returns the merge table and the word table
-    * in its FINAL symbol state (for encoding/inspection). The returned
-    * word DataFrame still references the persisted base — callers that
-    * materialize it pay only the replace chain. */
+  /** Train `nMerges` rounds by DELTA counting; returns the merge table
+    * and the word table in its FINAL symbol state (for
+    * encoding/inspection, eagerly settled).
+    *
+    * Classical distributed BPE re-counts EVERY pair every round — right
+    * at 10 merges, hopeless at a 32k-merge vocabulary (32k full corpus
+    * passes). This implementation keeps the (pair, count) table as
+    * ROUND STATE and updates it incrementally: only words CONTAINING
+    * the merged pair (a row-local `contains` filter over the
+    * vocabulary-sized word table) contribute a before/after pair-bag
+    * difference, and that delta folds into the count table with one
+    * full-outer join on the pair key. Per-round cost is therefore one
+    * word-table scan + a pair-table-sized join — flat in the merge
+    * index, never corpus-sized after round 0. The word table's replace
+    * chain and the count table's join lineage are both cut with eager
+    * localCheckpoints (counts every round — it IS the round state;
+    * words every 16 rounds), so plan depth is bounded at any merge
+    * count. Delta arithmetic is exact integer — the merge table is
+    * bit-identical to the full-recount reference [[trainRecount]],
+    * asserted by BpeSpec and the `--family bpe` scale probe. */
   def train(docs: DataFrame, nMerges: Int = 10,
             textCol: String = "text"): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var cur = wordTable(docs, textCol).localCheckpoint(true)
+    var counts = cur
+      .select(col("freq"), explode(pairsOf(col("s"))).as("pr"))
+      .groupBy("pr").agg(sum("freq").as("cnt"))
+      .localCheckpoint(true)
+    var sinceCut = 0
+    val merges = (1 to nMerges).map { r =>
+      val top = counts.orderBy(desc("cnt"), asc("pr")).limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe: no adjacent pairs left after ${r - 1} merges")
+      val pair = top(0).getString(0)
+      val cnt = top(0).getLong(1)
+      val merged = pair.replace(" ", "")
+      val pattern = " " + pair.replace(" ", "  ") + " "
+      val affected = cur.filter(col("s").contains(pattern))
+      val oldPairs = affected
+        .select(col("freq"), explode(pairsOf(col("s"))).as("pr"))
+        .groupBy("pr").agg((-sum("freq")).as("d"))
+      val newPairs = affected
+        .withColumn("s", replace(col("s"), lit(pattern), lit(s" $merged ")))
+        .select(col("freq"), explode(pairsOf(col("s"))).as("pr"))
+        .groupBy("pr").agg(sum("freq").as("d"))
+      val delta = oldPairs.unionByName(newPairs)
+        .groupBy("pr").agg(sum("d").as("d")).filter(col("d") =!= 0)
+      counts = counts.join(delta, Seq("pr"), "full_outer")
+        .select(col("pr"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L)))
+            .as("cnt"))
+        .filter(col("cnt") > 0)
+        .localCheckpoint(true)
+      cur = cur.withColumn("s",
+        replace(col("s"), lit(pattern), lit(s" $merged ")))
+      sinceCut += 1
+      if (sinceCut >= 16) { cur = cur.localCheckpoint(true); sinceCut = 0 }
+      Merge(r, pair, merged, cnt)
+    }
+    (merges, cur.localCheckpoint(true))
+  }
+
+  /** The classical full-recount reference: every round re-counts ALL
+    * pairs over the whole word table. O(nMerges) corpus-table passes —
+    * kept ONLY as the equivalence oracle for [[train]]'s delta counting
+    * (BpeSpec + the `--family bpe` probe assert bit-identical merge
+    * tables); never the production path. */
+  private[graft] def trainRecount(docs: DataFrame, nMerges: Int = 10,
+                                  textCol: String = "text"): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val words = wordTable(docs, textCol).persist()
     try {
@@ -89,8 +152,6 @@ object Bpe {
           replace(col("s"), lit(pattern), lit(s" $merged ")))
         Merge(r, pair, merged, cnt)
       }
-      // eagerly settle the final state while the base is cached, then
-      // release — the caller's DataFrame carries no persist dependency
       val settled = cur.localCheckpoint(true)
       (merges, settled)
     } finally { words.unpersist(); () }
@@ -116,8 +177,11 @@ object Bpe {
              textCol: String = "text"): DataFrame = {
     val encoded = merges.sortBy(_.step).foldLeft(wordTable(docs, textCol)) {
       (df, m) =>
-        df.withColumn("s", replace(col("s"),
+        val next = df.withColumn("s", replace(col("s"),
           lit(" " + m.pair.replace(" ", "  ") + " "), lit(s" ${m.merged} ")))
+        // a 32k-merge model would otherwise stack a 32k-deep replace
+        // chain into one projection — cut the plan every 64 merges
+        if (m.step % 64 == 0) next.localCheckpoint(true) else next
     }
     encoded.select(col("word"), col("freq"), symbolsOf(col("s")).as("symbols"))
   }

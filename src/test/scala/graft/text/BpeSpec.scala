@@ -75,6 +75,23 @@ class BpeSpec extends SparkTestBase {
     assert(enc("cat") == Seq("c", "a", "t"))
   }
 
+  test("delta counting matches the full-recount reference bit-for-bit") {
+    // >16 merges so the periodic word-table checkpoint path runs too;
+    // mixed word lengths, shared prefixes/suffixes, and runs exercise
+    // pair re-creation (a pair dropping to 0 then reappearing) and the
+    // left-to-right run semantics inside the delta updates
+    val docs = corpus("low" -> 9, "lower" -> 4, "lowest" -> 2,
+      "newest" -> 7, "widest" -> 3, "aaaa" -> 5, "aaab" -> 4,
+      "banana" -> 6, "bandana" -> 2, "estates" -> 3)
+    val (delta, wordsDelta) = Bpe.train(docs, nMerges = 20)
+    val (full, wordsFull) = Bpe.trainRecount(docs, nMerges = 20)
+    assert(delta == full,
+      s"merge tables diverged:\n${delta.zip(full).filter(p => p._1 != p._2)}")
+    val sd = wordsDelta.select("word", "s").collect().map(_.toSeq).sortBy(_.toString)
+    val sf = wordsFull.select("word", "s").collect().map(_.toSeq).sortBy(_.toString)
+    assert(sd.toSeq == sf.toSeq, "final word states diverged")
+  }
+
   test("rejects nMerges < 1 and fails fast when pairs run out") {
     val docs = corpus("ab" -> 1)
     intercept[IllegalArgumentException] { Bpe.train(docs, 0) }
