@@ -1900,6 +1900,17 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"),
           (col("sim") >= 0.9999).as("margin_ok"))
         .orderBy("removed_id")),
+    // the 2-nearest-centroid boundary pass over the same planted-clone
+    // corpus: pinned to the IDENTICAL exact all-pairs oracle as d14 —
+    // multi-probe may only ADD recall, and on this fixture (every true
+    // pair already recovered) must reproduce the exact result precisely
+    "d28_semdedup_multiprobe" -> q((s, d) =>
+      graft.similarity.SemDedup.removalsMultiProbe(
+          plantClones(Tables.embeddings(s, d), 25), tau = 0.95, nprobe = 2)
+        .select(col("removed_id"), col("kept_id"),
+          round(col("sim"), 6).as("sim"),
+          (col("sim") >= 0.9999).as("margin_ok"))
+        .orderBy("removed_id")),
     "d4_simhash_pairs" -> q((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 8,
         reproducible = true).limit(1000)),
@@ -6124,6 +6135,25 @@ object SparkEntry {
          FROM aug a JOIN aug b ON a.vec_id < b.vec_id
          ORDER BY sim DESC, id_a, id_b LIMIT 20""",
     "d14_semantic_dedup" ->
+      """WITH aug AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000,
+             CAST(list_transform(embedding, (x, i) ->
+               CAST(x * (1 + 0.0001 * ((vec_id + i - 1) % 3 - 1)) AS FLOAT))
+               AS DOUBLE[])
+           FROM embeddings WHERE vec_id < 25),
+         pairs AS (
+           SELECT a.vec_id AS kept_id, b.vec_id AS removed_id,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+           FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+         SELECT removed_id, min(kept_id) AS kept_id,
+           round(max(sim), 6) AS sim, max(sim) >= 0.9999 AS margin_ok
+         FROM pairs WHERE sim >= 0.95
+         GROUP BY removed_id ORDER BY removed_id""",
+    // identical exact all-pairs oracle: the boundary pass can only add
+    // recall, and every true pair is already in the single-probe result
+    "d28_semdedup_multiprobe" ->
       """WITH aug AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
            UNION ALL

@@ -59,4 +59,59 @@ object SemDedup {
       .select(col("removed_id").as("vec_id"))
     embeddings.join(removed, Seq("vec_id"), "left_anti")
   }
+
+  /** The cross-cell boundary mitigation of [[removals]]: each vector is
+    * assigned to its `nprobe` nearest centroids (UNIONED with its
+    * KMeans-argmin cell, so the probe set provably contains the
+    * single-assignment cell), and the within-cell pair scan runs over
+    * the multi-assignment — a near-dup pair straddling one cell
+    * boundary is recovered whenever the two vectors share ANY probed
+    * cell. Cost: each vector appears ≤ nprobe+1 times, so pair-scan
+    * work scales by ~(nprobe)² per cell while recall strictly grows:
+    * the removal set is a SUPERSET of the single-assignment set by
+    * construction (every pair the single pass finds shares the argmin
+    * cell both sides still carry), and every emitted pair is verified
+    * ≥ tau by exact cosine — both invariants spec- and gate-pinned.
+    * Pairs found through two shared cells collapse in the final
+    * per-removed_id aggregation. */
+  def removalsMultiProbe(embeddings: DataFrame, tau: Double,
+                         nlist: Int = 16, nprobe: Int = 2,
+                         seed: Long = 42L): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val idx = Ivf.buildIndex(embeddings, nlist, seed)
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy("vec_id")
+    // squared L2 to each centroid via ‖v‖² − 2v·c + ‖c‖²; rank per
+    // vector, keep nprobe, then union the KMeans cell (FP near-ties
+    // between this ranking and the model's own argmin must not break
+    // the superset guarantee)
+    val ranked = idx.assignments
+      .join(broadcast(idx.centroids.select(col("cluster").as("_c"),
+        col("c_emb"), col("c_norm"))))
+      .withColumn("_d2", col("norm") * col("norm")
+        - lit(2.0) * dotProduct(col("emb"), col("c_emb"))
+        + col("c_norm") * col("c_norm"))
+      .withColumn("_r", row_number().over(byVec.orderBy(asc("_d2"), asc("_c"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("vec_id"), col("emb"), col("norm"), col("_c").as("cluster"))
+    val probes = ranked
+      .unionByName(idx.assignments.select("vec_id", "emb", "norm", "cluster"))
+      .dropDuplicates("vec_id", "cluster")
+    val keep = probes.select(col("cluster"), col("vec_id").as("kept_id"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val drop = probes.select(col("cluster"), col("vec_id").as("removed_id"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val out = keep.join(drop, "cluster")
+      .filter(col("kept_id") < col("removed_id"))
+      .withColumn("sim",
+        when(col("norm_a") > 0 && col("norm_b") > 0,
+          dotProduct(col("emb_a"), col("emb_b")) /
+            (col("norm_a") * col("norm_b"))))
+      .filter(col("sim") >= tau)
+      .groupBy("removed_id")
+      .agg(min("kept_id").as("kept_id"), max("sim").as("sim"))
+      .localCheckpoint(true)
+    idx.assignments.unpersist()
+    out
+  }
 }
