@@ -2432,6 +2432,36 @@ object SparkEntry {
         round(avg("avg_speed_mph"), 4).as("speed_avg"))
       rej.crossJoin(surv) // two one-row aggregates
     }),
+    // P8 tolerant timestamp parse, gate-pinned (was unit-only): string
+    // pickup timestamps in four deterministic corruption classes run
+    // through the REAL SchemaNormalizer.toCanonical projection; bad
+    // strings must coerce to NULL (never throw, despite ANSI mode) and
+    // parsed values must match DuckDB try_cast to the microsecond
+    "x12_tolerant_parse" -> q((s, d) => {
+      val raw = Tables.events(s, d).select(
+        col("event_id"),
+        when(col("event_id") % 4 === 0,
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 4 === 1,
+            concat(lit("garbage-"), (col("event_id") % 10).cast("string")))
+          .when(col("event_id") % 4 === 2, lit(""))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd"))
+          .as("tpep_pickup_datetime"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("tpep_dropoff_datetime"),
+        lit("1.5").as("trip_distance"),
+        // numeric coercion rides the same gate: garbage → NULL
+        when(col("event_id") % 5 === 0, lit("oops"))
+          .otherwise((col("event_id") % 50).cast("string")).as("fare_amount"))
+      taxi.SchemaNormalizer.toCanonical(raw, "yellow").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pickup_ts")).as("n_parsed"),
+        count(when(col("pickup_ts").isNull, 1)).as("n_null"),
+        sum(unix_micros(col("pickup_ts"))).as("ts_checksum"),
+        count(col("dropoff_ts")).as("n_dropoff_parsed"),
+        count(col("fare")).as("n_fare_parsed"),
+        round(sum("fare"), 4).as("fare_sum"))
+    }),
     // J2's literal reference form (`generate_notebooks_auto.py:383-430`):
     // cleaned trips × the zone-lookup CSV dimension, broadcast-joined on
     // pickup zone, borough-level rollup — exercises the S12 CSV scan
@@ -3232,6 +3262,46 @@ object SparkEntry {
           .groupBy(concat(col("source"), lit("/"), col("lang")).as("path"))
           .agg(sum("n_chars").as("bytes")),
         "path", "bytes", nBins = 6)),
+    // S13 manifest write/read/error-count, gate-pinned (was unit-only):
+    // one manifest entry per (source, lang) slice — per-FILE metadata,
+    // bounded by construction — appended through Manifest.append (JSON
+    // escaping), read back through Manifest.read, and rolled up; the
+    // oracle recomputes every number straight from `documents`, so a
+    // parse/escape/error-count defect in the manifest codec fails the
+    // hash
+    "io13_manifest_check" -> q((s, d) => withTempDir("graft_io13") { dir =>
+      val slices = Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        .orderBy("source", "lang")
+        .collect() // |sources|×|langs| rows — manifest-sized metadata
+      val path = s"$dir/manifest.jsonl"
+      slices.foreach { r =>
+        graft.sources.Manifest.append(path, graft.sources.Manifest.Entry(
+          url = s"""https://example.test/${r.getString(0)}/${r.getString(1)}.parquet""",
+          yearMonth = f"2024-${r.getLong(2) % 12 + 1}%02d",
+          cabType = r.getString(0),
+          downloaded = r.getLong(2) % 2 == 0,
+          sizeBytes = r.getLong(3),
+          error = if (r.getLong(2) % 3 == 0)
+            Some("HTTP 500 \"server\\error\" after 3 retries") else None,
+          rows = Some(r.getLong(2))))
+      }
+      val entries = graft.sources.Manifest.read(path)
+      val errorCount = graft.sources.Manifest.errorCount(path)
+      import s.implicits._
+      entries.map(e => (e.cabType, e.downloaded, e.sizeBytes,
+          e.rows.getOrElse(-1L), e.error.isDefined))
+        .toDF("source", "downloaded", "size_bytes", "n_docs", "has_error")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("downloaded"), 1L).otherwise(0L)).as("n_downloaded"),
+          sum("size_bytes").as("total_bytes"),
+          sum("n_docs").as("total_docs"),
+          sum(when(col("has_error"), 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("manifest_error_count", lit(errorCount.toLong))
+        .orderBy("source")
+    }),
     // Box-Jenkins cross-correlation: does click volume lead purchase
     // volume? lags −3..+3 over the aligned daily-count tier
     "w34_lead_lag_corr" -> q((s, d) =>
@@ -7333,6 +7403,28 @@ object SparkEntry {
       s"""$taxiYellowCleaned
          SELECT do_zone, count(*) AS trip_count FROM cl GROUP BY 1
          ORDER BY trip_count DESC, do_zone LIMIT 100""",
+    // the same four corruption classes, parsed with try_cast — NULL on
+    // bad strings, microsecond-exact checksum on good ones
+    "x12_tolerant_parse" ->
+      """WITH raw AS (SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                WHEN event_id % 4 = 1
+                  THEN 'garbage-' || CAST(event_id % 10 AS VARCHAR)
+                WHEN event_id % 4 = 2 THEN ''
+                ELSE strftime(ts, '%Y-%m-%d') END AS pu,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS dof,
+           CASE WHEN event_id % 5 = 0 THEN 'oops'
+                ELSE CAST(event_id % 50 AS VARCHAR) END AS fare
+           FROM events),
+         p AS (SELECT try_cast(pu AS TIMESTAMP) AS pts,
+           try_cast(dof AS TIMESTAMP) AS dts,
+           try_cast(fare AS DOUBLE) AS f FROM raw)
+         SELECT count(*) AS n_rows, count(pts) AS n_parsed,
+           CAST(count(*) - count(pts) AS BIGINT) AS n_null,
+           CAST(sum(epoch_us(pts)) AS BIGINT) AS ts_checksum,
+           count(dts) AS n_dropoff_parsed,
+           count(f) AS n_fare_parsed, round(sum(f), 4) AS fare_sum
+         FROM p""",
     "x11_cleaning_audit" ->
       s"""$taxiYellowCleaned,
          c AS (SELECT *, date_diff('second', pickup_ts, dropoff_ts) / 60.0
@@ -7899,6 +7991,23 @@ object SparkEntry {
            count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
            round(CAST(sum(bytes) AS DOUBLE) / t.target, 4) AS fill_ratio
          FROM cb, t GROUP BY 1, t.target ORDER BY 1""",
+    // every manifest number recomputed straight from documents — a
+    // Manifest.append/read escaping or error-count defect fails the hash
+    "io13_manifest_check" ->
+      """WITH s AS (SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(CASE WHEN n_docs % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS mec FROM s)
+         SELECT source, count(*) AS n_files,
+           CAST(sum(CASE WHEN n_docs % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_downloaded,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN n_docs % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           t.mec AS manifest_error_count
+         FROM s, t GROUP BY source, t.mec ORDER BY source""",
     // sample Pearson CCF between the two daily count series per lag
     "w34_lead_lag_corr" ->
       """WITH a AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x

@@ -45,8 +45,18 @@ object SchemaNormalizer {
       }
   }
 
+  /** P8 tolerant coercion: a STRING source column parses with try_cast —
+    * bad strings become NULL (the pandas `errors="coerce"` semantics of
+    * `analytics_pandas.py:132-137`). A plain cast would THROW under
+    * Spark 4's default ANSI mode on the first malformed value, turning
+    * one bad row into a failed 100-TB job. Non-string sources keep the
+    * plain cast (already typed; try_cast would only mask real bugs). */
   private def opt(df: DataFrame, name: Option[String], as: String, cast: String): Column =
-    name.map(n => col(n).cast(cast)).getOrElse(lit(null).cast(cast)).as(as)
+    name.map { n =>
+      if (df.schema(n).dataType == org.apache.spark.sql.types.StringType)
+        col(n).try_cast(cast)
+      else col(n).cast(cast)
+    }.getOrElse(lit(null).cast(cast)).as(as)
 
   /** Project an arbitrary cab-type frame to [[TaxiSchemas.canonical]].
     * Missing columns become typed nulls (FHV has no fare/distance —
