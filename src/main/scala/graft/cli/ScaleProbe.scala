@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.dedup.{Dedup, DupGroups, StarComponents}
-import graft.graph.PageRank
+import graft.dedup.{Dedup, DupGroups, ExactSubstr, StarComponents}
+import graft.graph.{Ktruss, PageRank}
 import graft.operators.{AsOfJoin, Quality, Windows}
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, Pq, SemDedup, Similarity}
+import graft.text.Bpe
 
 /** Hot-key scale probe for the per-key-ordered operators — the
   * measurement harness behind SCALE.md's "Measured 10× scale probe"
@@ -91,7 +92,7 @@ object ScaleProbe {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
     require(opts.size == args.length / 2,
       s"every flag must start with --, got: ${args.mkString(" ")}")
-    val known = Set("rows", "hot-frac", "family", "diam")
+    val known = Set("rows", "hot-frac", "family", "diam", "merges")
     require(opts.keySet.subsetOf(known),
       s"unknown flag(s): ${(opts.keySet -- known).mkString(", ")} " +
         s"(known: ${known.mkString(", ")})")
@@ -99,6 +100,7 @@ object ScaleProbe {
     val hotFrac = opts.getOrElse("hot-frac", "0.33").toDouble
     val family = opts.getOrElse("family", "hotkey")
     val diam = opts.getOrElse("diam", "16").toInt
+    val nMerges = opts.getOrElse("merges", "32").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
     val spark = GraftSession.local(cores = cpus, appName = "graft-scale-probe")
@@ -110,8 +112,14 @@ object ScaleProbe {
       case "ann"        => probeIvf(spark, rows, hotFrac, cpus)
       case "graph"      => probePagerank(spark, rows, hotFrac, cpus)
       case "topk"       => probeTopK(spark, rows, hotFrac, cpus)
+      case "substr"     => probeSubstr(spark, rows, hotFrac, cpus)
+      case "bpe"        => probeBpe(spark, rows, hotFrac, nMerges, cpus)
+      case "truss"      => probeTruss(spark, rows, hotFrac, cpus)
+      case "pq"         => probePq(spark, rows, hotFrac, cpus)
+      case "semdedup"   => probeSemDedup(spark, rows, hotFrac, cpus)
       case other => throw new IllegalArgumentException(
-        s"unknown --family $other (known: hotkey dedup components ann graph topk)")
+        s"unknown --family $other (known: hotkey dedup components ann graph " +
+          "topk substr bpe truss pq semdedup)")
     }
     spark.stop()
   }
@@ -390,5 +398,267 @@ object ScaleProbe {
     }
     require(heap == win,
       s"heap top-k diverged from the window oracle: $heap vs $win")
+  }
+
+  /** `--family substr`: exact-substring dedup under a planted MEGA-SPAN
+    * — `hotFrac` of docs share one 30-token body (unique 5-token
+    * prefix/suffix per copy), so every interior 8-shingle of the body
+    * has a posting list of size hotFrac·N: the hot-key regime for both
+    * the duplicated-shingle count (absorbed by partial→final agg) and
+    * the semi-join back to postings (ordinary join skew). Cold docs are
+    * 40 unique tokens and must produce NO spans. Equivalence: span and
+    * strip checksums invariant across input partitionings. */
+  private def probeSubstr(spark: SparkSession, rows: Long, hotFrac: Double,
+                          cpus: Int): Unit = {
+    val body = (1 to 30).map(i => s"b${i * 13 % 97}x").mkString(" ")
+    def uniq(tag: Int, n: Int) = concat_ws(" ",
+      (0 until n).map(j => concat(lit("u"),
+        pmod(hash(col("id") * (1009 + tag) + j), lit(100000000L))
+          .cast("string"))): _*)
+    val docs = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("doc_id"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
+        concat_ws(" ", uniq(1, 5), lit(body), uniq(2, 5)))
+        .otherwise(uniq(3, 40)).as("text"))
+      .localCheckpoint(eager = true)
+    val hotDocs = docs.filter(col("text").contains(body)).count()
+    println(s"""{"probe":"substr-megaspan","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"hot_docs":$hotDocs}""")
+    def spanChecksum(d: DataFrame): Long =
+      ExactSubstr.duplicatedSpans(d, k = 8)
+        .agg(sum(hash(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_len")))).head().getLong(0)
+    def stripChecksum(d: DataFrame): Long =
+      ExactSubstr.stripSpans(d, k = 8)
+        .agg(sum(hash(col("doc_id"), col("n_before"), col("n_after"),
+          col("clean_text")))).head().getLong(0)
+    val (s1, _, _) = measure(spark, "substr_spans_p3") {
+      spanChecksum(docs.repartition(3))
+    }
+    val (s2, _, _) = measure(spark, s"substr_spans_p${cpus * 2}") {
+      spanChecksum(docs.repartition(cpus * 2))
+    }
+    require(s1 == s2, s"span cut list depends on partitioning: $s1 vs $s2")
+    val (t1, _, _) = measure(spark, "substr_strip_p3") {
+      stripChecksum(docs.repartition(3))
+    }
+    val (t2, _, _) = measure(spark, s"substr_strip_p${cpus * 2}") {
+      stripChecksum(docs.repartition(cpus * 2))
+    }
+    require(t1 == t2, s"stripped corpus depends on partitioning: $t1 vs $t2")
+    // every span row must belong to a hot doc (cold docs are unique)
+    val spanned = ExactSubstr.duplicatedSpans(docs, k = 8)
+      .select("doc_id").distinct().count()
+    println(s"""{"probe":"substr-megaspan","docs_with_spans":$spanned}""")
+    require(spanned == hotDocs,
+      s"span coverage wrong: $spanned docs spanned vs $hotDocs planted")
+  }
+
+  /** `--family bpe`: merge training under a SKEWED symbol-pair
+    * distribution — `hotFrac` of docs are pure 'z' runs (pair "z z"
+    * dominates round 1, and each merge of a run pair immediately
+    * recreates mass on the merged symbol's self-pair: the worst case
+    * for delta churn on the count table); the rest are hash-derived
+    * words over an 8-letter alphabet. Reports wall at `merges/4` and
+    * `merges` rounds — per-round cost must stay flat in the merge index
+    * — and asserts the delta-counting trainer is bit-identical to the
+    * full-recount reference and invariant to input partitioning. */
+  private def probeBpe(spark: SparkSession, rows: Long, hotFrac: Double,
+                       nMerges: Int, cpus: Int): Unit = {
+    val docs = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("doc_id"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
+        repeat(lit("z"), (pmod(hash(col("id") * 3 + 1), lit(5)) + 4).cast("int")))
+        .otherwise(translate(
+          conv(pmod(hash(col("id") * 31 + 7), lit(100000L)).cast("string"),
+            10, 8),
+          "01234567", "abcdefgh")).as("text"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"bpe-skewed-pairs","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"merges":$nMerges,""" +
+      s""""vocab":${docs.select("text").distinct().count()}}""")
+    def sig(ms: Seq[Bpe.Merge]): Long =
+      ms.map(m => s"${m.step}:${m.pair}:${m.pair_count}").mkString("|")
+        .hashCode.toLong
+    val quarter = math.max(nMerges / 4, 1)
+    measure(spark, s"bpe_delta_m$quarter") {
+      sig(Bpe.train(docs, quarter)._1)
+    }
+    measure(spark, s"bpe_delta_m$nMerges") {
+      sig(Bpe.train(docs, nMerges)._1)
+    }
+    val eqM = math.min(nMerges, 8)
+    val (d8, _, _) = measure(spark, s"bpe_delta_m${eqM}_eq") {
+      sig(Bpe.train(docs, eqM)._1)
+    }
+    val (r8, _, _) = measure(spark, s"bpe_recount_m${eqM}_eq") {
+      sig(Bpe.trainRecount(docs, eqM)._1)
+    }
+    require(d8 == r8,
+      s"delta counting diverged from full recount: $d8 vs $r8")
+    val p3 = sig(Bpe.train(docs.repartition(3), eqM)._1)
+    require(d8 == p3, s"merge table depends on partitioning: $d8 vs $p3")
+  }
+
+  /** `--family truss`: k-truss peeling with a planted DENSE CORE — a
+    * clique of c ≈ √(2·rows·hotFrac) nodes (so clique edges ≈
+    * hotFrac·rows) plus triangle-free chain filler. Every clique node
+    * has degree c−1: the oriented wedge pass must absorb the core
+    * without a task-serializing hot key, the chains must drop in round
+    * 1 (no triangle support). Checksum invariant across input
+    * partitionings. */
+  private def probeTruss(spark: SparkSession, rows: Long, hotFrac: Double,
+                         cpus: Int): Unit = {
+    val c = math.max(4L, math.sqrt(2.0 * rows * hotFrac).toLong)
+    val clique = spark.range(c - 1).select(col("id").as("a"),
+      explode(sequence(col("id") + 1, lit(c - 1))).as("b"))
+    val nClique = c * (c - 1) / 2
+    val chainRows = math.max(rows - nClique, 0L)
+    val chains = spark.range(0, chainRows, 1, cpus * 2)
+      .select((col("id") + 1000000000L).as("a"),
+        (col("id") + 1000000001L).as("b"))
+    val edges = clique.unionByName(chains)
+      .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"truss-dense-core","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"clique_nodes":$c,"clique_edges":$nClique,""" +
+      s""""chain_edges":$chainRows}""")
+    def checksum(es: DataFrame): Long =
+      Ktruss.trussHistogram(es, k = 4, rounds = 3)
+        .agg(sum(hash(col("support"), col("n_edges")))).head().getLong(0)
+    val (k1, _, _) = measure(spark, "truss_p3") {
+      checksum(edges.repartition(3))
+    }
+    val (k2, _, _) = measure(spark, s"truss_p${cpus * 2}") {
+      checksum(edges.repartition(cpus * 2))
+    }
+    require(k1 == k2, s"truss census depends on partitioning: $k1 vs $k2")
+    // the census must be exactly the clique: every surviving edge has
+    // support c-2, and there are c(c-1)/2 of them
+    val census = Ktruss.trussHistogram(edges, k = 4, rounds = 3).collect()
+    require(census.length == 1 && census(0).getLong(0) == c - 2 &&
+      census(0).getLong(1) == nClique,
+      s"dense core not preserved exactly: ${census.mkString(", ")}")
+  }
+
+  /** `--family pq`: product quantization with ONE FAT CELL — `hotFrac`
+    * of vectors sit in a tight cluster, so one codeword per subspace
+    * absorbs that fraction of all blocks and the ADC postings join has
+    * one hot (block, code) key (ordinary join skew; the LUT side is
+    * broadcast). Codes are exact ints: the encode checksum must be
+    * invariant to input partitioning under a FIXED model. ADC walls are
+    * reported; the fat-code fraction is printed as the pathology
+    * evidence. */
+  private def probePq(spark: SparkSession, rows: Long, hotFrac: Double,
+                      cpus: Int): Unit = {
+    val dim = 16
+    val hot = (0 until dim).map(j =>
+      (lit(j * 0.25 - 2.0) +
+        pmod(hash(col("id") * 17 + j), lit(1000L)).cast("double") / 1e6)
+        .as(s"_c$j"))
+    val cold = (0 until dim).map(j =>
+      ((pmod(hash(col("id") * 31 + j), lit(2000L)).cast("double") - 1000.0)
+        / 1000.0).as(s"_c$j"))
+    val emb = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("vec_id"),
+      when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
+        array(hot: _*)).otherwise(array(cold: _*)).as("embedding"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"pq-fat-cell","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"dim":$dim}""")
+    var model: Pq.Model = null
+    measure(spark, "pq_train") {
+      model = Pq.train(emb, m = 4, k = 16)
+      model.codebooks.agg(sum(hash(col("block"), col("code"))))
+        .head().getLong(0)
+    }
+    def codesChecksum(e: DataFrame): Long =
+      Pq.encode(e, model)
+        .agg(sum(hash(col("vec_id"), col("codes")))).head().getLong(0)
+    val (e1, _, _) = measure(spark, "pq_encode_p3") {
+      codesChecksum(emb.repartition(3))
+    }
+    val (e2, _, _) = measure(spark, s"pq_encode_p${cpus * 2}") {
+      codesChecksum(emb.repartition(cpus * 2))
+    }
+    require(e1 == e2, s"codes depend on partitioning: $e1 vs $e2")
+    val codes = Pq.encode(emb, model).localCheckpoint(eager = true)
+    // fat-cell evidence: the max share any single (block, code) holds
+    val fat = codes
+      .select(posexplode(col("codes")).as(Seq("block", "code")))
+      .groupBy("block", "code").count()
+      .agg((max("count") / sum("count") * 4).as("frac")).head().getDouble(0)
+    println(f"""{"probe":"pq-fat-cell","fat_code_frac":$fat%.3f}""")
+    measure(spark, "pq_adc_topk") {
+      Pq.adcTopK(codes, emb, model, 0L until 8L, kNN = 5)
+        .agg(sum(hash(col("query_id"), col("rank"), col("vec_id"))))
+        .head().getLong(0)
+    }
+  }
+
+  /** `--family semdedup`: the single-assignment recall gap, measured —
+    * `hotFrac` of vectors are planted BOUNDARY PAIRS (consecutive ids
+    * 16° apart, symmetric about the 45° line between two anchor
+    * clusters, cosine ≈ 0.961 ≥ τ = 0.95), so a coarse quantizer that
+    * splits the 45° region leaves single-assignment blind to exactly
+    * those pairs. Asserts the multi-probe removal set is a SUPERSET of
+    * the single-assignment set and reports both counts + walls — the
+    * recall/cost trade SCALE.md documents. */
+  private def probeSemDedup(spark: SparkSession, rows: Long, hotFrac: Double,
+                            cpus: Int): Unit = {
+    // hotness keys on id/2 so a planted pair (2k, 2k+1) is hot
+    // TOGETHER: member 2k is a random direction, member 2k+1 the same
+    // direction plus a ±0.05 per-dim perturbation (cos ≈ 0.999 ≥ τ).
+    // Pairs sit at MUTUALLY RANDOM directions, so each pair is its own
+    // isolated dup group and the single-assignment pass misses exactly
+    // the pairs the quantizer splits across a Voronoi boundary — the
+    // NATURAL miss rate of the method, which multi-probe must recover.
+    // 16-d: random cosines concentrate near 0 (P(cos ≥ .95) ≈ 4e-7),
+    // so accidental dups are ~zero and recall is readable from counts;
+    // in 4-d the same fixture drowns in ~0.5% accidental pairs.
+    val dim = 16
+    // NOTE col("id") / 2 is DOUBLE division in Spark — pair keying
+    // must use integer floor division or the two members hash apart
+    val pairKey = floor(col("id") / 2).cast("long")
+    val isHot =
+      pmod(hash(pairKey * 7 + 1), lit(1000)) < lit((hotFrac * 1000).toInt)
+    def rand(mult: Int, off: Int, scale: Double, keyed: org.apache.spark.sql.Column) =
+      (pmod(hash(keyed * mult + off), lit(2000L)).cast("double") - 1000.0) / scale
+    val hotArr = array((0 until dim).map(j =>
+      rand(37 + j, 11, 1000.0, pairKey) +
+        when(col("id") % 2 === 1, rand(53 + j, 29, 20000.0, pairKey))
+          .otherwise(lit(0.0))): _*)
+    val coldArr = array((0 until dim).map(j =>
+      rand(19 + j, 7, 1000.0, col("id"))): _*)
+    val emb = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("vec_id"),
+      when(isHot, hotArr).otherwise(coldArr).as("embedding"))
+      .localCheckpoint(eager = true)
+    val planted = emb.filter(
+      pmod(hash(floor(col("vec_id") / 2).cast("long") * 7 + 1), lit(1000))
+        < lit((hotFrac * 1000).toInt) && col("vec_id") % 2 === 1).count()
+    // cells must stay bounded as N grows — nlist is the method's scale
+    // knob (SemDedup's paper runs ~100k cells over 5B vectors)
+    val nlist = math.max(8, (rows / 2500).toInt)
+    println(s"""{"probe":"semdedup-boundary","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"nlist":$nlist,"planted_pairs":$planted}""")
+    var single: DataFrame = null
+    var multi: DataFrame = null
+    measure(spark, "semdedup_single") {
+      single = SemDedup.removals(emb, tau = 0.95, nlist = nlist)
+      single.count()
+    }
+    measure(spark, "semdedup_multiprobe") {
+      multi = SemDedup.removalsMultiProbe(emb, tau = 0.95, nlist = nlist,
+        nprobe = 2)
+      multi.count()
+    }
+    val lost = single.select("removed_id")
+      .join(multi.select("removed_id"), Seq("removed_id"), "left_anti")
+      .count()
+    require(lost == 0, s"multi-probe lost $lost single-assignment removals")
+    println(s"""{"probe":"semdedup-boundary","planted_pairs":$planted,""" +
+      s""""single_removed":${single.count()},""" +
+      s""""multi_removed":${multi.count()}}""")
   }
 }
