@@ -55,13 +55,36 @@ object Triangles {
     (und, deg, ranked)
   }
 
+  /** The wedge-source side, EXPLICITLY hash-redistributed on `u` before
+    * the self-join expands it. Without this, a small oriented edge list
+    * (AQE-coalesced to one or two partitions — e.g. a k-truss round's
+    * checkpointed survivor set) feeds a broadcast-pipelined wedge join
+    * whose whole O(Σ d⁺²) expansion then runs inside those few tasks:
+    * the round-10 truss probe measured a 574-node clique serializing
+    * 31M wedges into ONE 20-second task. The exchange costs one pass
+    * over the EDGE list (cheap) and spreads the expansion across
+    * Σ-per-partition out-degree mass. Per-key work is still bounded by
+    * the orientation (d⁺ ≤ O(√m)); a graph where one node's C(d⁺, 2)
+    * alone exceeds a task budget needs the chunk-pair split (replicate
+    * e2 per neighbor chunk) — documented, not yet needed at any probed
+    * scale. */
+  private def wedgeSource(ranked: DataFrame): DataFrame = {
+    // explicit partition count: a bare repartition(col) is an
+    // AQE-coalescable exchange, and the edge list is small enough that
+    // AQE folds it right back into the few-partition shape this
+    // exchange exists to break
+    val n = ranked.sparkSession.sessionState.conf.numShufflePartitions
+    ranked.repartition(n, col("u"))
+  }
+
   /** Every triangle's three corners, one row per (triangle, corner).
     * Wedges form at the rank-smallest endpoint; the closing edge, if
     * present, is oriented rank-low -> rank-high by construction, so one
     * equi-join against the oriented set decides each wedge. */
   private def triangleCorners(ranked: DataFrame): DataFrame = {
-    val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
-    val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
+    val src = wedgeSource(ranked)
+    val e1 = src.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
+    val e2 = src.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
       .select(col("u"), col("v1").as("wu"), col("v2").as("wv"))
     val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
@@ -134,8 +157,9 @@ object Triangles {
     * aggregation. Shared by [[edgeEmbeddedness]] (which left-joins the
     * zeros back) and [[Ktruss]]'s peeling rounds (which drop them). */
   private[graph] def positiveEdgeSupport(ranked: DataFrame): DataFrame = {
-    val e1 = ranked.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
-    val e2 = ranked.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
+    val src = wedgeSource(ranked)
+    val e1 = src.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
+    val e2 = src.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
     val wedges = e1.join(e2, Seq("u")).filter(col("r1") < col("r2"))
       .select(col("u"), col("v1").as("wu"), col("v2").as("wv"))
     val closing = ranked.select(col("u").as("wu"), col("v").as("wv"))
