@@ -470,7 +470,7 @@ object ScaleProbe {
       when(pmod(hash(col("id")), lit(1000)) < lit((hotFrac * 1000).toInt),
         repeat(lit("z"), (pmod(hash(col("id") * 3 + 1), lit(5)) + 4).cast("int")))
         .otherwise(translate(
-          conv(pmod(hash(col("id") * 31 + 7), lit(100000L)).cast("string"),
+          conv(pmod(hash(col("id") * 31 + 7), lit(10000000L)).cast("string"),
             10, 8),
           "01234567", "abcdefgh")).as("text"))
       .localCheckpoint(eager = true)
