@@ -2457,7 +2457,9 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         count(col("pickup_ts")).as("n_parsed"),
         count(when(col("pickup_ts").isNull, 1)).as("n_null"),
-        sum(unix_micros(col("pickup_ts"))).as("ts_checksum"),
+        // mod a prime: the raw µs sum overflows Long past ~5M rows
+        sum(pmod(unix_micros(col("pickup_ts")), lit(1000000007L)))
+          .as("ts_checksum"),
         count(col("dropoff_ts")).as("n_dropoff_parsed"),
         count(col("fare")).as("n_fare_parsed"),
         round(sum("fare"), 4).as("fare_sum"))
@@ -7421,7 +7423,7 @@ object SparkEntry {
            try_cast(fare AS DOUBLE) AS f FROM raw)
          SELECT count(*) AS n_rows, count(pts) AS n_parsed,
            CAST(count(*) - count(pts) AS BIGINT) AS n_null,
-           CAST(sum(epoch_us(pts)) AS BIGINT) AS ts_checksum,
+           CAST(sum(epoch_us(pts) % 1000000007) AS BIGINT) AS ts_checksum,
            count(dts) AS n_dropoff_parsed,
            count(f) AS n_fare_parsed, round(sum(f), 4) AS fare_sum
          FROM p""",

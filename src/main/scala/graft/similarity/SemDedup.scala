@@ -79,21 +79,30 @@ object SemDedup {
                          seed: Long = 42L): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val idx = Ivf.buildIndex(embeddings, nlist, seed)
-    import org.apache.spark.sql.expressions.Window
-    val byVec = Window.partitionBy("vec_id")
-    // squared L2 to each centroid via ‖v‖² − 2v·c + ‖c‖²; rank per
-    // vector, keep nprobe, then union the KMeans cell (FP near-ties
-    // between this ranking and the model's own argmin must not break
-    // the superset guarantee)
+    // per-vector top-nprobe centroids by squared L2
+    // (‖v‖² − 2v·c + ‖c‖², ties to the smaller cluster id), computed
+    // ROW-LOCALLY over a broadcast one-row centroid array: sort nlist
+    // struct entries inside a projection and keep nprobe. The obvious
+    // alternative — join every vector against every centroid and rank
+    // with a window — materializes N·nlist rows through a shuffle+sort;
+    // this form adds ZERO exchanges. The KMeans-argmin cell is unioned
+    // in afterwards so FP near-ties between this ranking and the
+    // model's own argmin can't break the superset guarantee.
+    val centArr = idx.centroids
+      .agg(collect_list(struct(col("c_emb"), col("c_norm"),
+        col("cluster"))).as("_cents"))
     val ranked = idx.assignments
-      .join(broadcast(idx.centroids.select(col("cluster").as("_c"),
-        col("c_emb"), col("c_norm"))))
-      .withColumn("_d2", col("norm") * col("norm")
-        - lit(2.0) * dotProduct(col("emb"), col("c_emb"))
-        + col("c_norm") * col("c_norm"))
-      .withColumn("_r", row_number().over(byVec.orderBy(asc("_d2"), asc("_c"))))
-      .filter(col("_r") <= nprobe)
-      .select(col("vec_id"), col("emb"), col("norm"), col("_c").as("cluster"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("_top", slice(array_sort(transform(col("_cents"), c =>
+        struct(
+          (col("norm") * col("norm")
+            - lit(2.0) * dotProduct(col("emb"), c.getField("c_emb"))
+            + c.getField("c_norm") * c.getField("c_norm")).as("d2"),
+          c.getField("cluster").as("cluster")))), lit(1), lit(nprobe)))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        explode(col("_top")).as("_t"))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("_t.cluster").as("cluster"))
     val probes = ranked
       .unionByName(idx.assignments.select("vec_id", "emb", "norm", "cluster"))
       .dropDuplicates("vec_id", "cluster")
