@@ -1767,6 +1767,13 @@ object SparkEntry {
             lit(".1"))).otherwise(lit(""))))
       graft.text.Scrub.piiStats(graft.text.Scrub.scrubPii(withPii))
     }),
+    // phrase-blocklist audit: per-source exposure to a curated phrase
+    // list (license/spam/NSFW-marker scrub shape) — one row-local
+    // array-filter pass, no join
+    "t28_blocklist_audit" -> q((s, d) =>
+      graft.text.Scrub.blocklistAudit(Tables.documents(s, d),
+        Seq("slow join", "table scan", "batch batch", "window window",
+          "never matches anything"))),
     // C4 line filter over a deterministically line-structured corpus:
     // ' a ' → '.\n' gives every doc real line boundaries (the fixture
     // text has none), and two injected markers exercise the DOC-level
@@ -5980,6 +5987,20 @@ object SparkEntry {
            round(avg(tbf), 6) AS avg_top_bigram_frac,
            count(CASE WHEN wdf > 0.3 OR tbf > 0.2 THEN 1 END) AS n_flagged
          FROM j GROUP BY 1 ORDER BY lang""",
+    // same substring semantics via contains() on both engines
+    "t28_blocklist_audit" ->
+      """WITH h AS (SELECT source,
+           len(list_filter(['slow join', 'table scan', 'batch batch',
+               'window window', 'never matches anything'],
+             p -> contains(text, p))) AS hits
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           round(avg(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS flag_rate
+         FROM h GROUP BY source ORDER BY source""",
     "t14_pii_scrub" ->
       """WITH w AS (SELECT source, text ||
            CASE WHEN doc_id % 7 = 0

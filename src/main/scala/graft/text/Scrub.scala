@@ -48,4 +48,31 @@ object Scrub {
         sum(regexp_count(col("text"), lit(EmailRe))
           + regexp_count(col("text"), lit(Ipv4Re))).as("n_residual_pii"))
       .orderBy("source")
+
+  /** Multi-phrase blocklist audit — the other standard pre-training
+    * scrub: flag documents containing ANY of a curated phrase list
+    * (license boilerplate, NSFW markers, known spam templates) and
+    * report per-source exposure. The phrase list is pipeline METADATA
+    * (hundreds to low thousands of entries): it ships as an array
+    * literal inside the projection, so the scan is one row-local
+    * codegen'd pass — no join, no shuffle beyond the per-source
+    * aggregate. (A list too big for a literal escalates to the
+    * Aho-Corasick-in-a-broadcast pattern; at that size the phrases are
+    * a TABLE and the semi-join form in [[graft.dedup.Decontaminate]]
+    * applies.) Substring semantics, case-sensitive — normalize
+    * upstream if needed. */
+  def blocklistAudit(documents: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must contain at least one phrase")
+    val arr = array(phrases.map(lit): _*)
+    documents
+      .withColumn("_hits",
+        size(filter(arr, p => contains(col("text"), p))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("_hits").cast("long").as("total_hits"),
+        round(avg(when(col("_hits") > 0, 1.0).otherwise(0.0)), 6)
+          .as("flag_rate"))
+      .orderBy("source")
+  }
 }

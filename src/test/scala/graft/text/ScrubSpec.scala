@@ -40,4 +40,20 @@ class ScrubSpec extends SparkTestBase {
     assert(stats.map(_.getLong(3)).toSeq == Seq(1L, 0L)) // ips
     assert(stats.map(_.getLong(4)).forall(_ == 0L))      // residual
   }
+
+  test("blocklistAudit counts per-phrase hits and flags substring matches") {
+    val d = docs(
+      (1L, "a", "free money click here for free money"), // 2 phrases hit
+      (2L, "a", "an innocent document"),
+      (3L, "b", "click here"),                           // 1 phrase
+      (4L, "b", "clickhere is not click here split"))    // substring: hits
+    val r = Scrub.blocklistAudit(d, Seq("free money", "click here", "xyzzy"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // doc 1 matches two DISTINCT phrases (hits counts phrases, not
+    // occurrences — "free money" appears twice but contributes once)
+    assert(r("a") == ((2L, 1L, 2L, 0.5)), r("a"))
+    assert(r("b") == ((2L, 2L, 2L, 1.0)), r("b"))
+    intercept[IllegalArgumentException] { Scrub.blocklistAudit(d, Nil) }
+  }
 }
