@@ -3271,6 +3271,29 @@ object SparkEntry {
           .groupBy(concat(col("source"), lit("/"), col("lang")).as("path"))
           .agg(sum("n_chars").as("bytes")),
         "path", "bytes", nBins = 6)),
+    // IVF index persistence round trip: fit + assign ONCE, save, load,
+    // and the reloaded index must reproduce the fresh index's search
+    // results exactly (doubles round-trip through parquet bit-exactly;
+    // scoring and tie-breaks are deterministic)
+    "io14_ivf_persist" -> q((s, d) => withTempDir("graft_io14") { dir =>
+      val idx = graft.similarity.Ivf.buildIndex(Tables.embeddings(s, d))
+      graft.similarity.Ivf.save(idx, s"$dir/ivf")
+      val loaded = graft.similarity.Ivf.load(s, s"$dir/ivf")
+      val fresh = graft.similarity.Ivf.search(idx, 0L until 10L)
+        .localCheckpoint(true)
+      val replayed = graft.similarity.Ivf.search(loaded, 0L until 10L)
+        .localCheckpoint(true)
+      idx.assignments.unpersist()
+      loaded.assignments.unpersist()
+      val r = replayed.select(col("query_id"), col("rank"),
+        col("vec_id").as("r_vec"), col("sim").as("r_sim"))
+      fresh.join(r, Seq("query_id", "rank"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("query_id").as("n_queries"),
+          (count(when(col("vec_id") === col("r_vec")
+            && col("sim") === col("r_sim"), 1)) === count(lit(1)))
+            .as("match_exact"))
+    }),
     // S13 manifest write/read/error-count, gate-pinned (was unit-only):
     // one manifest entry per (source, lang) slice — per-FILE metadata,
     // bounded by construction — appended through Manifest.append (JSON
@@ -8014,6 +8037,10 @@ object SparkEntry {
            count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
            round(CAST(sum(bytes) AS DOUBLE) / t.target, 4) AS fill_ratio
          FROM cb, t GROUP BY 1, t.target ORDER BY 1""",
+    // reloaded-index search ≡ fresh-index search, bit-exact
+    "io14_ivf_persist" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_queries,
+         true AS match_exact""",
     // every manifest number recomputed straight from documents — a
     // Manifest.append/read escaping or error-count defect fails the hash
     "io13_manifest_check" ->

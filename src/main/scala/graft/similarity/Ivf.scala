@@ -110,6 +110,27 @@ object Ivf {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist a built index: assignments as ordinary (bucketable)
+    * parquet, centroids as the tiny sidecar table. This is the
+    * production lifecycle — the KMeans fit + corpus assignment run
+    * ONCE per snapshot, every later query batch loads the index and
+    * pays only the probed-cell scans. At 100 TB the assignments table
+    * is the corpus plus one int column; writing it `partitionBy`/
+    * bucketed on `cluster` makes every probe a pruned read
+    * (the [[graft.sources.SortedLayout]] pattern). */
+  def save(index: Index, path: String): Unit = {
+    index.assignments.write.mode("overwrite").parquet(s"$path/assignments")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The assignments side is persisted in
+    * memory like [[buildIndex]]'s output (search consumes it on both
+    * sides of its join); callers release it via
+    * `index.assignments.unpersist()`. */
+  def load(spark: SparkSession, path: String): Index = Index(
+    spark.read.parquet(s"$path/assignments").persist(),
+    spark.read.parquet(s"$path/centroids"))
+
   /** One-shot convenience used by the gate query: builds the index,
     * materializes the (small) result eagerly, and releases the cached
     * corpus assignments — the same checkpoint-then-unpersist lifecycle
