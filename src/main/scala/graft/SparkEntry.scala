@@ -666,6 +666,14 @@ object SparkEntry {
       graft.operators.Privacy.kAnonymityCensus(Tables.customer(s, d),
         Seq("c_mktsegment", "c_nationkey"),
         (col("c_acctbal") < 0).cast("int"), k = 10)),
+    // DP-style Laplace mechanism on per-lang counts (sensitivity-1
+    // count query, seeded inverse-CDF draw keyed on the lang code)
+    "dp1_noised_counts" -> q((s, d) =>
+      graft.operators.Privacy.laplaceNoisedCounts(
+        Tables.documents(s, d), "lang",
+        (ascii(substring(col("lang"), 1, 1)) * 256
+          + ascii(substring(col("lang"), 2, 1))).cast("long"),
+        eps = 0.5)),
     // Kish effective sample size per source for an uneven weight
     // column — the diagnostic every importance-weighted mix publishes
     "tp12_effective_sample_size" -> q((s, d) =>
@@ -4354,6 +4362,23 @@ object SparkEntry {
          SELECT source, n, round(sw * sw / sw2, 6) AS ess,
            round(sw * sw / sw2 / n, 6) AS ess_ratio
          FROM g ORDER BY source""",
+    // Lehmer LCG uniform → inverse-CDF Laplace(1/eps), eps = 0.5
+    "dp1_noised_counts" ->
+      """WITH g AS (SELECT lang, count(*) AS true_count FROM documents
+           GROUP BY 1),
+         k AS (SELECT *, CAST(ascii(substr(lang, 1, 1)) * 256
+             + ascii(substr(lang, 2, 1)) AS BIGINT) AS key FROM g),
+         n AS (SELECT lang, true_count,
+           (CAST((key * 48271 + 1) % 2147483647 AS DOUBLE) + 1)
+             / 2147483648.0 AS u FROM k)
+         SELECT lang, true_count,
+           round(true_count
+             + (-1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+             AS noised,
+           CAST(greatest(round(true_count
+             + (-1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 0)
+             AS BIGINT) AS released
+         FROM n ORDER BY lang""",
     "dq4_k_anonymity" ->
       """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n,
            count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l
