@@ -674,6 +674,76 @@ object SparkEntry {
         (ascii(substring(col("lang"), 1, 1)) * 256
           + ascii(substring(col("lang"), 2, 1))).cast("long"),
         eps = 0.5)),
+    // exact rank-sum ROC AUC: does event value separate purchases?
+    // (distinct-score aggregate + bucketed global prefix-sum ranks)
+    "ml22_auc" -> q((s, d) =>
+      graft.ml.Eval.auc(Tables.events(s, d), "value",
+        col("event_type") === "purchase")),
+    // reliability table over a deterministic synthetic probability
+    // (multiplicative-hash of the user id) vs the value>50 label
+    "ml23_calibration_bins" -> q((s, d) =>
+      graft.ml.Eval.calibrationBins(
+        Tables.events(s, d).withColumn("p",
+          pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
+        "p", col("value") > 50, nBins = 10)),
+    // Brier + expected calibration error scalars over the same fixture
+    "ml24_brier_ece" -> q((s, d) =>
+      graft.ml.Eval.brierEce(
+        Tables.events(s, d).withColumn("p",
+          pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
+        "p", col("value") > 50, nBins = 10)),
+    // NDCG@10 + MRR: users as queries, value-desc ranking with event_id
+    // tie-break, purchases as the relevant set
+    "ml25_ndcg_mrr" -> q((s, d) =>
+      graft.ml.Eval.ndcgMrr(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "user_id", "value", col("event_type") === "purchase",
+        "event_id", k = 10)),
+    // leave-one-out target encoding of lang against n_chars, pinned by
+    // per-lang distribution stats of the encoded feature
+    "ml26_loo_target_encode" -> q((s, d) => {
+      val enc = graft.ml.Eval.looTargetEncode(
+        Tables.documents(s, d), "lang", "n_chars")
+      enc.groupBy("lang").agg(
+        count(col("loo_enc")).as("n_enc"),
+        round(avg("loo_enc"), 6).as("mean_enc"),
+        round(min("loo_enc"), 6).as("min_enc"),
+        round(max("loo_enc"), 6).as("max_enc"),
+        round(stddev_pop(col("loo_enc")), 6).as("sd_enc"))
+        .orderBy("lang")
+    }),
+    // CUPED variance-reduced per-arm means: unit = user, pre/post split
+    // at mid-month, arms by user parity (an A/A split — adjusted and
+    // raw means coincide in expectation; var_ratio pins the reduction)
+    "ex1_cuped" -> q((s, d) =>
+      graft.operators.Experiment.cuped(Tables.events(s, d),
+        "user_id", "value",
+        preCol = dayofmonth(col("ts")) <= 15,
+        armCol = pmod(col("user_id"), lit(2L)))),
+    // sample-ratio-mismatch chi-square over distinct users in 3 arms
+    // (df=2 → critical 5.991)
+    "ex2_srm" -> q((s, d) =>
+      graft.operators.Experiment.srmCheck(Tables.events(s, d),
+        "user_id", pmod(col("user_id"), lit(3L)), critical = 5.991)),
+    // 2x2 difference-in-differences: treat = even users, post = second
+    // half of the month, metric = event value
+    "ex3_did" -> q((s, d) =>
+      graft.operators.Experiment.diffInDiff(Tables.events(s, d), "value",
+        treatCol = pmod(col("user_id"), lit(2L)) === 0,
+        postCol = dayofmonth(col("ts")) > 15)),
+    // coarsened-exact-matching ATT: strata = event_type x 6h-of-day
+    // bucket, treated = every-7th user
+    "ex4_cem_att" -> q((s, d) =>
+      graft.operators.Experiment.cemAtt(Tables.events(s, d), "value",
+        treatCol = pmod(col("user_id"), lit(7L)) === 0,
+        strataCols = Seq(col("event_type"),
+          floor(hour(col("ts")) / 6).as("hb")))),
+    // minimum detectable effect per event type at 5%/80% from per-arm
+    // counts and the pooled variance
+    "ex5_mde" -> q((s, d) =>
+      graft.operators.Experiment.mde(Tables.events(s, d),
+        "event_type", "value",
+        armCol = pmod(col("user_id"), lit(2L)) === 0)),
     // Kish effective sample size per source for an uneven weight
     // column — the diagnostic every importance-weighted mix publishes
     "tp12_effective_sample_size" -> q((s, d) =>
@@ -4354,6 +4424,150 @@ object SparkEntry {
          FROM c ORDER BY l_returnflag""",
     "g11_sssp" -> ssspSql("o_custkey % 120", "o_orderkey % 127",
       "o_orderkey % 7 + 1", nSeeds = 5, rounds = 4),
+    "ml22_auc" ->
+      """WITH s AS (SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT y, rank() OVER (ORDER BY value)
+           + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar FROM s),
+         t AS (SELECT CAST(sum(y) AS BIGINT) AS p,
+           CAST(count(*) - sum(y) AS BIGINT) AS q,
+           sum(CASE WHEN y = 1 THEN ar END) AS rp FROM r)
+         SELECT p AS n_pos, q AS n_neg,
+           round((rp - CAST(p AS DOUBLE) * (p + 1) / 2)
+             / (CAST(p AS DOUBLE) * q), 6) AS auc
+         FROM t""",
+    "ml23_calibration_bins" ->
+      """WITH s AS (SELECT
+           (user_id * 2654435761 % 1000) / 1000.0 AS p,
+           CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS y
+           FROM events WHERE value IS NOT NULL)
+         SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n, round(avg(p), 6) AS mean_pred,
+           round(avg(y), 6) AS pos_rate,
+           round(abs(avg(p) - avg(y)), 6) AS gap
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "ml24_brier_ece" ->
+      """WITH s AS (SELECT
+           (user_id * 2654435761 % 1000) / 1000.0 AS p,
+           CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS y
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n, sum(pow(p - y, 2)) AS se,
+           avg(p) AS conf, avg(y) AS acc FROM s GROUP BY 1)
+         SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           round(sum(se) / sum(n), 6) AS brier,
+           round(sum(n * abs(conf - acc)) / sum(n), 6) AS ece
+         FROM b""",
+    "ml25_ndcg_mrr" ->
+      """WITH r AS (SELECT user_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rnk
+           FROM events WHERE value IS NOT NULL),
+         q AS (SELECT user_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+           sum(CASE WHEN rnk <= 10 AND rel = 1
+             THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg,
+           min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+           FROM r GROUP BY 1),
+         i AS (SELECT user_id, sum(1.0 / log2(ii + 1)) AS idcg FROM (
+           SELECT user_id,
+             unnest(range(1, CAST(least(n_rel, 10) AS BIGINT) + 1)) AS ii
+           FROM q WHERE n_rel > 0) GROUP BY 1)
+         SELECT count(*) AS n_queries,
+           count(CASE WHEN n_rel > 0 THEN 1 END) AS n_with_rel,
+           round(avg(CASE WHEN n_rel > 0 THEN dcg / idcg END), 6)
+             AS mean_ndcg,
+           round(avg(CASE WHEN n_rel > 0 THEN 1.0 / first_rel END), 6)
+             AS mean_mrr
+         FROM q LEFT JOIN i USING (user_id)""",
+    "ml26_loo_target_encode" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS sm,
+           count(*) AS n FROM documents GROUP BY 1),
+         e AS (SELECT d.lang, CASE WHEN s.n > 1
+           THEN (s.sm - d.n_chars) / (s.n - 1) END AS loo
+           FROM documents d JOIN s USING (lang))
+         SELECT lang, count(loo) AS n_enc,
+           round(avg(loo), 6) AS mean_enc,
+           round(min(loo), 6) AS min_enc,
+           round(max(loo), 6) AS max_enc,
+           round(stddev_pop(loo), 6) AS sd_enc
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "ex1_cuped" ->
+      """WITH u AS (SELECT user_id,
+           coalesce(sum(CASE WHEN day(ts) <= 15 THEN value END), 0) AS pre,
+           coalesce(sum(CASE WHEN day(ts) > 15 THEN value END), 0) AS post
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         s AS (SELECT avg(pre) AS mean_pre,
+           CASE WHEN var_pop(pre) > 0
+             THEN covar_pop(pre, post) / var_pop(pre) ELSE 0 END AS theta
+           FROM u),
+         a AS (SELECT user_id % 2 AS arm, post,
+           post - theta * (pre - mean_pre) AS adj FROM u, s)
+         SELECT arm, count(*) AS n_units,
+           round(avg(post), 6) AS mean_post,
+           round(avg(adj), 6) AS mean_adj,
+           round(CASE WHEN var_pop(post) > 0
+             THEN var_pop(adj) / var_pop(post) ELSE 1 END, 6) AS var_ratio
+         FROM a GROUP BY 1 ORDER BY 1""",
+    "ex2_srm" ->
+      """WITH b AS (SELECT user_id % 3 AS arm,
+           count(DISTINCT user_id) AS n FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+           count(*) AS n_arms FROM b)
+         SELECT t.total AS n_units, t.n_arms AS n_arms,
+           round(sum(pow(b.n - CAST(t.total AS DOUBLE) / t.n_arms, 2)
+             / (CAST(t.total AS DOUBLE) / t.n_arms)), 6) AS chi2,
+           round(sum(pow(b.n - CAST(t.total AS DOUBLE) / t.n_arms, 2)
+             / (CAST(t.total AS DOUBLE) / t.n_arms)), 6) > 5.991
+             AS srm_detected
+         FROM b, t GROUP BY t.total, t.n_arms""",
+    "ex3_did" ->
+      """SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_treat,
+           count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_control,
+           round(avg(CASE WHEN user_id % 2 = 0 AND day(ts) <= 15
+             THEN value END), 6) AS m_t_pre,
+           round(avg(CASE WHEN user_id % 2 = 0 AND day(ts) > 15
+             THEN value END), 6) AS m_t_post,
+           round(avg(CASE WHEN user_id % 2 <> 0 AND day(ts) <= 15
+             THEN value END), 6) AS m_c_pre,
+           round(avg(CASE WHEN user_id % 2 <> 0 AND day(ts) > 15
+             THEN value END), 6) AS m_c_post,
+           round((avg(CASE WHEN user_id % 2 = 0 AND day(ts) > 15
+               THEN value END)
+             - avg(CASE WHEN user_id % 2 = 0 AND day(ts) <= 15
+               THEN value END))
+             - (avg(CASE WHEN user_id % 2 <> 0 AND day(ts) > 15
+               THEN value END)
+             - avg(CASE WHEN user_id % 2 <> 0 AND day(ts) <= 15
+               THEN value END)), 6) AS did
+         FROM events WHERE value IS NOT NULL""",
+    "ex4_cem_att" ->
+      """WITH s AS (SELECT event_type, floor(hour(ts) / 6) AS hb,
+           count(CASE WHEN user_id % 7 = 0 THEN 1 END) AS n_t,
+           count(CASE WHEN user_id % 7 <> 0 THEN 1 END) AS n_c,
+           avg(CASE WHEN user_id % 7 = 0 THEN value END) AS m_t,
+           avg(CASE WHEN user_id % 7 <> 0 THEN value END) AS m_c
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+         SELECT count(*) AS n_strata,
+           count(CASE WHEN n_t > 0 AND n_c > 0 THEN 1 END) AS n_matched,
+           CAST(coalesce(sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t END),
+             0) AS BIGINT) AS treated_matched,
+           round(sum(CASE WHEN n_t > 0 AND n_c > 0
+               THEN n_t * (m_t - m_c) END)
+             / sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t END), 6) AS att
+         FROM s""",
+    "ex5_mde" ->
+      """WITH g AS (SELECT event_type,
+           count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+           count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+           var_samp(value) AS v, avg(value) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+           round(sqrt(v), 6) AS sd_pooled,
+           round(2.801585 * sqrt(v / n_a + v / n_b), 6) AS mde_abs,
+           round(2.801585 * sqrt(v / n_a + v / n_b) / m, 6) AS mde_rel
+         FROM g ORDER BY event_type""",
     "tp12_effective_sample_size" ->
       """WITH t AS (SELECT source,
            CAST(n_chars % 101 + 1 AS DOUBLE) AS w FROM documents),

@@ -1,0 +1,171 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Packing
+
+/** Model-evaluation metrics over scored rows — the read-side a training
+  * pipeline runs on its eval split (and a ranking pipeline on its
+  * query logs). All metrics are exact (no sampling, no sketch), built
+  * so the data-sized work is hash aggregation or per-query windows:
+  *
+  *   - [[auc]]: ROC AUC via the tie-corrected rank-sum (Mann–Whitney U)
+  *     identity — never the quadratic pos×neg comparison join.
+  *   - [[calibrationBins]] / [[brierEce]]: reliability table and the
+  *     Brier / expected-calibration-error scalars over it.
+  *   - [[ndcgMrr]]: NDCG@k and MRR per ranked query, averaged — the
+  *     retrieval-eval pair for the BM25/fusion/ANN operators.
+  *   - [[looTargetEncode]]: leave-one-out target (mean) encoding — the
+  *     leakage-safe categorical feature, from ONE category aggregate
+  *     joined back (never a per-row self-join).
+  *
+  * Reference analogue: none — beyond-reference scope from the
+  * training-data-pipeline charter (the reference has no model-eval
+  * surface at all).
+  */
+object Eval {
+
+  /** Exact ROC AUC of `scoreCol` against binary `labelCol` (1/0), via
+    * `AUC = (R₊ − P(P+1)/2) / (P·N)` where R₊ is the sum of the
+    * tie-averaged ranks of the positives in ascending score order.
+    *
+    * Scale shape: one hash aggregate keyed by the DISTINCT score value
+    * (per-score n / n_pos — ties collapse here), then the two-pass
+    * bucketed global prefix sum ([[Packing.withGlobalCumsumBefore]])
+    * over the score-cardinality frame for the rank offsets — never a
+    * single-partition `Window.orderBy(score)` over raw rows, never the
+    * pos×neg cross join. Output one row: n_pos, n_neg, auc.
+    *
+    * Determinism: ranks are exact half-integers from long counts; the
+    * only float work is the final ratio (and the tie-average), pinned
+    * by `round(6)`.
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"))
+    val ranked = Packing.withGlobalCumsumBefore(byScore, col("n"), "s")
+    // tie-averaged rank of every row at this score: ranks
+    // cum+1 .. cum+n average to cum + (n+1)/2
+    ranked
+      .withColumn("avg_rank", col("cum_before") + (col("n") + 1) / 2.0)
+      .agg(sum("n_pos").as("p"), (sum("n") - sum("n_pos")).as("q"),
+        sum(col("n_pos") * col("avg_rank")).as("r_pos"))
+      .select(col("p").as("n_pos"), col("q").as("n_neg"),
+        // cast before multiplying: P(P+1) and P·N overflow long (ANSI
+        // throws) at 100 TB positive counts; the oracle divides doubles
+        round((col("r_pos") - col("p").cast("double") * (col("p") + 1) / 2.0)
+          / (col("p").cast("double") * col("q")), 6).as("auc"))
+  }
+
+  /** Reliability table: rows bucketed by predicted probability
+    * (`floor(p·nBins)`, top edge clipped into the last bin), per bin the
+    * count, mean prediction ("confidence") and positive rate
+    * ("accuracy"), and the gap. One hash aggregate; bins-sized output.
+    */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: Column,
+                      nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    df.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(p), 6).as("mean_pred"),
+        round(avg(when(labelCol, 1.0).otherwise(0.0)), 6).as("pos_rate"),
+        round(abs(avg(p) - avg(when(labelCol, 1.0).otherwise(0.0))), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
+
+  /** Brier score and expected calibration error in one pass: Brier is
+    * the row-level mean squared error of the probability; ECE is the
+    * bin-count-weighted mean |confidence − accuracy| over the
+    * [[calibrationBins]] table (computed here from the same single
+    * aggregate — no second scan). Output one row.
+    */
+  def brierEce(df: DataFrame, probCol: String, labelCol: Column,
+               nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = when(labelCol, 1.0).otherwise(0.0)
+    val bins = df.filter(p.isNotNull)
+      .withColumn("bin",
+        least(floor(p * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(pow(p - y, 2)).as("se"),
+        avg(p).as("conf"), avg(y).as("acc"))
+    bins.agg(sum("n").as("n_rows"),
+        round(sum("se") / sum("n"), 6).as("brier"),
+        round(sum(col("n") * abs(col("conf") - col("acc"))) / sum("n"), 6)
+          .as("ece"))
+  }
+
+  /** NDCG@k and MRR over ranked queries: rows are (query, candidate)
+    * pairs scored by `scoreCol` with binary relevance `relCol`; ranking
+    * is descending score with `tieCol` ascending as the unique
+    * tie-break (both engines must agree on a total order or DCG is
+    * nondeterministic). Per query: DCG@k from the top-k window,
+    * IDCG@k = Σ_{i≤min(P,k)} 1/log2(i+1) closed-form from the positive
+    * count (binary relevance — no second ranking pass), NDCG = DCG/IDCG,
+    * MRR = 1/rank of the first relevant candidate (full list). Queries
+    * with no relevant candidate contribute nothing to either average.
+    * Output one row: query counts and the two means.
+    *
+    * Scale shape: windows partitioned by the query key — embarrassingly
+    * parallel, state bounded by a query's candidate list; the roll-up
+    * is a scalar aggregate over the queries-sized frame.
+    */
+  def ndcgMrr(df: DataFrame, queryCol: String, scoreCol: String,
+              relCol: Column, tieCol: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val ranked = df
+      .withColumn("rel", when(relCol, 1L).otherwise(0L))
+      .withColumn("rnk", row_number().over(w))
+    val perQuery = ranked.groupBy(queryCol)
+      .agg(sum("rel").as("n_rel"),
+        sum(when(col("rnk") <= k && col("rel") === 1L,
+          lit(1.0) / log2(col("rnk") + 1)).otherwise(0.0)).as("dcg"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+    // IDCG@k needs Σ 1/log2(i+1) for i = 1..min(P,k): explode the ≤k
+    // ideal positions per query — bounded fan-out on the queries-sized
+    // frame, not on candidates
+    val idcg = perQuery
+      // filter BEFORE the sequence: sequence(1, 0) is DESCENDING [1,0]
+      // in Spark, and the 0 position would divide by log2(1) = 0
+      .filter(col("n_rel") > 0)
+      .withColumn("ideal_i",
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong)))))
+      .groupBy(queryCol)
+      .agg(sum(lit(1.0) / log2(col("ideal_i") + 1)).as("idcg"))
+    perQuery.join(idcg, Seq(queryCol), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("n_rel") > 0, 1)).as("n_with_rel"),
+        round(avg(when(col("n_rel") > 0, col("dcg") / col("idcg"))), 6)
+          .as("mean_ndcg"),
+        round(avg(when(col("n_rel") > 0, lit(1.0) / col("first_rel"))), 6)
+          .as("mean_mrr"))
+  }
+
+  /** Leave-one-out target encoding of `catCol` against numeric
+    * `targetCol`: each row's feature is the category's target mean
+    * EXCLUDING the row itself, `(S_c − y_i) / (n_c − 1)` (null for
+    * singleton categories — no self-information leaks). One category
+    * aggregate broadcast-joined back; the per-row arithmetic is
+    * row-local. Returns the input plus `outCol`.
+    */
+  def looTargetEncode(df: DataFrame, catCol: String, targetCol: String,
+                      outCol: String = "loo_enc"): DataFrame = {
+    val stats = df.groupBy(catCol)
+      .agg(sum(col(targetCol).cast("double")).as("_s"),
+        count(col(targetCol)).as("_n"))
+    df.join(broadcast(stats), Seq(catCol))
+      .withColumn(outCol,
+        when(col("_n") > 1,
+          (col("_s") - col(targetCol)) / (col("_n") - 1)))
+      .drop("_s", "_n")
+  }
+}

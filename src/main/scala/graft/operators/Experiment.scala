@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online-experiment (A/B) analytics — the read-side a training/product
+  * pipeline runs over its event log to decide whether a treatment moved
+  * a metric. Complements [[Drift.welchTTest]] (the per-group two-sample
+  * test) with the surrounding experimentation toolkit:
+  *
+  *   - [[cuped]]: variance-reduced lift via the pre-period covariate
+  *     (Deng, Xu, Kohavi, Walker, WSDM 2013) — the industry-standard
+  *     sensitivity boost for metric deltas.
+  *   - [[srmCheck]]: sample-ratio-mismatch chi-square over randomization
+  *     units — the health check every experiment readout gates on.
+  *   - [[diffInDiff]]: the 2×2 pre/post × treat/control difference-in-
+  *     differences estimator for non-randomized rollouts.
+  *   - [[cemAtt]]: coarsened-exact-matching ATT (Iacus, King, Porro
+  *     2012) — strata-matched treated-vs-control effect when assignment
+  *     is observational.
+  *   - [[mde]]: minimum detectable effect at 80% power / 5% two-sided
+  *     alpha from per-arm counts and the pooled variance — the "is this
+  *     experiment even big enough" planning number.
+  *
+  * Reference analogue: none — the reference's notebooks stop at
+  * descriptive monthly aggregates (`notebooks/analytics.ipynb`); this is
+  * beyond-reference scope from the training-data-pipeline charter.
+  *
+  * Scale shape, shared by all five: one partial→final hash aggregate
+  * keyed by the randomization unit (or the stratum), then scalar math on
+  * aggregate-sized frames. No windows over raw rows, no driver loops;
+  * every crossJoin below is a broadcast of a one-row scalar frame. All
+  * outputs are pure functions of the input rows (no RNG), so a SQL
+  * oracle pins them after the documented `round(·)`.
+  */
+object Experiment {
+
+  /** CUPED-adjusted per-arm means. Per unit (`unitCol`): pre- and
+    * post-period metric sums (`valueCol` where `preCol`/its negation),
+    * absent periods as 0 — ONE conditional aggregate, no self-join.
+    * Then `theta = covar_pop(pre, post) / var_pop(pre)` (the OLS slope
+    * that minimizes adjusted variance) from a scalar aggregate, and
+    * `adj = post − theta · (pre − mean(pre))` per unit. Output per arm
+    * (`armCol`, evaluated on the unit key): unit count, raw post mean,
+    * adjusted mean, and the achieved variance ratio
+    * `var_pop(adj) / var_pop(post)` (≤ 1 + ulps by construction).
+    *
+    * Degenerate guard: a constant pre-period (var_pop = 0) yields
+    * theta = 0 — adjustment is a no-op, ratio 1 — matching the oracle's
+    * CASE guard rather than dividing to NaN/Inf on one side only.
+    */
+  def cuped(df: DataFrame, unitCol: String, valueCol: String,
+            preCol: Column, armCol: Column): DataFrame = {
+    val v = col(valueCol)
+    val units = df.filter(v.isNotNull)
+      .groupBy(col(unitCol))
+      .agg(coalesce(sum(when(preCol, v)), lit(0.0)).as("pre"),
+        coalesce(sum(when(!preCol, v)), lit(0.0)).as("post"))
+      .withColumn("arm", armCol)
+    val theta = units.agg(
+      avg("pre").as("mean_pre"),
+      when(var_pop(col("pre")) > 0,
+        covar_pop(col("pre"), col("post")) / var_pop(col("pre")))
+        .otherwise(lit(0.0)).as("theta"))
+    units.crossJoin(broadcast(theta))
+      .withColumn("adj",
+        col("post") - col("theta") * (col("pre") - col("mean_pre")))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_units"),
+        round(avg("post"), 6).as("mean_post"),
+        round(avg("adj"), 6).as("mean_adj"),
+        round(when(var_pop(col("post")) > 0,
+            var_pop(col("adj")) / var_pop(col("post")))
+          .otherwise(lit(1.0)), 6).as("var_ratio"))
+      .orderBy("arm")
+  }
+
+  /** Sample-ratio-mismatch check: chi-square goodness-of-fit of the
+    * per-arm DISTINCT-unit counts against an equal split. One
+    * distinct-unit aggregate (two-level: exact distinct by (arm, unit)
+    * then a count — never count(distinct) over raw events at scale),
+    * then scalar math. Output one row: total units, arm count, the
+    * chi-square statistic, and a mismatch flag against `critical`
+    * (default 3.841 = 95th percentile at df=1; pass the df-appropriate
+    * quantile for more arms — the CDF itself is a numeric-library
+    * concern, not a data-movement one).
+    */
+  def srmCheck(df: DataFrame, unitCol: String, armCol: Column,
+               critical: Double = 3.841): DataFrame = {
+    val byArm = df.select(armCol.as("arm"), col(unitCol).as("u"))
+      .distinct()
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+    val tot = byArm.agg(sum("n").as("total"),
+      count(lit(1)).as("n_arms"))
+    byArm.crossJoin(broadcast(tot))
+      .withColumn("e", col("total").cast("double") / col("n_arms"))
+      .groupBy()
+      .agg(max("total").as("n_units"), max("n_arms").as("n_arms"),
+        round(sum(pow(col("n") - col("e"), 2) / col("e")), 6).as("chi2"))
+      .withColumn("srm_detected", col("chi2") > critical)
+  }
+
+  /** 2×2 difference-in-differences: the four cell means
+    * (treat/control × pre/post) from ONE conditional aggregate over the
+    * event rows, and `did = (m_t_post − m_t_pre) − (m_c_post − m_c_pre)`.
+    * Row-level means (not per-unit) — the estimator on the observation
+    * panel; feed a per-unit pre-aggregate for the unit-level variant.
+    */
+  def diffInDiff(df: DataFrame, valueCol: String,
+                 treatCol: Column, postCol: Column): DataFrame = {
+    val v = col(valueCol)
+    val cells = df.filter(v.isNotNull).agg(
+      count(when(treatCol, 1)).as("n_treat"),
+      count(when(!treatCol, 1)).as("n_control"),
+      avg(when(treatCol && !postCol, v)).as("m_t_pre"),
+      avg(when(treatCol && postCol, v)).as("m_t_post"),
+      avg(when(!treatCol && !postCol, v)).as("m_c_pre"),
+      avg(when(!treatCol && postCol, v)).as("m_c_post"))
+    cells.select(col("n_treat"), col("n_control"),
+      round(col("m_t_pre"), 6).as("m_t_pre"),
+      round(col("m_t_post"), 6).as("m_t_post"),
+      round(col("m_c_pre"), 6).as("m_c_pre"),
+      round(col("m_c_post"), 6).as("m_c_post"),
+      round((col("m_t_post") - col("m_t_pre"))
+        - (col("m_c_post") - col("m_c_pre")), 6).as("did"))
+  }
+
+  /** Coarsened-exact-matching ATT: group rows by the coarsened stratum
+    * key (`strataCols` — pass already-binned columns), keep strata that
+    * contain BOTH treated and control rows, and weight each matched
+    * stratum's treated-minus-control mean gap by its treated count:
+    * `att = Σ n_t · (m_t − m_c) / Σ n_t` over matched strata. One hash
+    * aggregate keyed by the stratum (conditional aggs split the arms —
+    * no join), then a scalar roll-up over the strata frame. Output one
+    * row: total strata, matched strata, treated rows matched (the
+    * common-support census), and the ATT.
+    */
+  def cemAtt(df: DataFrame, valueCol: String, treatCol: Column,
+             strataCols: Seq[Column]): DataFrame = {
+    val v = col(valueCol)
+    val strata = df.filter(v.isNotNull)
+      .groupBy(strataCols: _*)
+      .agg(count(when(treatCol, 1)).as("n_t"),
+        count(when(!treatCol, 1)).as("n_c"),
+        avg(when(treatCol, v)).as("m_t"),
+        avg(when(!treatCol, v)).as("m_c"))
+    val matched = col("n_t") > 0 && col("n_c") > 0
+    strata.groupBy()
+      .agg(count(lit(1)).as("n_strata"),
+        count(when(matched, 1)).as("n_matched"),
+        coalesce(sum(when(matched, col("n_t"))), lit(0L))
+          .as("treated_matched"),
+        round(sum(when(matched, col("n_t") * (col("m_t") - col("m_c"))))
+          / sum(when(matched, col("n_t"))), 6).as("att"))
+  }
+
+  /** Minimum detectable effect per group at two-sided alpha and power
+    * encoded by `zSum` (default 1.959964 + 0.841621 — 5% / 80%): from
+    * one conditional aggregate per group, the per-arm counts, the
+    * pooled (both-arm) sample variance, and
+    * `mde_abs = zSum · sqrt(v/n_a + v/n_b)`; `mde_rel` divides by the
+    * overall mean. The planning readout: "smaller lifts than this are
+    * invisible at this traffic".
+    */
+  def mde(df: DataFrame, groupCol: String, valueCol: String,
+          armCol: Column, zSum: Double = 2.801585): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
+      .groupBy(groupCol)
+      .agg(count(when(armCol, 1)).as("n_a"),
+        count(when(!armCol, 1)).as("n_b"),
+        var_samp(v).as("v_pooled"),
+        avg(v).as("m"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(sqrt(col("v_pooled")), 6).as("sd_pooled"),
+        round(lit(zSum) * sqrt(col("v_pooled") / col("n_a")
+          + col("v_pooled") / col("n_b")), 6).as("mde_abs"),
+        round(lit(zSum) * sqrt(col("v_pooled") / col("n_a")
+          + col("v_pooled") / col("n_b")) / col("m"), 6).as("mde_rel"))
+      .orderBy(groupCol)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ExperimentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cuped reduces variance when pre predicts post, preserves the grand mean") {
+    // post = 2*pre + small deterministic wiggle -> theta ~ 2, big reduction
+    val rows = (1 to 200).flatMap { u =>
+      val pre = (u % 50).toDouble
+      Seq((u.toLong, true, pre), (u.toLong, false, 2 * pre + (u % 7)))
+    }
+    val df = rows.toDF("user_id", "is_pre", "value")
+    val out = Experiment.cuped(df, "user_id", "value",
+      preCol = col("is_pre"), armCol = pmod(col("user_id"), lit(2L)))
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Double]("var_ratio") < 0.1))
+    // grand mean invariance: sum(n*mean_adj) == sum(n*mean_post) up to rounding
+    def grand(f: String) =
+      out.map(r => r.getAs[Long]("n_units") * r.getAs[Double](f)).sum
+    assert(math.abs(grand("mean_adj") - grand("mean_post")) < 1e-3)
+  }
+
+  test("cuped with a constant pre-period is a no-op (theta = 0, ratio 1)") {
+    val rows = (1 to 40).flatMap(u =>
+      Seq((u.toLong, true, 5.0), (u.toLong, false, (u % 9).toDouble)))
+    val out = Experiment.cuped(rows.toDF("user_id", "is_pre", "value"),
+      "user_id", "value", col("is_pre"), pmod(col("user_id"), lit(2L)))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_adj") == r.getAs[Double]("mean_post"))
+      assert(r.getAs[Double]("var_ratio") == 1.0)
+    }
+  }
+
+  test("srmCheck: balanced split has chi2 0; a planted imbalance trips the flag") {
+    val balanced = (1 to 300).map(u => (u.toLong, "e")).toDF("user_id", "x")
+    val b = Experiment.srmCheck(balanced, "user_id",
+      pmod(col("user_id"), lit(2L))).collect().head
+    assert(b.getAs[Long]("n_units") == 300L)
+    assert(b.getAs[Double]("chi2") == 0.0)
+    assert(!b.getAs[Boolean]("srm_detected"))
+    // 260 vs 40: chi2 = (110^2/150)*2 = 161.3 >> 3.841
+    val skewed = (1 to 300).map(u =>
+      (u.toLong, if (u <= 260) 0L else 1L)).toDF("user_id", "arm")
+    val sk = Experiment.srmCheck(skewed, "user_id", col("arm"))
+      .collect().head
+    assert(sk.getAs[Boolean]("srm_detected"))
+    assert(math.abs(sk.getAs[Double]("chi2") - 2 * 110.0 * 110.0 / 150.0) < 1e-6)
+  }
+
+  test("srmCheck counts units, not events (repeat events collapse)") {
+    val df = (1 to 100).flatMap(u =>
+      Seq.fill(1 + u % 5)((u.toLong, "e"))).toDF("user_id", "x")
+    val r = Experiment.srmCheck(df, "user_id",
+      pmod(col("user_id"), lit(2L))).collect().head
+    assert(r.getAs[Long]("n_units") == 100L)
+  }
+
+  test("diffInDiff recovers a planted treatment effect exactly") {
+    // control: pre 10, post 12 (trend +2); treated: pre 20, post 27
+    // (trend +2, effect +5)
+    val rows =
+      Seq.fill(30)((false, false, 10.0)) ++ Seq.fill(25)((false, true, 12.0)) ++
+        Seq.fill(20)((true, false, 20.0)) ++ Seq.fill(35)((true, true, 27.0))
+    val r = Experiment.diffInDiff(rows.toDF("treat", "post", "value"),
+      "value", col("treat"), col("post")).collect().head
+    assert(r.getAs[Double]("did") == 5.0)
+    assert(r.getAs[Long]("n_treat") == 55L && r.getAs[Long]("n_control") == 55L)
+    assert(r.getAs[Double]("m_t_post") == 27.0)
+  }
+
+  test("cemAtt weights matched strata by treated count and drops unmatched ones") {
+    // stratum A: 2 treated (mean 10) vs controls (mean 7) -> gap 3
+    // stratum B: 1 treated (mean 5)  vs controls (mean 1) -> gap 4
+    // stratum C: treated only -> excluded from ATT and common support
+    val rows = Seq(
+      ("A", true, 9.0), ("A", true, 11.0), ("A", false, 6.0), ("A", false, 8.0),
+      ("B", true, 5.0), ("B", false, 0.0), ("B", false, 2.0),
+      ("C", true, 99.0))
+    val r = Experiment.cemAtt(rows.toDF("s", "treat", "value"),
+      "value", col("treat"), Seq(col("s"))).collect().head
+    assert(r.getAs[Long]("n_strata") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("treated_matched") == 3L)
+    // att = (2*3 + 1*4) / 3 = 10/3
+    assert(math.abs(r.getAs[Double]("att") - 10.0 / 3) < 1e-6)
+  }
+
+  test("mde scales as 1/sqrt(n) and is 0 for a constant metric") {
+    def frame(n: Int) = (1 to n).map(i =>
+      ("g", i.toLong, (i % 10).toDouble)).toDF("g", "user_id", "value")
+    val small = Experiment.mde(frame(100), "g", "value",
+      pmod(col("user_id"), lit(2L)) === 0).collect().head
+    val big = Experiment.mde(frame(400), "g", "value",
+      pmod(col("user_id"), lit(2L)) === 0).collect().head
+    // same per-element variance, 4x the n -> half the MDE (ratio 2 up to
+    // the tiny var_samp n/(n-1) drift and rounding)
+    val ratio = small.getAs[Double]("mde_abs") / big.getAs[Double]("mde_abs")
+    assert(math.abs(ratio - 2.0) < 0.02)
+    val const = (1 to 50).map(i => ("g", i.toLong, 3.0))
+      .toDF("g", "user_id", "value")
+    val c = Experiment.mde(const, "g", "value",
+      pmod(col("user_id"), lit(2L)) === 0).collect().head
+    assert(c.getAs[Double]("mde_abs") == 0.0)
+  }
+}
