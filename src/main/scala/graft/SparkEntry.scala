@@ -674,18 +674,26 @@ object SparkEntry {
         (ascii(substring(col("lang"), 1, 1)) * 256
           + ascii(substring(col("lang"), 2, 1))).cast("long"),
         eps = 0.5)),
-    // exact rank-sum ROC AUC: does event value separate purchases?
-    // (distinct-score aggregate + bucketed global prefix-sum ranks)
+    // exact rank-sum ROC AUC on a second fixture: does raw event value
+    // separate purchases? — exercises Calibration.aucExact under heavy
+    // cross-class score ties (ml11 covers the model-score path)
     "ml22_auc" -> q((s, d) =>
-      graft.ml.Eval.auc(Tables.events(s, d), "value",
-        col("event_type") === "purchase")),
+      graft.ml.Calibration.aucExact(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .withColumn("y",
+            when(col("event_type") === "purchase", 1).otherwise(0)),
+        "value", "y")),
     // reliability table over a deterministic synthetic probability
-    // (multiplicative-hash of the user id) vs the value>50 label
+    // (multiplicative-hash of the user id) vs the value>50 label —
+    // second fixture for Calibration.reliabilityBins (ml8 covers the
+    // logreg-score path)
     "ml23_calibration_bins" -> q((s, d) =>
-      graft.ml.Eval.calibrationBins(
-        Tables.events(s, d).withColumn("p",
-          pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
-        "p", col("value") > 50, nBins = 10)),
+      graft.ml.Calibration.reliabilityBins(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .withColumn("p",
+            pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0)
+          .withColumn("y", when(col("value") > 50, 1).otherwise(0)),
+        "p", "y", bins = 10)),
     // Brier + expected calibration error scalars over the same fixture
     "ml24_brier_ece" -> q((s, d) =>
       graft.ml.Eval.brierEce(
@@ -4442,10 +4450,10 @@ object SparkEntry {
            (user_id * 2654435761 % 1000) / 1000.0 AS p,
            CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS y
            FROM events WHERE value IS NOT NULL)
-         SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
-           count(*) AS n, round(avg(p), 6) AS mean_pred,
+         SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+           count(*) AS n, round(avg(p), 6) AS mean_p,
            round(avg(y), 6) AS pos_rate,
-           round(abs(avg(p) - avg(y)), 6) AS gap
+           round(sum(pow(p - y, 2)), 6) AS brier_sum
          FROM s GROUP BY 1 ORDER BY 1""",
     "ml24_brier_ece" ->
       """WITH s AS (SELECT

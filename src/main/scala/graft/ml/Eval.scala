@@ -4,17 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Packing
-
 /** Model-evaluation metrics over scored rows — the read-side a training
   * pipeline runs on its eval split (and a ranking pipeline on its
   * query logs). All metrics are exact (no sampling, no sketch), built
   * so the data-sized work is hash aggregation or per-query windows:
   *
-  *   - [[auc]]: ROC AUC via the tie-corrected rank-sum (Mann–Whitney U)
-  *     identity — never the quadratic pos×neg comparison join.
-  *   - [[calibrationBins]] / [[brierEce]]: reliability table and the
-  *     Brier / expected-calibration-error scalars over it.
+  *   - [[brierEce]]: Brier score + expected calibration error scalars —
+  *     the one-row companion to [[Calibration.reliabilityBins]] (which
+  *     owns the per-bin table; AUC lives in [[Calibration.aucExact]]).
   *   - [[ndcgMrr]]: NDCG@k and MRR per ranked query, averaged — the
   *     retrieval-eval pair for the BM25/fusion/ANN operators.
   *   - [[looTargetEncode]]: leave-one-out target (mean) encoding — the
@@ -26,60 +23,6 @@ import graft.pipeline.Packing
   * surface at all).
   */
 object Eval {
-
-  /** Exact ROC AUC of `scoreCol` against binary `labelCol` (1/0), via
-    * `AUC = (R₊ − P(P+1)/2) / (P·N)` where R₊ is the sum of the
-    * tie-averaged ranks of the positives in ascending score order.
-    *
-    * Scale shape: one hash aggregate keyed by the DISTINCT score value
-    * (per-score n / n_pos — ties collapse here), then the two-pass
-    * bucketed global prefix sum ([[Packing.withGlobalCumsumBefore]])
-    * over the score-cardinality frame for the rank offsets — never a
-    * single-partition `Window.orderBy(score)` over raw rows, never the
-    * pos×neg cross join. Output one row: n_pos, n_neg, auc.
-    *
-    * Determinism: ranks are exact half-integers from long counts; the
-    * only float work is the final ratio (and the tie-average), pinned
-    * by `round(6)`.
-    */
-  def auc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
-    val byScore = df.filter(col(scoreCol).isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("s"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"))
-    val ranked = Packing.withGlobalCumsumBefore(byScore, col("n"), "s")
-    // tie-averaged rank of every row at this score: ranks
-    // cum+1 .. cum+n average to cum + (n+1)/2
-    ranked
-      .withColumn("avg_rank", col("cum_before") + (col("n") + 1) / 2.0)
-      .agg(sum("n_pos").as("p"), (sum("n") - sum("n_pos")).as("q"),
-        sum(col("n_pos") * col("avg_rank")).as("r_pos"))
-      .select(col("p").as("n_pos"), col("q").as("n_neg"),
-        // cast before multiplying: P(P+1) and P·N overflow long (ANSI
-        // throws) at 100 TB positive counts; the oracle divides doubles
-        round((col("r_pos") - col("p").cast("double") * (col("p") + 1) / 2.0)
-          / (col("p").cast("double") * col("q")), 6).as("auc"))
-  }
-
-  /** Reliability table: rows bucketed by predicted probability
-    * (`floor(p·nBins)`, top edge clipped into the last bin), per bin the
-    * count, mean prediction ("confidence") and positive rate
-    * ("accuracy"), and the gap. One hash aggregate; bins-sized output.
-    */
-  def calibrationBins(df: DataFrame, probCol: String, labelCol: Column,
-                      nBins: Int = 10): DataFrame = {
-    val p = col(probCol).cast("double")
-    df.filter(p.isNotNull)
-      .withColumn("bin",
-        least(floor(p * nBins), lit(nBins - 1L)).cast("long"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        round(avg(p), 6).as("mean_pred"),
-        round(avg(when(labelCol, 1.0).otherwise(0.0)), 6).as("pos_rate"),
-        round(abs(avg(p) - avg(when(labelCol, 1.0).otherwise(0.0))), 6)
-          .as("gap"))
-      .orderBy("bin")
-  }
 
   /** Brier score and expected calibration error in one pass: Brier is
     * the row-level mean squared error of the probability; ECE is the

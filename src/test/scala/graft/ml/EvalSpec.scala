@@ -7,44 +7,19 @@ import graft.SparkTestBase
 class EvalSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("auc is 1 for perfect separation, 0 reversed, 0.5 for all-tied scores") {
-    val perfect = (Seq.tabulate(20)(i => (i + 100.0, true)) ++
-      Seq.tabulate(30)(i => (i + 0.0, false))).toDF("score", "y")
-    assert(Eval.auc(perfect, "score", col("y")).collect().head
-      .getAs[Double]("auc") == 1.0)
-    val reversed = (Seq.tabulate(20)(i => (i + 0.0, true)) ++
-      Seq.tabulate(30)(i => (i + 100.0, false))).toDF("score", "y")
-    assert(Eval.auc(reversed, "score", col("y")).collect().head
-      .getAs[Double]("auc") == 0.0)
-    val tied = (Seq.fill(10)((7.0, true)) ++ Seq.fill(15)((7.0, false)))
-      .toDF("score", "y")
-    assert(Eval.auc(tied, "score", col("y")).collect().head
-      .getAs[Double]("auc") == 0.5)
-  }
-
-  test("auc matches the hand-computed rank-sum on a tied case") {
+  test("aucExact on cross-class ties matches the hand-computed rank-sum") {
     // scores: pos {1, 2, 2}, neg {0, 2}: pairs (p,n) -> pos>neg: (1,0),
     // (2a,0), (2b,0) = 3 wins; (2a,2), (2b,2) = 2 ties -> (3 + 2*0.5)/6
-    val df = Seq((1.0, true), (2.0, true), (2.0, true), (0.0, false),
-      (2.0, false)).toDF("score", "y")
-    val r = Eval.auc(df, "score", col("y")).collect().head
+    val df = Seq((1.0, 1), (2.0, 1), (2.0, 1), (0.0, 0), (2.0, 0))
+      .toDF("score", "y")
+    val r = Calibration.aucExact(df, "score", "y").collect().head
     assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 2L)
     // output is round(·, 6) of 4/6
     assert(r.getAs[Double]("auc") == 0.666667)
-  }
-
-  test("calibrationBins clips the top edge and reports zero gap when calibrated") {
-    // p = 1.0 must land in bin 9, not bin 10
-    val rows = Seq.tabulate(100)(i => (i / 100.0, i % 2 == 0)) :+ (1.0, true)
-    val bins = Eval.calibrationBins(rows.toDF("p", "y"), "p", col("y"))
-      .collect()
-    assert(bins.map(_.getAs[Long]("bin")).max == 9L)
-    assert(bins.map(_.getAs[Long]("n")).sum == 101L)
-    // perfectly calibrated: p == y exactly
-    val calib = (Seq.fill(40)((1.0, true)) ++ Seq.fill(60)((0.0, false)))
-      .toDF("p", "y")
-    Eval.calibrationBins(calib, "p", col("y")).collect()
-      .foreach(r => assert(r.getAs[Double]("gap") == 0.0))
+    val tied = (Seq.fill(10)((7.0, 1)) ++ Seq.fill(15)((7.0, 0)))
+      .toDF("score", "y")
+    assert(Calibration.aucExact(tied, "score", "y").collect().head
+      .getAs[Double]("auc") == 0.5)
   }
 
   test("brierEce is 0 for perfect probabilities and penalizes miscalibration") {
