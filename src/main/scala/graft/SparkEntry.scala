@@ -752,6 +752,33 @@ object SparkEntry {
       graft.operators.Experiment.mde(Tables.events(s, d),
         "event_type", "value",
         armCol = pmod(col("user_id"), lit(2L)) === 0)),
+    // two-proportion z-test per event type: value>50 conversion between
+    // user-parity arms (binary-metric sibling of dr5's Welch test)
+    "ex6_prop_ztest" -> q((s, d) =>
+      graft.operators.Experiment.proportionTest(Tables.events(s, d),
+        "event_type", successCol = col("value") > 50,
+        armCol = pmod(col("user_id"), lit(2L)) === 0)),
+    // Mantel-Haenszel pooled odds ratio across event-type strata:
+    // every-7th-user treatment vs value>50 success
+    "ex7_mantel_haenszel" -> q((s, d) =>
+      graft.operators.Experiment.mantelHaenszel(Tables.events(s, d),
+        treatCol = pmod(col("user_id"), lit(7L)) === 0,
+        successCol = col("value") > 50,
+        strataCols = Seq(col("event_type")))),
+    // uplift by targeting-score bucket + running Qini numerator: the
+    // hash-derived score, user-parity treatment, value>50 response
+    "ex8_uplift_buckets" -> q((s, d) =>
+      graft.operators.Experiment.upliftBuckets(
+        Tables.events(s, d).withColumn("p",
+          pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
+        "p", treatCol = pmod(col("user_id"), lit(2L)) === 0,
+        responseCol = col("value") > 50, nBuckets = 10)),
+    // Nelson-Aalen cumulative hazard + Breslow survival over the same
+    // lifetime/censoring model as ml20's Kaplan-Meier curve
+    "ml27_nelson_aalen" -> q((s, d) =>
+      graft.ml.Survival.nelsonAalen(
+        Tables.events(s, d).filter(col("value") > 150),
+        "user_id", "ts", censorHorizonDays = 7)),
     // Kish effective sample size per source for an uneven weight
     // column — the diagnostic every importance-weighted mix publishes
     "tp12_effective_sample_size" -> q((s, d) =>
@@ -4565,6 +4592,92 @@ object SparkEntry {
                THEN n_t * (m_t - m_c) END)
              / sum(CASE WHEN n_t > 0 AND n_c > 0 THEN n_t END), 6) AS att
          FROM s""",
+    "ex6_prop_ztest" ->
+      """WITH g AS (SELECT event_type,
+           count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+           count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b,
+           count(CASE WHEN user_id % 2 = 0 AND value > 50
+             THEN 1 END) AS x_a,
+           count(CASE WHEN user_id % 2 <> 0 AND value > 50
+             THEN 1 END) AS x_b
+           FROM events GROUP BY 1),
+         t AS (SELECT event_type, n_a, n_b,
+           CAST(x_a AS DOUBLE) / n_a AS pa,
+           CAST(x_b AS DOUBLE) / n_b AS pb,
+           CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp FROM g),
+         u AS (SELECT *, sqrt(pp * (1 - pp)
+           * (1.0 / n_a + 1.0 / n_b)) AS se FROM t)
+         SELECT event_type, n_a, n_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0 END, 6)
+             AS z_stat,
+           abs(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0 END)
+             > 1.959964 AS significant
+         FROM u ORDER BY event_type""",
+    "ex7_mantel_haenszel" ->
+      """WITH s AS (SELECT event_type,
+           count(CASE WHEN user_id % 7 = 0 AND value > 50
+             THEN 1 END) AS a,
+           count(CASE WHEN user_id % 7 = 0 AND NOT (value > 50)
+             THEN 1 END) AS b,
+           count(CASE WHEN user_id % 7 <> 0 AND value > 50
+             THEN 1 END) AS c,
+           count(CASE WHEN user_id % 7 <> 0 AND NOT (value > 50)
+             THEN 1 END) AS d
+           FROM events GROUP BY 1),
+         t AS (SELECT *, CAST(a + b + c + d AS DOUBLE) AS n FROM s)
+         SELECT count(*) AS n_strata,
+           CAST(sum(a) AS BIGINT) AS tot_treat_succ,
+           CAST(sum(c) AS BIGINT) AS tot_ctrl_succ,
+           round(sum(CAST(a AS DOUBLE) * d / n)
+             / sum(CAST(b AS DOUBLE) * c / n), 6) AS or_mh,
+           round(ln(sum(CAST(a AS DOUBLE) * d / n)
+             / sum(CAST(b AS DOUBLE) * c / n)), 6) AS log_or_mh
+         FROM t""",
+    "ex8_uplift_buckets" ->
+      """WITH s AS (SELECT (user_id * 2654435761 % 1000) / 1000.0 AS p,
+           user_id % 2 = 0 AS tr, value > 50 AS resp
+           FROM events WHERE value IS NOT NULL),
+         b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bucket,
+           count(CASE WHEN tr THEN 1 END) AS n_t,
+           count(CASE WHEN NOT tr THEN 1 END) AS n_c,
+           count(CASE WHEN tr AND resp THEN 1 END) AS r_t,
+           count(CASE WHEN NOT tr AND resp THEN 1 END) AS r_c
+           FROM s GROUP BY 1),
+         c AS (SELECT *, sum(r_t) OVER w AS cum_rt,
+           sum(r_c) OVER w AS cum_rc, sum(n_t) OVER w AS cum_nt,
+           sum(n_c) OVER w AS cum_nc FROM b
+           WINDOW w AS (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT bucket, n_t, n_c,
+           round(CASE WHEN n_t > 0 AND n_c > 0
+             THEN CAST(r_t AS DOUBLE) / n_t - CAST(r_c AS DOUBLE) / n_c
+             END, 6) AS uplift,
+           round(CASE WHEN cum_nc > 0
+             THEN cum_rt - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc
+             END, 6) AS qini_cum
+         FROM c ORDER BY bucket DESC""",
+    "ml27_nelson_aalen" ->
+      """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day
+           FROM events WHERE value > 150),
+         u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM a GROUP BY 1),
+         m AS (SELECT max(l) AS mx FROM u),
+         s AS (SELECT datediff('day', f, l) AS dur,
+             CASE WHEN datediff('day', l, (SELECT mx FROM m)) >= 7
+               THEN 1 ELSE 0 END AS ev FROM u),
+         g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c FROM s GROUP BY 1),
+         r AS (SELECT dur, d,
+             CAST((SELECT count(*) FROM s) - coalesce(sum(d + c) OVER
+               (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk FROM g),
+         k AS (SELECT dur, d, n_risk,
+             sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY dur) AS h
+           FROM r WHERE d > 0)
+         SELECT CAST(dur AS INT) AS duration_days, n_risk, d AS n_events,
+           round(h, 6) AS cum_hazard,
+           round(exp(-h), 6) AS surv_breslow
+         FROM k ORDER BY 1""",
     "ex5_mde" ->
       """WITH g AS (SELECT event_type,
            count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,

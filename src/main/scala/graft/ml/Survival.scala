@@ -30,6 +30,49 @@ object Survival {
     * textbook estimator. */
   def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
                   censorHorizonDays: Int = 7): DataFrame = {
+    val upTo = Window.orderBy("dur")
+    durationRisk(df, userCol, tsCol, censorHorizonDays)
+      .filter(col("d") > 0)
+      // the log-sum runs over event-duration rows only (factor 1 rows
+      // dropped above contribute nothing); the d == n_risk guard keeps
+      // ln(0) out of the window — that row's survival is exactly 0
+      .withColumn("survival",
+        when(col("d") >= col("n_risk"), 0.0).otherwise(
+          exp(sum(log(when(col("d") < col("n_risk"),
+            lit(1.0) - col("d").cast("double") / col("n_risk"))
+            .otherwise(lit(1.0)))).over(upTo))))
+      .select(col("dur").cast("int").as("duration_days"),
+        col("n_risk"), col("d").as("n_events"),
+        round(col("survival"), 4).as("survival"))
+      .orderBy("duration_days")
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same lifetime/censoring
+    * model as [[kaplanMeier]]: `H(t) = Σ_{s≤t} d_s/n_s` at each event
+    * duration, plus the Breslow survival estimate `exp(−H)`. The
+    * hazard increments are a running sum over the duration-level
+    * table (same metadata-sized window as KM's log-product). */
+  def nelsonAalen(df: DataFrame, userCol: String, tsCol: String,
+                  censorHorizonDays: Int = 7): DataFrame = {
+    val upTo = Window.orderBy("dur")
+    durationRisk(df, userCol, tsCol, censorHorizonDays)
+      .filter(col("d") > 0)
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / col("n_risk")).over(upTo))
+      .select(col("dur").cast("int").as("duration_days"),
+        col("n_risk"), col("d").as("n_events"),
+        round(col("cum_hazard"), 6).as("cum_hazard"),
+        round(exp(-col("cum_hazard")), 6).as("surv_breslow"))
+      .orderBy("duration_days")
+  }
+
+  /** Shared lifetime → duration-level risk table: per lifetime
+    * duration, observed-event count `d`, censored count `c`, and the
+    * at-risk set size `n_risk` (subjects with duration ≥ this one).
+    * One subject aggregate, one duration aggregate; the risk window
+    * runs over the ≤span-days duration table. */
+  private def durationRisk(df: DataFrame, userCol: String, tsCol: String,
+                           censorHorizonDays: Int): DataFrame = {
     val subjects = df
       .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
       .groupBy("_u")
@@ -45,22 +88,9 @@ object Survival {
     val byDur = lifetimes.groupBy("dur", "_n_total")
       .agg(sum("_ev").as("d"), (count(lit(1)) - sum("_ev")).as("c"))
     val before = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    val upTo = Window.orderBy("dur")
     byDur
       .withColumn("n_risk",
         col("_n_total") - coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
-      .filter(col("d") > 0)
-      // the log-sum runs over event-duration rows only (factor 1 rows
-      // dropped above contribute nothing); the d == n_risk guard keeps
-      // ln(0) out of the window — that row's survival is exactly 0
-      .withColumn("survival",
-        when(col("d") >= col("n_risk"), 0.0).otherwise(
-          exp(sum(log(when(col("d") < col("n_risk"),
-            lit(1.0) - col("d").cast("double") / col("n_risk"))
-            .otherwise(lit(1.0)))).over(upTo))))
-      .select(col("dur").cast("int").as("duration_days"),
-        col("n_risk"), col("d").as("n_events"),
-        round(col("survival"), 4).as("survival"))
-      .orderBy("duration_days")
+      .drop("_n_total")
   }
 }

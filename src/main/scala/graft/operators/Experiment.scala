@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Online-experiment (A/B) analytics — the read-side a training/product
@@ -152,6 +153,109 @@ object Experiment {
           .as("treated_matched"),
         round(sum(when(matched, col("n_t") * (col("m_t") - col("m_c"))))
           / sum(when(matched, col("n_t"))), 6).as("att"))
+  }
+
+  /** Two-proportion z-test per group: conversion-rate comparison
+    * between arms (the binary-metric sibling of [[Drift.welchTTest]]).
+    * One conditional aggregate yields per-arm trials/successes; the
+    * pooled-variance z statistic
+    * `z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` is scalar math on
+    * the groups-sized frame. `critical` defaults to the 5% two-sided
+    * normal quantile. Degenerate guard: an all-success or all-failure
+    * pool (p̂(1−p̂) = 0) yields z = 0 — no division blow-up on either
+    * engine.
+    */
+  def proportionTest(df: DataFrame, groupCol: String, successCol: Column,
+                     armCol: Column, critical: Double = 1.959964): DataFrame = {
+    val g = df.groupBy(groupCol)
+      .agg(count(when(armCol, 1)).as("n_a"),
+        count(when(!armCol, 1)).as("n_b"),
+        count(when(armCol && successCol, 1)).as("x_a"),
+        count(when(!armCol && successCol, 1)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a")
+    val pb = col("x_b").cast("double") / col("n_b")
+    val pooled =
+      (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled)
+      * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0, (pa - pb) / se).otherwise(lit(0.0))
+    g.select(col(groupCol), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(z, 6).as("z_stat"),
+        (abs(z) > critical).as("significant"))
+      .orderBy(groupCol)
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata (the classic
+    * confounder-adjusted 2×2 pool): per stratum the four cell counts
+    * (treat/control × success/failure) from one conditional aggregate,
+    * then `OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ` as a scalar roll-up over the
+    * strata-sized frame. Strata where either sum term is undefined
+    * (zero margin) still contribute their well-defined products —
+    * the standard estimator's behavior. Output one row: stratum count,
+    * pooled cell totals, OR and its log.
+    */
+  def mantelHaenszel(df: DataFrame, treatCol: Column, successCol: Column,
+                     strataCols: Seq[Column]): DataFrame = {
+    val strata = df.groupBy(strataCols: _*)
+      .agg(count(when(treatCol && successCol, 1)).as("a"),
+        count(when(treatCol && !successCol, 1)).as("b"),
+        count(when(!treatCol && successCol, 1)).as("c"),
+        count(when(!treatCol && !successCol, 1)).as("d"))
+      .withColumn("n",
+        (col("a") + col("b") + col("c") + col("d")).cast("double"))
+    // cast before multiplying: aᵢdᵢ / bᵢcᵢ overflow long at 100 TB
+    // stratum sizes (ANSI throws); the oracle's products are doubles too
+    val ad = col("a").cast("double") * col("d") / col("n")
+    val bc = col("b").cast("double") * col("c") / col("n")
+    strata.groupBy()
+      .agg(count(lit(1)).as("n_strata"),
+        sum("a").as("tot_treat_succ"),
+        sum("c").as("tot_ctrl_succ"),
+        round(sum(ad) / sum(bc), 6).as("or_mh"),
+        round(log(sum(ad) / sum(bc)), 6).as("log_or_mh"))
+  }
+
+  /** Uplift by score bucket + Qini-style cumulative curve: rows carry a
+    * targeting score in [0,1) (`probCol`), a treatment flag, and a
+    * binary response; buckets are fixed-width on the score
+    * (`floor(p·nBuckets)`, top edge clipped) so bucketing is a
+    * row-local pure function — no global quantile pass, no ntile
+    * window. Per bucket (descending score = targeting order): arm
+    * sizes, response rates, their gap (`uplift`), and the running Qini
+    * numerator `Σ r_t − Σ r_c · (N_t/N_c)` over buckets targeted so
+    * far — the curve whose area against the random-targeting diagonal
+    * is the Qini coefficient. The cumulative window runs over the
+    * buckets-sized frame only.
+    */
+  def upliftBuckets(df: DataFrame, probCol: String, treatCol: Column,
+                    responseCol: Column, nBuckets: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val buckets = df.filter(p.isNotNull)
+      .withColumn("bucket",
+        least(floor(p * nBuckets), lit(nBuckets - 1L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(when(treatCol, 1)).as("n_t"),
+        count(when(!treatCol, 1)).as("n_c"),
+        count(when(treatCol && responseCol, 1)).as("r_t"),
+        count(when(!treatCol && responseCol, 1)).as("r_c"))
+    val desc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("cum_rt", sum("r_t").over(desc))
+      .withColumn("cum_rc", sum("r_c").over(desc))
+      .withColumn("cum_nt", sum("n_t").over(desc))
+      .withColumn("cum_nc", sum("n_c").over(desc))
+      .select(col("bucket"), col("n_t"), col("n_c"),
+        // one-armed buckets (possible at tiny unit counts) yield NULL,
+        // not a division error — ANSI throws on /0, the oracle CASEs
+        round(when(col("n_t") > 0 && col("n_c") > 0,
+          col("r_t").cast("double") / col("n_t")
+            - col("r_c").cast("double") / col("n_c")), 6).as("uplift"),
+        round(when(col("cum_nc") > 0,
+          col("cum_rt") - col("cum_rc").cast("double")
+            * col("cum_nt") / col("cum_nc")), 6).as("qini_cum"))
+      .orderBy(col("bucket").desc)
   }
 
   /** Minimum detectable effect per group at two-sided alpha and power

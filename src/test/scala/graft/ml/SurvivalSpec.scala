@@ -37,6 +37,20 @@ class SurvivalSpec extends SparkTestBase {
     assert(r.map(_.getAs[Long]("n_risk")).toSeq == Seq(3L, 1L))
   }
 
+  test("nelsonAalen accumulates d/n at each event duration, KM risk sets shared") {
+    // same fixture as the textbook KM case: events at durations 1, 3,
+    // 10 with risk sets 4, 3, 2 -> H = 1/4, 1/4+1/3, +1/2
+    val df = stream(1L -> Seq(0, 1), 2L -> Seq(0, 3), 3L -> Seq(0, 10),
+      4L -> Seq(5, 20))
+    val r = Survival.nelsonAalen(df, "user_id", "ts").collect()
+    assert(r.map(_.getAs[Int]("duration_days")).toSeq == Seq(1, 3, 10))
+    assert(r.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 2L))
+    assert(r.map(_.getAs[Double]("cum_hazard")).toSeq
+      == Seq(0.25, 0.583333, 1.083333))
+    assert(r.map(_.getAs[Double]("surv_breslow")).toSeq
+      == Seq(0.778801, 0.558035, 0.338465))
+  }
+
   test("deterministic across partitionings") {
     val df = stream((1L to 40L).map(u =>
       u -> Seq(0, (u % 13).toInt, (u % 23).toInt)): _*)

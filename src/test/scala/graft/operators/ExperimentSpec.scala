@@ -91,6 +91,60 @@ class ExperimentSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("att") - 10.0 / 3) < 1e-6)
   }
 
+  test("proportionTest matches the hand-computed pooled z and guards zero variance") {
+    // arm A: 30/100, arm B: 20/100 -> pooled 0.25,
+    // z = 0.1 / sqrt(0.25*0.75*0.02) = 1.632993 (< 1.96)
+    val rows = Seq.tabulate(100)(i => ("g", 0L, i < 30)) ++
+      Seq.tabulate(100)(i => ("g", 1L, i < 20))
+    val r = Experiment.proportionTest(rows.toDF("g", "arm", "ok"),
+      "g", col("ok"), col("arm") === 0).collect().head
+    assert(r.getAs[Double]("p_a") == 0.3 && r.getAs[Double]("p_b") == 0.2)
+    assert(r.getAs[Double]("z_stat") == 1.632993)
+    assert(!r.getAs[Boolean]("significant"))
+    // all-success pool: se = 0 -> z pinned to 0, no division error
+    val allOk = Seq.tabulate(40)(i => ("g", (i % 2).toLong, true))
+      .toDF("g", "arm", "ok")
+    assert(Experiment.proportionTest(allOk, "g", col("ok"),
+      col("arm") === 0).collect().head.getAs[Double]("z_stat") == 0.0)
+  }
+
+  test("mantelHaenszel pools the per-stratum odds products") {
+    // S1: a=10 b=10 c=5 d=25 (n=50) -> ad/n=5, bc/n=1
+    // S2: a=4 b=16 c=2 d=28 (n=50) -> ad/n=2.24, bc/n=0.64
+    // OR = 7.24/1.64 = 4.414634, ln = 1.484925
+    def cell(s: String, t: Boolean, ok: Boolean, k: Int) =
+      Seq.fill(k)((s, t, ok))
+    val rows = cell("s1", true, true, 10) ++ cell("s1", true, false, 10) ++
+      cell("s1", false, true, 5) ++ cell("s1", false, false, 25) ++
+      cell("s2", true, true, 4) ++ cell("s2", true, false, 16) ++
+      cell("s2", false, true, 2) ++ cell("s2", false, false, 28)
+    val r = Experiment.mantelHaenszel(rows.toDF("s", "t", "ok"),
+      col("t"), col("ok"), Seq(col("s"))).collect().head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("tot_treat_succ") == 14L)
+    assert(r.getAs[Double]("or_mh") == 4.414634)
+    assert(r.getAs[Double]("log_or_mh") == 1.484925)
+  }
+
+  test("upliftBuckets ranks by score desc and nulls one-armed buckets") {
+    def batch(p: Double, t: Boolean, ok: Boolean, k: Int) =
+      Seq.fill(k)((p, t, ok))
+    val rows =
+      batch(0.95, true, true, 8) ++ batch(0.95, true, false, 2) ++
+        batch(0.95, false, true, 2) ++ batch(0.95, false, false, 8) ++
+        batch(0.55, true, false, 5) ++ // treat-only bucket
+        batch(0.15, true, true, 3) ++ batch(0.15, true, false, 7) ++
+        batch(0.15, false, true, 3) ++ batch(0.15, false, false, 7)
+    val out = Experiment.upliftBuckets(rows.toDF("p", "t", "ok"),
+      "p", col("t"), col("ok")).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == Seq(9L, 5L, 1L))
+    assert(out(0).getAs[Double]("uplift") == 0.6)
+    assert(out(1).isNullAt(out(1).fieldIndex("uplift"))) // no controls
+    assert(out(2).getAs[Double]("uplift") == 0.0)
+    // qini: 8-2*(10/10)=6; 8-2*(15/10)=5; 11-5*(25/20)=4.75
+    assert(out.map(_.getAs[Double]("qini_cum")).toSeq == Seq(6.0, 5.0, 4.75))
+  }
+
   test("mde scales as 1/sqrt(n) and is 0 for a constant metric") {
     def frame(n: Int) = (1 to n).map(i =>
       ("g", i.toLong, (i % 10).toDouble)).toDF("g", "user_id", "value")
