@@ -67,6 +67,19 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("mean_mrr") - 0.333333) < 1e-6)
   }
 
+  test("ndcgMrr and brierEce are partition-invariant") {
+    val rows = (1 to 400).map { i =>
+      (s"q${i % 23}", i.toLong, ((i * 7) % 101).toDouble,
+        i % 5 == 0, (i % 1000) / 1000.0)
+    }
+    val df = rows.toDF("q", "id", "score", "rel", "p")
+    def run(d: org.apache.spark.sql.DataFrame) = Seq(
+      Eval.ndcgMrr(d, "q", "score", col("rel"), "id", k = 5)
+        .collect().toSeq,
+      Eval.brierEce(d, "p", col("rel")).collect().toSeq)
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+  }
+
   test("looTargetEncode excludes self and nulls singletons") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0))
       .toDF("cat", "y")

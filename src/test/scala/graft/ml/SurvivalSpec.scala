@@ -57,6 +57,9 @@ class SurvivalSpec extends SparkTestBase {
     val a = Survival.kaplanMeier(df, "user_id", "ts").collect().toSeq
     val b = Survival.kaplanMeier(df.repartition(17), "user_id", "ts")
       .collect().toSeq
+    assert(Survival.nelsonAalen(df, "user_id", "ts").collect().toSeq
+      == Survival.nelsonAalen(df.repartition(17), "user_id", "ts")
+        .collect().toSeq)
     assert(a == b)
   }
 }

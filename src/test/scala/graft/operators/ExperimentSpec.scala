@@ -145,6 +145,26 @@ class ExperimentSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("qini_cum")).toSeq == Seq(6.0, 5.0, 4.75))
   }
 
+  test("round-10 experiment operators are partition-invariant") {
+    val rows = (1 to 500).map { i =>
+      (i.toLong % 97, (i % 37).toDouble, i % 3 == 0, i % 2 == 0,
+        (i % 1000) / 1000.0, s"g${i % 5}")
+    }
+    val df = rows.toDF("u", "v", "pre", "tr", "p", "g")
+    def run(d: org.apache.spark.sql.DataFrame) = Seq(
+      Experiment.cuped(d, "u", "v", col("pre"), pmod(col("u"), lit(2L)))
+        .collect().toSeq,
+      Experiment.proportionTest(d, "g", col("v") > 18, col("tr"))
+        .collect().toSeq,
+      Experiment.mantelHaenszel(d, col("tr"), col("v") > 18, Seq(col("g")))
+        .collect().toSeq,
+      Experiment.upliftBuckets(d, "p", col("tr"), col("v") > 18)
+        .collect().toSeq,
+      Experiment.cemAtt(d, "v", col("tr"), Seq(col("g")))
+        .collect().toSeq)
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+  }
+
   test("mde scales as 1/sqrt(n) and is 0 for a constant metric") {
     def frame(n: Int) = (1 to n).map(i =>
       ("g", i.toLong, (i % 10).toDouble)).toDF("g", "user_id", "value")
