@@ -1985,6 +1985,29 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, d), reproducible = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b")).limit(1000)),
+    // ingest-time cross-corpus screen: every-3rd doc plays the incoming
+    // batch, the rest the accumulated corpus; corpus-side bucket guard
+    "d29_cross_corpus_neardups" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusNearDups(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+          reproducible = true)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc_in", "doc_corpus").limit(1000)
+    }),
+    // the SAME screen through the real streaming runtime: stateless
+    // stream-static band join, append mode — pinned to the identical
+    // oracle as d29, so arrival-order independence is demanded, not
+    // assumed
+    "st12_stream_neardup_screen" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.CorpusStreams.nearDupScreenThroughStream(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+          reproducible = true, tau = 0.5)
+        .orderBy("doc_in", "doc_corpus").limit(1000)
+    }),
     // near-dup pairs cross-validated by a SECOND similarity family:
     // character-level edit distance over 120-char prefixes. BOTH
     // dimensions are bounded BEFORE the O(len²) DP runs: 120-char
@@ -4122,6 +4145,36 @@ object SparkEntry {
            FROM cands
            JOIN sig sa ON sa.doc_id = doc_a
            JOIN sig sb ON sb.doc_id = doc_b)"""
+
+  /** Cross-corpus near-dup oracle shared by the batch (d29) and
+    * streaming (st12) gates: the frozen-perms FNV pipeline's `banded`/
+    * `sig` CTEs, split into incoming (doc_id % 3 = 0) and corpus sides,
+    * with the bucket guard sized on the CORPUS side only — mirroring
+    * `Dedup.crossCorpusNearDups` exactly. */
+  private lazy val crossCorpusSql: String =
+    s"""$minhashFnvPipeline,
+       bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+       bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+       bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+         FROM bc GROUP BY 1, 2),
+       cx_small AS (SELECT DISTINCT i.doc_id AS doc_in, c.doc_id AS doc_corpus
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
+         JOIN bc c ON c.band = i.band AND c.key = i.key),
+       cx_star AS (SELECT DISTINCT i.doc_id AS doc_in, z.rep AS doc_corpus
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
+       cx AS (SELECT DISTINCT doc_in, doc_corpus FROM
+         (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star)),
+       estx AS (SELECT doc_in, doc_corpus,
+           len(list_filter(range(1, 65), j -> si.sig[j] = sc.sig[j]))::DOUBLE / 64
+             AS est_jaccard
+         FROM cx
+         JOIN sig si ON si.doc_id = doc_in
+         JOIN sig sc ON sc.doc_id = doc_corpus)
+       SELECT doc_in, doc_corpus, est_jaccard FROM estx
+       WHERE est_jaccard >= 0.5
+       ORDER BY doc_in, doc_corpus LIMIT 1000"""
 
   /** DuckDB regeneration of [[graft.taxi.TaxiFixture.yellowFromEvents]]
     * followed by the [[graft.taxi.Cleaning]] constants — the shared CTE
@@ -7641,6 +7694,8 @@ object SparkEntry {
       s"""$minhashFnvPipeline
          SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
          ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
+    "d29_cross_corpus_neardups" -> crossCorpusSql,
+    "st12_stream_neardup_screen" -> crossCorpusSql,
     "d13_neardup_editdist" ->
       s"""$minhashFnvPipeline,
          p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5

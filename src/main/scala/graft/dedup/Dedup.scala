@@ -392,7 +392,6 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
         "trailing signature positions would silently drop out of banding")
-    val rows = numHashes / bands
     // The signature frame feeds three consumers (banding + both sides of
     // the scoring join); persist so the per-document signature pass runs
     // once — signatures are 8·k bytes/doc, orders of magnitude smaller
@@ -400,22 +399,7 @@ object Dedup {
     val sigs = minhashSignatures(
       graft.operators.Partitioning.spread(documents), numHashes, shingleK,
       reproducible).persist()
-    // Candidate pairs carry only (doc_a, doc_b): the signature arrays are
-    // dropped before the band self-join so the shuffle moves small fixed
-    // keys, and a pair colliding in several bands is deduplicated BEFORE
-    // agreement scoring (not after, which would score it once per band).
-    // Band key: xxhash64 of the band slice (8 bytes — the scale default)
-    // or, in reproducible mode, the raw slice array itself (rows·8
-    // bytes, collision-free, and replicable by any engine that can
-    // compare arrays).
-    val bandCols: Seq[Column] =
-      if (reproducible) (0 until bands).map(b => slice(col("sig"), b * rows + 1, rows))
-      else (0 until bands).map(b =>
-        array(xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))))
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array(bandCols: _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val banded = bandedKeys(sigs, numHashes, bands, reproducible)
     val buckets = banded.groupBy("band", "band_hash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
     val withSize = banded.join(buckets, Seq("band", "band_hash"))
@@ -442,6 +426,86 @@ object Dedup {
     // here, stranding one cache per call otherwise).
     val out = scored.localCheckpoint(eager = true)
     sigs.unpersist()
+    out
+  }
+
+  /** LSH band keys for a signature frame: one row per (doc, band) with
+    * the band's key. Key = xxhash64 of the band slice (8 bytes — the
+    * scale default) or, in reproducible mode, the raw slice array
+    * itself (rows·8 bytes, collision-free, and replicable by any
+    * engine that can compare arrays). Row-local (posexplode of literal
+    * slices), so it runs unchanged on a STREAM — the property
+    * [[crossCorpusNearDups]]'s streaming twin relies on. */
+  private[graft] def bandKeyCols(numHashes: Int, bands: Int,
+                                 reproducible: Boolean): Seq[Column] = {
+    val rows = numHashes / bands
+    if (reproducible) (0 until bands).map(b => slice(col("sig"), b * rows + 1, rows))
+    else (0 until bands).map(b =>
+      array(xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)))))
+  }
+
+  private[graft] def bandedKeys(sigs: DataFrame, numHashes: Int, bands: Int,
+                                reproducible: Boolean): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(array(bandKeyCols(numHashes, bands, reproducible): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+
+  /** Cross-corpus near-dup screen — the INGEST-time variant of
+    * [[minhashNearDups]]: which incoming documents near-duplicate
+    * something already in the corpus? Both sides get the same
+    * signature/banding; candidates come from an equi-join of incoming
+    * band keys against CORPUS band keys (never a self-join of the
+    * union — incoming×incoming and corpus×corpus pairs are not this
+    * operator's question), then signature-agreement scoring.
+    *
+    * Hot-bucket guard mirrors [[minhashNearDups]] but sizes buckets on
+    * the CORPUS side (the accumulated mass; the incoming batch is the
+    * small side by construction): an oversized corpus bucket yields
+    * (incoming, bucket-rep) pairs only — "matched a mega-cluster, via
+    * its representative" — linear instead of |bucket| per probe.
+    *
+    * Scale shape: signatures once per side; the band join shuffles
+    * (band, key) pairs; scoring joins touch signature-sized frames. At
+    * a 100 TB corpus the banded-corpus frame is the thing to PERSIST
+    * across ingest batches — see `Ivf.save`'s index-persistence
+    * pattern; here both sides are computed fresh for gate
+    * determinism. */
+  def crossCorpusNearDups(incoming: DataFrame, corpus: DataFrame,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleK: Int = 3, maxBucket: Int = 64,
+                          reproducible: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    val sigsIn = minhashSignatures(incoming, numHashes, shingleK, reproducible)
+      .persist()
+    val sigsC = minhashSignatures(
+      graft.operators.Partitioning.spread(corpus), numHashes, shingleK,
+      reproducible).persist()
+    val bIn = bandedKeys(sigsIn, numHashes, bands, reproducible)
+    val bC = bandedKeys(sigsC, numHashes, bands, reproducible)
+    val bucketsC = bC.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+    val smallC = bC.join(bucketsC, Seq("band", "band_hash"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+    val candSmall = bIn.join(smallC
+        .withColumnRenamed("doc_id", "doc_corpus"),
+        Seq("band", "band_hash"))
+      .select(col("doc_id").as("doc_in"), col("doc_corpus"))
+    val candStar = bIn.join(bucketsC.filter(col("bsz") > maxBucket),
+        Seq("band", "band_hash"))
+      .select(col("doc_id").as("doc_in"), col("rep").as("doc_corpus"))
+    val candidates = candSmall.union(candStar).distinct()
+    val scored = candidates
+      .join(sigsIn.select(col("doc_id").as("doc_in"), col("sig").as("sig_i")),
+        "doc_in")
+      .join(sigsC.select(col("doc_id").as("doc_corpus"), col("sig").as("sig_c")),
+        "doc_corpus")
+      .select(col("doc_in"), col("doc_corpus"),
+        (size(filter(zip_with(col("sig_i"), col("sig_c"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+    val out = scored.localCheckpoint(eager = true)
+    sigsIn.unpersist(); sigsC.unpersist()
     out
   }
 

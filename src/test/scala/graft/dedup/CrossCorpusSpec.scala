@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CrossCorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // clone families with perturbations + singletons; ids 0,3,6,... play
+  // the incoming batch, the rest the corpus
+  private def fixture = (0 until 36).map { i =>
+    val fam = i / 4
+    val text = s"family $fam shares a long common sentence about engines " +
+      s"and pipelines token${i % 4} plus trailing words ${i % 2}"
+    (i.toLong, text)
+  }.toDF("doc_id", "text")
+
+  private def isIn(id: Long) = id % 3 == 0
+
+  test("crossCorpusNearDups equals the cross restriction of the self-join operator") {
+    val docs = fixture
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val cross = Dedup.crossCorpusNearDups(incoming, corpus, reproducible = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // all buckets here are far below maxBucket, so the union self-join
+    // restricted to (incoming, corpus) pairs is the exact same set
+    val selfPairs = Dedup.minhashNearDups(docs, reproducible = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .collect {
+        case ((a, b), e) if isIn(a) && !isIn(b) => (a, b) -> e
+        case ((a, b), e) if !isIn(a) && isIn(b) => (b, a) -> e
+      }.toMap
+    assert(cross == selfPairs)
+    assert(cross.nonEmpty) // fixture must actually exercise the join
+  }
+
+  test("oversized corpus buckets emit only the representative (star guard)") {
+    val clones = (0 until 80).map(i =>
+      (i.toLong * 3 + 1, "identical text repeated across the whole corpus " +
+        "with enough tokens for shingles")) // all corpus-side ids
+    val corpus = clones.toDF("doc_id", "text")
+    val incoming = Seq((0L, "identical text repeated across the whole " +
+      "corpus with enough tokens for shingles")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(incoming, corpus, reproducible = true)
+      .collect()
+    // every band bucket holds 80 corpus clones > 64: only the hub pair
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 0L)
+    assert(out.head.getLong(1) == 1L) // min corpus doc_id
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("streaming screen equals the batch twin regardless of micro-batching") {
+    val docs = fixture
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val batch = Dedup.crossCorpusNearDups(incoming, corpus, reproducible = true)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(1, 4).foreach { files =>
+      val streamed = graft.streaming.CorpusStreams
+        .nearDupScreenThroughStream(spark, incoming, corpus,
+          reproducible = true, tau = 0.5, inputFiles = files)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"mismatch at inputFiles=$files")
+    }
+  }
+}
