@@ -117,9 +117,10 @@ object ScaleProbe {
       case "truss"      => probeTruss(spark, rows, hotFrac, cpus)
       case "pq"         => probePq(spark, rows, hotFrac, cpus)
       case "semdedup"   => probeSemDedup(spark, rows, hotFrac, cpus)
+      case "xcorpus"    => probeCrossCorpus(spark, rows, hotFrac, cpus)
       case other => throw new IllegalArgumentException(
         s"unknown --family $other (known: hotkey dedup components ann graph " +
-          "topk substr bpe truss pq semdedup)")
+          "topk substr bpe truss pq semdedup xcorpus)")
     }
     spark.stop()
   }
@@ -594,6 +595,62 @@ object ScaleProbe {
         .agg(sum(hash(col("query_id"), col("rank"), col("vec_id"))))
         .head().getLong(0)
     }
+  }
+
+  /** `--family xcorpus`: the ingest-time screen under a planted CORPUS
+    * MEGA-CLUSTER — `hotFrac` of the corpus is one near-identical
+    * family, and the same fraction of a 10×-smaller incoming batch
+    * clones it too. Every incoming clone's bands all land in the
+    * cluster's buckets: unguarded, each probe pairs against the WHOLE
+    * cluster (probes × |cluster| candidates); the corpus-side bucket
+    * guard degrades that to one hub pair per probe. The probe measures
+    * the guarded form and asserts the screen's DECISION SET (which
+    * incoming docs matched at τ) is identical to the unguarded twin's
+    * while the cluster is small enough to enumerate. */
+  private def probeCrossCorpus(spark: SparkSession, rows: Long,
+                               hotFrac: Double, cpus: Int): Unit = {
+    val clusterBody = (1 to 40).map(i => s"tok${i * 7 % 53}").mkString(" ")
+    def docs(n: Long, offset: Long) = {
+      val uniqueText = concat_ws(" ",
+        (0 until 30).map(j =>
+          pmod(hash((col("id") + offset) * 1009 + j), lit(1000000L))): _*)
+      spark.range(0, n, 1, cpus * 2).select(
+        (col("id") + offset).as("doc_id"),
+        when(pmod(hash(col("id") + offset), lit(1000))
+            < lit((hotFrac * 1000).toInt),
+          concat(lit(clusterBody), lit(" u"), col("id") + offset))
+          .otherwise(uniqueText).as("text"))
+        .localCheckpoint(eager = true)
+    }
+    val corpus = docs(rows, 0L)
+    val incoming = docs(rows / 10, rows)
+    val clusterRows = corpus.filter(col("text").startsWith(clusterBody)).count()
+    val probeRows = incoming.filter(col("text").startsWith(clusterBody)).count()
+    println(s"""{"probe":"xcorpus-megacluster","rows":$rows,""" +
+      s""""hot_frac":$hotFrac,"cpus":$cpus,"cluster_rows":$clusterRows,""" +
+      s""""incoming_clones":$probeRows}""")
+    def decisionChecksum(pairs: DataFrame): Long =
+      pairs.filter(col("est_jaccard") >= 0.5)
+        .select("doc_in").distinct()
+        .agg(sum(hash(col("doc_in")))).head().getLong(0)
+    val (g, _, _) = measure(spark, "xcorpus_guarded") {
+      decisionChecksum(Dedup.crossCorpusNearDups(incoming, corpus))
+    }
+    if (clusterRows <= 2000) {
+      val (u, _, _) = measure(spark, "xcorpus_unguarded") {
+        decisionChecksum(Dedup.crossCorpusNearDups(incoming, corpus,
+          maxBucket = Int.MaxValue))
+      }
+      require(g == u,
+        s"corpus bucket guard changed the screen decision: $g vs $u")
+      val nG = Dedup.crossCorpusNearDups(incoming, corpus).count()
+      val nU = Dedup.crossCorpusNearDups(incoming, corpus,
+        maxBucket = Int.MaxValue).count()
+      println(s"""{"probe":"xcorpus-megacluster","guarded_pairs":$nG,""" +
+        s""""unguarded_pairs":$nU}""")
+    } else
+      println(s"""{"probe":"xcorpus-megacluster",""" +
+        s""""note":"cluster $clusterRows > 2000 — unguarded twin skipped"}""")
   }
 
   /** `--family semdedup`: the single-assignment recall gap, measured —
