@@ -3146,6 +3146,16 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_px"), 6).as("mean_px"))
         .orderBy("doc_id")),
+    // real audio round trip: RIFF/WAVE PCM16 encode executor-side, then
+    // a real container parse + signal features; the oracle recomputes
+    // RMS / zero crossings / peak from the closed-form samples directly
+    "m6_audio_features" -> q((s, d) =>
+      Multimodal.decodeWavFeatures(Multimodal.withWavPayload(
+          Tables.documents(s, d).filter(col("doc_id") < 100)))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 6).as("rms"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("doc_id")),
     // real resize round-trip: PNG decode → nearest-neighbor resample →
     // PNG re-encode executor-side, then decode the RESIZED payload; the
     // oracle recomputes dims and mean pixel from the same closed-form
@@ -7969,6 +7979,21 @@ object SparkEntry {
            CAST((doc_id // 16) % 16 + 1 AS INT) AS height,
            round(avg(p), 6) AS mean_px
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+    "m6_audio_features" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 57 AS n
+           FROM documents WHERE doc_id < 100),
+         s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS INT))) AS i FROM d),
+         v AS (SELECT doc_id, n, i,
+           (doc_id * 131 + i * 73) % 4001 - 2000 AS x FROM s),
+         w AS (SELECT doc_id, n, x,
+           lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           round(sqrt(avg(CAST(x AS DOUBLE) * x)), 6) AS rms,
+           CAST(sum(CASE WHEN px IS NOT NULL AND px * x < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(max(abs(x)) AS INT) AS peak
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     "m4_real_resize" ->
       """WITH dims AS (SELECT doc_id, doc_id % 16 + 1 AS w,
              (doc_id // 16) % 16 + 1 AS h,

@@ -251,6 +251,119 @@ object Multimodal {
     spark.createDataFrame(rdd, imageFeatureSchema)
   }
 
+  // ---- Real audio codec path (RIFF/WAVE, PCM16 little-endian — the
+  // container is simple enough to write AND parse in pure JVM code, so
+  // unlike video this tier needs no stub: encode and decode are both
+  // real, with the same closed-form-sample trick as the PNG path so
+  // the oracle recomputes expected features codec-free).
+
+  private[multimodal] def audioLen(docId: Long): Int = (200 + docId % 57).toInt
+
+  private[multimodal] def sampleAt(docId: Long, i: Int): Int =
+    ((docId * 131 + i.toLong * 73) % 4001 - 2000).toInt
+
+  /** Attach a REAL RIFF/WAVE payload per document: PCM16 mono 8 kHz,
+    * sample values a deterministic function of (doc_id, position).
+    * Encoding runs executor-side in the partition loop. */
+  def withWavPayload(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = documents.select("doc_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = audioLen(id)
+        val dataBytes = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+          .put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)             // PCM, mono
+          .putInt(8000).putInt(8000 * 2)       // rate, byte rate
+          .putShort(2).putShort(16)            // block align, bits
+        buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+        var i = 0
+        while (i < n) { buf.putShort(sampleAt(id, i).toShort); i += 1 }
+        Row(id, buf.array())
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("meta", struct(length(col("payload")).as("n_bytes"),
+        lit("wav/pcm16").as("codec")))
+  }
+
+  private val audioFeatureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType),
+    StructField("zero_crossings", LongType),
+    StructField("peak", IntegerType)))
+
+  /** REAL decode: parse the RIFF container (verify magic, walk chunks
+    * to `fmt `/`data` — tolerant of extra chunks, intolerant of
+    * non-PCM16-mono), read the little-endian samples, and extract the
+    * classic signal features: RMS, strict zero crossings
+    * (`prev·cur < 0`), and peak amplitude. Partition-wise loop. */
+  def decodeWavFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val buf = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"doc $id: not a RIFF container")
+        buf.getInt()
+        require(tag() == "WAVE", s"doc $id: not a WAVE stream")
+        var rate = -1
+        var done = false
+        var nSamples = 0L
+        var sumSq = 0.0
+        var crossings = 0L
+        var peak = 0
+        while (!done && buf.remaining() >= 8) {
+          val chunk = tag()
+          val len = buf.getInt()
+          chunk match {
+            case "fmt " =>
+              val fmt = buf.getShort(); val ch = buf.getShort()
+              rate = buf.getInt(); buf.getInt(); buf.getShort()
+              val bits = buf.getShort()
+              require(fmt == 1 && ch == 1 && bits == 16,
+                s"doc $id: unsupported WAV layout fmt=$fmt ch=$ch bits=$bits")
+              buf.position(buf.position() + (len - 16))
+            case "data" =>
+              require(rate > 0, s"doc $id: data chunk before fmt")
+              val n = len / 2
+              var prev = 0
+              var i = 0
+              while (i < n) {
+                val v = buf.getShort().toInt
+                sumSq += v.toDouble * v
+                if (v.toLong * prev < 0) crossings += 1
+                if (math.abs(v) > peak) peak = math.abs(v)
+                prev = v
+                i += 1
+              }
+              nSamples = n
+              done = true
+            case _ => buf.position(buf.position() + len)
+          }
+        }
+        require(done, s"doc $id: no data chunk")
+        Row(id, rate, nSamples,
+          if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+          crossings, peak)
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
   /** SQL-expressible slice of the multimodal metadata (oracle-checkable):
     * byte length + frame count per doc, aggregated by source. */
   def payloadStats(documents: DataFrame): DataFrame =

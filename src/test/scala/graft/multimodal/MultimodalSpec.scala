@@ -90,6 +90,42 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real WAV round-trip: container parse recovers the closed-form signal") {
+    val ids = Seq(0L, 7L, 56L, 100L, 4099L).toDF("doc_id")
+    val decoded = Multimodal.decodeWavFeatures(Multimodal.withWavPayload(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    for (id <- Seq(0L, 7L, 56L, 100L, 4099L)) {
+      val n = Multimodal.audioLen(id)
+      val xs = (0 until n).map(Multimodal.sampleAt(id, _))
+      val expRms = math.sqrt(xs.map(v => v.toDouble * v).sum / n)
+      val expZc = xs.sliding(2).count(p => p.head.toLong * p(1) < 0)
+      val (rate, ns, rms, zc, peak) = decoded(id)
+      assert(rate == 8000 && ns == n.toLong, s"header for doc $id")
+      assert(math.abs(rms - expRms) < 1e-9, s"rms for doc $id")
+      assert(zc == expZc.toLong, s"zero crossings for doc $id")
+      assert(peak == xs.map(math.abs).max, s"peak for doc $id")
+    }
+  }
+
+  test("WAV payloads are genuine RIFF containers and bad layouts are refused") {
+    val payload = Multimodal.withWavPayload(Seq(3L).toDF("doc_id"))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(payload.length == 44 + Multimodal.audioLen(3L) * 2)
+    // a stereo fmt chunk must be refused, not silently mis-parsed
+    val corrupt = payload.clone()
+    corrupt(22) = 2 // channels LE low byte
+    val bad = Seq((3L, corrupt)).toDF("doc_id", "payload")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavFeatures(bad).collect()
+    }
+    assert(err.getMessage.contains("unsupported WAV layout")
+      || Option(err.getCause).exists(_.getMessage.contains("unsupported WAV layout")))
+  }
+
   test("image payloads are genuine PNGs (magic bytes + codec metadata)") {
     val row = Multimodal.withImagePayload(Seq(42L).toDF("doc_id")).head()
     val bytes = row.getAs[Array[Byte]]("payload")
