@@ -773,6 +773,21 @@ object SparkEntry {
           pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
         "p", treatCol = pmod(col("user_id"), lit(2L)) === 0,
         responseCol = col("value") > 50, nBuckets = 10)),
+    // delta-method CI for the ratio metric "purchase revenue per
+    // event" with user-level clustering (row-level variance would be
+    // wrong — rows within a user are correlated)
+    "ex9_ratio_delta" -> q((s, d) =>
+      graft.operators.Experiment.ratioDeltaMethod(Tables.events(s, d),
+        "user_id",
+        numCol = when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)),
+        denCol = lit(1.0))),
+    // post-stratified mean of value: every-5th-user sample re-weighted
+    // to the full population's event-type mix
+    "ex10_poststrat" -> q((s, d) =>
+      graft.operators.Experiment.postStratifiedMean(Tables.events(s, d),
+        "event_type", "value",
+        samplePred = pmod(col("user_id"), lit(5L)) === 0)),
     // Nelson-Aalen cumulative hazard + Breslow survival over the same
     // lifetime/censoring model as ml20's Kaplan-Meier curve
     "ml27_nelson_aalen" -> q((s, d) =>
@@ -4720,6 +4735,37 @@ object SparkEntry {
              THEN cum_rt - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc
              END, 6) AS qini_cum
          FROM c ORDER BY bucket DESC""",
+    "ex9_ratio_delta" ->
+      """WITH u AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN value
+             ELSE 0 END), 0) AS x,
+           coalesce(sum(1.0), 0) AS y
+           FROM events GROUP BY 1),
+         g AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+           var_samp(x) AS sxx, var_samp(y) AS syy,
+           covar_samp(x, y) AS sxy FROM u),
+         f AS (SELECT n, mx / my AS r,
+           sqrt((sxx - 2 * (mx / my) * sxy
+             + (mx / my) * (mx / my) * syy) / (n * my * my)) AS se
+           FROM g)
+         SELECT n AS n_units, round(r, 6) AS ratio, round(se, 6) AS se,
+           round(r - 1.959964 * se, 6) AS ci_lo,
+           round(r + 1.959964 * se, 6) AS ci_hi
+         FROM f""",
+    "ex10_poststrat" ->
+      """WITH s AS (SELECT event_type, count(*) AS n_pop,
+           count(CASE WHEN user_id % 5 = 0 AND value IS NOT NULL
+             THEN 1 END) AS n_samp,
+           avg(CASE WHEN user_id % 5 = 0 THEN value END) AS m_samp
+           FROM events GROUP BY 1)
+         SELECT CAST(sum(n_samp) AS BIGINT) AS n_sample,
+           round(sum(m_samp * n_samp) / sum(n_samp), 6) AS naive_mean,
+           round(sum(CASE WHEN n_samp > 0 THEN n_pop * m_samp END)
+             / sum(CASE WHEN n_samp > 0 THEN n_pop END), 6)
+             AS poststrat_mean,
+           round(CAST(sum(CASE WHEN n_samp > 0 THEN n_pop END) AS DOUBLE)
+             / sum(n_pop), 6) AS covered_share
+         FROM s""",
     "ml27_nelson_aalen" ->
       """WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day
            FROM events WHERE value > 150),

@@ -258,6 +258,61 @@ object Experiment {
       .orderBy(col("bucket").desc)
   }
 
+  /** Delta-method CI for a RATIO metric (revenue per event, CTR, …)
+    * whose numerator and denominator both vary per randomization unit —
+    * the estimator where naive row-level variance is simply wrong
+    * (rows within a unit are correlated). Per unit: x = Σ `numCol`,
+    * y = Σ `denCol`; the ratio `R = Σx/Σy = x̄/ȳ` gets
+    * `Var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²)` from the unit-level
+    * sample (co)variances (Deng et al., KDD 2018 practice). One
+    * unit-keyed hash aggregate, one scalar aggregate. Output one row:
+    * n_units, ratio, se, and the ±`zCrit` CI.
+    */
+  def ratioDeltaMethod(df: DataFrame, unitCol: String, numCol: Column,
+                       denCol: Column, zCrit: Double = 1.959964): DataFrame = {
+    val units = df.groupBy(col(unitCol))
+      .agg(coalesce(sum(numCol), lit(0.0)).as("x"),
+        coalesce(sum(denCol), lit(0.0)).as("y"))
+    val g = units.agg(count(lit(1)).as("n"),
+      avg("x").as("mx"), avg("y").as("my"),
+      var_samp(col("x")).as("sxx"), var_samp(col("y")).as("syy"),
+      covar_samp(col("x"), col("y")).as("sxy"))
+    val r = col("mx") / col("my")
+    val se = sqrt((col("sxx") - lit(2.0) * r * col("sxy")
+      + r * r * col("syy")) / (col("n") * col("my") * col("my")))
+    g.select(col("n").as("n_units"), round(r, 6).as("ratio"),
+      round(se, 6).as("se"),
+      round(r - lit(zCrit) * se, 6).as("ci_lo"),
+      round(r + lit(zCrit) * se, 6).as("ci_hi"))
+  }
+
+  /** Post-stratified mean: re-weight a (possibly biased) sample's
+    * per-stratum means by the FULL population's stratum shares — the
+    * cheap bias correction when the sampling frame skewed the strata
+    * mix. Strata absent from the sample drop out and the estimate
+    * renormalizes over the covered share (reported — a low
+    * covered_share means the correction is extrapolating). Two hash
+    * aggregates on the stratum key (population shares need no sample
+    * scan and vice versa), scalar math after.
+    */
+  def postStratifiedMean(df: DataFrame, strataCol: String, valueCol: String,
+                         samplePred: Column): DataFrame = {
+    val v = col(valueCol)
+    val strata = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_pop"),
+        count(when(samplePred && v.isNotNull, 1)).as("n_samp"),
+        avg(when(samplePred, v)).as("m_samp"))
+    strata.agg(
+        sum("n_samp").as("n_sample"),
+        round(sum(col("m_samp") * col("n_samp")) / sum("n_samp"), 6)
+          .as("naive_mean"),
+        round(sum(when(col("n_samp") > 0, col("n_pop") * col("m_samp")))
+          / sum(when(col("n_samp") > 0, col("n_pop"))), 6)
+          .as("poststrat_mean"),
+        round(sum(when(col("n_samp") > 0, col("n_pop"))).cast("double")
+          / sum("n_pop"), 6).as("covered_share"))
+  }
+
   /** Minimum detectable effect per group at two-sided alpha and power
     * encoded by `zSum` (default 1.959964 + 0.841621 — 5% / 80%): from
     * one conditional aggregate per group, the per-arm counts, the

@@ -145,6 +145,36 @@ class ExperimentSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("qini_cum")).toSeq == Seq(6.0, 5.0, 4.75))
   }
 
+  test("ratioDeltaMethod matches the hand case and handles constant denominators") {
+    // units: x = {2, 4, 0}, y = {2, 2, 2} -> R = 1, sxx = 4, syy = sxy = 0,
+    // se = sqrt(4 / (3*4)) = 0.57735
+    val rows = Seq((1L, 2.0, 1.0), (1L, 0.0, 1.0), (2L, 4.0, 1.0),
+      (2L, 0.0, 1.0), (3L, 0.0, 1.0), (3L, 0.0, 1.0))
+    val r = Experiment.ratioDeltaMethod(rows.toDF("u", "x", "y"),
+      "u", col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Double]("ratio") == 1.0)
+    assert(r.getAs[Double]("se") == 0.57735)
+    assert(r.getAs[Double]("ci_lo") == -0.131586)
+    assert(r.getAs[Double]("ci_hi") == 2.131586)
+  }
+
+  test("postStratifiedMean re-weights to population shares and reports coverage") {
+    // A: pop 6, sampled rows mean 10; B: pop 4, sampled mean 20;
+    // C: pop 10, UNSAMPLED -> poststrat = (6*10 + 4*20)/10 = 14,
+    // covered = 10/20; naive = (2*10 + 1*20)/3
+    val rows =
+      Seq.fill(4)(("A", 10.0, false)) ++ Seq.fill(2)(("A", 10.0, true)) ++
+        Seq.fill(3)(("B", 20.0, false)) ++ Seq(("B", 20.0, true)) ++
+        Seq.fill(10)(("C", 99.0, false))
+    val r = Experiment.postStratifiedMean(rows.toDF("s", "v", "in_s"),
+      "s", "v", col("in_s")).collect().head
+    assert(r.getAs[Long]("n_sample") == 3L)
+    assert(r.getAs[Double]("naive_mean") == 13.333333)
+    assert(r.getAs[Double]("poststrat_mean") == 14.0)
+    assert(r.getAs[Double]("covered_share") == 0.5)
+  }
+
   test("round-10 experiment operators are partition-invariant") {
     val rows = (1 to 500).map { i =>
       (i.toLong % 97, (i % 37).toDouble, i % 3 == 0, i % 2 == 0,
@@ -161,6 +191,10 @@ class ExperimentSpec extends SparkTestBase {
       Experiment.upliftBuckets(d, "p", col("tr"), col("v") > 18)
         .collect().toSeq,
       Experiment.cemAtt(d, "v", col("tr"), Seq(col("g")))
+        .collect().toSeq,
+      Experiment.ratioDeltaMethod(d, "u", col("v"), lit(1.0))
+        .collect().toSeq,
+      Experiment.postStratifiedMean(d, "g", "v", col("tr"))
         .collect().toSeq)
     assert(run(df.coalesce(1)) == run(df.repartition(13)))
   }
