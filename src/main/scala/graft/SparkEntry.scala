@@ -707,6 +707,15 @@ object SparkEntry {
         Tables.events(s, d).filter(col("value").isNotNull),
         "user_id", "value", col("event_type") === "purchase",
         "event_id", k = 10)),
+    // rank-biased overlap between the value ranking and a hash-score
+    // ranking of each user's events — the ranker-comparison companion
+    // to the BM25/RRF retrieval operators
+    "ml28_rbo" -> q((s, d) =>
+      graft.ml.Eval.rboTopK(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "user_id", scoreA = col("value"),
+        scoreB = pmod(col("event_id") * lit(2654435761L), lit(1000L)),
+        "event_id", k = 10, p = 0.9)),
     // leave-one-out target encoding of lang against n_chars, pinned by
     // per-lang distribution stats of the encoded feature
     "ml26_loo_target_encode" -> q((s, d) => {
@@ -4594,6 +4603,23 @@ object SparkEntry {
            round(avg(CASE WHEN n_rel > 0 THEN 1.0 / first_rel END), 6)
              AS mean_mrr
          FROM q LEFT JOIN i USING (user_id)""",
+    "ml28_rbo" ->
+      """WITH r AS (SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS ra,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY (event_id * 2654435761 % 1000) DESC, event_id) AS rb
+           FROM events WHERE value IS NOT NULL),
+         mm AS (SELECT user_id, greatest(ra, rb) AS m FROM r),
+         suf AS (SELECT ms.range + 1 AS m,
+             sum(CASE WHEN ds.range >= ms.range
+               THEN pow(0.9, ds.range) / (ds.range + 1) ELSE 0 END) AS s
+           FROM range(0, 10) ms, range(0, 10) ds GROUP BY 1),
+         q AS (SELECT user_id, sum(coalesce(suf.s, 0)) AS tot
+           FROM mm LEFT JOIN suf ON suf.m = mm.m GROUP BY 1)
+         SELECT count(*) AS n_queries,
+           round(avg(tot * (1 - 0.9)), 6) AS mean_rbo
+         FROM q""",
     "ml26_loo_target_encode" ->
       """WITH s AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS sm,
            count(*) AS n FROM documents GROUP BY 1),

@@ -93,6 +93,45 @@ object Eval {
           .as("mean_mrr"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat, Zobel, TOIS 2010) truncated
+    * at depth k, between two rankings of each query's candidate set:
+    * `RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d`. The
+    * evaluation-depth sum collapses to a PER-ITEM lookup: an item
+    * ranked (ra, rb) by the two sides is inside both depth-d prefixes
+    * exactly when `d ≥ max(ra, rb)`, so its total contribution is the
+    * suffix sum `S(m) = Σ_{d=m..k} p^{d−1}/d` — k literals inlined as a
+    * when-chain, evaluated row-locally. Two windows partitioned by the
+    * query key, one join on (query, item), one aggregate; never a
+    * per-depth explode of the candidate lists.
+    *
+    * Both rankings order by their score DESC with `tieCol` ASC as the
+    * shared unique tie-break (cross-engine total order). Output one
+    * row: query count and mean RBO@k (queries with fewer than k
+    * candidates use their natural prefixes — the truncated-RBO
+    * convention).
+    */
+  def rboTopK(df: DataFrame, queryCol: String, scoreA: Column,
+              scoreB: Column, tieCol: String, k: Int = 10,
+              p: Double = 0.9): DataFrame = {
+    val wA = Window.partitionBy(queryCol).orderBy(scoreA.desc, col(tieCol).asc)
+    val wB = Window.partitionBy(queryCol).orderBy(scoreB.desc, col(tieCol).asc)
+    val ranked = df
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+    // S(m) = sum_{d=m..k} p^(d-1)/d, inlined as literals; items with
+    // m > k fall through to 0 — a query whose two prefixes are
+    // DISJOINT still aggregates (RBO 0), it must not drop from the mean
+    val suffix: IndexedSeq[Double] =
+      (1 to k).map(m => (m to k).map(d => math.pow(p, d - 1) / d).sum)
+    val contrib = (1 to k).foldLeft(lit(0.0)) { (acc, m) =>
+      when(col("m") === m, lit(suffix(m - 1))).otherwise(acc)
+    }
+    ranked.groupBy(queryCol).agg(sum(contrib).as("s"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("s") * (1 - p)), 6).as("mean_rbo"))
+  }
+
   /** Leave-one-out target encoding of `catCol` against numeric
     * `targetCol`: each row's feature is the category's target mean
     * EXCLUDING the row itself, `(S_c − y_i) / (n_c − 1)` (null for

@@ -67,6 +67,37 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("mean_mrr") - 0.333333) < 1e-6)
   }
 
+  test("rboTopK matches the naive per-depth definition and bounds") {
+    // one query, 6 items; A ranks by a desc, B by b desc (ids tie-break)
+    val items = Seq((1L, 60.0, 10.0), (2L, 50.0, 60.0), (3L, 40.0, 50.0),
+      (4L, 30.0, 40.0), (5L, 20.0, 30.0), (6L, 10.0, 20.0))
+    val df = items.map { case (id, a, b) => ("q", id, a, b) }
+      .toDF("q", "id", "a", "b")
+    val out = Eval.rboTopK(df, "q", col("a"), col("b"), "id", k = 10, p = 0.9)
+      .collect().head
+    // naive: rank lists, overlap at each depth d, (1-p) sum p^(d-1) X_d/d
+    val rankA = items.sortBy(t => (-t._2, t._1)).map(_._1)
+    val rankB = items.sortBy(t => (-t._3, t._1)).map(_._1)
+    val naive = 0.1 * (1 to 10).map { d =>
+      val overlap = rankA.take(d).toSet.intersect(rankB.take(d).toSet).size
+      math.pow(0.9, d - 1) * overlap / d
+    }.sum
+    assert(out.getAs[Long]("n_queries") == 1L)
+    assert(math.abs(out.getAs[Double]("mean_rbo")
+      - math.rint(naive * 1e6) / 1e6) < 1e-9)
+    // identical rankings -> the truncated-RBO maximum; disjoint -> 0
+    val same = Eval.rboTopK(df, "q", col("a"), col("a"), "id", k = 10, p = 0.9)
+      .collect().head.getAs[Double]("mean_rbo")
+    val maxRbo = 0.1 * (1 to 10).map(d =>
+      math.pow(0.9, d - 1) * math.min(d, 6) / d).sum
+    assert(math.abs(same - math.rint(maxRbo * 1e6) / 1e6) < 1e-9)
+    val disjoint = (Seq.tabulate(10)(i => ("q", i.toLong, 100.0 - i, 0.0)) ++
+      Seq.tabulate(10)(i => ("q", 100L + i, 0.0, 100.0 - i)))
+      .toDF("q", "id", "a", "b")
+    assert(Eval.rboTopK(disjoint, "q", col("a"), col("b"), "id", k = 10,
+      p = 0.9).collect().head.getAs[Double]("mean_rbo") == 0.0)
+  }
+
   test("ndcgMrr and brierEce are partition-invariant") {
     val rows = (1 to 400).map { i =>
       (s"q${i % 23}", i.toLong, ((i * 7) % 101).toDouble,
