@@ -4708,7 +4708,8 @@ object SparkEntry {
          t AS (SELECT event_type, n_a, n_b,
            CAST(x_a AS DOUBLE) / n_a AS pa,
            CAST(x_b AS DOUBLE) / n_b AS pb,
-           CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp FROM g),
+           CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp FROM g
+           WHERE n_a > 0 AND n_b > 0),
          u AS (SELECT *, sqrt(pp * (1 - pp)
            * (1.0 / n_a + 1.0 / n_b)) AS se FROM t)
          SELECT event_type, n_a, n_b,
@@ -4770,9 +4771,11 @@ object SparkEntry {
          g AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
            var_samp(x) AS sxx, var_samp(y) AS syy,
            covar_samp(x, y) AS sxy FROM u),
-         f AS (SELECT n, mx / my AS r,
-           sqrt((sxx - 2 * (mx / my) * sxy
-             + (mx / my) * (mx / my) * syy) / (n * my * my)) AS se
+         f AS (SELECT n,
+           CASE WHEN my <> 0 THEN mx / my END AS r,
+           CASE WHEN my <> 0 THEN
+             sqrt((sxx - 2 * (mx / my) * sxy
+               + (mx / my) * (mx / my) * syy) / (n * my * my)) END AS se
            FROM g)
          SELECT n AS n_units, round(r, 6) AS ratio, round(se, 6) AS se,
            round(r - 1.959964 * se, 6) AS ci_lo,
@@ -4823,7 +4826,7 @@ object SparkEntry {
            round(sqrt(v), 6) AS sd_pooled,
            round(2.801585 * sqrt(v / n_a + v / n_b), 6) AS mde_abs,
            round(2.801585 * sqrt(v / n_a + v / n_b) / m, 6) AS mde_rel
-         FROM g ORDER BY event_type""",
+         FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""",
     "tp12_effective_sample_size" ->
       """WITH t AS (SELECT source,
            CAST(n_chars % 101 + 1 AS DOUBLE) AS w FROM documents),

@@ -172,6 +172,9 @@ object Experiment {
         count(when(!armCol, 1)).as("n_b"),
         count(when(armCol && successCol, 1)).as("x_a"),
         count(when(!armCol && successCol, 1)).as("x_b"))
+      // a one-armed group has no test — NULL row, not a /0 throw (ANSI
+      // raises DIVIDE_BY_ZERO even for doubles; the oracle CASEs)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
     val pa = col("x_a").cast("double") / col("n_a")
     val pb = col("x_b").cast("double") / col("n_b")
     val pooled =
@@ -277,9 +280,12 @@ object Experiment {
       avg("x").as("mx"), avg("y").as("my"),
       var_samp(col("x")).as("sxx"), var_samp(col("y")).as("syy"),
       covar_samp(col("x"), col("y")).as("sxy"))
-    val r = col("mx") / col("my")
-    val se = sqrt((col("sxx") - lit(2.0) * r * col("sxy")
-      + r * r * col("syy")) / (col("n") * col("my") * col("my")))
+    // a zero mean denominator means the ratio is undefined — NULL out
+    // rather than divide by zero (ANSI throws even for doubles)
+    val r = when(col("my") =!= 0, col("mx") / col("my"))
+    val se = when(col("my") =!= 0,
+      sqrt((col("sxx") - lit(2.0) * r * col("sxy")
+        + r * r * col("syy")) / (col("n") * col("my") * col("my"))))
     g.select(col("n").as("n_units"), round(r, 6).as("ratio"),
       round(se, 6).as("se"),
       round(r - lit(zCrit) * se, 6).as("ci_lo"),
@@ -330,6 +336,9 @@ object Experiment {
         count(when(!armCol, 1)).as("n_b"),
         var_samp(v).as("v_pooled"),
         avg(v).as("m"))
+      // one-armed groups have no per-arm n to plan with — drop rather
+      // than divide by zero (ANSI throws on double /0 too)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col(groupCol), col("n_a"), col("n_b"),
         round(sqrt(col("v_pooled")), 6).as("sd_pooled"),
         round(lit(zSum) * sqrt(col("v_pooled") / col("n_a")

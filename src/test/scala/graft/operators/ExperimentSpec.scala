@@ -145,6 +145,24 @@ class ExperimentSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("qini_cum")).toSeq == Seq(6.0, 5.0, 4.75))
   }
 
+  test("one-armed groups drop from proportionTest/mde; zero denominator nulls the ratio") {
+    // group "solo" has only arm-A rows -> no test to run
+    val rows = Seq(("g", 0L, true), ("g", 1L, false), ("solo", 0L, true),
+      ("solo", 0L, true))
+    val df = rows.toDF("g", "arm", "ok")
+    val pt = Experiment.proportionTest(df, "g", col("ok"), col("arm") === 0)
+    assert(pt.collect().map(_.getString(0)).toSeq == Seq("g"))
+    val md = Experiment.mde(
+      rows.map { case (g, a, _) => (g, a, 1.0) }.toDF("g", "arm", "value"),
+      "g", "value", col("arm") === 0)
+    assert(md.collect().map(_.getString(0)).toSeq == Seq("g"))
+    // all-zero denominator: ratio/se/CI are NULL, never a /0 throw
+    val zero = Seq((1L, 5.0, 0.0), (2L, 3.0, 0.0)).toDF("u", "x", "y")
+    val zr = Experiment.ratioDeltaMethod(zero, "u", col("x"), col("y"))
+      .collect().head
+    assert(zr.isNullAt(zr.fieldIndex("ratio")) && zr.isNullAt(zr.fieldIndex("se")))
+  }
+
   test("ratioDeltaMethod matches the hand case and handles constant denominators") {
     // units: x = {2, 4, 0}, y = {2, 2, 2} -> R = 1, sxx = 4, syy = sxy = 0,
     // se = sqrt(4 / (3*4)) = 0.57735
