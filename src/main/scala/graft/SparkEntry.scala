@@ -823,6 +823,14 @@ object SparkEntry {
       Relational.spearmanByGroup(
         Tables.events(s, d).withColumn("hr", hour(col("ts")).cast("long")),
         "event_type", "value", "hr")),
+    // strongly connected components of the dense directed mod-graph:
+    // FW-BW peeling with trim; scc = min member id, full map pinned
+    "g19_scc" -> q((s, d) =>
+      graft.graph.Scc.components(
+        Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(150L)).as("src"),
+          pmod(col("o_orderkey"), lit(150L)).as("dst"))
+          .filter(col("src") =!= col("dst")))),
     // degree assortativity (Newman 2002): corr of endpoint degrees
     // over both orientations of the undirected simple graph
     "g12_assortativity" -> q((s, d) => {
@@ -4881,6 +4889,20 @@ object SparkEntry {
            FROM events)
          SELECT event_type, count(*) AS n, round(corr(rx, ry), 6) AS spearman
          FROM r GROUP BY 1 ORDER BY event_type""",
+    "g19_scc" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 150 AS src,
+           o_orderkey % 150 AS dst FROM orders
+           WHERE o_custkey % 150 <> o_orderkey % 150),
+         n AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         r AS (SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+         cr AS (SELECT src, dst FROM r
+           UNION SELECT node, node FROM n)
+         SELECT a.dst AS node, min(a.src) AS scc
+         FROM cr a JOIN cr b ON b.src = a.dst AND b.dst = a.src
+         GROUP BY 1 ORDER BY 1""",
     "g12_assortativity" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT
            least(o_custkey % 300, o_orderkey % 307) AS a,
