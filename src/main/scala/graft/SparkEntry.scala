@@ -831,6 +831,31 @@ object SparkEntry {
           pmod(col("o_custkey"), lit(150L)).as("src"),
           pmod(col("o_orderkey"), lit(150L)).as("dst"))
           .filter(col("src") =!= col("dst")))),
+    // condensation census of the same digraph: SCCs contracted, DAG
+    // edge count + size distribution extremes
+    "g20_condensation" -> q((s, d) =>
+      graft.graph.Scc.condensation(
+        Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(150L)).as("src"),
+          pmod(col("o_orderkey"), lit(150L)).as("dst"))
+          .filter(col("src") =!= col("dst")))),
+    // Kahn layers over the condensation DAG of a 3-level graph whose
+    // top level is internally cyclic — levels 0/1 condense to
+    // singletons at layers 0/1, the level-2 SCC(s) land at layer 2
+    "g21_topo_layers" -> q((s, d) => {
+      val o = Tables.orders(s, d)
+      val lvl01 = o.select(pmod(col("o_custkey"), lit(40L)).as("src"),
+        (pmod(col("o_orderkey"), lit(40L)) + 40L).as("dst"))
+      val lvl12 = o.select((pmod(col("o_custkey"), lit(40L)) + 40L).as("src"),
+        (pmod(col("o_orderkey"), lit(40L)) + 80L).as("dst"))
+      val lvl22 = o.select((pmod(col("o_custkey"), lit(40L)) + 80L).as("src"),
+        (pmod(col("o_orderkey"), lit(40L)) + 80L).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = lvl01.union(lvl12).union(lvl22)
+      val labels = graft.graph.Scc.components(edges)
+      graft.graph.Scc.topoLayers(
+        graft.graph.Scc.condensationEdges(edges, labels))
+    }),
     // degree assortativity (Newman 2002): corr of endpoint degrees
     // over both orientations of the undirected simple graph
     "g12_assortativity" -> q((s, d) => {
@@ -4188,6 +4213,25 @@ object SparkEntry {
            JOIN sig sa ON sa.doc_id = doc_a
            JOIN sig sb ON sb.doc_id = doc_b)"""
 
+  /** Shared SCC oracle CTEs (g19/g20/g21): the dense mod-150 digraph,
+    * its transitive closure `r` by recursive CTE, the reflexive
+    * closure `cr`, and the mutual-reachability labeling `s` —
+    * scc(v) = min{w : w →* v and v →* w}. */
+  private lazy val sccOracleCtes: String =
+    """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 150 AS src,
+           o_orderkey % 150 AS dst FROM orders
+           WHERE o_custkey % 150 <> o_orderkey % 150),
+         n AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         r AS (SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+         cr AS (SELECT src, dst FROM r
+           UNION SELECT node, node FROM n),
+         s AS (SELECT a.dst AS node, min(a.src) AS scc
+           FROM cr a JOIN cr b ON b.src = a.dst AND b.dst = a.src
+           GROUP BY 1)"""
+
   /** Cross-corpus near-dup oracle shared by the batch (d29) and
     * streaming (st12) gates: the frozen-perms FNV pipeline's `banded`/
     * `sig` CTEs, split into incoming (doc_id % 3 = 0) and corpus sides,
@@ -4890,19 +4934,50 @@ object SparkEntry {
          SELECT event_type, count(*) AS n, round(corr(rx, ry), 6) AS spearman
          FROM r GROUP BY 1 ORDER BY event_type""",
     "g19_scc" ->
-      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 150 AS src,
-           o_orderkey % 150 AS dst FROM orders
-           WHERE o_custkey % 150 <> o_orderkey % 150),
+      s"""$sccOracleCtes
+         SELECT node, scc FROM s ORDER BY 1""",
+    "g20_condensation" ->
+      s"""$sccOracleCtes,
+         sz AS (SELECT scc, count(*) AS sz FROM s GROUP BY 1),
+         de AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+           FROM e JOIN s sa ON e.src = sa.node
+           JOIN s sb ON e.dst = sb.node WHERE sa.scc <> sb.scc)
+         SELECT (SELECT count(*) FROM sz) AS n_sccs,
+           (SELECT max(sz) FROM sz) AS max_scc_size,
+           (SELECT CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             FROM sz) AS n_singletons,
+           (SELECT count(*) FROM de) AS n_dag_edges""",
+    "g21_topo_layers" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT o_custkey % 40 AS src, o_orderkey % 40 + 40 AS dst
+               FROM orders
+             UNION ALL
+             SELECT o_custkey % 40 + 40, o_orderkey % 40 + 80 FROM orders
+             UNION ALL
+             SELECT o_custkey % 40 + 80, o_orderkey % 40 + 80 FROM orders
+               WHERE o_custkey % 40 <> o_orderkey % 40)),
          n AS (SELECT DISTINCT node FROM
            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
          r AS (SELECT src, dst FROM e
            UNION
            SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
          cr AS (SELECT src, dst FROM r
-           UNION SELECT node, node FROM n)
-         SELECT a.dst AS node, min(a.src) AS scc
-         FROM cr a JOIN cr b ON b.src = a.dst AND b.dst = a.src
-         GROUP BY 1 ORDER BY 1""",
+           UNION SELECT node, node FROM n),
+         s AS (SELECT a.dst AS node, min(a.src) AS scc
+           FROM cr a JOIN cr b ON b.src = a.dst AND b.dst = a.src
+           GROUP BY 1),
+         de AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+           FROM e JOIN s sa ON e.src = sa.node
+           JOIN s sb ON e.dst = sb.node WHERE sa.scc <> sb.scc),
+         dn AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+         p AS (SELECT dst AS node, 1 AS d FROM de
+           UNION ALL
+           SELECT de.dst, p.d + 1 FROM p JOIN de ON de.src = p.node),
+         pl AS (SELECT node, max(d) AS l FROM p GROUP BY 1)
+         SELECT dn.node, CAST(coalesce(pl.l, 0) AS BIGINT) AS layer
+         FROM dn LEFT JOIN pl USING (node) ORDER BY 1""",
     "g12_assortativity" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT
            least(o_custkey % 300, o_orderkey % 307) AS a,

@@ -135,4 +135,75 @@ object Scc {
     }
     result.orderBy("node")
   }
+
+  /** Condensation census: contract every SCC to one node and summarize
+    * the resulting DAG — component count, size distribution extremes,
+    * and the cross-component edge count (self-edges inside an SCC drop
+    * by construction). One [[components]] pass + two broadcast-sized
+    * joins of the edge list against the labeling. */
+  def condensation(edges: DataFrame): DataFrame = {
+    val labels = components(edges).localCheckpoint(eager = true)
+    val dagEdges = condensationEdges(edges, labels)
+    val sizes = labels.groupBy("scc").agg(count(lit(1)).as("sz"))
+    val sstats = sizes.agg(count(lit(1)).as("n_sccs"),
+      max("sz").as("max_scc_size"),
+      sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    val estats = dagEdges.agg(count(lit(1)).as("n_dag_edges"))
+    sstats.crossJoin(broadcast(estats))
+  }
+
+  /** The contracted DAG's edge list: each original edge mapped to its
+    * endpoints' SCC labels, intra-component edges dropped. Output
+    * columns (src, dst) over SCC ids — a valid DAG input for
+    * [[topoLayers]]. */
+  def condensationEdges(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .join(labels.select(col("node").as("src"), col("scc").as("cs")), "src")
+      .join(labels.select(col("node").as("dst"), col("scc").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+
+  /** Kahn topological layers of a DAG: layer(v) = length of the longest
+    * path ENDING at v (sources are layer 0) — the stage number a
+    * dependency scheduler assigns. Iterative peeling: per round, nodes
+    * whose remaining in-edges are exhausted join the layer, their
+    * out-edges leave the graph; rounds = DAG depth, each one join + one
+    * anti-join with a lineage cut. REFUSES loudly on a cycle (nodes
+    * remain but no source exists) and past `maxLayers` — run
+    * [[condensation]] first for general graphs. */
+  def topoLayers(edges: DataFrame, maxLayers: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var rem = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(eager = true)
+    var remaining = rem.select(col("src").as("node"))
+      .union(rem.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = true)
+    var result = Seq.empty[(Long, Long)].toDF("node", "layer")
+      .localCheckpoint(eager = true)
+    var layer = 0L
+    while (!remaining.isEmpty) {
+      require(layer < maxLayers,
+        s"topoLayers did not finish in $maxLayers layers")
+      val sources = remaining
+        .join(rem.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      require(!sources.isEmpty,
+        "topoLayers: no in-degree-0 node remains — the graph has a " +
+          "cycle; condense SCCs first")
+      result = result.unionByName(
+        sources.select(col("node"), lit(layer).as("layer")))
+        .localCheckpoint(eager = true)
+      remaining = remaining.join(sources, Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      rem = rem.join(sources.select(col("node").as("src")),
+          Seq("src"), "left_anti")
+        .select("src", "dst").localCheckpoint(eager = true)
+      layer += 1
+    }
+    result.orderBy("node")
+  }
 }

@@ -31,6 +31,32 @@ class SccSpec extends SparkTestBase {
     assert(m(12L) == 12L && m(13L) == 13L)
   }
 
+  test("condensation contracts the two-cycle fixture to a 3-node DAG") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("src", "dst")
+    val r = Scc.condensation(edges).collect().head
+    assert(r.getAs[Long]("n_sccs") == 3L)
+    assert(r.getAs[Long]("max_scc_size") == 3L)
+    assert(r.getAs[Long]("n_singletons") == 1L)
+    assert(r.getAs[Long]("n_dag_edges") == 2L)
+  }
+
+  test("topoLayers assigns longest-path-from-source stage numbers") {
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val m = Scc.topoLayers(dag).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("topoLayers refuses a cyclic input loudly") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      Scc.topoLayers(cyc).collect()
+    }
+    assert(err.getMessage.contains("cycle"))
+  }
+
   test("deterministic across partitionings and equal to brute-force mutual reachability") {
     // pseudo-random directed graph on 40 nodes
     val edges = (0 until 160).map { i =>
