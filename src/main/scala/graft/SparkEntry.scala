@@ -2053,6 +2053,13 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("doc_in", "doc_corpus").limit(1000)
     }),
+    // streaming decontamination: incoming shingles probe the broadcast
+    // eval set through the real runtime; pinned to d11's exact oracle
+    "st13_stream_decontaminate" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.CorpusStreams.decontaminateThroughStream(s,
+        docs, docs.filter(col("doc_id") % 97 === 0), k = 8)
+    }),
     // the SAME screen through the real streaming runtime: stateless
     // stream-static band join, append mode — pinned to the identical
     // oracle as d29, so arrival-order independence is demanded, not
@@ -4212,6 +4219,25 @@ object SparkEntry {
            FROM cands
            JOIN sig sa ON sa.doc_id = doc_a
            JOIN sig sb ON sb.doc_id = doc_b)"""
+
+  /** Decontamination census oracle shared by the batch (d11) and
+    * streaming (st13) gates. */
+  private lazy val decontReportSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
+       sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(t) >= 8
+           THEN list_transform(range(0, len(t) - 7),
+                  i -> array_to_string(t[i+1:i+8], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+       ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+       bad AS (SELECT DISTINCT doc_id FROM
+         (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN ev USING (g)),
+       kept AS (SELECT lang, count(*) AS n_kept FROM sh
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY 1),
+       base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+       SELECT base.lang AS lang, n_docs, coalesce(n_kept, 0) AS n_kept,
+         n_docs - coalesce(n_kept, 0) AS n_dropped
+       FROM base LEFT JOIN kept ON base.lang = kept.lang
+       ORDER BY 1"""
 
   /** Shared SCC oracle CTEs (g19/g20/g21): the dense mod-150 digraph,
     * its transitive closure `r` by recursive CTE, the reflexive
@@ -6745,22 +6771,10 @@ object SparkEntry {
            CAST(sum(len(norm)) AS BIGINT) AS chars_nfc,
            CAST(sum(${fnvSql("norm", 2166136261L)}) AS BIGINT) AS norm_fnv_sum
          FROM n GROUP BY 1 ORDER BY source""",
-    "d11_decontaminate" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
-         sh AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(t) >= 8
-             THEN list_transform(range(0, len(t) - 7),
-                    i -> array_to_string(t[i+1:i+8], ' '))
-             ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
-         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
-         bad AS (SELECT DISTINCT doc_id FROM
-           (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN ev USING (g)),
-         kept AS (SELECT lang, count(*) AS n_kept FROM sh
-           WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY 1),
-         base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
-         SELECT base.lang AS lang, n_docs, coalesce(n_kept, 0) AS n_kept,
-           n_docs - coalesce(n_kept, 0) AS n_dropped
-         FROM base LEFT JOIN kept ON base.lang = kept.lang
-         ORDER BY 1""",
+    "d11_decontaminate" -> decontReportSql,
+    // identical oracle: the streaming screen must reproduce the batch
+    // decontamination census regardless of micro-batch arrival
+    "st13_stream_decontaminate" -> decontReportSql,
     "d25_contamination_matrix" ->
       s"""WITH tk AS (SELECT doc_id, source, $toks AS t FROM documents),
          sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 8

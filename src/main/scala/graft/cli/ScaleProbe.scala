@@ -118,9 +118,10 @@ object ScaleProbe {
       case "pq"         => probePq(spark, rows, hotFrac, cpus)
       case "semdedup"   => probeSemDedup(spark, rows, hotFrac, cpus)
       case "xcorpus"    => probeCrossCorpus(spark, rows, hotFrac, cpus)
+      case "scc"        => probeScc(spark, rows, hotFrac, cpus)
       case other => throw new IllegalArgumentException(
         s"unknown --family $other (known: hotkey dedup components ann graph " +
-          "topk substr bpe truss pq semdedup xcorpus)")
+          "topk substr bpe truss pq semdedup xcorpus scc)")
     }
     spark.stop()
   }
@@ -651,6 +652,47 @@ object ScaleProbe {
     } else
       println(s"""{"probe":"xcorpus-megacluster",""" +
         s""""note":"cluster $clusterRows > 2000 — unguarded twin skipped"}""")
+  }
+
+  /** `--family scc`: FW–BW peeling under a planted GIANT SCC —
+    * `hotFrac` of the nodes form one strongly connected block (a ring
+    * for guaranteed strong connectivity plus one random chord per node
+    * so the propagation diameter is O(log C), the realistic shape;
+    * a bare ring would honestly need diameter rounds and trip
+    * maxPropRounds — the documented pathology) and the rest form a
+    * random DAG periphery (two edges each to strictly smaller ids,
+    * some landing inside the block). The planted labeling is
+    * closed-form — block members carry scc 0, periphery nodes are
+    * singletons — so recovery is asserted EXACTLY, not spot-checked. */
+  private def probeScc(spark: SparkSession, rows: Long, hotFrac: Double,
+                       cpus: Int): Unit = {
+    val c = math.max(4L, (rows * hotFrac).toLong)
+    val ids = spark.range(0, rows, 1, cpus * 2)
+    val ring = ids.filter(col("id") < c)
+      .select(col("id").as("src"), ((col("id") + 1) % c).as("dst"))
+    val chords = ids.filter(col("id") < c)
+      .select(col("id").as("src"), pmod(hash(col("id") * 13 + 7), lit(c)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val periphery = ids.filter(col("id") >= c)
+      .select(col("id").as("src"),
+        pmod(hash(col("id") * 31 + 3), col("id")).as("dst"))
+      .union(ids.filter(col("id") >= c)
+        .select(col("id").as("src"),
+          pmod(hash(col("id") * 17 + 11), col("id")).as("dst")))
+    val edges = ring.union(chords).union(periphery)
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"scc-giant","rows":$rows,"hot_frac":$hotFrac,""" +
+      s""""cpus":$cpus,"block_size":$c,"edges":${edges.count()}}""")
+    val (chk, _, _) = measure(spark, "scc_fwbw") {
+      val labels = graft.graph.Scc.components(edges)
+      // planted recovery, exact: block -> 0, periphery -> self
+      val wrong = labels.filter(
+        when(col("node") < c, col("scc") =!= 0)
+          .otherwise(col("scc") =!= col("node"))).count()
+      require(wrong == 0, s"$wrong nodes deviate from the planted labeling")
+      labels.agg(sum(hash(col("node"), col("scc")))).head().getLong(0)
+    }
+    println(s"""{"probe":"scc-giant","checksum":$chk}""")
   }
 
   /** `--family semdedup`: the single-assignment recall gap, measured —

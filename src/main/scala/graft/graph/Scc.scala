@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * convergence pattern). Work per peel is proportional to the
   * remaining subgraph.
   *
-  * Pathology, stated honestly: a long DAG CHAIN of singleton SCCs
+  * Pathologies, stated honestly: color/backward rounds are bounded by
+  * the largest SCC's forward/backward eccentricity (a bare N-cycle
+  * needs N rounds — `maxPropRounds` refuses loudly; organic SCCs have
+  * logarithmic diameter, measured in SCALE.md's planted-giant probe),
+  * and a long DAG CHAIN of singleton SCCs
   * trims one end per peel — O(chain) rounds. The at-scale remedy is
   * FW–BW's divide-and-conquer recursion on the three partitions
   * (inside/forward-only/backward-only), which this bounded-round form

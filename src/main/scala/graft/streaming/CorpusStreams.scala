@@ -88,4 +88,38 @@ object CorpusStreams {
     // exactly equivalent and arrival-order-proof)
     raw.distinct()
   }
+
+  /** Streaming decontamination screen — the ingest twin of
+    * [[graft.dedup.Decontaminate.report]]: incoming documents arrive as
+    * file micro-batches, each batch's shingle hashes probe the
+    * broadcast eval-set shingles (stateless stream-static inner join),
+    * and contaminated doc ids emit in Append mode. The kept/dropped
+    * census per language is a batch epilogue over the hit set, so the
+    * result is independent of micro-batch arrival. Output schema is
+    * exactly `Decontaminate.report`'s — one oracle pins both. */
+  def decontaminateThroughStream(spark: SparkSession, incoming: DataFrame,
+                                 evalDocs: DataFrame, k: Int = 8,
+                                 inputFiles: Int = 3): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(graft.functions.HashExpressions
+        .shingleHashes(col("text"), k, fnv = true)).as("sh"))
+      .distinct().localCheckpoint(eager = true)
+    val hits = EventStreams.throughStream(spark,
+      incoming.select("doc_id", "text"), OutputMode.Append(), inputFiles) {
+      stream =>
+        stream.select(col("doc_id"),
+            explode(graft.functions.HashExpressions
+              .shingleHashes(col("text"), k, fnv = true)).as("sh"))
+          .join(broadcast(evalSh), "sh")
+          .select("doc_id")
+    }.distinct()
+    val kept = incoming.join(hits, Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    incoming.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("lang")
+  }
 }

@@ -54,6 +54,21 @@ class CrossCorpusSpec extends SparkTestBase {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("streaming decontamination equals the batch report at 1 and 4 micro-batches") {
+    val docs = fixture.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(3L))))
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+    val expect = graft.dedup.Decontaminate.report(docs, evalDocs, k = 8)
+      .collect().map(_.toSeq).toSeq
+    Seq(1, 4).foreach { files =>
+      val got = graft.streaming.CorpusStreams
+        .decontaminateThroughStream(spark, docs, evalDocs, k = 8,
+          inputFiles = files)
+        .collect().map(_.toSeq).toSeq
+      assert(got == expect, s"mismatch at inputFiles=$files")
+    }
+  }
+
   test("streaming screen equals the batch twin regardless of micro-batching") {
     val docs = fixture
     val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
