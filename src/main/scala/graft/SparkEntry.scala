@@ -803,6 +803,28 @@ object SparkEntry {
       graft.ml.Survival.nelsonAalen(
         Tables.events(s, d).filter(col("value") > 150),
         "user_id", "ts", censorHorizonDays = 7)),
+    // KMV bottom-k distinct sketch per source: deterministic sketch
+    // state (k smallest FNV hashes), estimate oracle-pinned exactly —
+    // the mergeable-sketch shape HLL can't pin bit-for-bit
+    "a52_kmv_distinct" -> q((s, d) =>
+      Relational.kmvDistinctEstimate(Tables.documents(s, d),
+        "source", "text", k = 256)),
+    // real JSON-path parsing of the events props column (from_json with
+    // a schema, not regexp) — the oracle extracts the same field
+    // textually
+    "sql5_json_extract" -> q((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_k"),
+          sum(col("k").cast("long")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type")),
     // Kish effective sample size per source for an uneven weight
     // column — the diagnostic every importance-weighted mix publishes
     "tp12_effective_sample_size" -> q((s, d) =>
@@ -4905,6 +4927,27 @@ object SparkEntry {
            round(2.801585 * sqrt(v / n_a + v / n_b), 6) AS mde_abs,
            round(2.801585 * sqrt(v / n_a + v / n_b) / m, 6) AS mde_rel
          FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""",
+    "a52_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT source,
+           ${fnvSql("text", 2166136261L)} AS h FROM documents),
+         r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+           ORDER BY h) AS rk FROM h),
+         f AS (SELECT source, h, rk FROM r WHERE rk <= 256),
+         g AS (SELECT source, count(*) AS n_kept,
+           max(CASE WHEN rk = 256 THEN h END) AS kth FROM f GROUP BY 1)
+         SELECT source, n_kept,
+           round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+             ELSE 255.0 / (kth / 4294967296.0) END, 4) AS kmv_estimate
+         FROM g ORDER BY source""",
+    "sql5_json_extract" ->
+      """WITH x AS (SELECT event_type,
+           CASE WHEN regexp_matches(props, '"k": -?\d+')
+             THEN CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)
+             END AS k
+           FROM events)
+         SELECT event_type, count(*) AS n_rows, count(k) AS n_k,
+           CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k
+         FROM x GROUP BY 1 ORDER BY 1""",
     "tp12_effective_sample_size" ->
       """WITH t AS (SELECT source,
            CAST(n_chars % 101 + 1 AS DOUBLE) AS w FROM documents),

@@ -359,6 +359,38 @@ object Relational {
   def heavyHitters(df: DataFrame, column: String, support: Double = 0.1): DataFrame =
     df.stat.freqItems(Array(column), support)
 
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch per group
+    * (Bar-Yossef et al. 2002; the Theta-sketch building block):
+    * `estimate = (k−1) / u_(k)` where `u_(k)` is the k-th smallest
+    * hash mapped to (0,1). Unlike HLL (dq2), the sketch state is an
+    * EXACT deterministic function of the input — the k smallest FNV
+    * hashes — so an oracle pins the estimate bit-for-bit, and two
+    * sketches merge by keeping the k smallest of the union (order-
+    * insensitive; KmvSpec proves merge ≡ rebuild). Groups with fewer
+    * than k distinct hashes report their exact count.
+    *
+    * Scale shape: one (group, hash) distinct aggregate, then a
+    * per-group bottom-k window (partitioned by the group key —
+    * parallel; per-task state one group's distinct-hash stream). */
+  def kmvDistinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+                          k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv: need k >= 2, got $k")
+    val hashes = df.select(col(groupCol),
+        graft.functions.HashExpressions.fnv1a32(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rk") === k, col("h"))).as("kth"))
+      .select(col(groupCol), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(k - 1.0) / (col("kth") / 4294967296.0)), 4)
+          .as("kmv_estimate"))
+      .orderBy(groupCol)
+  }
+
   /** Sketch-then-verify heavy hitters: the one-pass KSP sketch proposes a
     * candidate superset (no false negatives for frequency > `support`),
     * then ONE semi-joined aggregation over just the candidate values

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int, g: String = "s") =
+    (0 until n).map(i => (g, s"unique document text number $i"))
+      .toDF("source", "text")
+
+  test("below k the sketch reports the exact distinct count") {
+    val r = Relational.kmvDistinctEstimate(docs(100), "source", "text",
+      k = 256).collect().head
+    assert(r.getAs[Long]("n_kept") == 100L)
+    assert(r.getAs[Double]("kmv_estimate") == 100.0)
+  }
+
+  test("above k the estimate lands within the sketch's error band") {
+    val r = Relational.kmvDistinctEstimate(docs(10000), "source", "text",
+      k = 256).collect().head
+    assert(r.getAs[Long]("n_kept") == 256L)
+    val est = r.getAs[Double]("kmv_estimate")
+    // rse ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert(math.abs(est - 10000) / 10000 < 0.25, s"estimate $est")
+  }
+
+  test("merging two halves' bottom-k sets reproduces the whole-corpus sketch") {
+    val all = docs(5000)
+    val whole = Relational.kmvDistinctEstimate(all, "source", "text", k = 64)
+      .collect().head.getAs[Double]("kmv_estimate")
+    def bottomK(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(graft.functions.HashExpressions.fnv1a32(col("text")).as("h"))
+        .distinct().orderBy("h").limit(64)
+        .collect().map(_.getLong(0)).toSeq
+    val a = bottomK(all.filter(length(col("text")) % 2 === 0))
+    val b = bottomK(all.filter(length(col("text")) % 2 =!= 0))
+    val merged = (a ++ b).distinct.sorted.take(64)
+    val kth = merged.last
+    val mergedEst = math.rint(63.0 / (kth / 4294967296.0) * 1e4) / 1e4
+    assert(mergedEst == whole)
+  }
+
+  test("duplicate values collapse before sketching") {
+    val dup = (0 until 50).flatMap(i =>
+      Seq.fill(7)(("s", s"text $i"))).toDF("source", "text")
+    val r = Relational.kmvDistinctEstimate(dup, "source", "text", k = 256)
+      .collect().head
+    assert(r.getAs[Long]("n_kept") == 50L)
+    assert(r.getAs[Double]("kmv_estimate") == 50.0)
+  }
+}
