@@ -809,6 +809,13 @@ object SparkEntry {
     "a52_kmv_distinct" -> q((s, d) =>
       Relational.kmvDistinctEstimate(Tables.documents(s, d),
         "source", "text", k = 256)),
+    // KMV set operations between two sources' n_chars value sets —
+    // Jaccard / union / intersection from the combined bottom-k sketch
+    "a53_kmv_setops" -> q((s, d) =>
+      Relational.kmvSetOps(
+        Tables.documents(s, d).withColumn("len_str",
+          col("n_chars").cast("string")),
+        "source", "len_str", "src0", "src1", k = 256)),
     // real JSON-path parsing of the events props column (from_json with
     // a schema, not regexp) — the oracle extracts the same field
     // textually
@@ -4927,6 +4934,34 @@ object SparkEntry {
            round(2.801585 * sqrt(v / n_a + v / n_b), 6) AS mde_abs,
            round(2.801585 * sqrt(v / n_a + v / n_b) / m, 6) AS mde_rel
          FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""",
+    "a53_kmv_setops" ->
+      s"""WITH side AS (SELECT DISTINCT
+           CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS g,
+           ${fnvSql("CAST(n_chars AS VARCHAR)", 2166136261L)} AS h
+           FROM documents WHERE source IN ('src0', 'src1')),
+         sk AS (SELECT g, h, row_number() OVER (PARTITION BY g
+           ORDER BY h) AS rk FROM side),
+         f AS (SELECT g, h FROM sk WHERE rk <= 256),
+         u AS (SELECT h, row_number() OVER (ORDER BY h) AS urk
+           FROM (SELECT DISTINCT h FROM f)),
+         uk AS (SELECT h FROM u WHERE urk <= 256),
+         fl AS (SELECT uk.h,
+           max(CASE WHEN f.g = 'a' THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN f.g = 'b' THEN 1 ELSE 0 END) AS in_b
+           FROM uk JOIN f ON uk.h = f.h GROUP BY 1),
+         g2 AS (SELECT count(*) AS k_eff,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+           max(h) AS kth FROM fl)
+         SELECT k_eff, n_both,
+           round(CAST(n_both AS DOUBLE) / k_eff, 6) AS est_jaccard,
+           round(CASE WHEN k_eff < 256 THEN CAST(k_eff AS DOUBLE)
+             ELSE (k_eff - 1.0) / (kth / 4294967296.0) END, 4) AS est_union,
+           round(CAST(n_both AS DOUBLE) / k_eff
+             * CASE WHEN k_eff < 256 THEN CAST(k_eff AS DOUBLE)
+               ELSE (k_eff - 1.0) / (kth / 4294967296.0) END, 4)
+             AS est_intersection
+         FROM g2""",
     "a52_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT source,
            ${fnvSql("text", 2166136261L)} AS h FROM documents),

@@ -391,6 +391,50 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** KMV set-operation estimates between two groups' value sets (the
+    * Theta-sketch composition): build each side's bottom-k sketch, take
+    * the k smallest hashes of their UNION as the combined sketch K,
+    * and estimate `jaccard = |{h ∈ K : h ∈ A ∧ h ∈ B}| / |K|`,
+    * `union = (|K|−1)/u_(|K|)`, `intersection = jaccard · union`
+    * (Beyer et al., SIGMOD 2007). Everything after the two bottom-k
+    * windows runs on ≤2k hash rows; exact-below-k sides degrade to the
+    * exact set math automatically (K is then the true union).
+    * Deterministic — the oracle replays it bit-for-bit. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                groupA: String, groupB: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv: need k >= 2, got $k")
+    val side = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(when(col(groupCol) === groupA, "a").otherwise("b").as("g"),
+        graft.functions.HashExpressions.fnv1a32(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("g").orderBy("h")
+    val sketches = side.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    // combined sketch: k smallest of the union of the two sketch sets
+    val union = sketches.select("h").distinct()
+      .withColumn("urk", row_number().over(Window.orderBy("h")))
+      .filter(col("urk") <= k)
+    val flags = union
+      .join(sketches.filter(col("g") === "a").select(col("h"),
+        lit(1L).as("in_a")), Seq("h"), "left")
+      .join(sketches.filter(col("g") === "b").select(col("h"),
+        lit(1L).as("in_b")), Seq("h"), "left")
+    flags.agg(count(lit(1)).as("k_eff"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        max(col("h")).as("kth"))
+      .select(col("k_eff"), col("n_both"),
+        round(col("n_both").cast("double") / col("k_eff"), 6)
+          .as("est_jaccard"),
+        round(when(col("k_eff") < k, col("k_eff").cast("double"))
+          .otherwise((col("k_eff") - 1.0) / (col("kth") / 4294967296.0)), 4)
+          .as("est_union"),
+        round((col("n_both").cast("double") / col("k_eff"))
+          * when(col("k_eff") < k, col("k_eff").cast("double"))
+            .otherwise((col("k_eff") - 1.0) / (col("kth") / 4294967296.0)), 4)
+          .as("est_intersection"))
+  }
+
   /** Sketch-then-verify heavy hitters: the one-pass KSP sketch proposes a
     * candidate superset (no false negatives for frequency > `support`),
     * then ONE semi-joined aggregation over just the candidate values

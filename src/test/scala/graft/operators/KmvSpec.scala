@@ -43,6 +43,26 @@ class KmvSpec extends SparkTestBase {
     assert(mergedEst == whole)
   }
 
+  test("kmvSetOps: identical, disjoint, and half-overlapping sets") {
+    def pair(aVals: Seq[Int], bVals: Seq[Int]) =
+      (aVals.map(v => ("A", s"v$v")) ++ bVals.map(v => ("B", s"v$v")))
+        .toDF("g", "v")
+    val same = Relational.kmvSetOps(pair(1 to 100, 1 to 100),
+      "g", "v", "A", "B", k = 256).collect().head
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    assert(same.getAs[Double]("est_union") == 100.0)
+    assert(same.getAs[Double]("est_intersection") == 100.0)
+    val disj = Relational.kmvSetOps(pair(1 to 100, 201 to 300),
+      "g", "v", "A", "B", k = 256).collect().head
+    assert(disj.getAs[Double]("est_jaccard") == 0.0)
+    assert(disj.getAs[Double]("est_union") == 200.0)
+    // below-k sides are exact: |A∪B| = 150, |A∩B| = 50 -> J = 1/3
+    val half = Relational.kmvSetOps(pair(1 to 100, 51 to 150),
+      "g", "v", "A", "B", k = 256).collect().head
+    assert(half.getAs[Double]("est_jaccard") == 0.333333)
+    assert(half.getAs[Double]("est_intersection") == 50.0)
+  }
+
   test("duplicate values collapse before sketching") {
     val dup = (0 until 50).flatMap(i =>
       Seq.fill(7)(("s", s"text $i"))).toDF("source", "text")
