@@ -31,6 +31,29 @@ class SccSpec extends SparkTestBase {
     assert(m(12L) == 12L && m(13L) == 13L)
   }
 
+  test("a bare 128-cycle converges in logarithmic propagation rounds") {
+    // round-10's O(diameter) color step needed 128 rounds here and
+    // refused at maxPropRounds=64; pointer jumping needs ~log2(128)
+    val n = 128L
+    val edges = (0L until n).map(i => (i, (i + 1) % n))
+    val m = scc(edges)
+    assert(m.size == n && m.values.forall(_ == 0L))
+    assert(Scc.lastMaxPropRounds <= 16,
+      s"cycle-128 took ${Scc.lastMaxPropRounds} propagation rounds")
+  }
+
+  test("a deep 80-chain of singletons finishes in logarithmic levels") {
+    // round-10's trim peeled one end per round (40 peels > maxPeels=32
+    // would have refused); the random-pivot split halves the chain per
+    // level instead
+    val n = 80L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val m = scc(edges)
+    assert(m == (0L until n).map(v => v -> v).toMap)
+    assert(Scc.lastLevels <= 16,
+      s"chain-80 took ${Scc.lastLevels} FW-BW levels")
+  }
+
   test("condensation contracts the two-cycle fixture to a 3-node DAG") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
       (4L, 5L), (5L, 6L), (6L, 4L), (6L, 7L)).toDF("src", "dst")
