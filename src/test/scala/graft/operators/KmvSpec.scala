@@ -63,6 +63,34 @@ class KmvSpec extends SparkTestBase {
     assert(half.getAs[Double]("est_intersection") == 50.0)
   }
 
+  test("forced shortfall retries and still returns the exact bottom-k") {
+    // initialFactor = 1 puts the pre-filter cut AT the expected kth
+    // hash — roughly half the groups land short of k candidates and
+    // must take the retry path; the result must be bit-identical to
+    // the plain full-sort reference either way
+    val df = (0 until 4000).map(i => (s"g${i % 4}", s"value $i"))
+      .toDF("source", "text")
+    val h = graft.functions.HashExpressions.fnv1a32(col("text"))
+    val fast = Relational.kmvBottomK(df, "source", h, k = 256,
+        initialFactor = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val ref = df.select(col("source"), h.as("h")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == ref)
+  }
+
+  test("a NULL group key sketches like any other group") {
+    val df = (0 until 300).map(i =>
+      (if (i % 3 == 0) null else "s", s"text $i")).toDF("source", "text")
+    val m = Relational.kmvDistinctEstimate(df, "source", "text", k = 256)
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("n_kept"))
+      .toMap
+    assert(m(None) == 100L && m(Some("s")) == 200L)
+  }
+
   test("duplicate values collapse before sketching") {
     val dup = (0 until 50).flatMap(i =>
       Seq.fill(7)(("s", s"text $i"))).toDF("source", "text")
