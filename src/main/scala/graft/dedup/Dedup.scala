@@ -509,6 +509,103 @@ object Dedup {
     out
   }
 
+  /** The corpus side of the ingest screen, materialized: signatures,
+    * band keys, and the bucket census, plus the parameters they were
+    * built under (probing with different banding would silently find
+    * nothing — the load refuses instead). ~8·numHashes bytes/doc of
+    * signature plus one row per (doc, band): the thing to PERSIST
+    * across ingest batches at 100 TB instead of recomputing the
+    * accumulated corpus per batch. */
+  final case class BandIndex(signatures: DataFrame, bands: DataFrame,
+                             buckets: DataFrame, numHashes: Int,
+                             numBands: Int, shingleK: Int,
+                             reproducible: Boolean)
+
+  /** Build the corpus band index once per snapshot — the same
+    * signature/banding/bucket computation [[crossCorpusNearDups]] runs
+    * inline, factored out so it can be [[saveBandIndex]]d. */
+  def buildBandIndex(corpus: DataFrame, numHashes: Int = 64,
+                     bands: Int = 16, shingleK: Int = 3,
+                     reproducible: Boolean = false): BandIndex = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    val sigs = minhashSignatures(
+      graft.operators.Partitioning.spread(corpus), numHashes, shingleK,
+      reproducible)
+    val banded = bandedKeys(sigs, numHashes, bands, reproducible)
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+    BandIndex(sigs, banded, buckets, numHashes, bands, shingleK, reproducible)
+  }
+
+  /** Persist a band index ([[graft.similarity.Ivf.save]] pattern, io14):
+    * three parquet tables plus a one-row params sidecar. Long arrays
+    * and band keys round-trip parquet bit-exactly, so a reloaded index
+    * screens IDENTICALLY to a fresh one (gate io16 pins it to the same
+    * oracle as d29). */
+  def saveBandIndex(index: BandIndex, path: String): Unit = {
+    index.signatures.write.mode("overwrite").parquet(s"$path/signatures")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val spark = index.signatures.sparkSession
+    import spark.implicits._
+    Seq((index.numHashes, index.numBands, index.shingleK, index.reproducible))
+      .toDF("num_hashes", "num_bands", "shingle_k", "reproducible")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted band index; the params sidecar restores the
+    * banding contract the probe side must reproduce. */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): BandIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    BandIndex(
+      spark.read.parquet(s"$path/signatures"),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/buckets"),
+      p.getAs[Int]("num_hashes"), p.getAs[Int]("num_bands"),
+      p.getAs[Int]("shingle_k"), p.getAs[Boolean]("reproducible"))
+  }
+
+  /** Screen an incoming batch against a (possibly reloaded) corpus band
+    * index — the incremental form of [[crossCorpusNearDups]]: incoming
+    * docs are signed and banded with the INDEX's parameters, candidates
+    * come from the band equi-join against the stored band table (with
+    * the stored bucket census applying the same oversize star guard),
+    * and signature agreement scores against the stored signatures.
+    * Output schema and semantics are exactly [[crossCorpusNearDups]]'s
+    * — one oracle pins both. */
+  def screenAgainstIndex(incoming: DataFrame, index: BandIndex,
+                         maxBucket: Int = 64): DataFrame = {
+    val sigsIn = minhashSignatures(incoming, index.numHashes, index.shingleK,
+      index.reproducible).persist()
+    val bIn = bandedKeys(sigsIn, index.numHashes, index.numBands,
+      index.reproducible)
+    val smallC = index.bands.join(index.buckets, Seq("band", "band_hash"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+    val candSmall = bIn.join(smallC
+        .withColumnRenamed("doc_id", "doc_corpus"),
+        Seq("band", "band_hash"))
+      .select(col("doc_id").as("doc_in"), col("doc_corpus"))
+    val candStar = bIn.join(index.buckets.filter(col("bsz") > maxBucket),
+        Seq("band", "band_hash"))
+      .select(col("doc_id").as("doc_in"), col("rep").as("doc_corpus"))
+    val candidates = candSmall.union(candStar).distinct()
+    val scored = candidates
+      .join(sigsIn.select(col("doc_id").as("doc_in"), col("sig").as("sig_i")),
+        "doc_in")
+      .join(index.signatures
+        .select(col("doc_id").as("doc_corpus"), col("sig").as("sig_c")),
+        "doc_corpus")
+      .select(col("doc_in"), col("doc_corpus"),
+        (size(filter(zip_with(col("sig_i"), col("sig_c"), (x, y) => x === y),
+          eq => eq)).cast("double") / index.numHashes).as("est_jaccard"))
+    val out = scored.localCheckpoint(eager = true)
+    sigsIn.unpersist()
+    out
+  }
+
   /** SimHash 64-bit fingerprint from distinct-token hashes: per bit
     * position, sign of Σ±1 over tokens (Charikar '02). Computed by the
     * codegen'd [[graft.functions.HashExpressions.SimHash64]] expression —

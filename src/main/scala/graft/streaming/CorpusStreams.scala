@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.dedup.Dedup
 
@@ -86,6 +86,128 @@ object CorpusStreams {
     // per-band duplicate emissions collapse here (distinct on a stream
     // would need a state store; the stateless emit + batch epilogue is
     // exactly equivalent and arrival-order-proof)
+    raw.distinct()
+  }
+
+  /** One (doc, band) row entering a bucket's state. */
+  final case class BandedDoc(band: Int, band_hash: Seq[Long], doc_id: Long,
+                             sig: Seq[Long])
+
+  /** Per-bucket state: every incoming doc seen in this bucket so far. */
+  final case class BucketState(docs: List[BandedDoc])
+
+  /** A screened near-dup pair, canonically oriented (doc_a < doc_b). */
+  final case class NearPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** GROWING-corpus streaming near-dup screen — the stateful successor
+    * of [[nearDupScreenThroughStream]] (round-10 VERDICT item 4): the
+    * static corpus index still catches incoming×corpus duplicates with
+    * the stream-static band join, and a `flatMapGroupsWithState` keyed
+    * by (band, band_hash) accumulates the incoming docs THEMSELVES, so
+    * incoming×incoming duplicates — across micro-batches or inside one
+    * — are caught too. A pair emits exactly when its LATER-ARRIVING
+    * member processes (the earlier one is already in bucket state, or
+    * ahead of it in the same invocation's doc_id-sorted scan), so the
+    * emitted SET is independent of how arrivals split into
+    * micro-batches; pairs are canonically (min, max)-oriented and the
+    * per-band duplicate emissions collapse in the batch epilogue —
+    * the gate pins the whole thing to one batch oracle over the union.
+    *
+    * State contract: one entry per (incoming doc, band) —
+    * `bands · (8·numHashes + 16)` bytes per accepted doc, linear in the
+    * batch horizon, NOT in the static corpus (that side lives in the
+    * persisted band index, `Dedup.saveBandIndex`). A bucket that
+    * outgrows `maxStateDocs` REFUSES loudly (the
+    * [[graft.dedup.StarComponents]] contract) instead of silently
+    * degrading — the production remedies are the same ones the batch
+    * screen documents: fold the horizon into the persisted index
+    * (compaction) or raise the bound knowingly; a deployment that
+    * wants time-bounded state adds an event-time timeout exactly as
+    * [[EventStreams.sessionizeStream]] does, trading "screens against
+    * everything since the last compaction" for "since the watermark" —
+    * SCALE.md's Streaming section tabulates the state-size arithmetic.
+    */
+  def growingNearDupScreen(spark: SparkSession, incoming: DataFrame,
+                           corpus: DataFrame, numHashes: Int = 64,
+                           bands: Int = 16, shingleK: Int = 3,
+                           maxBucket: Int = 64,
+                           reproducible: Boolean = false,
+                           tau: Double = 0.5, inputFiles: Int = 3,
+                           maxStateDocs: Int = 4096): DataFrame = {
+    val sigsC = Dedup.minhashSignatures(corpus, numHashes, shingleK,
+      reproducible).localCheckpoint(eager = true)
+    val bC = Dedup.bandedKeys(sigsC, numHashes, bands, reproducible)
+    val bucketsC = bC.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+      .localCheckpoint(eager = true)
+    val smallC = bC.join(bucketsC, Seq("band", "band_hash"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
+      .localCheckpoint(eager = true)
+    val starC = bucketsC.filter(col("bsz") > maxBucket)
+      .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
+      .localCheckpoint(eager = true)
+    val sigCorpus = sigsC.select(col("doc_id").as("doc_corpus"),
+      col("sig").as("sig_c"))
+
+    import spark.implicits._
+    def agreement(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+        .toDouble / numHashes
+
+    val raw = EventStreams.throughStream(spark,
+      incoming.select("doc_id", "text"), OutputMode.Append(), inputFiles,
+      statePartitions = Some(8)) { stream =>
+      val sigS = stream.select(col("doc_id"),
+        graft.functions.HashExpressions.minhashSignature(
+          graft.functions.HashExpressions.shingleHashes(col("text"),
+            shingleK, fnv = reproducible), numHashes).as("sig"))
+      val bS = sigS.select(col("doc_id"), col("sig"),
+          posexplode(array(
+            Dedup.bandKeyCols(numHashes, bands, reproducible): _*)))
+        .select(col("pos").cast("int").as("band"), col("col").as("band_hash"),
+          col("doc_id"), col("sig"))
+      // incoming × static corpus: stateless, guarded on the corpus side
+      val vsCorpus = bS
+        .join(smallC.unionByName(starC), Seq("band", "band_hash"))
+        .join(sigCorpus, "doc_corpus")
+        .select(
+          least(col("doc_id"), col("doc_corpus")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_corpus")).as("doc_b"),
+          (size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y),
+            eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= tau)
+      // incoming × incoming: the bucket state holds every prior arrival
+      val vsPrior = bS.as[BandedDoc]
+        .groupByKey(b => (b.band, b.band_hash))
+        .flatMapGroupsWithState[BucketState, NearPair](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (_, it, state: GroupState[BucketState]) =>
+            var held = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
+            // doc_id order inside one invocation keeps the "later member
+            // emits" rule batch-split-invariant
+            it.toSeq.sortBy(_.doc_id).foreach { d =>
+              if (!held.exists(_.doc_id == d.doc_id)) {
+                require(held.size < maxStateDocs,
+                  s"band bucket outgrew maxStateDocs=$maxStateDocs — " +
+                    "refusing to screen against a truncated horizon; " +
+                    "compact the horizon into the persisted band index " +
+                    "or raise the bound")
+                held.foreach { p =>
+                  val s = agreement(p.sig, d.sig)
+                  if (s >= tau)
+                    out += NearPair(math.min(p.doc_id, d.doc_id),
+                      math.max(p.doc_id, d.doc_id), s)
+                }
+                held = d :: held
+              }
+            }
+            state.update(BucketState(held))
+            out.iterator
+        }
+      vsCorpus.unionByName(vsPrior.toDF())
+    }
     raw.distinct()
   }
 

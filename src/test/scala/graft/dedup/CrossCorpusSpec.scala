@@ -69,6 +69,34 @@ class CrossCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("growing screen = corpus hits ∪ incoming self-pairs, at 1 and 5 micro-batches") {
+    val docs = fixture
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("est_jaccard"))
+    val vsCorpus = Dedup.crossCorpusNearDups(incoming, corpus,
+        reproducible = true)
+      .withColumnRenamed("doc_in", "doc_a")
+      .withColumnRenamed("doc_corpus", "doc_b")
+    // fixture buckets sit far below the star-guard bound, so the guarded
+    // self-join operator IS the unguarded incoming×incoming pair set
+    val vsSelf = Dedup.minhashNearDups(incoming, reproducible = true)
+    val expect = canon(vsCorpus).unionByName(canon(vsSelf))
+      .filter(col("est_jaccard") >= 0.5).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(1, 5).foreach { files =>
+      val streamed = graft.streaming.CorpusStreams
+        .growingNearDupScreen(spark, incoming, corpus,
+          reproducible = true, tau = 0.5, inputFiles = files)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == expect, s"mismatch at inputFiles=$files")
+      assert(streamed.exists { case (a, b, _) => a % 3 == 0 && b % 3 == 0 },
+        "fixture must exercise the stateful incoming×incoming path")
+    }
+  }
+
   test("streaming screen equals the batch twin regardless of micro-batching") {
     val docs = fixture
     val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
