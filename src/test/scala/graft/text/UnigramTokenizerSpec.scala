@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class UnigramTokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "aaa bb aaa abab", "l0"),
+    (1L, "bb aaa cc abab abab", "l0"),
+    (2L, "dd aaa bb cc", "l1")
+  ).toDF("doc_id", "text", "lang")
+
+  test("vocab covers every char, counts are Viterbi-consistent, scores integer") {
+    val v = UnigramTokenizer.vocabTable(docs).collect()
+    val pieces = v.map(_.getString(0)).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(pieces))
+    // total piece mass equals total segmented word mass
+    val (_, seg) = UnigramTokenizer.train(docs)
+    val segRows = seg.collect()
+    val wordMass = segRows.map(r => r.getLong(1) * r.getSeq[String](3).size).sum
+    assert(v.map(r => r.getLong(1)).sum == wordMass)
+    // ll_fp is the sum of the chosen pieces' scores under the PRE-final
+    // scores — just sanity: strictly negative and integer-typed
+    assert(segRows.forall(_.getLong(4) < 0))
+  }
+
+  test("frequent multi-char pieces win whole-piece segmentations") {
+    val (_, seg) = UnigramTokenizer.train(docs)
+    val m = seg.collect().map(r => r.getString(0) -> r.getSeq[String](3)).toMap
+    // "aaa" occurs 4x, "abab" 3x — both should survive seeding and be
+    // segmented into few pieces, never 3-4 singles
+    assert(m("aaa").size <= 2, s"aaa -> ${m("aaa")}")
+    assert(m("abab").size <= 2, s"abab -> ${m("abab")}")
+  }
+
+  test("words longer than maxWordLen are excluded everywhere") {
+    val longWord = "x" * 40
+    val d2 = docs.union(Seq((9L, s"$longWord yy", "l9")).toDF)
+    val (_, seg) = UnigramTokenizer.train(d2)
+    assert(!seg.collect().exists(_.getString(0) == longWord))
+    val ls = UnigramTokenizer.langStats(d2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ls("l9") == 1L) // only "yy" counted
+  }
+
+  test("partition invariance: same vocab from 1 and 7 partitions") {
+    val a = UnigramTokenizer.vocabTable(docs.coalesce(1)).collect().toSeq
+    val b = UnigramTokenizer.vocabTable(docs.repartition(7)).collect().toSeq
+    assert(a == b)
+  }
+}
