@@ -694,10 +694,13 @@ object SparkEntry {
             pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0)
           .withColumn("y", when(col("value") > 50, 1).otherwise(0)),
         "p", "y", bins = 10)),
-    // Brier + expected calibration error scalars over the same fixture
+    // Brier + expected calibration error scalars over the same fixture.
+    // NULL values are filtered HERE like the sibling ml22/ml23/ml25
+    // gates — the oracle's WHERE value IS NOT NULL must be mirrored, not
+    // satisfied by brierEce's label coercion happening to see no NULLs
     "ml24_brier_ece" -> q((s, d) =>
       graft.ml.Eval.brierEce(
-        Tables.events(s, d).withColumn("p",
+        Tables.events(s, d).filter(col("value").isNotNull).withColumn("p",
           pmod(col("user_id") * lit(2654435761L), lit(1000L)) / 1000.0),
         "p", col("value") > 50, nBins = 10)),
     // NDCG@10 + MRR: users as queries, value-desc ranking with event_id
@@ -2101,6 +2104,19 @@ object SparkEntry {
           reproducible = true, tau = 0.5)
         .orderBy("doc_in", "doc_corpus").limit(1000)
     }),
+    // the GROWING-corpus streaming screen: static index catches
+    // incoming×corpus, per-bucket flatMapGroupsWithState catches
+    // incoming×incoming (across and within micro-batches) — pinned to
+    // one batch oracle over the union, so the emitted pair SET must be
+    // arrival-order independent
+    "st14_stream_growing_screen" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.CorpusStreams.growingNearDupScreen(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+          reproducible = true, tau = 0.5)
+        .orderBy("doc_a", "doc_b").limit(1000)
+    }),
     // near-dup pairs cross-validated by a SECOND similarity family:
     // character-level edit distance over 120-char prefixes. BOTH
     // dimensions are bounded BEFORE the O(len²) DP runs: 120-char
@@ -2284,6 +2300,18 @@ object SparkEntry {
           round(col("n_symbols").cast("double") / col("n_words"), 6))
         .orderBy("lang")
     }),
+    // Unigram-LM tokenizer trainer (Kudo 2018, hard-EM/Viterbi form):
+    // 3 EM rounds over the word table, count-rank pruning 256→192→144
+    // multi-char pieces; the ENTIRE final vocabulary (pieces, Viterbi
+    // counts, fixed-point scores) is pinned against a full SQL replay
+    // of seed + all three rounds
+    "ug1_unigram_vocab" -> q((s, d) =>
+      graft.text.UnigramTokenizer.vocabTable(Tables.documents(s, d))),
+    // per-language segmentation census under the final model: word and
+    // piece masses, EXACT fixed-point corpus log-likelihood (integer
+    // arithmetic end-to-end), fertility — the unigram sibling of bpe4
+    "ug2_unigram_langstats" -> q((s, d) =>
+      graft.text.UnigramTokenizer.langStats(Tables.documents(s, d))),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -3534,6 +3562,29 @@ object SparkEntry {
             .as("match_exact"))
     }),
     // S13 manifest write/read/error-count, gate-pinned (was unit-only):
+    // S3 schema-only read, gate-pinned (was unit-only): the full
+    // (table, column, type) census of every fixture table from
+    // FOOTER-ONLY reads, in DuckDB's type spelling so the oracle's
+    // independent DESCRIBE replay pins name+type for every column; the
+    // one session contract (TIMESTAMP(NANOS) read as raw int64 ns) is
+    // an explicit CASE on both sides
+    "io15_schema_census" -> q((s, d) => Tables.schemaCensus(s, d)),
+    // persisted band-index screen: the corpus side of the d29 ingest
+    // screen is built ONCE, written to parquet, reloaded, and probed —
+    // the production lifecycle at 100 TB (recomputing the accumulated
+    // corpus per ingest batch is the thing this kills). Pinned to the
+    // IDENTICAL oracle as d29/st12, so save/load must be bit-faithful
+    "io16_band_index_screen" -> q((s, d) => withTempDir("graft_io16") { dir =>
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.buildBandIndex(
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0), reproducible = true)
+      Dedup.saveBandIndex(idx, s"$dir/bandidx")
+      Dedup.screenAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          Dedup.loadBandIndex(s, s"$dir/bandidx"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc_in", "doc_corpus").limit(1000)
+    }),
     // one manifest entry per (source, lang) slice — per-FILE metadata,
     // bounded by construction — appended through Manifest.append (JSON
     // escaping), read back through Manifest.read, and rolled up; the
@@ -3723,6 +3774,96 @@ object SparkEntry {
            FROM w${r - 1})"""
     }
     (base +: rounds).mkString(",\n         ")
+  }
+
+  /** Full SQL replay of [[graft.text.UnigramTokenizer.train]] — seed,
+    * `rounds` hard-EM Viterbi rounds, count-rank pruning — as one CTE
+    * chain. The Viterbi DP and its backtrack are UNROLLED one CTE per
+    * word position (the `maxWordLen` cap is what makes that static),
+    * with the same padded `(end,len)` score-grid indexing, the same
+    * `(total, len)`-struct argmax tie-break (`list_max`), and the same
+    * fixed-point `floor(2^20·ln((cnt+1)/(T+|V|)))` scores, so every DP
+    * comparison and the corpus likelihood are exact integer arithmetic
+    * in both engines. Invalid grid slots carry a −2^40 sentinel score
+    * (any candidate touching one loses to every real segmentation;
+    * single-char coverage guarantees a real one exists), mirroring the
+    * engine's null-filtered candidates. MATERIALIZED is load-bearing
+    * exactly as in [[bpeRoundsSql]]. */
+  private def unigramRoundsSql(rounds: Int = 3, maxPieceLen: Int = 4,
+                               maxWordLen: Int = 16,
+                               seedMultis: Int = 256): String = {
+    val L = maxPieceLen
+    val W = maxWordLen
+    val SENT = "-1099511627776" // -2^40
+    val base =
+      s"""uw AS MATERIALIZED (SELECT word, freq, CAST(len(word) AS INT) AS n
+           FROM (SELECT tok AS word, count(*) AS freq FROM
+             (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1)
+           WHERE len(word) BETWEEN 1 AND $W),
+         useed AS MATERIALIZED (SELECT piece, sum(freq) AS cnt FROM
+           (SELECT substr(word, i, l) AS piece, freq
+            FROM uw, range(1, ${W + 1}) t1(i), range(1, ${L + 1}) t2(l)
+            WHERE i <= n AND i + l - 1 <= n) GROUP BY 1),
+         uv0 AS MATERIALIZED (
+           SELECT piece, cnt FROM useed WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cnt FROM (SELECT piece, cnt FROM useed
+             WHERE len(piece) > 1 ORDER BY cnt DESC, piece
+             LIMIT $seedMultis)),
+         ugrid AS MATERIALIZED (SELECT word, freq, n, i, l,
+             CASE WHEN l <= i AND i <= n
+                  THEN substr(word, i - l + 1, l) END AS piece
+           FROM uw, range(1, ${W + 1}) t1(i), range(1, ${L + 1}) t2(l))"""
+    var keep = seedMultis
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      val dpLayers = (1 to W).map { i =>
+        val cands = (1 to math.min(L, i)).map { l =>
+          s"struct_pack(t := dps[${i - l + 1}] + scs[${(i - 1) * L + l}], bl := $l)"
+        }.mkString(", ")
+        s"""ud${r}_$i AS (SELECT word, freq, n, scs,
+             list_append(dps, CASE WHEN $i <= n THEN b.t END) AS dps,
+             list_append(bls, CASE WHEN $i <= n THEN b.bl ELSE 0 END) AS bls
+           FROM (SELECT *, list_max([$cands]) AS b FROM ud${r}_${i - 1}))"""
+      }.mkString(",\n         ")
+      val backLayers = (1 to W).map { k =>
+        s"""ub${r}_$k AS (SELECT word, freq, n, dps, bls,
+             CASE WHEN pos > 0 THEN pos - bls[pos + 1] ELSE pos END AS pos,
+             CASE WHEN pos > 0 THEN list_append(pieces,
+               substr(word, pos - bls[pos + 1] + 1, bls[pos + 1]))
+               ELSE pieces END AS pieces
+           FROM ub${r}_${k - 1})"""
+      }.mkString(",\n         ")
+      val pruneSel =
+        if (r < rounds) {
+          keep = keep * 3 / 4
+          s"""SELECT piece, cnt FROM ur$r WHERE len(piece) = 1
+             UNION ALL
+             SELECT piece, cnt FROM (SELECT piece, cnt FROM ur$r
+               WHERE len(piece) > 1 ORDER BY cnt DESC, piece LIMIT $keep)"""
+        } else s"SELECT piece, cnt FROM ur$r"
+      s"""us$r AS MATERIALIZED (SELECT piece,
+           CAST(floor(ln((cnt + 1) / (tot + vsz)) * 1048576) AS BIGINT) AS sc
+           FROM uv$p, (SELECT sum(cnt)::DOUBLE AS tot,
+             count(*)::DOUBLE AS vsz FROM uv$p)),
+         ug$r AS MATERIALIZED (SELECT g.word, any_value(g.freq) AS freq,
+             any_value(g.n) AS n,
+             list(coalesce(s.sc, $SENT) ORDER BY g.i, g.l) AS scs
+           FROM ugrid g LEFT JOIN us$r s ON s.piece = g.piece
+           GROUP BY g.word),
+         ud${r}_0 AS (SELECT word, freq, n, scs,
+           [CAST(0 AS BIGINT)] AS dps, [0] AS bls FROM ug$r),
+         $dpLayers,
+         ub${r}_0 AS (SELECT word, freq, n, dps, bls, n AS pos,
+           CAST([] AS VARCHAR[]) AS pieces FROM ud${r}_$W),
+         $backLayers,
+         uc$r AS MATERIALIZED (SELECT piece, sum(freq) AS cnt FROM
+           (SELECT freq, unnest(pieces) AS piece FROM ub${r}_$W) GROUP BY 1),
+         ur$r AS MATERIALIZED (SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+           FROM uv$p v LEFT JOIN uc$r c USING (piece)),
+         uv$r AS MATERIALIZED ($pruneSel)"""
+    }
+    (base +: roundCtes).mkString(",\n         ")
   }
 
   /** FROZEN minhash permutation constants `(j, a, b)` — the d3/d9 oracles
@@ -4837,15 +4978,17 @@ object SparkEntry {
            count(CASE WHEN user_id % 7 <> 0 AND NOT (value > 50)
              THEN 1 END) AS d
            FROM events GROUP BY 1),
-         t AS (SELECT *, CAST(a + b + c + d AS DOUBLE) AS n FROM s)
-         SELECT count(*) AS n_strata,
+         t AS (SELECT *, CAST(a + b + c + d AS DOUBLE) AS n FROM s),
+         u AS (SELECT count(*) AS n_strata,
            CAST(sum(a) AS BIGINT) AS tot_treat_succ,
            CAST(sum(c) AS BIGINT) AS tot_ctrl_succ,
-           round(sum(CAST(a AS DOUBLE) * d / n)
-             / sum(CAST(b AS DOUBLE) * c / n), 6) AS or_mh,
-           round(ln(sum(CAST(a AS DOUBLE) * d / n)
-             / sum(CAST(b AS DOUBLE) * c / n)), 6) AS log_or_mh
-         FROM t""",
+           sum(CAST(a AS DOUBLE) * d / n) AS sad,
+           sum(CAST(b AS DOUBLE) * c / n) AS sbc FROM t)
+         SELECT n_strata, tot_treat_succ, tot_ctrl_succ,
+           round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh,
+           round(CASE WHEN sbc > 0 AND sad > 0 THEN ln(sad / sbc) END, 6)
+             AS log_or_mh
+         FROM u""",
     "ex8_uplift_buckets" ->
       """WITH s AS (SELECT (user_id * 2654435761 % 1000) / 1000.0 AS p,
            user_id % 2 = 0 AS tr, value > 50 AS resp
@@ -7907,6 +8050,26 @@ object SparkEntry {
            CAST(sum(freq * n_sym) AS BIGINT) AS n_symbols,
            round(sum(freq * n_sym)::DOUBLE / sum(freq), 6) AS fertility
          FROM lw JOIN seg USING (word) GROUP BY 1 ORDER BY lang""",
+    "ug1_unigram_vocab" ->
+      s"""WITH ${unigramRoundsSql()}
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(ln((cnt + 1) / (tot + vsz)) * 1048576) AS BIGINT)
+             AS score_fp
+         FROM uv3, (SELECT sum(cnt)::DOUBLE AS tot,
+           count(*)::DOUBLE AS vsz FROM uv3)
+         ORDER BY cnt DESC, piece""",
+    "ug2_unigram_langstats" ->
+      s"""WITH ${unigramRoundsSql()},
+         useg AS (SELECT word, len(pieces) AS n_pieces,
+           dps[n + 1] AS ll_fp FROM ub3_16),
+         ulw AS (SELECT lang, word, count(*) AS wfreq FROM
+           (SELECT lang, unnest($toks) AS word FROM documents)
+           WHERE len(word) BETWEEN 1 AND 16 GROUP BY 1, 2)
+         SELECT lang, CAST(sum(wfreq) AS BIGINT) AS n_words,
+           CAST(sum(wfreq * n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(wfreq * ll_fp) AS BIGINT) AS ll_fp,
+           round(sum(wfreq * n_pieces)::DOUBLE / sum(wfreq), 6) AS fertility
+         FROM ulw JOIN useg USING (word) GROUP BY 1 ORDER BY 1""",
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
              PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt
@@ -7970,6 +8133,40 @@ object SparkEntry {
          ORDER BY est_jaccard DESC, doc_a, doc_b LIMIT 1000""",
     "d29_cross_corpus_neardups" -> crossCorpusSql,
     "st12_stream_neardup_screen" -> crossCorpusSql,
+    // save → load → screen must land on the fresh screen's exact answer
+    "io16_band_index_screen" -> crossCorpusSql,
+    // growing-corpus screen: incoming×corpus (corpus-side guard, as in
+    // d29) UNION incoming×incoming (unguarded band self-join — the
+    // stateful side refuses loudly instead of degrading), canonically
+    // (min,max)-oriented
+    "st14_stream_growing_screen" ->
+      s"""$minhashFnvPipeline,
+         bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+         bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+         bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+           FROM bc GROUP BY 1, 2),
+         cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
+           FROM bi i
+           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
+           JOIN bc c ON c.band = i.band AND c.key = i.key),
+         cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
+           FROM bi i
+           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
+         ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           FROM bi a JOIN bi b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         cand AS (SELECT DISTINCT least(u, v) AS doc_a,
+             greatest(u, v) AS doc_b
+           FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
+                 UNION ALL SELECT * FROM ii)),
+         stx AS (SELECT doc_a, doc_b,
+             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
+               / 64 AS est_jaccard
+           FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
+         ORDER BY doc_a, doc_b LIMIT 1000""",
     "d13_neardup_editdist" ->
       s"""$minhashFnvPipeline,
          p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5
@@ -8745,6 +8942,14 @@ object SparkEntry {
     "io14_ivf_persist" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(10 AS BIGINT) AS n_queries,
          true AS match_exact""",
+    // independent DESCRIBE replay of the footer-only schema census —
+    // name + type for every column of every fixture table
+    "io15_schema_census" -> {
+      val perTable = graft.sources.Tables.names.map(t =>
+        s"SELECT '$t' AS tbl, column_name AS col, lower(column_type) AS dtype" +
+          s" FROM (DESCRIBE SELECT * FROM $t)").mkString(" UNION ALL ")
+      s"SELECT tbl, col, dtype FROM ($perTable) ORDER BY tbl, col"
+    },
     // every manifest number recomputed straight from documents — a
     // Manifest.append/read escaping or error-count defect fails the hash
     "io13_manifest_check" ->

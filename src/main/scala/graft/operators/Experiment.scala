@@ -211,12 +211,19 @@ object Experiment {
     // stratum sizes (ANSI throws); the oracle's products are doubles too
     val ad = col("a").cast("double") * col("d") / col("n")
     val bc = col("b").cast("double") * col("c") / col("n")
+    // degenerate-strata guard, same CASE convention as proportionTest /
+    // ratioDeltaMethod: if no stratum has both b>0 and c>0 the
+    // denominator sums to zero (e.g. treatment never fails anywhere) —
+    // OR is undefined, so report NULL rather than Inf; the log
+    // additionally needs a positive numerator (a zero ad-sum would be
+    // ln(0) — null in Spark, -inf in other engines)
     strata.groupBy()
       .agg(count(lit(1)).as("n_strata"),
         sum("a").as("tot_treat_succ"),
         sum("c").as("tot_ctrl_succ"),
-        round(sum(ad) / sum(bc), 6).as("or_mh"),
-        round(log(sum(ad) / sum(bc)), 6).as("log_or_mh"))
+        round(when(sum(bc) > 0, sum(ad) / sum(bc)), 6).as("or_mh"),
+        round(when(sum(bc) > 0 && sum(ad) > 0, log(sum(ad) / sum(bc))), 6)
+          .as("log_or_mh"))
   }
 
   /** Uplift by score bucket + Qini-style cumulative curve: rows carry a

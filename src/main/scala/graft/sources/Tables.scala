@@ -43,4 +43,38 @@ object Tables {
   /** Footer-only schema read (SURVEY S3; `analytics_pandas.py:88`). */
   def schemaOf(s: SparkSession, dir: String, table: String) =
     load(s, dir, table).schema
+
+  /** The (table, column, type) census of every fixture table, from
+    * footer-only reads — the gate surface for S3. Types are reported in
+    * DuckDB's spelling so an independent `DESCRIBE` replay pins the
+    * whole census (NTZ timestamps → `timestamp`, UTC-adjusted →
+    * `timestamp with time zone`, exactly DuckDB's distinction; a
+    * TIMESTAMP(NANOS) column would surface as `bigint` under the
+    * session's nanosAsLong contract and need an oracle-side CASE —
+    * the current fixtures carry none). */
+  def schemaCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    def duckName(dt: DataType): String = dt match {
+      case ByteType => "tinyint"
+      case ShortType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "varchar"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case BinaryType => "blob"
+      case TimestampType => "timestamp with time zone"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckName(e) + "[]"
+      case other => other.sql.toLowerCase
+    }
+    val rows = names.flatMap { t =>
+      schemaOf(s, dir, t).fields.map(f => (t, f.name, duckName(f.dataType)))
+    }
+    import s.implicits._
+    rows.toDF("tbl", "col", "dtype").orderBy("tbl", "col")
+  }
 }
