@@ -2312,6 +2312,13 @@ object SparkEntry {
     // arithmetic end-to-end), fertility — the unigram sibling of bpe4
     "ug2_unigram_langstats" -> q((s, d) =>
       graft.text.UnigramTokenizer.langStats(Tables.documents(s, d))),
+    // tokenizer INFERENCE pinned cross-corpus (the bpe3 shape): model
+    // trained on documents, replayed over the part-name vocabulary with
+    // count-0-smoothed UNK scoring for characters the corpus never saw
+    "ug3_unigram_cross_segment" -> q((s, d) =>
+      graft.text.UnigramTokenizer.crossSegmentCounts(
+        Tables.documents(s, d),
+        Tables.part(s, d).select(col("p_name").as("text")))),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -3789,6 +3796,38 @@ object SparkEntry {
     * single-char coverage guarantees a real one exists), mirroring the
     * engine's null-filtered candidates. MATERIALIZED is load-bearing
     * exactly as in [[bpeRoundsSql]]. */
+  /** The unrolled Viterbi DP + backtrack CTE block shared by the
+    * training rounds and the cross-corpus encode pass: `dpP_0..W`
+    * build the per-position (total, backlen) lists over a garr-shaped
+    * CTE (word, freq, n, scs), `bkP_1..W` walk the backpointers into
+    * the piece list. */
+  private def viterbiDpSql(dpP: String, bkP: String, garrCte: String,
+                           W: Int, L: Int): String = {
+    val dpLayers = (1 to W).map { i =>
+      val cands = (1 to math.min(L, i)).map { l =>
+        s"struct_pack(t := dps[${i - l + 1}] + scs[${(i - 1) * L + l}], bl := $l)"
+      }.mkString(", ")
+      s"""${dpP}_$i AS (SELECT word, freq, n, scs,
+           list_append(dps, CASE WHEN $i <= n THEN b.t END) AS dps,
+           list_append(bls, CASE WHEN $i <= n THEN b.bl ELSE 0 END) AS bls
+         FROM (SELECT *, list_max([$cands]) AS b FROM ${dpP}_${i - 1}))"""
+    }.mkString(",\n         ")
+    val backLayers = (1 to W).map { k =>
+      s"""${bkP}_$k AS (SELECT word, freq, n, dps, bls,
+           CASE WHEN pos > 0 THEN pos - bls[pos + 1] ELSE pos END AS pos,
+           CASE WHEN pos > 0 THEN list_append(pieces,
+             substr(word, pos - bls[pos + 1] + 1, bls[pos + 1]))
+             ELSE pieces END AS pieces
+         FROM ${bkP}_${k - 1})"""
+    }.mkString(",\n         ")
+    s"""${dpP}_0 AS (SELECT word, freq, n, scs,
+         [CAST(0 AS BIGINT)] AS dps, [0] AS bls FROM $garrCte),
+       $dpLayers,
+       ${bkP}_0 AS (SELECT word, freq, n, dps, bls, n AS pos,
+         CAST([] AS VARCHAR[]) AS pieces FROM ${dpP}_$W),
+       $backLayers"""
+  }
+
   private def unigramRoundsSql(rounds: Int = 3, maxPieceLen: Int = 4,
                                maxWordLen: Int = 16,
                                seedMultis: Int = 256): String = {
@@ -3817,23 +3856,7 @@ object SparkEntry {
     var keep = seedMultis
     val roundCtes = (1 to rounds).map { r =>
       val p = r - 1
-      val dpLayers = (1 to W).map { i =>
-        val cands = (1 to math.min(L, i)).map { l =>
-          s"struct_pack(t := dps[${i - l + 1}] + scs[${(i - 1) * L + l}], bl := $l)"
-        }.mkString(", ")
-        s"""ud${r}_$i AS (SELECT word, freq, n, scs,
-             list_append(dps, CASE WHEN $i <= n THEN b.t END) AS dps,
-             list_append(bls, CASE WHEN $i <= n THEN b.bl ELSE 0 END) AS bls
-           FROM (SELECT *, list_max([$cands]) AS b FROM ud${r}_${i - 1}))"""
-      }.mkString(",\n         ")
-      val backLayers = (1 to W).map { k =>
-        s"""ub${r}_$k AS (SELECT word, freq, n, dps, bls,
-             CASE WHEN pos > 0 THEN pos - bls[pos + 1] ELSE pos END AS pos,
-             CASE WHEN pos > 0 THEN list_append(pieces,
-               substr(word, pos - bls[pos + 1] + 1, bls[pos + 1]))
-               ELSE pieces END AS pieces
-           FROM ub${r}_${k - 1})"""
-      }.mkString(",\n         ")
+      val dpLayers = viterbiDpSql(s"ud$r", s"ub$r", s"ug$r", W, L)
       val pruneSel =
         if (r < rounds) {
           keep = keep * 3 / 4
@@ -3851,12 +3874,7 @@ object SparkEntry {
              list(coalesce(s.sc, $SENT) ORDER BY g.i, g.l) AS scs
            FROM ugrid g LEFT JOIN us$r s ON s.piece = g.piece
            GROUP BY g.word),
-         ud${r}_0 AS (SELECT word, freq, n, scs,
-           [CAST(0 AS BIGINT)] AS dps, [0] AS bls FROM ug$r),
          $dpLayers,
-         ub${r}_0 AS (SELECT word, freq, n, dps, bls, n AS pos,
-           CAST([] AS VARCHAR[]) AS pieces FROM ud${r}_$W),
-         $backLayers,
          uc$r AS MATERIALIZED (SELECT piece, sum(freq) AS cnt FROM
            (SELECT freq, unnest(pieces) AS piece FROM ub${r}_$W) GROUP BY 1),
          ur$r AS MATERIALIZED (SELECT v.piece, coalesce(c.cnt, 0) AS cnt
@@ -8070,6 +8088,38 @@ object SparkEntry {
            CAST(sum(wfreq * ll_fp) AS BIGINT) AS ll_fp,
            round(sum(wfreq * n_pieces)::DOUBLE / sum(wfreq), 6) AS fertility
          FROM ulw JOIN useg USING (word) GROUP BY 1 ORDER BY 1""",
+    "ug3_unigram_cross_segment" ->
+      s"""WITH ${unigramRoundsSql()},
+         usf AS MATERIALIZED (SELECT piece,
+           CAST(floor(ln((cnt + 1) / (tot + vsz)) * 1048576) AS BIGINT) AS sc
+           FROM uv3, (SELECT sum(cnt)::DOUBLE AS tot,
+             count(*)::DOUBLE AS vsz FROM uv3)),
+         uunk AS (SELECT
+           CAST(floor(ln(1.0 / (tot + vsz)) * 1048576) AS BIGINT) AS unk
+           FROM (SELECT sum(cnt)::DOUBLE AS tot,
+             count(*)::DOUBLE AS vsz FROM uv3)),
+         pw AS MATERIALIZED (SELECT word, freq, CAST(len(word) AS INT) AS n
+           FROM (SELECT tok AS word, count(*) AS freq FROM
+             (SELECT unnest(list_filter(string_split(p_name, ' '),
+                x -> len(x) > 0)) AS tok FROM part) GROUP BY 1)
+           WHERE len(word) BETWEEN 1 AND 16),
+         pgrid AS MATERIALIZED (SELECT word, freq, n, i, l,
+             CASE WHEN l <= i AND i <= n
+                  THEN substr(word, i - l + 1, l) END AS piece
+           FROM pw, range(1, 17) t1(i), range(1, 5) t2(l)),
+         pg AS MATERIALIZED (SELECT g.word, any_value(g.freq) AS freq,
+             any_value(g.n) AS n,
+             list(CASE WHEN g.l = 1 AND g.piece IS NOT NULL
+                  THEN coalesce(s.sc, (SELECT unk FROM uunk))
+                  ELSE coalesce(s.sc, -1099511627776) END
+               ORDER BY g.i, g.l) AS scs
+           FROM pgrid g LEFT JOIN usf s ON s.piece = g.piece
+           GROUP BY g.word),
+         ${viterbiDpSql("pd", "pb", "pg", 16, 4)}
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT piece, sum(freq) AS cnt FROM
+             (SELECT freq, unnest(pieces) AS piece FROM pb_16) GROUP BY 1)
+         ORDER BY cnt DESC, piece LIMIT 20""",
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
              PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt

@@ -107,19 +107,31 @@ object UnigramTokenizer {
     * fixed-point log-likelihood. The score grid is padded to a constant
     * `maxWordLen · maxPieceLen` slots per word (index (i−1)·L + l for
     * END position i, length l) so the DP is pure index arithmetic —
-    * the same layout the SQL oracle unrolls. */
+    * the same layout the SQL oracle unrolls. `unk`, when given (the
+    * INFERENCE path — [[segment]]), is a one-row (unk) frame scoring
+    * out-of-vocabulary SINGLE characters as count-0 smoothed pieces, so
+    * unseen characters segment as unknowns instead of making a word
+    * unreachable; during training every character is in the vocabulary
+    * and the coalesce is inert. */
   private def viterbi(words: DataFrame, scores: DataFrame,
-                      p: Params): DataFrame = {
+                      p: Params, unk: Option[DataFrame] = None): DataFrame = {
     val L = p.maxPieceLen
     val W = p.maxWordLen
-    val grid = words
+    val grid0 = words
       .withColumn("i", explode(sequence(lit(1), lit(W))))
       .withColumn("l", explode(sequence(lit(1), lit(L))))
       .withColumn("piece",
         when(col("l") <= col("i") && col("i") <= col("n"),
           col("word").substr(col("i") - col("l") + 1, col("l"))))
-    val garr = grid
       .join(broadcast(scores), Seq("piece"), "left")
+    val grid = unk match {
+      case Some(u) => grid0.crossJoin(broadcast(u))
+        .withColumn("sc",
+          when(col("l") === 1 && col("piece").isNotNull,
+            coalesce(col("sc"), col("unk"))).otherwise(col("sc")))
+      case None => grid0
+    }
+    val garr = grid
       .groupBy("word")
       .agg(first("freq").as("freq"), first("n").as("n"),
         transform(sort_array(collect_list(struct(col("i"), col("l"),
@@ -219,6 +231,37 @@ object UnigramTokenizer {
     train(docs, p)._1
       .withColumnRenamed("sc", "score_fp")
       .orderBy(desc("cnt"), asc("piece"))
+
+  /** INFERENCE: segment a NEW corpus's words under an already-trained
+    * `(piece, cnt)` vocabulary — the unigram sibling of [[Bpe.encode]].
+    * Out-of-vocabulary single characters score as count-0 smoothed
+    * pieces (`floor(2^20·ln(1/(T+|V|)))` — the UNK floor), so genuinely
+    * unseen alphabets segment character-by-character instead of
+    * failing. Returns (word, freq, n, pieces, ll_fp) over the TARGET's
+    * word table. */
+  def segment(target: DataFrame, vocab: DataFrame, p: Params = Params(),
+              textCol: String = "text"): DataFrame = {
+    val unk = vocab.agg(sum("cnt").cast("double").as("tot"),
+        count(lit(1)).cast("double").as("vsz"))
+      .select(floor(log(lit(1.0) / (col("tot") + col("vsz")))
+        * ScoreScale).cast("long").as("unk"))
+    viterbi(wordTable(target, p, textCol), scoresOf(vocab), p, Some(unk))
+  }
+
+  /** Gate surface 3: cross-corpus application — train on `docs`,
+    * segment `target`, and report the corpus-weighted top-`topK` piece
+    * frequencies (the [[Bpe]] `bpe3_cross_encode` shape: subwords only
+    * help where the trained pieces actually occur, so the profile is a
+    * genuine out-of-domain pin, OOV handling included). */
+  def crossSegmentCounts(docs: DataFrame, target: DataFrame,
+                         p: Params = Params(), topK: Int = 20,
+                         targetTextCol: String = "text"): DataFrame = {
+    val (vocab, _) = train(docs, p)
+    segment(target, vocab.select("piece", "cnt"), p, targetTextCol)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), asc("piece")).limit(topK)
+  }
 
   /** Gate surface 2: per-language segmentation census under the final
     * model — word mass, piece mass, EXACT fixed-point corpus

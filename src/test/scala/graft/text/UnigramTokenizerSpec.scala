@@ -46,6 +46,16 @@ class UnigramTokenizerSpec extends SparkTestBase {
     assert(ls("l9") == 1L) // only "yy" counted
   }
 
+  test("segment() handles out-of-vocabulary characters via the UNK floor") {
+    val (vocab, _) = UnigramTokenizer.train(docs)
+    // "zz" contains a char the training corpus never saw; "aaa" is known
+    val target = Seq((0L, "zz aaa")).toDF("doc_id", "text")
+    val m = UnigramTokenizer.segment(target, vocab.select("piece", "cnt"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](3)).toMap
+    assert(m("zz") == Seq("z", "z")) // char-by-char under the UNK score
+    assert(m("aaa").nonEmpty && m("aaa").mkString == "aaa")
+  }
+
   test("partition invariance: same vocab from 1 and 7 partitions") {
     val a = UnigramTokenizer.vocabTable(docs.coalesce(1)).collect().toSeq
     val b = UnigramTokenizer.vocabTable(docs.repartition(7)).collect().toSeq
