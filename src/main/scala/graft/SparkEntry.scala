@@ -1976,6 +1976,36 @@ object SparkEntry {
       graft.text.Scrub.blocklistAudit(Tables.documents(s, d),
         Seq("slow join", "table scan", "batch batch", "window window",
           "never matches anything"))),
+    // HTML → text extraction over a deterministically synthesized
+    // crawl page per document (script with raw < and &&, style,
+    // comment, h1/p/li blocks, entities incl. a double-escape): block
+    // count, char mass, the FULL extracted text via fnv, and the
+    // first/last blocks are all oracle-pinned against a DuckDB replay
+    // of the identical regex chain — downstream text operators consume
+    // `text` unchanged (HtmlExtractSpec composes them)
+    "t29_html_extract" -> q((s, d) => {
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && y > 0;" +
+          "</script><style>p { color: red; }</style></head>" +
+          "<body><!-- hidden comment --><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><ul><li>lang: "), col("lang"),
+        lit("</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>" +
+          "</body></html>"))
+      val txt = array_join(col("blocks"), "\n")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.HtmlExtract.htmlToBlocks(html).as("blocks"))
+        .select(col("doc_id"),
+          size(col("blocks")).cast("long").as("n_blocks"),
+          length(txt).cast("long").as("n_chars"),
+          graft.functions.HashExpressions.fnv1a32(txt).as("text_fnv"),
+          element_at(col("blocks"), 1).as("first_block"),
+          element_at(col("blocks"), -1).as("last_block"))
+        .orderBy("doc_id").limit(1000)
+    }),
     // C4 line filter over a deterministically line-structured corpus:
     // ' a ' → '.\n' gives every doc real line boundaries (the fixture
     // text has none), and two injected markers exercise the DOC-level
@@ -2114,6 +2144,23 @@ object SparkEntry {
       graft.streaming.CorpusStreams.growingNearDupScreen(s,
           docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
           docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+          reproducible = true, tau = 0.5)
+        .orderBy("doc_a", "doc_b").limit(1000)
+    }),
+    // the TIME-BOUNDED growing screen: incoming docs carry event time
+    // (ts = epoch + doc_id seconds, so Δts ≡ Δdoc_id), an
+    // incoming×incoming pair emits only within the 120 s horizon, and
+    // bucket state expires past the watermark — pinned to a batch
+    // oracle restricted to the same horizon, so both the pairs the
+    // horizon KEEPS and the ones it EXPIRES are part of the contract
+    "st15_stream_windowed_screen" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.streaming.CorpusStreams.growingNearDupScreenWatermarked(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+            .withColumn("ts",
+              timestamp_seconds(lit(1704067200L) + col("doc_id"))),
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+          horizonSeconds = 120, watermarkDelay = "5 minutes",
           reproducible = true, tau = 0.5)
         .orderBy("doc_a", "doc_b").limit(1000)
     }),
@@ -2281,6 +2328,20 @@ object SparkEntry {
         .groupBy("symbol").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("symbol")).limit(20)
     }),
+    // BPE model PERSISTENCE — train, save (parquet merges + params
+    // sidecar), reload, encode the same out-of-domain corpus as bpe3;
+    // pinned to the IDENTICAL oracle, so a merge row lost, reordered,
+    // or re-typed in the round-trip fails the hash
+    "bpe5_bpe_model_roundtrip" -> q((s, d) => withTempDir("graft_bpe5") { dir =>
+      val merges = graft.text.Bpe.train(Tables.documents(s, d), nMerges = 10)._1
+      graft.text.Bpe.save(merges, s"$dir/bpe", s)
+      graft.text.Bpe.encode(
+          Tables.part(s, d).select(col("p_name").as("text")),
+          graft.text.Bpe.load(s, s"$dir/bpe"))
+        .select(col("freq"), explode(col("symbols")).as("symbol"))
+        .groupBy("symbol").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("symbol")).limit(20)
+    }),
     // tokenizer fertility (symbols per word) per language under the
     // trained merges — the acceptance metric tokenizer work is judged
     // by; segmentation table is vocab-sized and broadcasts
@@ -2319,6 +2380,25 @@ object SparkEntry {
       graft.text.UnigramTokenizer.crossSegmentCounts(
         Tables.documents(s, d),
         Tables.part(s, d).select(col("p_name").as("text")))),
+    // unigram model PERSISTENCE — train, save (vocab parquet + params
+    // sidecar), reload, segment a THIRD corpus (part names + brands +
+    // types: a mix of in-vocabulary words, words with OOV capitals/
+    // digits/'#', and all-OOV words); the pinned `seg` string makes
+    // piece READING ORDER part of the contract, so a round-trip that
+    // drops a count, re-types a score, or reverses the backtrack
+    // fails the hash
+    "ug4_unigram_model_roundtrip" -> q((s, d) => withTempDir("graft_ug4") { dir =>
+      graft.text.UnigramTokenizer.save(
+        graft.text.UnigramTokenizer.trainModel(Tables.documents(s, d)),
+        s"$dir/ug")
+      graft.text.UnigramTokenizer.segmentWith(
+          graft.text.UnigramTokenizer.load(s, s"$dir/ug"),
+          Tables.part(s, d).select(concat_ws(" ",
+            col("p_name"), col("p_brand"), col("p_type")).as("text")))
+        .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"),
+          array_join(col("pieces"), " ").as("seg"), col("ll_fp"))
+        .orderBy("word").limit(500)
+    }),
     // the documented 100 TB path (HLL, no distinct shuffle) machine-checked
     // against the exact twin: per source, the sketch estimate must land
     // within 3·rsd of the oracle-computed exact distinct count
@@ -3592,6 +3672,28 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("doc_in", "doc_corpus").limit(1000)
     }),
+    // band-index COMPACTION — the full ingest-loop lifecycle: build on
+    // a third of the corpus, save, reload, FOLD the next third in with
+    // compactBandIndex (batch-sized work — the indexed side is never
+    // re-signed), save the compacted index, reload, screen. Pinned to
+    // the IDENTICAL oracle as d29/io16 (whose corpus side is
+    // doc_id % 3 <> 0 = exactly initial ∪ batch), so compaction must
+    // be bit-equivalent to a fresh full build
+    "io17_band_index_compact" -> q((s, d) => withTempDir("graft_io17") { dir =>
+      val docs = Tables.documents(s, d)
+      val idx0 = Dedup.buildBandIndex(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1), reproducible = true)
+      Dedup.saveBandIndex(idx0, s"$dir/idx0")
+      val compacted = Dedup.compactBandIndex(
+        Dedup.loadBandIndex(s, s"$dir/idx0"),
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2))
+      Dedup.saveBandIndex(compacted, s"$dir/idx1")
+      Dedup.screenAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          Dedup.loadBandIndex(s, s"$dir/idx1"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc_in", "doc_corpus").limit(1000)
+    }),
     // one manifest entry per (source, lang) slice — per-FILE metadata,
     // bounded by construction — appended through Manifest.append (JSON
     // escaping), read back through Manifest.read, and rolled up; the
@@ -3800,7 +3902,8 @@ object SparkEntry {
     * training rounds and the cross-corpus encode pass: `dpP_0..W`
     * build the per-position (total, backlen) lists over a garr-shaped
     * CTE (word, freq, n, scs), `bkP_1..W` walk the backpointers into
-    * the piece list. */
+    * the piece list (END → START), and `bkP_out` reverses it into
+    * reading order — the engine's `reverse(ps)` mirror. */
   private def viterbiDpSql(dpP: String, bkP: String, garrCte: String,
                            W: Int, L: Int): String = {
     val dpLayers = (1 to W).map { i =>
@@ -3825,7 +3928,9 @@ object SparkEntry {
        $dpLayers,
        ${bkP}_0 AS (SELECT word, freq, n, dps, bls, n AS pos,
          CAST([] AS VARCHAR[]) AS pieces FROM ${dpP}_$W),
-       $backLayers"""
+       $backLayers,
+       ${bkP}_out AS (SELECT word, freq, n, dps, bls,
+         list_reverse(pieces) AS pieces FROM ${bkP}_$W)"""
   }
 
   private def unigramRoundsSql(rounds: Int = 3, maxPieceLen: Int = 4,
@@ -3876,13 +3981,75 @@ object SparkEntry {
            GROUP BY g.word),
          $dpLayers,
          uc$r AS MATERIALIZED (SELECT piece, sum(freq) AS cnt FROM
-           (SELECT freq, unnest(pieces) AS piece FROM ub${r}_$W) GROUP BY 1),
+           (SELECT freq, unnest(pieces) AS piece FROM ub${r}_out) GROUP BY 1),
          ur$r AS MATERIALIZED (SELECT v.piece, coalesce(c.cnt, 0) AS cnt
            FROM uv$p v LEFT JOIN uc$r c USING (piece)),
          uv$r AS MATERIALIZED ($pruneSel)"""
     }
     (base +: roundCtes).mkString(",\n         ")
   }
+
+  /** The bpe3/bpe5 shared oracle: 10 training rounds over `documents`
+    * (bpeRoundsSql), then the learned merges replayed over the
+    * part-name word table — bpe5 runs the identical computation through
+    * a SAVED-then-RELOADED merge table, so persistence must be
+    * bit-faithful to pass the same pin. */
+  private lazy val bpeCrossEncodeSql: String =
+    s"""WITH ${bpeRoundsSql(10)},
+         pe0 AS (SELECT word, freq,
+           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+           FROM (SELECT tok AS word, count(*) AS freq FROM
+             (SELECT unnest(list_filter(string_split(p_name, ' '),
+                x -> len(x) > 0)) AS tok FROM part) GROUP BY 1)),
+         ${(1 to 10).map(r =>
+           s"""pe$r AS (SELECT word, freq,
+             replace(s, ' ' || replace((SELECT pr FROM b$r), ' ', '  ') || ' ',
+                     ' ' || replace((SELECT pr FROM b$r), ' ', '') || ' ') AS s
+             FROM pe${r - 1})""").mkString(",\n         ")}
+         SELECT symbol, CAST(cnt AS BIGINT) AS cnt FROM (
+           SELECT symbol, sum(freq) AS cnt FROM (
+             SELECT freq, unnest(list_filter(string_split(s, ' '),
+               x -> len(x) > 0)) AS symbol FROM pe10) GROUP BY 1)
+         ORDER BY cnt DESC, symbol LIMIT 20"""
+
+  /** The ug4 oracle: full unigram training replay over `documents`
+    * (unigramRoundsSql), then Viterbi INFERENCE over the orders-comment
+    * word table under the final vocabulary with the UNK floor — the
+    * engine side runs the identical computation through a
+    * SAVED-then-RELOADED model, and the pinned `seg` string makes the
+    * pieces' READING ORDER part of the contract. */
+  private lazy val unigramRoundtripSql: String =
+    s"""WITH ${unigramRoundsSql()},
+         usf AS MATERIALIZED (SELECT piece,
+           CAST(floor(ln((cnt + 1) / (tot + vsz)) * 1048576) AS BIGINT) AS sc
+           FROM uv3, (SELECT sum(cnt)::DOUBLE AS tot,
+             count(*)::DOUBLE AS vsz FROM uv3)),
+         uunk AS (SELECT
+           CAST(floor(ln(1.0 / (tot + vsz)) * 1048576) AS BIGINT) AS unk
+           FROM (SELECT sum(cnt)::DOUBLE AS tot,
+             count(*)::DOUBLE AS vsz FROM uv3)),
+         ow AS MATERIALIZED (SELECT word, freq, CAST(len(word) AS INT) AS n
+           FROM (SELECT tok AS word, count(*) AS freq FROM
+             (SELECT unnest(list_filter(string_split(
+                p_name || ' ' || p_brand || ' ' || p_type, ' '),
+                x -> len(x) > 0)) AS tok FROM part) GROUP BY 1)
+           WHERE len(word) BETWEEN 1 AND 16),
+         ogrid AS MATERIALIZED (SELECT word, freq, n, i, l,
+             CASE WHEN l <= i AND i <= n
+                  THEN substr(word, i - l + 1, l) END AS piece
+           FROM ow, range(1, 17) t1(i), range(1, 5) t2(l)),
+         og AS MATERIALIZED (SELECT g.word, any_value(g.freq) AS freq,
+             any_value(g.n) AS n,
+             list(CASE WHEN g.l = 1 AND g.piece IS NOT NULL
+                  THEN coalesce(s.sc, (SELECT unk FROM uunk))
+                  ELSE coalesce(s.sc, -1099511627776) END
+               ORDER BY g.i, g.l) AS scs
+           FROM ogrid g LEFT JOIN usf s ON s.piece = g.piece
+           GROUP BY g.word),
+         ${viterbiDpSql("od", "ob", "og", 16, 4)}
+         SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces, ' ') AS seg, dps[n + 1] AS ll_fp
+         FROM ob_out ORDER BY word LIMIT 500"""
 
   /** FROZEN minhash permutation constants `(j, a, b)` — the d3/d9 oracles
     * pin these literals rather than calling
@@ -5099,7 +5266,8 @@ object SparkEntry {
       s"""WITH side AS (SELECT DISTINCT
            CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS g,
            ${fnvSql("CAST(n_chars AS VARCHAR)", 2166136261L)} AS h
-           FROM documents WHERE source IN ('src0', 'src1')),
+           FROM documents WHERE source IN ('src0', 'src1')
+             AND n_chars IS NOT NULL),
          sk AS (SELECT g, h, row_number() OVER (PARTITION BY g
            ORDER BY h) AS rk FROM side),
          f AS (SELECT g, h FROM sk WHERE rk <= 256),
@@ -5125,7 +5293,8 @@ object SparkEntry {
          FROM g2""",
     "a52_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT source,
-           ${fnvSql("text", 2166136261L)} AS h FROM documents),
+           ${fnvSql("text", 2166136261L)} AS h FROM documents
+           WHERE text IS NOT NULL),
          r AS (SELECT source, h, row_number() OVER (PARTITION BY source
            ORDER BY h) AS rk FROM h),
          f AS (SELECT source, h, rk FROM r WHERE rk <= 256),
@@ -6884,6 +7053,46 @@ object SparkEntry {
            round(avg(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6)
              AS flag_rate
          FROM h GROUP BY source ORDER BY source""",
+    // the HtmlExtract regex chain, FROZEN as literals (the frozenPerms
+    // discipline: an engine pattern drift fails the gate loudly instead
+    // of re-pinning the oracle invisibly); Java-regex ∩ RE2 subset
+    "t29_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+           '<html><head><title>' || source ||
+           '</title><script type="text/javascript">var x = 1 < 2 && y > 0;' ||
+           '</script><style>p { color: red; }</style></head>' ||
+           '<body><!-- hidden comment --><h1>Doc ' || doc_id ||
+           '</h1><p>' || text || '</p><ul><li>lang: ' || lang ||
+           '</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>' ||
+           '</body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
+             '(?s)<!--.*?-->', '', 'g'),
+             '\\s+', ' ', 'g'),
+             '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|thead|tbody|table|br|hr|blockquote|pre|section|article|header|footer|nav|aside|form|figure|figcaption|main|title)\\b[^>]*>',
+             chr(10), 'g') AS t
+           FROM h),
+         s2 AS (SELECT doc_id,
+           regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+           replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')
+           AS t FROM s2),
+         b AS (SELECT doc_id,
+           list_filter(list_transform(string_split(t, chr(10)),
+             x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+             x -> len(x) > 0) AS blocks
+           FROM s3),
+         j AS (SELECT doc_id, blocks,
+           array_to_string(blocks, chr(10)) AS txt FROM b)
+         SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
+           len(txt)::BIGINT AS n_chars,
+           ${fnvSql("txt", 2166136261L)} AS text_fnv,
+           blocks[1] AS first_block, blocks[-1] AS last_block
+         FROM j ORDER BY doc_id LIMIT 1000""",
     "t14_pii_scrub" ->
       """WITH w AS (SELECT source, text ||
            CASE WHEN doc_id % 7 = 0
@@ -8040,23 +8249,9 @@ object SparkEntry {
              SELECT freq, unnest(list_filter(string_split(s, ' '),
                x -> len(x) > 0)) AS symbol FROM w10) GROUP BY 1)
          ORDER BY cnt DESC, symbol LIMIT 20""",
-    "bpe3_cross_encode" ->
-      s"""WITH ${bpeRoundsSql(10)},
-         pe0 AS (SELECT word, freq,
-           ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
-           FROM (SELECT tok AS word, count(*) AS freq FROM
-             (SELECT unnest(list_filter(string_split(p_name, ' '),
-                x -> len(x) > 0)) AS tok FROM part) GROUP BY 1)),
-         ${(1 to 10).map(r =>
-           s"""pe$r AS (SELECT word, freq,
-             replace(s, ' ' || replace((SELECT pr FROM b$r), ' ', '  ') || ' ',
-                     ' ' || replace((SELECT pr FROM b$r), ' ', '') || ' ') AS s
-             FROM pe${r - 1})""").mkString(",\n         ")}
-         SELECT symbol, CAST(cnt AS BIGINT) AS cnt FROM (
-           SELECT symbol, sum(freq) AS cnt FROM (
-             SELECT freq, unnest(list_filter(string_split(s, ' '),
-               x -> len(x) > 0)) AS symbol FROM pe10) GROUP BY 1)
-         ORDER BY cnt DESC, symbol LIMIT 20""",
+    "bpe3_cross_encode" -> bpeCrossEncodeSql,
+    // save → load → encode must land on the fresh cross-encode answer
+    "bpe5_bpe_model_roundtrip" -> bpeCrossEncodeSql,
     "bpe4_fertility" ->
       s"""WITH ${bpeRoundsSql(10)},
          seg AS (SELECT word,
@@ -8079,7 +8274,7 @@ object SparkEntry {
     "ug2_unigram_langstats" ->
       s"""WITH ${unigramRoundsSql()},
          useg AS (SELECT word, len(pieces) AS n_pieces,
-           dps[n + 1] AS ll_fp FROM ub3_16),
+           dps[n + 1] AS ll_fp FROM ub3_out),
          ulw AS (SELECT lang, word, count(*) AS wfreq FROM
            (SELECT lang, unnest($toks) AS word FROM documents)
            WHERE len(word) BETWEEN 1 AND 16 GROUP BY 1, 2)
@@ -8118,8 +8313,11 @@ object SparkEntry {
          ${viterbiDpSql("pd", "pb", "pg", 16, 4)}
          SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (
            SELECT piece, sum(freq) AS cnt FROM
-             (SELECT freq, unnest(pieces) AS piece FROM pb_16) GROUP BY 1)
+             (SELECT freq, unnest(pieces) AS piece FROM pb_out) GROUP BY 1)
          ORDER BY cnt DESC, piece LIMIT 20""",
+    // save → load → segment must land on the fresh model's exact
+    // per-word segmentations, reading order included
+    "ug4_unigram_model_roundtrip" -> unigramRoundtripSql,
     "d18_jaro_winkler" ->
       """WITH r AS (SELECT p_brand, p_name, lead(p_name) OVER (
              PARTITION BY p_brand ORDER BY p_name, p_partkey) AS nxt
@@ -8185,6 +8383,9 @@ object SparkEntry {
     "st12_stream_neardup_screen" -> crossCorpusSql,
     // save → load → screen must land on the fresh screen's exact answer
     "io16_band_index_screen" -> crossCorpusSql,
+    // build(⅓) → save → load → compact(⅓) → save → load → screen(⅓)
+    // must land on the fresh full build's exact answer
+    "io17_band_index_compact" -> crossCorpusSql,
     // growing-corpus screen: incoming×corpus (corpus-side guard, as in
     // d29) UNION incoming×incoming (unguarded band self-join — the
     // stateful side refuses loudly instead of degrading), canonically
@@ -8205,6 +8406,39 @@ object SparkEntry {
          ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
            FROM bi a JOIN bi b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         cand AS (SELECT DISTINCT least(u, v) AS doc_a,
+             greatest(u, v) AS doc_b
+           FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
+                 UNION ALL SELECT * FROM ii)),
+         stx AS (SELECT doc_a, doc_b,
+             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
+               / 64 AS est_jaccard
+           FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
+         ORDER BY doc_a, doc_b LIMIT 1000""",
+    // time-bounded growing screen: identical to st14's oracle except
+    // the incoming×incoming side carries the 120 s horizon (ts = epoch
+    // + doc_id seconds, so the predicate is a doc_id difference); the
+    // corpus side is a snapshot — horizon-free on both engines
+    "st15_stream_windowed_screen" ->
+      s"""$minhashFnvPipeline,
+         bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+         bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+         bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+           FROM bc GROUP BY 1, 2),
+         cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
+           FROM bi i
+           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
+           JOIN bc c ON c.band = i.band AND c.key = i.key),
+         cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
+           FROM bi i
+           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
+         ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+           FROM bi a JOIN bi b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           WHERE b.doc_id - a.doc_id <= 120),
          cand AS (SELECT DISTINCT least(u, v) AS doc_a,
              greatest(u, v) AS doc_b
            FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star

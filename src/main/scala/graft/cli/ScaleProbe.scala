@@ -800,6 +800,58 @@ object ScaleProbe {
       s"prefiltered sketch diverged from the full-sort reference: " +
         s"$fastChk vs $refChk")
     println(s"""{"probe":"kmv-giant","checksum":$fastChk,"match":true}""")
+
+    // MANY-GROUPS regime (round-11 VERDICT item 1): one sketch per
+    // ~unique key — the per-URL/per-user shape where a forced broadcast
+    // of the one-row-per-group bounds frame dies at the driver. rows/8
+    // groups × ~8 values each; broadcastGroupLimit = 1 forces EVERY
+    // prefilter round onto the shuffle-hash path (the 10^9-group plan,
+    // exercised at probe scale), and driver heap is sampled around the
+    // run — the bounds frame must never be collected.
+    val manyGroups = rows / 8
+    val dfm = spark.range(0, rows, 1, cpus * 2).select(
+      concat(lit("g"), pmod(hash(col("id")), lit(manyGroups))).as("source"),
+      concat(lit("v"), col("id")).as("text"))
+      .localCheckpoint(eager = true)
+    val km = 8 // per-group sketches stay tiny; group COUNT is the load
+    def checksumK(res: DataFrame): Long =
+      res.agg(sum(hash(col("source"), col("n_kept"), col("kmv_estimate"))))
+        .head().getLong(0)
+    val rt = Runtime.getRuntime
+    def heapMb(): Long = { System.gc(); (rt.totalMemory - rt.freeMemory) >> 20 }
+    val heap0 = heapMb()
+    val h2 = graft.functions.HashExpressions.fnv1a32(col("text"))
+    val (shufChk, _, _) = measure(spark, "kmv_many_groups_shuffle_hash") {
+      checksumK(Relational.kmvBottomK(dfm, "source", h2, km,
+          broadcastGroupLimit = 1)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_kept"),
+          max(when(col("rk") === km, col("h"))).as("kth"))
+        .select(col("g").as("source"), col("n_kept"),
+          round(when(col("n_kept") < km, col("n_kept").cast("double"))
+            .otherwise(lit(km - 1.0) / (col("kth") / 4294967296.0)), 4)
+            .as("kmv_estimate")))
+    }
+    val heap1 = heapMb()
+    val (bcChk, _, _) = measure(spark, "kmv_many_groups_reference") {
+      // the same sketch FORCED through the broadcast path (still fine
+      // at probe scale) — equality pins the regime switch as a pure
+      // plan property, invisible in the result
+      checksumK(Relational.kmvBottomK(dfm, "source", h2, km,
+          broadcastGroupLimit = Long.MaxValue)
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_kept"),
+          max(when(col("rk") === km, col("h"))).as("kth"))
+        .select(col("g").as("source"), col("n_kept"),
+          round(when(col("n_kept") < km, col("n_kept").cast("double"))
+            .otherwise(lit(km - 1.0) / (col("kth") / 4294967296.0)), 4)
+            .as("kmv_estimate")))
+    }
+    require(shufChk == bcChk,
+      s"many-groups shuffle-hash sketch diverged: $shufChk vs $bcChk")
+    println(s"""{"probe":"kmv-many-groups","groups":$manyGroups,""" +
+      s""""checksum":$shufChk,"match":true,""" +
+      s""""driver_heap_mb_before":$heap0,"driver_heap_mb_after":$heap1}""")
   }
 
   /** `--family unigram`: the hard-EM unigram tokenizer trainer at 1×
@@ -810,9 +862,10 @@ object ScaleProbe {
     * edition). The word population saturates well below 1× (20k forms),
     * so the 10× word TABLE is identical up to ~10× frequencies; the
     * probe asserts per-round walls stay in the same class at 10× and
-    * the trained piece sets overlap ≥ 90% (exact equality is not a
-    * theorem — the +1 smoothing is deliberately not scale-covariant,
-    * so boundary pieces near the prune cut may flip rank). */
+    * REPORTS the trained piece-set overlap (report-only — exact
+    * equality is not a theorem: the +1 smoothing is deliberately not
+    * scale-covariant, so boundary pieces near the prune cut may flip
+    * rank, and the two corpora are independent hash draws). */
   private def probeUnigram(spark: SparkSession, rows: Long,
                            cpus: Int): Unit = {
     def corpus(n: Long) = spark.range(0, n, 1, cpus * 2).select(

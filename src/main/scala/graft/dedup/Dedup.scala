@@ -538,6 +538,48 @@ object Dedup {
     BandIndex(sigs, banded, buckets, numHashes, bands, shingleK, reproducible)
   }
 
+  /** Fold a new batch of documents INTO an existing band index — the
+    * compaction step the 100-TB ingest loop needs so the accumulated
+    * corpus is never re-signed: sign and band ONLY the batch (under
+    * the index's own parameters), append to the signature and band
+    * tables, and MERGE the bucket census (`rep` is a min — the
+    * component-representative election survives any merge order; `bsz`
+    * a sum). The result is bit-identical to [[buildBandIndex]] over
+    * corpus ∪ batch (DedupSpec asserts it; gate io17 pins the full
+    * save → load → compact → save → load → screen lifecycle to the
+    * same oracle a fresh build answers), so
+    * [[graft.streaming.CorpusStreams.growingNearDupScreen]]'s "fold
+    * the horizon into the persisted index" remedy is this operator,
+    * not a docstring.
+    *
+    * Cost is batch-sized: one signature pass over `newDocs`, one
+    * band-key census of the batch, and a census-sized merge join —
+    * nothing touches the accumulated corpus side. Callers are
+    * responsible for `newDocs` being disjoint from the indexed corpus
+    * (re-ingesting a doc_id would double-count its census rows, same
+    * as feeding it to buildBandIndex twice). */
+  def compactBandIndex(index: BandIndex, newDocs: DataFrame): BandIndex = {
+    val sigsNew = minhashSignatures(
+      graft.operators.Partitioning.spread(newDocs), index.numHashes,
+      index.shingleK, index.reproducible)
+    val bandedNew = bandedKeys(sigsNew, index.numHashes, index.numBands,
+      index.reproducible)
+    val bucketsNew = bandedNew.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+    val mergedBuckets = index.buckets
+      .withColumnRenamed("rep", "rep_old").withColumnRenamed("bsz", "bsz_old")
+      .join(bucketsNew
+          .withColumnRenamed("rep", "rep_new").withColumnRenamed("bsz", "bsz_new"),
+        Seq("band", "band_hash"), "full_outer")
+      .select(col("band"), col("band_hash"),
+        least(col("rep_old"), col("rep_new")).as("rep"),
+        (coalesce(col("bsz_old"), lit(0L)) + coalesce(col("bsz_new"), lit(0L)))
+          .as("bsz"))
+    BandIndex(index.signatures.unionByName(sigsNew),
+      index.bands.unionByName(bandedNew), mergedBuckets,
+      index.numHashes, index.numBands, index.shingleK, index.reproducible)
+  }
+
   /** Persist a band index ([[graft.similarity.Ivf.save]] pattern, io14):
     * three parquet tables plus a one-row params sidecar. Long arrays
     * and band keys round-trip parquet bit-exactly, so a reloaded index
@@ -601,10 +643,17 @@ object Dedup {
       .select(col("doc_in"), col("doc_corpus"),
         (size(filter(zip_with(col("sig_i"), col("sig_c"), (x, y) => x === y),
           eq => eq)).cast("double") / index.numHashes).as("est_jaccard"))
+    lastScreenPlan = scored.queryExecution.executedPlan.toString
     val out = scored.localCheckpoint(eager = true)
     sigsIn.unpersist()
     out
   }
+
+  /** Executed plan of the LAST [[screenAgainstIndex]] call in this JVM
+    * — diagnostic only (PlanAuditSpec pins the band equi-join strategy
+    * through it; the returned frame is checkpointed, so the gate's
+    * final plan no longer contains the join). */
+  @volatile private[graft] var lastScreenPlan: String = ""
 
   /** SimHash 64-bit fingerprint from distinct-token hashes: per bit
     * position, sign of Σ±1 over tokens (Charikar '02). Computed by the

@@ -391,39 +391,70 @@ object Relational {
     * The returned rows are the TRUE bottom-k whichever attempt
     * succeeded — bit-identical to the plain-window reference
     * (KmvSpec asserts it, including a forced-shortfall retry at
-    * initialFactor = 1). */
+    * initialFactor = 1).
+    *
+    * NULL values contribute no hash: `h IS NULL` rows are dropped up
+    * front, matching SQL `count(DISTINCT v)` semantics (NULLs are not
+    * distinct values) — the contract [[kmvDistinctEstimate]] and
+    * [[kmvSetOps]] document and their oracles replay explicitly.
+    *
+    * The per-round bound is computed in DOUBLE (`k·factor/nd · 2^32`,
+    * floored): exact 64-bit integer arithmetic overflows once
+    * `k·factor > 2^31` on the retry-escalation path (k = 256 reaches
+    * it after 7 shortfalls), and under Spark 4's ANSI mode that
+    * overflow THROWS — contradicting the unconditional-termination
+    * guarantee. A ±1-ULP-loose double bound only perturbs the
+    * pre-filter's candidate set, never the result: whichever rows
+    * survive, the exact bottom-k window and the shortfall check decide
+    * correctness. */
   private[graft] def kmvBottomK(df: DataFrame, groupCol: String, hash: Column,
-                                k: Int, initialFactor: Long = 8): DataFrame = {
+                                k: Int, initialFactor: Long = 8,
+                                broadcastGroupLimit: Long = 1L << 20): DataFrame = {
     val raw = df.select(col(groupCol).as("g"), hash.as("h"))
+      .filter(col("h").isNotNull)
     val nd = raw.groupBy("g").agg(approx_count_distinct(col("h")).as("nd"))
       .localCheckpoint(eager = true)
     val w = Window.partitionBy("g").orderBy("h")
     var pending = nd
+    var nPending = nd.count()
     var factor = math.max(1L, initialFactor)
     var out: DataFrame = null
-    while (!pending.isEmpty) {
+    while (nPending > 0) {
       val bounds = pending.select(col("g"),
-        when(col("nd") <= k * factor, lit(KmvMaxH))
+        when(col("nd") <= lit(k.toDouble * factor), lit(KmvMaxH))
           .otherwise(least(lit(KmvMaxH),
-            (lit(k.toLong * factor) * lit(KmvMaxH) / col("nd")).cast("long")))
+            floor(lit(k.toDouble * factor) / col("nd") * lit(KmvMaxH))
+              .cast("long")))
           .as("bound"))
       // joins below use null-safe equality: a NULL group key is a
       // legitimate group for the sketch (GROUP BY semantics), and a
       // plain equi-join would silently drop it. The bounds frame is ONE
-      // 16-byte row per group — the same cardinality the output sketch
-      // table has — so it broadcasts by construction (left to stats,
-      // the checkpointed agg pessimistically SMJ'd and shuffled the
-      // whole raw side, measured 182 MB at the 20M-row probe; the hint
-      // turns the pre-filter into a map-side lookup and the shuffle
-      // collapses to the ~factor·k candidates per group)
-      val kept = raw
-        .join(broadcast(bounds.withColumnRenamed("g", "bg")),
-          col("g") <=> col("bg"))
+      // 16-byte row per group, but "one row per group" is NOT
+      // broadcast-able by construction: at 10^8-10^9 groups (per-URL /
+      // per-user sketches) a forced broadcast collects the whole frame
+      // to the driver and ships it to every executor — the many-groups
+      // regime would die where the plain window form survived. The
+      // prefilter join is therefore REGIME-ADAPTIVE on the known group
+      // count (one count() on the checkpointed agg): broadcast while
+      // the frame is genuinely small, shuffle-hash otherwise. Either
+      // hint is load-bearing — left to stats, the checkpointed agg
+      // pessimistically SMJ'd and shuffled+SORTED the whole raw side
+      // (measured 182 MB at the 20M-row probe); broadcast makes the
+      // pre-filter a map-side lookup, shuffle-hash keeps the raw side
+      // sort-free and hash-partitions both sides on g. KmvSpec pins
+      // both regimes to the same reference; PlanAuditSpec pins the
+      // chosen strategy per regime.
+      val boundsR = bounds.withColumnRenamed("g", "bg")
+      val prefiltered =
+        (if (nPending <= broadcastGroupLimit)
+           raw.join(broadcast(boundsR), col("g") <=> col("bg"))
+         else raw.join(boundsR.hint("shuffle_hash"), col("g") <=> col("bg")))
         .filter(col("h") <= col("bound"))
         .select("g", "h").distinct()
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
-        .localCheckpoint(eager = true)
+      lastPrefilterPlan = prefiltered.queryExecution.executedPlan.toString
+      val kept = prefiltered.localCheckpoint(eager = true)
       // done: a full sketch (k rows) OR an unfiltered group (bound maxed
       // — fewer than k distinct hashes genuinely exist); note a group
       // with ZERO surviving candidates has no `kept` rows at all, so
@@ -442,10 +473,17 @@ object Relational {
       else out.unionByName(batch).localCheckpoint(eager = true)
       pending = pending.join(doneG, col("g") <=> col("dg"), "left_anti")
         .localCheckpoint(eager = true)
+      nPending = pending.count()
       factor *= 8
     }
     if (out == null) raw.limit(0).withColumn("rk", lit(1)) else out
   }
+
+  /** Executed plan of the LAST [[kmvBottomK]] prefilter round in this
+    * JVM — diagnostic only (PlanAuditSpec pins the regime-adaptive
+    * join strategy through it; the loop's eager checkpoints mean the
+    * gate's final plan no longer contains the join). */
+  @volatile private[graft] var lastPrefilterPlan: String = ""
 
   /** KMV (k-minimum-values / bottom-k) distinct-count sketch per group
     * (Bar-Yossef et al. 2002; the Theta-sketch building block):
@@ -457,10 +495,16 @@ object Relational {
     * insensitive; KmvSpec proves merge ≡ rebuild). Groups with fewer
     * than k distinct hashes report their exact count.
     *
+    * NULL `valueCol` rows are excluded — `count(DISTINCT v)` semantics
+    * (NULL is not a distinct value); the oracle filters them the same
+    * way.
+    *
     * Scale shape: [[kmvBottomK]] — a threshold pre-filter sized by a
     * cheap approximate-distinct pass collapses the giant-group full
     * sort to ~8k candidate rows per group before the exact bottom-k
-    * window runs (shortfall retries loudly documented there). */
+    * window runs (shortfall retries loudly documented there), and the
+    * prefilter join adapts to the GROUP-count regime (broadcast for
+    * few groups, shuffle-hash for many). */
   def kmvDistinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
                           k: Int = 256): DataFrame = {
     require(k >= 2, s"kmv: need k >= 2, got $k")

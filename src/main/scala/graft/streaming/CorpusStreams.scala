@@ -119,14 +119,15 @@ object CorpusStreams {
     * persisted band index, `Dedup.saveBandIndex`). A bucket that
     * outgrows `maxStateDocs` REFUSES loudly (the
     * [[graft.dedup.StarComponents]] contract) instead of silently
-    * degrading — the production remedies are the same ones the batch
-    * screen documents: fold the horizon into the persisted index
-    * (compaction) or raise the bound knowingly; a deployment that
-    * wants time-bounded state adds an event-time timeout exactly as
-    * [[EventStreams.sessionizeStream]] does, trading "screens against
-    * everything since the last compaction" for "since the watermark" —
-    * SCALE.md's Streaming section tabulates the state-size arithmetic.
-    */
+    * degrading — the production remedies: fold the horizon into the
+    * persisted index with [[graft.dedup.Dedup.compactBandIndex]] (a
+    * batch-sized operation — the corpus is never re-signed) and
+    * restart the screen with empty state, or raise the bound
+    * knowingly; a deployment that wants time-bounded state instead
+    * uses [[growingNearDupScreenWatermarked]], trading "screens
+    * against everything since the last compaction" for "within the
+    * horizon" — SCALE.md's Streaming section tabulates the state-size
+    * arithmetic. */
   def growingNearDupScreen(spark: SparkSession, incoming: DataFrame,
                            corpus: DataFrame, numHashes: Int = 64,
                            bands: Int = 16, shingleK: Int = 3,
@@ -193,7 +194,7 @@ object CorpusStreams {
                   s"band bucket outgrew maxStateDocs=$maxStateDocs — " +
                     "refusing to screen against a truncated horizon; " +
                     "compact the horizon into the persisted band index " +
-                    "or raise the bound")
+                    "(Dedup.compactBandIndex) or raise the bound")
                 held.foreach { p =>
                   val s = agreement(p.sig, d.sig)
                   if (s >= tau)
@@ -205,6 +206,154 @@ object CorpusStreams {
             }
             state.update(BucketState(held))
             out.iterator
+        }
+      vsCorpus.unionByName(vsPrior.toDF())
+    }
+    raw.distinct()
+  }
+
+  /** One (doc, band) row entering a TIME-BOUNDED bucket's state. */
+  final case class TimedBandedDoc(band: Int, band_hash: Seq[Long],
+                                  doc_id: Long, sig: Seq[Long],
+                                  ts: java.sql.Timestamp)
+
+  /** A held doc in a time-bounded bucket: id, signature, event time. */
+  final case class TimedDoc(doc_id: Long, sig: Seq[Long], ts_ms: Long)
+
+  /** Per-bucket state for the watermarked screen. */
+  final case class TimedBucketState(docs: List[TimedDoc])
+
+  /** The TIME-BOUNDED growing screen — [[growingNearDupScreen]] with
+    * the event-time-timeout deployment its docstring names: incoming
+    * docs carry an event-time `ts` column, an incoming×incoming pair
+    * emits ONLY when the two members are within `horizonSeconds` of
+    * each other, and bucket state EXPIRES once the watermark passes a
+    * doc's pairing eligibility (`ts + horizon`) — state is bounded by
+    * arrival-rate × (horizon + watermark delay) instead of the full
+    * batch horizon, trading "screens against everything since the last
+    * compaction" for "within the horizon".
+    *
+    * Determinism contract: the horizon predicate is enforced IN CODE
+    * on the held docs' event times (never inferred from watermark
+    * position, which is a per-micro-batch artifact), so the emitted
+    * SET equals the batch oracle — all same-bucket pairs with
+    * signature agreement ≥ tau and |Δts| ≤ horizon — for ANY
+    * micro-batch split, PROVIDED event-time disorder across arrivals
+    * stays under `watermarkDelay` (the standard watermark contract: a
+    * doc arriving more than `watermarkDelay` after its own event time
+    * may find its within-horizon partner already evicted). Eviction
+    * only drops docs no in-contract future arrival could pair with:
+    * an arriving doc has ts > watermark − delay, so partners with
+    * ts ≥ watermark − delay − horizon are still held.
+    *
+    * The static-corpus side is the same stateless stream-static join
+    * as [[growingNearDupScreen]] — the horizon applies only to the
+    * stateful incoming×incoming screen (the corpus is a SNAPSHOT, not
+    * an event stream; time-bounding it is [[
+    * graft.dedup.Dedup.compactBandIndex]]'s job at ingest cadence). */
+  def growingNearDupScreenWatermarked(spark: SparkSession,
+                                      incoming: DataFrame,
+                                      corpus: DataFrame,
+                                      horizonSeconds: Long,
+                                      watermarkDelay: String = "5 minutes",
+                                      numHashes: Int = 64, bands: Int = 16,
+                                      shingleK: Int = 3, maxBucket: Int = 64,
+                                      reproducible: Boolean = false,
+                                      tau: Double = 0.5, inputFiles: Int = 3,
+                                      maxStateDocs: Int = 4096): DataFrame = {
+    require(horizonSeconds > 0, s"horizonSeconds must be > 0, got $horizonSeconds")
+    val sigsC = Dedup.minhashSignatures(corpus, numHashes, shingleK,
+      reproducible).localCheckpoint(eager = true)
+    val bC = Dedup.bandedKeys(sigsC, numHashes, bands, reproducible)
+    val bucketsC = bC.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+      .localCheckpoint(eager = true)
+    val smallC = bC.join(bucketsC, Seq("band", "band_hash"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
+      .localCheckpoint(eager = true)
+    val starC = bucketsC.filter(col("bsz") > maxBucket)
+      .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
+      .localCheckpoint(eager = true)
+    val sigCorpus = sigsC.select(col("doc_id").as("doc_corpus"),
+      col("sig").as("sig_c"))
+
+    import spark.implicits._
+    val hMs = horizonSeconds * 1000L
+    def agreement(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+        .toDouble / numHashes
+
+    val raw = EventStreams.throughStream(spark,
+      incoming.select("doc_id", "text", "ts"), OutputMode.Append(), inputFiles,
+      statePartitions = Some(8)) { stream =>
+      val sigS = stream.select(col("doc_id"), col("ts"),
+        graft.functions.HashExpressions.minhashSignature(
+          graft.functions.HashExpressions.shingleHashes(col("text"),
+            shingleK, fnv = reproducible), numHashes).as("sig"))
+      val bS = sigS.select(col("doc_id"), col("ts"), col("sig"),
+          posexplode(array(
+            Dedup.bandKeyCols(numHashes, bands, reproducible): _*)))
+        .select(col("pos").cast("int").as("band"), col("col").as("band_hash"),
+          col("doc_id"), col("sig"), col("ts"))
+      // incoming × static corpus: stateless, horizon-free (snapshot side)
+      val vsCorpus = bS
+        .join(smallC.unionByName(starC), Seq("band", "band_hash"))
+        .join(sigCorpus, "doc_corpus")
+        .select(
+          least(col("doc_id"), col("doc_corpus")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_corpus")).as("doc_b"),
+          (size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y),
+            eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= tau)
+      // incoming × incoming: horizon-bounded bucket state
+      val vsPrior = bS
+        .withWatermark("ts", watermarkDelay)
+        .as[TimedBandedDoc]
+        .groupByKey(b => (b.band, b.band_hash))
+        .flatMapGroupsWithState[TimedBucketState, NearPair](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case (_, it, state: GroupState[TimedBucketState]) =>
+            val wm = state.getCurrentWatermarkMs()
+            def alive(docs: List[TimedDoc]) = docs.filter(_.ts_ms + hMs >= wm)
+            if (state.hasTimedOut) {
+              val kept = alive(state.getOption.map(_.docs).getOrElse(Nil))
+              if (kept.isEmpty) state.remove()
+              else {
+                state.update(TimedBucketState(kept))
+                state.setTimeoutTimestamp(
+                  math.max(kept.map(_.ts_ms).max + hMs + 1, wm + 1))
+              }
+              Iterator.empty
+            } else {
+              var held = alive(state.getOption.map(_.docs).getOrElse(Nil))
+              val out = scala.collection.mutable.ArrayBuffer.empty[NearPair]
+              // (ts, doc_id) order keeps the "later member emits" rule
+              // batch-split-invariant inside one invocation
+              it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+                if (!held.exists(_.doc_id == d.doc_id)) {
+                  require(held.size < maxStateDocs,
+                    s"band bucket outgrew maxStateDocs=$maxStateDocs within " +
+                      "the horizon — raise the bound or shorten the horizon")
+                  val t = d.ts.getTime
+                  held.foreach { p =>
+                    if (math.abs(t - p.ts_ms) <= hMs) {
+                      val s = agreement(p.sig, d.sig)
+                      if (s >= tau)
+                        out += NearPair(math.min(p.doc_id, d.doc_id),
+                          math.max(p.doc_id, d.doc_id), s)
+                    }
+                  }
+                  held = TimedDoc(d.doc_id, d.sig, t) :: held
+                }
+              }
+              state.update(TimedBucketState(held))
+              // expire once the watermark passes the NEWEST held doc's
+              // pairing eligibility (older docs are pruned on the way in)
+              state.setTimeoutTimestamp(
+                math.max(held.map(_.ts_ms).max + hMs + 1, wm + 1))
+              out.iterator
+            }
         }
       vsCorpus.unionByName(vsPrior.toDF())
     }

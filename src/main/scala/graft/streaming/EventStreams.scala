@@ -207,11 +207,29 @@ object EventStreams {
     * → `inputFiles` triggers), apply `transform`, and drain a memory
     * sink in `mode`. Returns the sink contents as a batch DataFrame once
     * the stream is fully processed, detached (eager localCheckpoint)
-    * from the temp input/checkpoint dirs, which are removed. Micro-batch
-    * arrival order across files is NOT deterministic — callers must
-    * either aggregate order-agnostically or use a transform whose final
-    * output is order-independent (aggregations in Complete mode, inner
-    * joins with a watermark wider than the data span). */
+    * from the temp input/checkpoint dirs, which are removed.
+    *
+    * Micro-batch arrival ORDER is made deterministic: the part files'
+    * modification times are staggered in part-name order after the
+    * write (FileStreamSource processes new files in mtime order, and a
+    * single parquet write stamps every part with the SAME mtime — the
+    * tie-break is listing order, i.e. nondeterministic). Rows keep
+    * their upstream partition order within `coalesce`, so callers that
+    * feed event-time data in partition order get in-order arrival up
+    * to one file's span — the disorder bound watermarked transforms
+    * size their delay against. */
+  /** Stagger a just-written parquet directory's part-file mtimes in
+    * part-name order: FileStreamSource processes new files in mtime
+    * order, and a single write stamps every part with the SAME mtime,
+    * leaving the tie-break (= micro-batch arrival order) to listing
+    * order. One second apart is enough — mtime granularity is ms. */
+  private def staggerPartMtimes(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(f.lastModified() + (i + 1) * 1000L); ()
+      }
+
   def throughStream(spark: SparkSession, batch: DataFrame,
                     mode: OutputMode, inputFiles: Int = 4,
                     statePartitions: Option[Int] = None)
@@ -232,6 +250,7 @@ object EventStreams {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+      staggerPartMtimes(s"$dir/in") // deterministic arrival order
       val schema = spark.read.parquet(s"$dir/in").schema
       val raw = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
@@ -432,6 +451,7 @@ object EventStreams {
     val dir = dirPath.toString
     try {
       batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+      staggerPartMtimes(s"$dir/in") // deterministic arrival order
       val schema = spark.read.parquet(s"$dir/in").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")

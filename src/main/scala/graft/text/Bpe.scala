@@ -165,6 +165,39 @@ object Bpe {
     train(docs, nMerges)._1.toDF().orderBy("step")
   }
 
+  /** Persist a trained merge table — the artifact a training pipeline
+    * ships to scoring clusters ([[graft.similarity.Ivf.save]] /
+    * `Dedup.saveBandIndex` pattern): the merges as parquet plus a
+    * one-row params sidecar recording the merge count. Merge REPLAY
+    * ORDER is the whole model (each merge rewrites the symbol state the
+    * next one matches against), so [[load]] refuses a table whose steps
+    * are not exactly 1..n_merges — a partial or doubled write can't
+    * silently ship a different tokenizer. Gate bpe5 pins the full
+    * save → load → encode lifecycle to the fresh model's oracle. */
+  def save(merges: Seq[Merge], path: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "bpe: refusing to save an empty merge table")
+    merges.toDF().write.mode("overwrite").parquet(s"$path/merges")
+    Seq(merges.size).toDF("n_merges")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted merge table in training order; refuses when the
+    * stored steps don't form exactly 1..n_merges (see [[save]]). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    val n = spark.read.parquet(s"$path/params").head().getAs[Int]("n_merges")
+    val merges = spark.read.parquet(s"$path/merges")
+      .select("step", "pair", "merged", "pair_count")
+      .collect() // model-sized: n_merges rows
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step).toSeq
+    require(merges.map(_.step) == (1 to n),
+      s"bpe: persisted merge table at $path is corrupt — expected steps " +
+        s"1..$n, got ${merges.map(_.step).mkString(",")}")
+    merges
+  }
+
   /** Apply an already-learned merge table to a NEW corpus — the
     * inference half of the tokenizer: build the target's word-frequency
     * table, replay the merges in training order (each one the same

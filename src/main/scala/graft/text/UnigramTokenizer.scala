@@ -177,8 +177,12 @@ object UnigramTokenizer {
               col("word").substr(pos - bl + 1, bl)).as("ps")))
           .otherwise(st)
       })
+    // the backtrack walks END → START, so the accumulated ps array is
+    // in reverse reading order — reverse it so `pieces` reads
+    // left-to-right (the [[Bpe.encode]] contract; the SQL oracle
+    // mirrors with list_reverse)
     withDp.select(col("word"), col("freq"), col("n"),
-      pieces.getField("ps").as("pieces"),
+      reverse(pieces.getField("ps")).as("pieces"),
       element_at(col("dp"), (col("n") + 1).cast("int")).getField("t")
         .as("ll_fp"))
   }
@@ -231,6 +235,55 @@ object UnigramTokenizer {
     train(docs, p)._1
       .withColumnRenamed("sc", "score_fp")
       .orderBy(desc("cnt"), asc("piece"))
+
+  /** A trained unigram model as a shippable artifact: the `(piece,
+    * cnt)` vocabulary plus the [[Params]] it was trained under. Counts
+    * are the model — scores are a deterministic function of them
+    * ([[scoresOf]]), so persisting counts keeps the artifact minimal
+    * and the reloaded scores bit-identical. */
+  final case class Model(vocab: DataFrame, params: Params)
+
+  /** Train and package as a [[Model]]. */
+  def trainModel(docs: DataFrame, p: Params = Params(),
+                 textCol: String = "text"): Model =
+    Model(train(docs, p, textCol)._1.select("piece", "cnt"), p)
+
+  /** Persist a trained model ([[graft.similarity.Ivf.save]] /
+    * `Dedup.saveBandIndex` pattern): vocabulary parquet plus a one-row
+    * params sidecar. The params are load-bearing for INFERENCE —
+    * `maxPieceLen`/`maxWordLen` shape the Viterbi grid, so segmenting
+    * under different values silently produces a different tokenization;
+    * [[load]] restores them so that cannot happen. Gate ug4 pins the
+    * save → load → segment lifecycle to the fresh model's oracle. */
+  def save(model: Model, path: String): Unit = {
+    require(!model.vocab.isEmpty, "unigram: refusing to save an empty vocabulary")
+    model.vocab.select("piece", "cnt")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    val p = model.params
+    Seq((p.maxPieceLen, p.seedMultis, p.emRounds, p.maxWordLen,
+        p.keepNum, p.keepDen))
+      .toDF("max_piece_len", "seed_multis", "em_rounds", "max_word_len",
+        "keep_num", "keep_den")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a persisted model; the sidecar restores the training params
+    * the inference grid must reproduce. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(s"$path/params").head()
+    Model(spark.read.parquet(s"$path/vocab").select("piece", "cnt"),
+      Params(r.getAs[Int]("max_piece_len"), r.getAs[Int]("seed_multis"),
+        r.getAs[Int]("em_rounds"), r.getAs[Int]("max_word_len"),
+        r.getAs[Int]("keep_num"), r.getAs[Int]("keep_den")))
+  }
+
+  /** [[segment]] under a (typically reloaded) [[Model]] — inference
+    * always runs with the params the model was trained under. */
+  def segmentWith(model: Model, target: DataFrame,
+                  textCol: String = "text"): DataFrame =
+    segment(target, model.vocab, model.params, textCol)
 
   /** INFERENCE: segment a NEW corpus's words under an already-trained
     * `(piece, cnt)` vocabulary — the unigram sibling of [[Bpe.encode]].

@@ -24,4 +24,32 @@ class PlanAuditSpec extends SparkTestBase {
         s"CartesianProduct in $name's physical plan:\n$plan")
     }
   }
+
+  // Strategy pins for joins whose plans live BEHIND an eager
+  // checkpoint (the loop/screen executes while the gate frame is
+  // built, so the generic audit above never sees them): a silent
+  // Catalyst regression to the measured SMJ-sort pathology must fail
+  // CI, not a future probe run.
+
+  test("strategy pin: a52/a53 kmv prefilter broadcasts in the few-groups regime") {
+    assume(available, s"fixture dir $dir missing")
+    SparkEntry.queries("a52_kmv_distinct")(spark, dir).collect()
+    assert(graft.operators.Relational.lastPrefilterPlan.contains("BroadcastHashJoin"),
+      s"a52 prefilter lost its broadcast:\n${graft.operators.Relational.lastPrefilterPlan}")
+    SparkEntry.queries("a53_kmv_setops")(spark, dir).collect()
+    assert(graft.operators.Relational.lastPrefilterPlan.contains("BroadcastHashJoin"),
+      s"a53 prefilter lost its broadcast:\n${graft.operators.Relational.lastPrefilterPlan}")
+    // the many-groups regime (shuffle-hash, never sort-merge) is pinned
+    // with a forced broadcastGroupLimit in KmvSpec — same JVM lock-step
+  }
+
+  test("strategy pin: io16/io17 band-index screen joins by hash, never sort-merge") {
+    assume(available, s"fixture dir $dir missing")
+    SparkEntry.queries("io16_band_index_screen")(spark, dir).collect()
+    val plan = graft.dedup.Dedup.lastScreenPlan
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      s"band-index screen's equi-join degraded (SMJ sorts the corpus side):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"SortMergeJoin in the band-index screen:\n$plan")
+  }
 }

@@ -97,6 +97,71 @@ class CrossCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("compactBandIndex(build(A), B) is bit-equivalent to buildBandIndex(A ∪ B)") {
+    val docs = fixture
+    val a = docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+    val b = docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val compacted = Dedup.compactBandIndex(
+      Dedup.buildBandIndex(a, reproducible = true), b)
+    val fresh = Dedup.buildBandIndex(a.unionByName(b), reproducible = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    assert(rows(compacted.signatures) == rows(fresh.signatures))
+    assert(rows(compacted.bands) == rows(fresh.bands))
+    assert(rows(compacted.buckets) == rows(fresh.buckets))
+    val viaCompact = rows(Dedup.screenAgainstIndex(incoming, compacted))
+    assert(viaCompact == rows(Dedup.screenAgainstIndex(incoming, fresh)))
+    assert(viaCompact.nonEmpty)
+  }
+
+  test("compaction merges an oversized bucket census across the batch boundary") {
+    // 40 clones in the index + 40 in the batch: each band bucket is
+    // 40 ≤ maxBucket per side but 80 > 64 merged — the star guard must
+    // see the MERGED census (and the min-rep from the index side)
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, "identical text repeated across the whole corpus with enough " +
+        "tokens for shingles")).toDF("doc_id", "text")
+    val idx = Dedup.compactBandIndex(
+      Dedup.buildBandIndex(mk((0 until 40).map(_ * 3L + 1)), reproducible = true),
+      mk((40 until 80).map(_ * 3L + 1)))
+    val out = Dedup.screenAgainstIndex(mk(Seq(0L)), idx).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L) // min doc_id lives in the INDEX side
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("watermarked screen keeps within-horizon pairs and expires the rest") {
+    // identical incoming texts at ts gaps 3 s (0,3) and 27-30 s (x,30):
+    // horizon 10 s keeps exactly (0,3); the corpus side is a snapshot
+    // and stays horizon-free
+    val cloneText = "identical incoming text with enough tokens for " +
+      "shingling to collide across all bands"
+    val incoming = Seq(0L, 3L, 30L).map(i => (i, cloneText)) :+
+      ((6L, "an unrelated incoming document about something else entirely " +
+        "with plenty of distinct tokens"))
+    val corpus = Seq((1L, cloneText),
+      (2L, "corpus filler text sharing nothing with the clones at all " +
+        "even slightly thanks to distinct vocabulary"))
+    val in = incoming.toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val cp = corpus.toDF("doc_id", "text")
+    Seq(1, 4).foreach { files =>
+      val got = graft.streaming.CorpusStreams
+        .growingNearDupScreenWatermarked(spark, in, cp,
+          horizonSeconds = 10, watermarkDelay = "5 seconds",
+          reproducible = true, tau = 0.5, inputFiles = files)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // vs corpus: every clone (0, 3, 30) pairs with corpus doc 1,
+      // horizon-free; vs prior: only (0, 3) is within the horizon
+      assert(got == Set((0L, 1L), (1L, 3L), (1L, 30L), (0L, 3L)),
+        s"mismatch at inputFiles=$files: $got")
+    }
+  }
+
   test("streaming screen equals the batch twin regardless of micro-batching") {
     val docs = fixture
     val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)

@@ -91,6 +91,55 @@ class KmvSpec extends SparkTestBase {
     assert(m(None) == 100L && m(Some("s")) == 200L)
   }
 
+  test("many-groups regime (shuffle-hash prefilter) is bit-identical to broadcast") {
+    // 200 groups × 30 values; broadcastGroupLimit = 1 forces EVERY
+    // prefilter round onto the shuffle-hash path — the 10^9-group
+    // regime scaled down. Result must match both the broadcast-regime
+    // run and the plain full-sort reference.
+    val df = (0 until 6000).map(i => (s"g${i % 200}", s"value $i"))
+      .toDF("source", "text")
+    val h = graft.functions.HashExpressions.fnv1a32(col("text"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val shuffled = rows(Relational.kmvBottomK(df, "source", h, k = 16,
+      broadcastGroupLimit = 1))
+    assert(Relational.lastPrefilterPlan.contains("ShuffledHashJoin"),
+      s"forced many-groups regime did not shuffle-hash:\n${Relational.lastPrefilterPlan}")
+    val broadcasted = rows(Relational.kmvBottomK(df, "source", h, k = 16))
+    assert(Relational.lastPrefilterPlan.contains("BroadcastHashJoin"),
+      s"small-groups regime did not broadcast:\n${Relational.lastPrefilterPlan}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val ref = rows(df.select(col("source"), h.as("h")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 16))
+    assert(shuffled == ref && broadcasted == ref)
+  }
+
+  test("NULL values contribute no hash — count(DISTINCT v) semantics") {
+    val df = (0 until 100).map(i =>
+      ("s", if (i % 4 == 0) null else s"text $i")).toDF("source", "text")
+    val r = Relational.kmvDistinctEstimate(df, "source", "text", k = 256)
+      .collect().head
+    assert(r.getAs[Long]("n_kept") == 75L)
+    assert(r.getAs[Double]("kmv_estimate") == 75.0)
+  }
+
+  test("deep retry escalation does not overflow the bound arithmetic") {
+    // initialFactor chosen so k·factor exceeds 2^31 immediately — the
+    // old integer bound (k·factor·2^32) overflowed and ANSI-threw here
+    val df = (0 until 3000).map(i => ("s", s"value $i")).toDF("source", "text")
+    val h = graft.functions.HashExpressions.fnv1a32(col("text"))
+    val got = Relational.kmvBottomK(df, "source", h, k = 256,
+        initialFactor = 1L << 40)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val ref = df.select(col("source"), h.as("h")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 256)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref)
+  }
+
   test("duplicate values collapse before sketching") {
     val dup = (0 until 50).flatMap(i =>
       Seq.fill(7)(("s", s"text $i"))).toDF("source", "text")

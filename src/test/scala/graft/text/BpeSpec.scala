@@ -92,6 +92,22 @@ class BpeSpec extends SparkTestBase {
     assert(sd.toSeq == sf.toSeq, "final word states diverged")
   }
 
+  test("merge table save/load round-trips in training order and refuses corruption") {
+    val docs = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val (merges, _) = Bpe.train(docs, nMerges = 4)
+    val dir = tempDir("graft_bpe_rt")
+    Bpe.save(merges, s"$dir/m", spark)
+    assert(Bpe.load(spark, s"$dir/m") == merges)
+    // encode under the reloaded table is identical to the fresh one
+    val target = corpus("lowest" -> 1, "wide" -> 1)
+    def enc(ms: Seq[Bpe.Merge]) = Bpe.encode(target, ms).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(enc(Bpe.load(spark, s"$dir/m")) == enc(merges))
+    // a truncated merge table must refuse to load
+    merges.take(3).toDF().write.mode("overwrite").parquet(s"$dir/m/merges")
+    intercept[IllegalArgumentException] { Bpe.load(spark, s"$dir/m") }
+  }
+
   test("rejects nMerges < 1 and fails fast when pairs run out") {
     val docs = corpus("ab" -> 1)
     intercept[IllegalArgumentException] { Bpe.train(docs, 0) }

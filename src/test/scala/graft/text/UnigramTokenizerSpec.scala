@@ -56,6 +56,41 @@ class UnigramTokenizerSpec extends SparkTestBase {
     assert(m("aaa").nonEmpty && m("aaa").mkString == "aaa")
   }
 
+  test("pieces are in READING order, not backtrack order") {
+    // maxPieceLen = 2 forces "abc" to split; "ab" dominates the corpus
+    // so the split is [ab, c] — a reversed backtrack would return
+    // [c, ab] (the old bug; palindromic fixtures like "aaa" could
+    // never catch it)
+    val p = UnigramTokenizer.Params(maxPieceLen = 2)
+    val d = Seq((0L, ("ab " * 30) + "c abc", "l0")).toDF("doc_id", "text", "lang")
+    val (vocab, seg) = UnigramTokenizer.train(d, p)
+    val m = seg.collect().map(r => r.getString(0) -> r.getSeq[String](3)).toMap
+    assert(m("abc") == Seq("ab", "c"), s"abc -> ${m("abc")}")
+    // inference path shares the backtrack: OOV char on either end must
+    // keep its position in the output
+    val t = Seq((0L, "abz zab")).toDF("doc_id", "text")
+    val tm = UnigramTokenizer.segment(t, vocab.select("piece", "cnt"), p)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](3)).toMap
+    assert(tm("abz") == Seq("ab", "z"), s"abz -> ${tm("abz")}")
+    assert(tm("zab") == Seq("z", "ab"), s"zab -> ${tm("zab")}")
+  }
+
+  test("model save/load round-trips vocab, params, and segmentation") {
+    val p = UnigramTokenizer.Params(maxPieceLen = 2, emRounds = 2)
+    val model = UnigramTokenizer.trainModel(docs, p)
+    val dir = tempDir("graft_ug_rt")
+    UnigramTokenizer.save(model, dir)
+    val back = UnigramTokenizer.load(spark, dir)
+    assert(back.params == p)
+    assert(back.vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == model.vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    val target = Seq((0L, "aaa zz abab")).toDF("doc_id", "text")
+    def segOf(m: UnigramTokenizer.Model) =
+      UnigramTokenizer.segmentWith(m, target).collect()
+        .map(r => (r.getString(0), r.getSeq[String](3), r.getLong(4))).toSet
+    assert(segOf(back) == segOf(model))
+  }
+
   test("partition invariance: same vocab from 1 and 7 partitions") {
     val a = UnigramTokenizer.vocabTable(docs.coalesce(1)).collect().toSeq
     val b = UnigramTokenizer.vocabTable(docs.repartition(7)).collect().toSeq
