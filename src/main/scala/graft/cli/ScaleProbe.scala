@@ -121,9 +121,10 @@ object ScaleProbe {
       case "scc"        => probeScc(spark, rows, hotFrac, cpus)
       case "kmv"        => probeKmv(spark, rows, hotFrac, cpus)
       case "unigram"    => probeUnigram(spark, rows, cpus)
+      case "screen"     => probeScreenState(spark, rows, cpus)
       case other => throw new IllegalArgumentException(
         s"unknown --family $other (known: hotkey dedup components ann graph " +
-          "topk substr bpe truss pq semdedup xcorpus scc kmv unigram)")
+          "topk substr bpe truss pq semdedup xcorpus scc kmv unigram screen)")
     }
     spark.stop()
   }
@@ -905,6 +906,63 @@ object ScaleProbe {
       s"EM rounds not flat in corpus size: ${w1.sum} ms -> ${w10.sum} ms")
     val overlap = (v1 intersect v10).size.toDouble / math.max(v1.size, 1)
     println(f"""{"probe":"unigram","overlap":$overlap%.4f,"flat":true}""")
+  }
+
+  /** `--family screen`: the growing-screen STATE BOUND, measured —
+    * `rows` incoming docs arrive as 10 micro-batches, every consecutive
+    * id pair sharing a unique text (each pair its own dup cluster, so
+    * buckets stay tiny and the pair set is exactly rows/2). The
+    * unbounded screen (st14's shape) must hold every bucket forever —
+    * state rows grow ~bands·rows/2·(pair-unique buckets); the
+    * watermarked screen (st15's shape, horizon = rows/20 s on a
+    * 1 s/doc clock = half a micro-batch) expires buckets as the
+    * watermark passes, so max state plateaus at the horizon+delay
+    * window. Both runs must emit the IDENTICAL pair set — every pair
+    * is 1 s apart, far inside the horizon — so the state bound is a
+    * pure retention property, invisible in the answer. */
+  private def probeScreenState(spark: SparkSession, rows: Long,
+                               cpus: Int): Unit = {
+    // per-pair text = 12 hash-derived words (unique-ish shingles per
+    // cluster — a shared template would collide every band bucket into
+    // one giant key and probe the refusal path, not the state bound)
+    val pairKey = floor(col("id") / 2).cast("long")
+    val incoming = spark.range(0, rows, 1, cpus * 2).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), pmod(hash(pairKey * 31 + j), lit(100000L)))): _*)
+        .as("text"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
+      .localCheckpoint(eager = true)
+    val corpus = spark.range(0, 8).select(
+      (col("id") + 1000000000L).as("doc_id"),
+      concat(lit("static corpus filler document number "), col("id"),
+        lit(" sharing nothing with any incoming pair at all")).as("text"))
+      .localCheckpoint(eager = true)
+    println(s"""{"probe":"screen-state","rows":$rows,"cpus":$cpus}""")
+    def run(label: String)(body: => Long): (Long, Long) = {
+      var pairs = 0L
+      measure(spark, label) { pairs = body; pairs }
+      (pairs, graft.streaming.EventStreams.lastMaxStateRows)
+    }
+    val (pu, su) = run("screen_unbounded") {
+      graft.streaming.CorpusStreams.growingNearDupScreen(spark,
+        incoming.drop("ts"), corpus, reproducible = true, tau = 0.5,
+        inputFiles = 10).count()
+    }
+    println(s"""{"probe":"screen-state","form":"unbounded","pairs":$pu,""" +
+      s""""max_state_rows":$su}""")
+    val (pw, sw) = run("screen_watermarked") {
+      graft.streaming.CorpusStreams.growingNearDupScreenWatermarked(spark,
+        incoming, corpus, horizonSeconds = math.max(4L, rows / 20),
+        watermarkDelay = "60 seconds", reproducible = true, tau = 0.5,
+        inputFiles = 10).count()
+    }
+    println(s"""{"probe":"screen-state","form":"watermarked","pairs":$pw,""" +
+      s""""max_state_rows":$sw}""")
+    require(pu == pw && pu == rows / 2,
+      s"screens diverged: unbounded=$pu watermarked=$pw expected=${rows / 2}")
+    require(sw < su,
+      s"watermarked state ($sw) did not undercut unbounded state ($su)")
   }
 
   /** `--family semdedup`: the single-assignment recall gap, measured —

@@ -286,7 +286,7 @@ object CorpusStreams {
 
     val raw = EventStreams.throughStream(spark,
       incoming.select("doc_id", "text", "ts"), OutputMode.Append(), inputFiles,
-      statePartitions = Some(8)) { stream =>
+      statePartitions = Some(8), orderCol = Some("ts")) { stream =>
       val sigS = stream.select(col("doc_id"), col("ts"),
         graft.functions.HashExpressions.minhashSignature(
           graft.functions.HashExpressions.shingleHashes(col("text"),

@@ -218,6 +218,11 @@ object EventStreams {
     * feed event-time data in partition order get in-order arrival up
     * to one file's span — the disorder bound watermarked transforms
     * size their delay against. */
+  /** Max total state-store rows observed in the LAST [[throughStream]]
+    * run in this JVM (probe instrumentation only, not part of the
+    * contract): for the keyed screens, state rows = live bucket keys. */
+  @volatile private[graft] var lastMaxStateRows: Long = 0L
+
   /** Stagger a just-written parquet directory's part-file mtimes in
     * part-name order: FileStreamSource processes new files in mtime
     * order, and a single write stamps every part with the SAME mtime,
@@ -232,7 +237,8 @@ object EventStreams {
 
   def throughStream(spark: SparkSession, batch: DataFrame,
                     mode: OutputMode, inputFiles: Int = 4,
-                    statePartitions: Option[Int] = None)
+                    statePartitions: Option[Int] = None,
+                    orderCol: Option[String] = None)
                    (transform: DataFrame => DataFrame): DataFrame = {
     val dirPath = java.nio.file.Files.createTempDirectory("graft_stream_run")
     val dir = dirPath.toString
@@ -249,7 +255,19 @@ object EventStreams {
     confLock.synchronized {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      batch.coalesce(inputFiles).write.mode("overwrite").parquet(s"$dir/in")
+      // Plain coalesce groups upstream partitions by LOCALITY, not
+      // index — a checkpointed input can land partition 0 and partition
+      // 30 in the same file, so "later file = later data" does NOT hold
+      // and event-time disorder spans the whole input (measured: a
+      // watermarked screen late-dropped 3/4 of its rows). Transforms
+      // with an event-time contract pass `orderCol`: range-partitioning
+      // on it makes file k hold the k-th time range, so arrival order
+      // (mtime-staggered below) IS event-time order up to one file.
+      val arranged = orderCol match {
+        case Some(c) => batch.repartitionByRange(inputFiles, col(c))
+        case None => batch.coalesce(inputFiles)
+      }
+      arranged.write.mode("overwrite").parquet(s"$dir/in")
       staggerPartMtimes(s"$dir/in") // deterministic arrival order
       val schema = spark.read.parquet(s"$dir/in").schema
       val raw = spark.readStream.schema(schema)
@@ -271,7 +289,14 @@ object EventStreams {
         .writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", s"$dir/ckpt")
         .outputMode(mode).start()
-      try { q.processAllAvailable() } finally q.stop()
+      try {
+        q.processAllAvailable()
+        // state-store census for the probe harness: max total state
+        // rows across the run's micro-batches (0 for stateless runs)
+        lastMaxStateRows = q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      } finally q.stop()
       // Eager localCheckpoint detaches the result from both the memory
       // sink's temp view and the on-disk input/checkpoint, so neither
       // leaks past this call (repeated gate/bench runs used to accrete
