@@ -1984,20 +1984,10 @@ object SparkEntry {
     // of the identical regex chain — downstream text operators consume
     // `text` unchanged (HtmlExtractSpec composes them)
     "t29_html_extract" -> q((s, d) => {
-      val html = concat(
-        lit("<html><head><title>"), col("source"),
-        lit("</title><script type=\"text/javascript\">var x = 1 < 2 && y > 0;" +
-          "</script><style>p { color: red; }</style></head>" +
-          "<body><!-- hidden comment --><h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><ul><li>lang: "), col("lang"),
-        lit("</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>" +
-          "</body></html>"))
       val txt = array_join(col("blocks"), "\n")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          graft.text.HtmlExtract.htmlToBlocks(html).as("blocks"))
+          graft.text.HtmlExtract.htmlToBlocks(synthesizedCrawlPage).as("blocks"))
         .select(col("doc_id"),
           size(col("blocks")).cast("long").as("n_blocks"),
           length(txt).cast("long").as("n_chars"),
@@ -2006,6 +1996,18 @@ object SparkEntry {
           element_at(col("blocks"), -1).as("last_block"))
         .orderBy("doc_id").limit(1000)
     }),
+    // the full crawl-ingest composition, end to end through REAL
+    // operators: the same synthesized pages → HtmlExtract → CCNet
+    // boilerplate-line removal (d27's operator over the BLOCK surface)
+    // — corpus-repeated chrome (per-source title, lang line, entity
+    // footer) drops, each doc keeps exactly its unique heading + body;
+    // every rebuilt text is pinned
+    "t30_crawl_pipeline" -> q((s, d) =>
+      Dedup.removeBoilerplateLines(
+          Tables.documents(s, d).select(col("doc_id"),
+            graft.text.HtmlExtract.htmlToText(synthesizedCrawlPage).as("text")),
+          minDocs = 3)
+        .orderBy("doc_id")),
     // C4 line filter over a deterministically line-structured corpus:
     // ' a ' → '.\n' gives every doc real line boundaries (the fixture
     // text has none), and two injected markers exercise the DOC-level
@@ -4011,6 +4013,57 @@ object SparkEntry {
              SELECT freq, unnest(list_filter(string_split(s, ' '),
                x -> len(x) > 0)) AS symbol FROM pe10) GROUP BY 1)
          ORDER BY cnt DESC, symbol LIMIT 20"""
+
+  /** The t29/t30 fixture: a synthesized crawl page per document row —
+    * script with raw `<`/`&&`, style, comment, per-source title,
+    * unique h1 + body, corpus-repeated lang/entity chrome. Mirrors the
+    * `h` CTE of [[htmlExtractSqlChain]] exactly. */
+  private def synthesizedCrawlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>"), col("source"),
+    lit("</title><script type=\"text/javascript\">var x = 1 < 2 && y > 0;" +
+      "</script><style>p { color: red; }</style></head>" +
+      "<body><!-- hidden comment --><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"), col("text"),
+    lit("</p><ul><li>lang: "), col("lang"),
+    lit("</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>" +
+      "</body></html>"))
+
+  /** The t29/t30 shared CTE chain: per-document synthesized crawl page
+    * (`h`) pushed through the FROZEN HtmlExtract regex chain to trimmed
+    * non-empty blocks (`b`) and the newline-joined text (`j.txt`). */
+  private lazy val htmlExtractSqlChain: String =
+    s"""h AS (SELECT doc_id,
+           '<html><head><title>' || source ||
+           '</title><script type="text/javascript">var x = 1 < 2 && y > 0;' ||
+           '</script><style>p { color: red; }</style></head>' ||
+           '<body><!-- hidden comment --><h1>Doc ' || doc_id ||
+           '</h1><p>' || text || '</p><ul><li>lang: ' || lang ||
+           '</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>' ||
+           '</body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+             '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
+             '(?s)<!--.*?-->', '', 'g'),
+             '\\s+', ' ', 'g'),
+             '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|thead|tbody|table|br|hr|blockquote|pre|section|article|header|footer|nav|aside|form|figure|figcaption|main|title)\\b[^>]*>',
+             chr(10), 'g') AS t
+           FROM h),
+         s2 AS (SELECT doc_id,
+           regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+           replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')
+           AS t FROM s2),
+         b AS (SELECT doc_id,
+           list_filter(list_transform(string_split(t, chr(10)),
+             x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+             x -> len(x) > 0) AS blocks
+           FROM s3),
+         j AS (SELECT doc_id, blocks,
+           array_to_string(blocks, chr(10)) AS txt FROM b)"""
 
   /** The ug4 oracle: full unigram training replay over `documents`
     * (unigramRoundsSql), then Viterbi INFERENCE over the orders-comment
@@ -7057,42 +7110,39 @@ object SparkEntry {
     // discipline: an engine pattern drift fails the gate loudly instead
     // of re-pinning the oracle invisibly); Java-regex ∩ RE2 subset
     "t29_html_extract" ->
-      s"""WITH h AS (SELECT doc_id,
-           '<html><head><title>' || source ||
-           '</title><script type="text/javascript">var x = 1 < 2 && y > 0;' ||
-           '</script><style>p { color: red; }</style></head>' ||
-           '<body><!-- hidden comment --><h1>Doc ' || doc_id ||
-           '</h1><p>' || text || '</p><ul><li>lang: ' || lang ||
-           '</li><li>A &amp; B &lt;tag&gt; &amp;lt;raw&amp;gt;</li></ul>' ||
-           '</body></html>' AS html
-           FROM documents),
-         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(regexp_replace(html,
-             '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
-             '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
-             '(?s)<!--.*?-->', '', 'g'),
-             '\\s+', ' ', 'g'),
-             '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|thead|tbody|table|br|hr|blockquote|pre|section|article|header|footer|nav|aside|form|figure|figcaption|main|title)\\b[^>]*>',
-             chr(10), 'g') AS t
-           FROM h),
-         s2 AS (SELECT doc_id,
-           regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s1),
-         s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(
-           replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')
-           AS t FROM s2),
-         b AS (SELECT doc_id,
-           list_filter(list_transform(string_split(t, chr(10)),
-             x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
-             x -> len(x) > 0) AS blocks
-           FROM s3),
-         j AS (SELECT doc_id, blocks,
-           array_to_string(blocks, chr(10)) AS txt FROM b)
+      s"""WITH $htmlExtractSqlChain
          SELECT doc_id, len(blocks)::BIGINT AS n_blocks,
            len(txt)::BIGINT AS n_chars,
            ${fnvSql("txt", 2166136261L)} AS text_fnv,
            blocks[1] AS first_block, blocks[-1] AS last_block
          FROM j ORDER BY doc_id LIMIT 1000""",
+    // the full crawl-ingest composition: the SAME synthesized pages →
+    // HtmlExtract blocks → CCNet boilerplate-line removal (d27's
+    // operator) — corpus-repeated chrome (title, lang line, entity
+    // footer) drops, each doc keeps exactly its unique heading + body;
+    // every rebuilt text is pinned
+    "t30_crawl_pipeline" ->
+      s"""WITH $htmlExtractSqlChain,
+         lx AS MATERIALIZED (SELECT doc_id,
+           string_split(txt, chr(10)) AS lines FROM j),
+         ln AS MATERIALIZED (SELECT doc_id,
+           generate_subscripts(lines, 1) AS line_no, unnest(lines) AS line
+           FROM lx),
+         nrm AS MATERIALIZED (SELECT doc_id, line_no, line,
+           lower(trim(line)) AS norm FROM ln),
+         boiler AS MATERIALIZED (SELECT norm FROM
+           (SELECT norm, count(DISTINCT doc_id) AS nd FROM nrm
+            WHERE len(norm) > 0 GROUP BY 1) WHERE nd >= 3),
+         kept AS (SELECT n.doc_id, n.line_no, n.line
+           FROM nrm n ANTI JOIN boiler b2 ON n.norm = b2.norm),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY line_no) AS text
+           FROM kept GROUP BY 1),
+         base AS (SELECT doc_id, len(lines) AS n_lines FROM lx)
+         SELECT b3.doc_id, coalesce(a.text, '') AS text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b3.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM base b3 LEFT JOIN agg a USING (doc_id) ORDER BY b3.doc_id""",
     "t14_pii_scrub" ->
       """WITH w AS (SELECT source, text ||
            CASE WHEN doc_id % 7 = 0
