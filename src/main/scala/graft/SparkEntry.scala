@@ -2149,6 +2149,27 @@ object SparkEntry {
           reproducible = true, tau = 0.5)
         .orderBy("doc_a", "doc_b").limit(1000)
     }),
+    // the SAME growing screen driven from a PERSISTED index — the full
+    // production ingest loop in one gate: build the index on a third
+    // of the corpus, save, reload, COMPACT the next third in, save,
+    // reload, then run the STREAMING screen against the reloaded
+    // artifact (corpus side never re-signed); pinned to st14's exact
+    // oracle, so index persistence + compaction + the stream screen
+    // must compose bit-faithfully
+    "st16_stream_screen_from_index" -> q((s, d) =>
+      withTempDir("graft_st16") { dir =>
+        val docs = Tables.documents(s, d)
+        val idx0 = Dedup.buildBandIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 1), reproducible = true)
+        Dedup.saveBandIndex(idx0, s"$dir/idx0")
+        Dedup.saveBandIndex(Dedup.compactBandIndex(
+          Dedup.loadBandIndex(s, s"$dir/idx0"),
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 2)), s"$dir/idx1")
+        graft.streaming.CorpusStreams.growingNearDupScreenWithIndex(s,
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+            Dedup.loadBandIndex(s, s"$dir/idx1"), tau = 0.5)
+          .orderBy("doc_a", "doc_b").limit(1000)
+      }),
     // the TIME-BOUNDED growing screen: incoming docs carry event time
     // (ts = epoch + doc_id seconds, so Δts ≡ Δdoc_id), an
     // incoming×incoming pair emits only within the 120 s horizon, and
@@ -4665,6 +4686,39 @@ object SparkEntry {
          s AS (SELECT a.dst AS node, min(a.src) AS scc
            FROM cr a JOIN cr b ON b.src = a.dst AND b.dst = a.src
            GROUP BY 1)"""
+
+  /** Growing-screen oracle shared by st14 (inline corpus side) and
+    * st16 (persisted → compacted → reloaded index): incoming×corpus
+    * with the corpus-side star guard (as in d29) UNION the unguarded
+    * incoming band self-join, canonically (min,max)-oriented. */
+  private lazy val growingScreenSql: String =
+    s"""$minhashFnvPipeline,
+       bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+       bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+       bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+         FROM bc GROUP BY 1, 2),
+       cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
+         JOIN bc c ON c.band = i.band AND c.key = i.key),
+       cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
+       ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM bi a JOIN bi b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       cand AS (SELECT DISTINCT least(u, v) AS doc_a,
+           greatest(u, v) AS doc_b
+         FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
+               UNION ALL SELECT * FROM ii)),
+       stx AS (SELECT doc_a, doc_b,
+           len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
+             / 64 AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.doc_id = doc_a
+         JOIN sig sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
+       ORDER BY doc_a, doc_b LIMIT 1000"""
 
   /** Cross-corpus near-dup oracle shared by the batch (d29) and
     * streaming (st12) gates: the frozen-perms FNV pipeline's `banded`/
@@ -8440,34 +8494,10 @@ object SparkEntry {
     // d29) UNION incoming×incoming (unguarded band self-join — the
     // stateful side refuses loudly instead of degrading), canonically
     // (min,max)-oriented
-    "st14_stream_growing_screen" ->
-      s"""$minhashFnvPipeline,
-         bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
-         bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
-         bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
-           FROM bc GROUP BY 1, 2),
-         cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
-           FROM bi i
-           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
-           JOIN bc c ON c.band = i.band AND c.key = i.key),
-         cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
-           FROM bi i
-           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
-         ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-           FROM bi a JOIN bi b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         cand AS (SELECT DISTINCT least(u, v) AS doc_a,
-             greatest(u, v) AS doc_b
-           FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
-                 UNION ALL SELECT * FROM ii)),
-         stx AS (SELECT doc_a, doc_b,
-             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
-               / 64 AS est_jaccard
-           FROM cand
-           JOIN sig sa ON sa.doc_id = doc_a
-           JOIN sig sb ON sb.doc_id = doc_b)
-         SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
-         ORDER BY doc_a, doc_b LIMIT 1000""",
+    "st14_stream_growing_screen" -> growingScreenSql,
+    // the screen from a SAVED-then-RELOADED (and compacted) index must
+    // land on the inline screen's exact answer
+    "st16_stream_screen_from_index" -> growingScreenSql,
     // time-bounded growing screen: identical to st14's oracle except
     // the incoming×incoming side carries the 120 s horizon (ts = epoch
     // + doc_id seconds, so the predicate is a doc_id difference); the

@@ -134,22 +134,41 @@ object CorpusStreams {
                            maxBucket: Int = 64,
                            reproducible: Boolean = false,
                            tau: Double = 0.5, inputFiles: Int = 3,
-                           maxStateDocs: Int = 4096): DataFrame = {
-    val sigsC = Dedup.minhashSignatures(corpus, numHashes, shingleK,
-      reproducible).localCheckpoint(eager = true)
-    val bC = Dedup.bandedKeys(sigsC, numHashes, bands, reproducible)
-    val bucketsC = bC.groupBy("band", "band_hash")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
-      .localCheckpoint(eager = true)
-    val smallC = bC.join(bucketsC, Seq("band", "band_hash"))
+                           maxStateDocs: Int = 4096): DataFrame =
+    growingNearDupScreenWithIndex(spark, incoming,
+      Dedup.buildBandIndex(corpus, numHashes, bands, shingleK, reproducible),
+      maxBucket, tau, inputFiles, maxStateDocs)
+
+  /** [[growingNearDupScreen]] against a (typically RELOADED) persisted
+    * band index — the actual production loop at 100 TB: the corpus
+    * side comes from `Dedup.loadBandIndex` (built once per snapshot,
+    * grown per batch with `Dedup.compactBandIndex`), so the screen
+    * never re-signs the accumulated corpus; the incoming batch is
+    * signed and banded with the INDEX's parameters. Semantics and
+    * output are exactly [[growingNearDupScreen]]'s — one oracle pins
+    * both (st14/st16). */
+  def growingNearDupScreenWithIndex(spark: SparkSession, incoming: DataFrame,
+                                    index: Dedup.BandIndex,
+                                    maxBucket: Int = 64, tau: Double = 0.5,
+                                    inputFiles: Int = 3,
+                                    maxStateDocs: Int = 4096): DataFrame = {
+    val numHashes = index.numHashes
+    val bands = index.numBands
+    val shingleK = index.shingleK
+    val reproducible = index.reproducible
+    // checkpoint the corpus-side frames so every micro-batch probes an
+    // identical, lineage-free index (a freshly built index otherwise
+    // re-evaluates per batch)
+    val bucketsC = index.buckets.localCheckpoint(eager = true)
+    val smallC = index.bands.join(bucketsC, Seq("band", "band_hash"))
       .filter(col("bsz") <= maxBucket)
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
       .localCheckpoint(eager = true)
     val starC = bucketsC.filter(col("bsz") > maxBucket)
       .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
       .localCheckpoint(eager = true)
-    val sigCorpus = sigsC.select(col("doc_id").as("doc_corpus"),
-      col("sig").as("sig_c"))
+    val sigCorpus = index.signatures.select(col("doc_id").as("doc_corpus"),
+      col("sig").as("sig_c")).localCheckpoint(eager = true)
 
     import spark.implicits._
     def agreement(a: Seq[Long], b: Seq[Long]): Double =

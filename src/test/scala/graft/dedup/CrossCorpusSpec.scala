@@ -134,6 +134,25 @@ class CrossCorpusSpec extends SparkTestBase {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("streaming screen from a reloaded index equals the inline screen") {
+    val docs = fixture
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val inline = graft.streaming.CorpusStreams
+      .growingNearDupScreen(spark, incoming, corpus, reproducible = true,
+        tau = 0.5, inputFiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = tempDir("graft_st16_spec")
+    Dedup.saveBandIndex(
+      Dedup.buildBandIndex(corpus, reproducible = true), s"$dir/idx")
+    val fromIndex = graft.streaming.CorpusStreams
+      .growingNearDupScreenWithIndex(spark, incoming,
+        Dedup.loadBandIndex(spark, s"$dir/idx"), tau = 0.5, inputFiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("watermarked screen keeps within-horizon pairs and expires the rest") {
     // identical incoming texts at ts gaps 3 s (0,3) and 27-30 s (x,30):
     // horizon 10 s keeps exactly (0,3); the corpus side is a snapshot
