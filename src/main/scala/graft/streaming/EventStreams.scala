@@ -201,6 +201,43 @@ object EventStreams {
         sum("event_id").as("event_id_sum"),
         round(sum("value"), 4).as("value_sum"))
 
+  /** Max total state-store rows observed in the LAST [[throughStream]]
+    * run in this JVM (probe instrumentation only, not part of the
+    * contract): for the keyed screens, state rows = live bucket keys.
+    * Accumulated by a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * over EVERY micro-batch of the run — `recentProgress` alone is
+    * capped at `spark.sql.streaming.numRecentProgressUpdates` (default
+    * 100) and would silently understate the peak on longer runs.
+    * Last-writer-wins global: valid only under throughStream's own
+    * serialization (confLock) — read it right after the call returns,
+    * never across concurrent runs. */
+  @volatile private[graft] var lastMaxStateRows: Long = 0L
+
+  /** Stagger a just-written parquet directory's part-file mtimes in
+    * part-name order: FileStreamSource processes new files in mtime
+    * order, and a single write stamps every part with the SAME mtime,
+    * leaving the tie-break (= micro-batch arrival order) to listing
+    * order. Every part is rebased off one COMMON base (the max mtime
+    * observed in the directory) — adding to each file's own mtime
+    * would preserve any pre-existing spread (a straggler task can
+    * stamp a part seconds later than its siblings) and lose the
+    * name-order contract. One second apart is enough — mtime
+    * granularity is ms. A filesystem that rejects setLastModified
+    * refuses loudly: silently keeping write-order mtimes would turn
+    * every downstream event-time contract nondeterministic. */
+  private def staggerPartMtimes(dir: String): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    if (parts.nonEmpty) {
+      val base = parts.map(_.lastModified()).max
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + (i + 1) * 1000L),
+          s"staggerPartMtimes: setLastModified failed on $f — this " +
+            "filesystem cannot provide deterministic micro-batch arrival")
+      }
+    }
+  }
+
   /** Drive ANY stream transform through the REAL streaming runtime end
     * to end: spill `batch` to a parquet directory, re-read it as a
     * file-source stream in bounded micro-batches (`maxFilesPerTrigger=1`
@@ -218,23 +255,6 @@ object EventStreams {
     * feed event-time data in partition order get in-order arrival up
     * to one file's span — the disorder bound watermarked transforms
     * size their delay against. */
-  /** Max total state-store rows observed in the LAST [[throughStream]]
-    * run in this JVM (probe instrumentation only, not part of the
-    * contract): for the keyed screens, state rows = live bucket keys. */
-  @volatile private[graft] var lastMaxStateRows: Long = 0L
-
-  /** Stagger a just-written parquet directory's part-file mtimes in
-    * part-name order: FileStreamSource processes new files in mtime
-    * order, and a single write stamps every part with the SAME mtime,
-    * leaving the tie-break (= micro-batch arrival order) to listing
-    * order. One second apart is enough — mtime granularity is ms. */
-  private def staggerPartMtimes(dir: String): Unit =
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(f.lastModified() + (i + 1) * 1000L); ()
-      }
-
   def throughStream(spark: SparkSession, batch: DataFrame,
                     mode: OutputMode, inputFiles: Int = 4,
                     statePartitions: Option[Int] = None,
@@ -285,18 +305,40 @@ object EventStreams {
         }
       statePartitions.foreach(n =>
         spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-      val q = transform(stream)
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$dir/ckpt")
-        .outputMode(mode).start()
+      // state-store census for the probe harness: max total state
+      // rows across the run's micro-batches (0 for stateless runs).
+      // recentProgress alone is capped at numRecentProgressUpdates
+      // (default 100) — a run with more micro-batches would silently
+      // understate the peak — so a listener accumulates the max over
+      // EVERY progress event; the final read still folds recentProgress
+      // in because the listener bus is async (the most recent events
+      // may not have been dispatched when the query stops, but those
+      // are exactly the ones recentProgress retains).
+      val maxState = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.name == sink) {
+            val total = e.progress.stateOperators.map(_.numRowsTotal).sum
+            maxState.getAndUpdate(m => math.max(m, total)); ()
+          }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       try {
-        q.processAllAvailable()
-        // state-store census for the probe harness: max total state
-        // rows across the run's micro-batches (0 for stateless runs)
-        lastMaxStateRows = q.recentProgress.iterator
-          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
-          .foldLeft(0L)(math.max)
-      } finally q.stop()
+        val q = transform(stream)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode(mode).start()
+        try q.processAllAvailable() finally q.stop()
+        lastMaxStateRows = math.max(maxState.get(),
+          q.recentProgress.iterator
+            .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+            .foldLeft(0L)(math.max))
+      } finally spark.streams.removeListener(listener)
       // Eager localCheckpoint detaches the result from both the memory
       // sink's temp view and the on-disk input/checkpoint, so neither
       // leaks past this call (repeated gate/bench runs used to accrete
