@@ -2187,6 +2187,28 @@ object SparkEntry {
           reproducible = true, tau = 0.5)
         .orderBy("doc_a", "doc_b").limit(1000)
     }),
+    // the time-bounded screen driven from a PERSISTED, APPENDED index
+    // — both production remedies composed: bounded state (st15's
+    // horizon + watermark eviction) AND a never-re-signed corpus side
+    // (st16's reloaded artifact, here grown via appendBandIndex).
+    // Pinned to st15's exact horizon-restricted oracle
+    "st17_stream_windowed_screen_from_index" -> q((s, d) =>
+      withTempDir("graft_st17") { dir =>
+        val docs = Tables.documents(s, d)
+        Dedup.saveBandIndex(Dedup.buildBandIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+          reproducible = true), s"$dir/idx")
+        Dedup.appendBandIndex(s, s"$dir/idx",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 2))
+        graft.streaming.CorpusStreams.growingNearDupScreenWatermarkedWithIndex(
+            s,
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+              .withColumn("ts",
+                timestamp_seconds(lit(1704067200L) + col("doc_id"))),
+            Dedup.loadBandIndex(s, s"$dir/idx"),
+            horizonSeconds = 120, watermarkDelay = "5 minutes", tau = 0.5)
+          .orderBy("doc_a", "doc_b").limit(1000)
+      }),
     // near-dup pairs cross-validated by a SECOND similarity family:
     // character-level edit distance over 120-char prefixes. BOTH
     // dimensions are bounded BEFORE the O(len²) DP runs: 120-char
@@ -2365,6 +2387,14 @@ object SparkEntry {
         .groupBy("symbol").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("symbol")).limit(20)
     }),
+    // the DRIVER-LOCAL training tier at the same 10 merges — one
+    // collect of the vocab-sized word table, then the classic
+    // in-memory loop (the production path for 30k-merge vocabularies,
+    // where train's one-Spark-job-per-round scheduling floor is the
+    // scale axis); pinned to bpe1's exact oracle, so both tiers must
+    // learn the identical merge table
+    "bpe6_local_train" -> q((s, d) =>
+      graft.text.Bpe.mergeTableLocal(Tables.documents(s, d), nMerges = 10)),
     // tokenizer fertility (symbols per word) per language under the
     // trained merges — the acceptance metric tokenizer work is judged
     // by; segmentation table is vocab-sized and broadcasts
@@ -3702,6 +3732,32 @@ object SparkEntry {
     // the IDENTICAL oracle as d29/io16 (whose corpus side is
     // doc_id % 3 <> 0 = exactly initial ∪ batch), so compaction must
     // be bit-equivalent to a fresh full build
+    // band-index APPEND — the same ingest lifecycle as io17 driven
+    // through the append-only persistence path: build on a third of
+    // the corpus, save (batch 0), APPEND the next third in TWO
+    // batches (each append writes ONLY its own batch's rows under
+    // batch=<n>/ partitions and commits via the _BATCHES pointer
+    // flip — never rewriting the accumulated index), reload (bucket
+    // census merged on read), screen. Pinned to the IDENTICAL oracle
+    // as d29/io16/io17, so the append lifecycle must be
+    // bit-equivalent to a fresh full build
+    "io18_band_index_append" -> q((s, d) => withTempDir("graft_io18") { dir =>
+      val docs = Tables.documents(s, d)
+      Dedup.saveBandIndex(Dedup.buildBandIndex(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+        reproducible = true), s"$dir/idx")
+      Dedup.appendBandIndex(s, s"$dir/idx",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+          && pmod(col("doc_id"), lit(2L)) === 0))
+      Dedup.appendBandIndex(s, s"$dir/idx",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+          && pmod(col("doc_id"), lit(2L)) === 1))
+      Dedup.screenAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          Dedup.loadBandIndex(s, s"$dir/idx"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("doc_in", "doc_corpus").limit(1000)
+    }),
     "io17_band_index_compact" -> q((s, d) => withTempDir("graft_io17") { dir =>
       val docs = Tables.documents(s, d)
       val idx0 = Dedup.buildBandIndex(
@@ -4011,6 +4067,16 @@ object SparkEntry {
     }
     (base +: roundCtes).mkString(",\n         ")
   }
+
+  /** The bpe1/bpe6 shared oracle: the 10-round merge table itself —
+    * one row per round from the unrolled CTE chain. Shared because the
+    * distributed (bpe1) and driver-local (bpe6) training tiers carry
+    * the bit-identical-merge-table contract. */
+  private lazy val bpeMergeTableSql: String =
+    s"""WITH ${bpeRoundsSql(10)}
+       SELECT * FROM (${(1 to 10).map(r =>
+         s"SELECT $r AS step, pr AS pair, replace(pr, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+         .mkString(" UNION ALL ")}) ORDER BY step"""
 
   /** The bpe3/bpe5 shared oracle: 10 training rounds over `documents`
     * (bpeRoundsSql), then the learned merges replayed over the
@@ -4707,6 +4773,42 @@ object SparkEntry {
        ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
          FROM bi a JOIN bi b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       cand AS (SELECT DISTINCT least(u, v) AS doc_a,
+           greatest(u, v) AS doc_b
+         FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
+               UNION ALL SELECT * FROM ii)),
+       stx AS (SELECT doc_a, doc_b,
+           len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
+             / 64 AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.doc_id = doc_a
+         JOIN sig sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
+       ORDER BY doc_a, doc_b LIMIT 1000"""
+
+  /** Time-bounded growing-screen oracle shared by st15 (inline corpus
+    * side) and st17 (persisted → appended → reloaded index): identical
+    * to [[growingScreenSql]] except the incoming×incoming side carries
+    * the 120 s horizon (ts = epoch + doc_id seconds, so the predicate
+    * is a doc_id difference); the corpus side is a snapshot —
+    * horizon-free on both engines. */
+  private lazy val windowedScreenSql: String =
+    s"""$minhashFnvPipeline,
+       bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+       bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+       bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+         FROM bc GROUP BY 1, 2),
+       cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
+         JOIN bc c ON c.band = i.band AND c.key = i.key),
+       cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
+         FROM bi i
+         JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
+       ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM bi a JOIN bi b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE b.doc_id - a.doc_id <= 120),
        cand AS (SELECT DISTINCT least(u, v) AS doc_a,
            greatest(u, v) AS doc_b
          FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
@@ -8341,11 +8443,9 @@ object SparkEntry {
            CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(b.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
          FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
-    "bpe1_merge_table" ->
-      s"""WITH ${bpeRoundsSql(10)}
-         SELECT * FROM (${(1 to 10).map(r =>
-           s"SELECT $r AS step, pr AS pair, replace(pr, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
-           .mkString(" UNION ALL ")}) ORDER BY step""",
+    "bpe1_merge_table" -> bpeMergeTableSql,
+    // the driver-local training tier must learn the identical table
+    "bpe6_local_train" -> bpeMergeTableSql,
     "bpe2_encoded_symbols" ->
       s"""WITH ${bpeRoundsSql(10)}
          SELECT symbol, CAST(cnt AS BIGINT) AS cnt FROM (
@@ -8490,6 +8590,10 @@ object SparkEntry {
     // build(⅓) → save → load → compact(⅓) → save → load → screen(⅓)
     // must land on the fresh full build's exact answer
     "io17_band_index_compact" -> crossCorpusSql,
+    // build(⅓) → save → append(⅙) → append(⅙) → load → screen(⅓)
+    // through the append-only persistence path must land on the same
+    // fresh-full-build answer
+    "io18_band_index_append" -> crossCorpusSql,
     // growing-corpus screen: incoming×corpus (corpus-side guard, as in
     // d29) UNION incoming×incoming (unguarded band self-join — the
     // stateful side refuses loudly instead of degrading), canonically
@@ -8502,35 +8606,10 @@ object SparkEntry {
     // the incoming×incoming side carries the 120 s horizon (ts = epoch
     // + doc_id seconds, so the predicate is a doc_id difference); the
     // corpus side is a snapshot — horizon-free on both engines
-    "st15_stream_windowed_screen" ->
-      s"""$minhashFnvPipeline,
-         bi AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
-         bc AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
-         bszc AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
-           FROM bc GROUP BY 1, 2),
-         cx_small AS (SELECT DISTINCT i.doc_id AS u, c.doc_id AS v
-           FROM bi i
-           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n <= 64
-           JOIN bc c ON c.band = i.band AND c.key = i.key),
-         cx_star AS (SELECT DISTINCT i.doc_id AS u, z.rep AS v
-           FROM bi i
-           JOIN bszc z ON i.band = z.band AND i.key = z.key AND z.n > 64),
-         ii AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-           FROM bi a JOIN bi b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           WHERE b.doc_id - a.doc_id <= 120),
-         cand AS (SELECT DISTINCT least(u, v) AS doc_a,
-             greatest(u, v) AS doc_b
-           FROM (SELECT * FROM cx_small UNION ALL SELECT * FROM cx_star
-                 UNION ALL SELECT * FROM ii)),
-         stx AS (SELECT doc_a, doc_b,
-             len(list_filter(range(1, 65), j -> sa.sig[j] = sb.sig[j]))::DOUBLE
-               / 64 AS est_jaccard
-           FROM cand
-           JOIN sig sa ON sa.doc_id = doc_a
-           JOIN sig sb ON sb.doc_id = doc_b)
-         SELECT doc_a, doc_b, est_jaccard FROM stx WHERE est_jaccard >= 0.5
-         ORDER BY doc_a, doc_b LIMIT 1000""",
+    "st15_stream_windowed_screen" -> windowedScreenSql,
+    // the same horizon-restricted screen from a saved-then-appended
+    // index must land on the inline form's exact answer
+    "st17_stream_windowed_screen_from_index" -> windowedScreenSql,
     "d13_neardup_editdist" ->
       s"""$minhashFnvPipeline,
          p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5

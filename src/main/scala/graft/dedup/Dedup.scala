@@ -575,38 +575,163 @@ object Dedup {
         least(col("rep_old"), col("rep_new")).as("rep"),
         (coalesce(col("bsz_old"), lit(0L)) + coalesce(col("bsz_new"), lit(0L)))
           .as("bsz"))
-    BandIndex(index.signatures.unionByName(sigsNew),
+    lastCensusMergePlan = mergedBuckets.queryExecution.executedPlan.toString
+    val folded = BandIndex(index.signatures.unionByName(sigsNew),
       index.bands.unionByName(bandedNew), mergedBuckets,
       index.numHashes, index.numBands, index.shingleK, index.reproducible)
+    // a long-lived ingest driver that folds many batches between saves
+    // would otherwise chain one Union (and one census join) of lineage
+    // per batch — unbounded plan depth, re-signing every batch on every
+    // action. Cut the chain with eager localCheckpoints once the
+    // signature plan outgrows the threshold: the materialization cost
+    // is the accumulated-index size, paid once per ~threshold/Δ folds
+    // (a save/load cycle is an equivalent cut — this guards the loop
+    // that never saves). CrossCorpusSpec folds 20 batches and asserts
+    // the depth stays bounded.
+    if (planNodeCount(folded.signatures) > compactionChainCutoff)
+      BandIndex(folded.signatures.localCheckpoint(eager = true),
+        folded.bands.localCheckpoint(eager = true),
+        folded.buckets.localCheckpoint(eager = true),
+        folded.numHashes, folded.numBands, folded.shingleK,
+        folded.reproducible)
+    else folded
   }
 
-  /** Persist a band index ([[graft.similarity.Ivf.save]] pattern, io14):
-    * three parquet tables plus a one-row params sidecar. Long arrays
-    * and band keys round-trip parquet bit-exactly, so a reloaded index
-    * screens IDENTICALLY to a fresh one (gate io16 pins it to the same
-    * oracle as d29). */
+  /** Logical-plan node count of `df` — the chain-depth measure the
+    * compaction lineage cut keys on. */
+  private[graft] def planNodeCount(df: DataFrame): Int =
+    df.queryExecution.logical.collect { case n => n }.size
+
+  /** Signature-plan node count past which [[compactBandIndex]] cuts the
+    * accumulated lineage (each fold adds a Union + the batch's scan
+    * subtree, ~5-10 nodes on typical inputs → a cut every few folds). */
+  private[graft] val compactionChainCutoff = 48
+
+  /** Executed plan of the LAST [[compactBandIndex]] bucket-census merge
+    * in this JVM — diagnostic only. PlanAuditSpec pins the merge's join
+    * strategy through it (the one join in the ingest loop whose BOTH
+    * sides grow with corpus buckets). Last-writer-wins global: valid
+    * only when reads are single-threaded with the call, as the specs
+    * are — never audit concurrent folds through it. */
+  @volatile private[graft] var lastCensusMergePlan: String = ""
+
+  /** Persist a band index ([[graft.similarity.Ivf.save]] pattern, io14)
+    * in the APPEND-ONLY batch-keyed layout: each table lands under a
+    * `batch=<n>/` partition directory, and a `_BATCHES` pointer file
+    * (written tmp-then-rename, the `CuratedWriter.publishVersion`
+    * commit) names how many batches are committed. `saveBandIndex`
+    * writes the WHOLE index as `batch=0` — the initial snapshot, or an
+    * explicit snapshot-compaction of a long append chain; the per-batch
+    * ingest path is [[appendBandIndex]], which writes ONLY the new
+    * batch's rows (batch-sized IO — saving the folded index per batch
+    * would rewrite the full accumulated corpus every time, quadratic
+    * total write volume over an ingest). Long arrays and band keys
+    * round-trip parquet bit-exactly, so a reloaded index screens
+    * IDENTICALLY to a fresh one (gate io16 pins it to the same oracle
+    * as d29; io18 pins the append lifecycle to the same oracle). */
   def saveBandIndex(index: BandIndex, path: String): Unit = {
-    index.signatures.write.mode("overwrite").parquet(s"$path/signatures")
-    index.bands.write.mode("overwrite").parquet(s"$path/bands")
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    index.signatures.write.mode("overwrite").parquet(s"$path/signatures/batch=0")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands/batch=0")
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=0")
     val spark = index.signatures.sparkSession
     import spark.implicits._
     Seq((index.numHashes, index.numBands, index.shingleK, index.reproducible))
       .toDF("num_hashes", "num_bands", "shingle_k", "reproducible")
       .write.mode("overwrite").parquet(s"$path/params")
+    writeBatchPointer(spark, path, 1)
   }
 
-  /** Load a persisted band index; the params sidecar restores the
-    * banding contract the probe side must reproduce. */
+  /** Append one ingest batch to a persisted band index WITHOUT
+    * rewriting it — the persistence twin of [[compactBandIndex]]: sign
+    * and band ONLY `newDocs` under the stored params, write the new
+    * rows to `batch=<n>/` partitions of each table, then commit by
+    * flipping the `_BATCHES` pointer. Both compute AND write volume
+    * are batch-sized; the accumulated index is never read or touched.
+    * A crashed append leaves an uncommitted `batch=<n>` directory the
+    * pointer never names — invisible to [[loadBandIndex]] (partition
+    * pruning on `batch < n`) and overwritten by the retry.
+    *
+    * The bucket census is stored PER BATCH and merged on read (`rep`
+    * is a min, `bsz` a sum — both merge-order-free); the census is
+    * bands×buckets-sized, so the load-time re-aggregation is cheap.
+    * Callers owe the same disjointness [[compactBandIndex]] asks for:
+    * re-appending an already-indexed doc_id double-counts its census
+    * rows. Returns the committed batch count. */
+  def appendBandIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, newDocs: DataFrame): Int = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val numHashes = p.getAs[Int]("num_hashes")
+    val numBands = p.getAs[Int]("num_bands")
+    val shingleK = p.getAs[Int]("shingle_k")
+    val reproducible = p.getAs[Boolean]("reproducible")
+    val n = readBatchPointer(spark, path)
+    minhashSignatures(graft.operators.Partitioning.spread(newDocs),
+        numHashes, shingleK, reproducible)
+      .write.mode("overwrite").parquet(s"$path/signatures/batch=$n")
+    // band off the just-written signatures: one signing pass total
+    // (banding a live signature frame would recompute it per write)
+    val sigsNew = spark.read.parquet(s"$path/signatures/batch=$n")
+    bandedKeys(sigsNew, numHashes, numBands, reproducible)
+      .write.mode("overwrite").parquet(s"$path/bands/batch=$n")
+    spark.read.parquet(s"$path/bands/batch=$n")
+      .groupBy("band", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+      .write.mode("overwrite").parquet(s"$path/buckets/batch=$n")
+    writeBatchPointer(spark, path, n + 1)
+    n + 1
+  }
+
+  /** Load a persisted band index: the params sidecar restores the
+    * banding contract the probe side must reproduce; only batches the
+    * `_BATCHES` pointer has committed are visible (partition pruning on
+    * the `batch` column — an in-flight or crashed append never leaks).
+    * The per-batch bucket censuses merge on read with the same min/sum
+    * arithmetic [[compactBandIndex]] uses. */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
                     path: String): BandIndex = {
     val p = spark.read.parquet(s"$path/params").head()
+    val n = readBatchPointer(spark, path)
+    def committed(table: String) =
+      spark.read.parquet(s"$path/$table").filter(col("batch") < n).drop("batch")
+    val buckets = spark.read.parquet(s"$path/buckets")
+      .filter(col("batch") < n)
+      .groupBy("band", "band_hash")
+      .agg(min("rep").as("rep"), sum("bsz").as("bsz"))
     BandIndex(
-      spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/buckets"),
+      committed("signatures"), committed("bands"), buckets,
       p.getAs[Int]("num_hashes"), p.getAs[Int]("num_bands"),
       p.getAs[Int]("shingle_k"), p.getAs[Boolean]("reproducible"))
+  }
+
+  /** Commit `n` as the band index's visible batch count: write
+    * `_BATCHES.tmp`, rename over `_BATCHES` — atomic on HDFS/local;
+    * a one-object PUT on stores without atomic rename (the
+    * `publishVersion` pattern). */
+  private def writeBatchPointer(spark: org.apache.spark.sql.SparkSession,
+                                path: String, n: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val tmp = new Path(root, "_BATCHES.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, "_BATCHES")
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(
+        s"appendBandIndex: pointer flip $tmp -> $ptr failed")
+  }
+
+  /** The committed batch count the `_BATCHES` pointer names. */
+  private def readBatchPointer(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(path, "_BATCHES")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(ptr)
+    try new String(in.readAllBytes(), "UTF-8").trim.toInt
+    finally in.close()
   }
 
   /** Screen an incoming batch against a (possibly reloaded) corpus band

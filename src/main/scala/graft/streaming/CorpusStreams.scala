@@ -279,23 +279,48 @@ object CorpusStreams {
                                       shingleK: Int = 3, maxBucket: Int = 64,
                                       reproducible: Boolean = false,
                                       tau: Double = 0.5, inputFiles: Int = 3,
-                                      maxStateDocs: Int = 4096): DataFrame = {
+                                      maxStateDocs: Int = 4096): DataFrame =
+    growingNearDupScreenWatermarkedWithIndex(spark, incoming,
+      Dedup.buildBandIndex(corpus, numHashes, bands, shingleK, reproducible),
+      horizonSeconds, watermarkDelay, maxBucket, tau, inputFiles,
+      maxStateDocs)
+
+  /** [[growingNearDupScreenWatermarked]] against a (typically RELOADED)
+    * persisted band index — time-bounded state AND a never-re-signed
+    * corpus side, the production deployment both remedies compose
+    * into: the corpus comes from `Dedup.loadBandIndex` (grown per
+    * ingest batch with `Dedup.appendBandIndex`), the horizon bounds
+    * the stateful incoming×incoming screen. Semantics and output are
+    * exactly the inline form's — one oracle pins both (st15/st17) —
+    * and the inline form delegates here, as [[growingNearDupScreen]]'s
+    * does to [[growingNearDupScreenWithIndex]]. */
+  def growingNearDupScreenWatermarkedWithIndex(spark: SparkSession,
+                                               incoming: DataFrame,
+                                               index: Dedup.BandIndex,
+                                               horizonSeconds: Long,
+                                               watermarkDelay: String = "5 minutes",
+                                               maxBucket: Int = 64,
+                                               tau: Double = 0.5,
+                                               inputFiles: Int = 3,
+                                               maxStateDocs: Int = 4096): DataFrame = {
     require(horizonSeconds > 0, s"horizonSeconds must be > 0, got $horizonSeconds")
-    val sigsC = Dedup.minhashSignatures(corpus, numHashes, shingleK,
-      reproducible).localCheckpoint(eager = true)
-    val bC = Dedup.bandedKeys(sigsC, numHashes, bands, reproducible)
-    val bucketsC = bC.groupBy("band", "band_hash")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
-      .localCheckpoint(eager = true)
-    val smallC = bC.join(bucketsC, Seq("band", "band_hash"))
+    val numHashes = index.numHashes
+    val bands = index.numBands
+    val shingleK = index.shingleK
+    val reproducible = index.reproducible
+    // checkpoint the corpus-side frames so every micro-batch probes an
+    // identical, lineage-free index (a freshly built index otherwise
+    // re-evaluates per batch)
+    val bucketsC = index.buckets.localCheckpoint(eager = true)
+    val smallC = index.bands.join(bucketsC, Seq("band", "band_hash"))
       .filter(col("bsz") <= maxBucket)
       .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
       .localCheckpoint(eager = true)
     val starC = bucketsC.filter(col("bsz") > maxBucket)
       .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
       .localCheckpoint(eager = true)
-    val sigCorpus = sigsC.select(col("doc_id").as("doc_corpus"),
-      col("sig").as("sig_c"))
+    val sigCorpus = index.signatures.select(col("doc_id").as("doc_corpus"),
+      col("sig").as("sig_c")).localCheckpoint(eager = true)
 
     import spark.implicits._
     val hMs = horizonSeconds * 1000L

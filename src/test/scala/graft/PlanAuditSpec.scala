@@ -43,6 +43,27 @@ class PlanAuditSpec extends SparkTestBase {
     // with a forced broadcastGroupLimit in KmvSpec — same JVM lock-step
   }
 
+  test("strategy pin: io17 census merge is an equi-join full-outer, SMJ or hash") {
+    assume(available, s"fixture dir $dir missing")
+    // lastCensusMergePlan is a last-writer-wins JVM global — valid only
+    // because this suite runs the gate and reads it single-threaded
+    SparkEntry.queries("io17_band_index_compact")(spark, dir).collect()
+    val plan = graft.dedup.Dedup.lastCensusMergePlan
+    assert(plan.nonEmpty, "io17 never exercised compactBandIndex's census merge")
+    // intended strategy: SortMergeJoin is FINE here (both sides are
+    // (band, band_hash)-sortable census tables; BHJ cannot do full
+    // outer) — what must never ship is a nested-loop/cartesian
+    // degradation of the one ingest-loop join whose both sides grow
+    // with corpus buckets
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"census merge lost its equi-join strategy:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"census merge is no longer full-outer:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"census merge degraded to a nested loop:\n$plan")
+  }
+
   test("strategy pin: io16/io17 band-index screen joins by hash, never sort-merge") {
     assume(available, s"fixture dir $dir missing")
     SparkEntry.queries("io16_band_index_screen")(spark, dir).collect()

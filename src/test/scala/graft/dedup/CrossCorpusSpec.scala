@@ -134,6 +134,118 @@ class CrossCorpusSpec extends SparkTestBase {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("appendBandIndex lifecycle loads bit-equivalent to a fresh full build") {
+    val docs = fixture
+    val a = docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+      && pmod(col("doc_id"), lit(2L)) === 0)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+      && pmod(col("doc_id"), lit(2L)) === 1)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val dir = tempDir("graft_append_spec")
+    Dedup.saveBandIndex(Dedup.buildBandIndex(a, reproducible = true), s"$dir/idx")
+    assert(Dedup.appendBandIndex(spark, s"$dir/idx", b1) == 2)
+    assert(Dedup.appendBandIndex(spark, s"$dir/idx", b2) == 3)
+    val loaded = Dedup.loadBandIndex(spark, s"$dir/idx")
+    val fresh = Dedup.buildBandIndex(a.unionByName(b1).unionByName(b2),
+      reproducible = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    assert(rows(loaded.signatures) == rows(fresh.signatures))
+    assert(rows(loaded.bands) == rows(fresh.bands))
+    assert(rows(loaded.buckets) == rows(fresh.buckets))
+    val viaAppend = rows(Dedup.screenAgainstIndex(incoming, loaded))
+    assert(viaAppend == rows(Dedup.screenAgainstIndex(incoming, fresh)))
+    assert(viaAppend.nonEmpty)
+  }
+
+  test("an uncommitted batch directory is invisible to loadBandIndex") {
+    val docs = fixture
+    val a = docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+    val b = docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+    val dir = tempDir("graft_append_atomic")
+    Dedup.saveBandIndex(Dedup.buildBandIndex(a, reproducible = true), s"$dir/idx")
+    val committed = Dedup.loadBandIndex(spark, s"$dir/idx")
+      .signatures.count()
+    // simulate a crashed append: batch data lands but the pointer was
+    // never flipped (write the delta tables by hand at batch=1)
+    val idxB = Dedup.buildBandIndex(b, reproducible = true)
+    idxB.signatures.write.parquet(s"$dir/idx/signatures/batch=1")
+    idxB.bands.write.parquet(s"$dir/idx/bands/batch=1")
+    idxB.buckets.write.parquet(s"$dir/idx/buckets/batch=1")
+    val after = Dedup.loadBandIndex(spark, s"$dir/idx")
+    assert(after.signatures.count() == committed,
+      "uncommitted batch rows leaked past the _BATCHES pointer")
+    // the retry path: a real append overwrites the orphan and commits
+    Dedup.appendBandIndex(spark, s"$dir/idx", b)
+    assert(Dedup.loadBandIndex(spark, s"$dir/idx").signatures.count()
+      == committed + idxB.signatures.count())
+  }
+
+  test("compaction chain lineage is cut: 20 folds keep plan depth bounded") {
+    def batch(k: Int) = (0 until 3).map { j =>
+      val i = k * 3 + j
+      (1000L + i, s"fold batch $k doc $j shares a long common sentence " +
+        s"about engines and pipelines token$j plus trailing words ${i % 2}")
+    }.toDF("doc_id", "text")
+    var idx = Dedup.buildBandIndex(batch(0), reproducible = true)
+    var maxDepth = 0
+    (1 until 20).foreach { k =>
+      idx = Dedup.compactBandIndex(idx, batch(k))
+      maxDepth = math.max(maxDepth, Dedup.planNodeCount(idx.signatures))
+    }
+    // without the cut the union chain grows without bound (~6+ nodes
+    // per fold x 20 folds); with it the depth must stay under the
+    // cutoff plus one fold's increment
+    assert(maxDepth <= Dedup.compactionChainCutoff + 16,
+      s"compaction lineage not cut: signature plan reached $maxDepth nodes")
+    // and the folded index still answers exactly like a fresh build
+    val all = (0 until 20).map(batch).reduce(_ unionByName _)
+    val fresh = Dedup.buildBandIndex(all, reproducible = true)
+    val probe = Seq((1L, batch(7).collect()(1).getString(1)))
+      .toDF("doc_id", "text")
+    def pairs(ix: Dedup.BandIndex) =
+      Dedup.screenAgainstIndex(probe, ix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(idx) == pairs(fresh))
+    assert(pairs(idx).nonEmpty)
+  }
+
+  test("watermarked screen from a reloaded appended index equals the inline form") {
+    val cloneText = "identical incoming text with enough tokens for " +
+      "shingling to collide across all bands"
+    val incoming = Seq(0L, 3L, 30L).map(i => (i, cloneText)) :+
+      ((6L, "an unrelated incoming document about something else entirely " +
+        "with plenty of distinct tokens"))
+    val corpusA = Seq((1L, cloneText))
+    val corpusB = Seq((2L, "corpus filler text sharing nothing with the " +
+      "clones at all even slightly thanks to distinct vocabulary"))
+    val in = incoming.toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val inline = graft.streaming.CorpusStreams
+      .growingNearDupScreenWatermarked(spark, in,
+        corpusA.toDF("doc_id", "text")
+          .unionByName(corpusB.toDF("doc_id", "text")),
+        horizonSeconds = 10, watermarkDelay = "5 seconds",
+        reproducible = true, tau = 0.5, inputFiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = tempDir("graft_st17_spec")
+    Dedup.saveBandIndex(Dedup.buildBandIndex(
+      corpusA.toDF("doc_id", "text"), reproducible = true), s"$dir/idx")
+    Dedup.appendBandIndex(spark, s"$dir/idx", corpusB.toDF("doc_id", "text"))
+    val fromIndex = graft.streaming.CorpusStreams
+      .growingNearDupScreenWatermarkedWithIndex(spark, in,
+        Dedup.loadBandIndex(spark, s"$dir/idx"),
+        horizonSeconds = 10, watermarkDelay = "5 seconds",
+        tau = 0.5, inputFiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("streaming screen from a reloaded index equals the inline screen") {
     val docs = fixture
     val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
