@@ -125,6 +125,120 @@ object Bpe {
     (merges, cur.localCheckpoint(true))
   }
 
+  /** [[train]] run entirely on the driver — the tier for PRODUCTION
+    * merge counts: [[train]]'s per-round cost is vocab-sized, but each
+    * round is one Spark job + a 1-row collect, so a realistic 30k-merge
+    * vocabulary pays 30k sequential job-scheduling floors (hours of
+    * wall on scheduling alone). The word-frequency table is vocab-sized
+    * by construction — ONE corpus-sized aggregation builds it — so
+    * after a single collect (the [[graft.ml.IsolationForest]]
+    * driver-fit pattern) the classic in-memory loop (Sennrich 2016's
+    * reference algorithm with an inverted pair→word occurrence index,
+    * so each round touches only the affected words) runs all rounds
+    * in-process. The merge table is BIT-IDENTICAL to [[train]]'s —
+    * BpeSpec pins 10- and 500-merge runs, gate bpe6 pins it to bpe1's
+    * oracle — with argmax ties broken on the pair string's unsigned
+    * UTF-8 bytes, the binary order Spark's `asc` and DuckDB's ORDER BY
+    * both apply. Returns the same `(merges, word table)` pair, the
+    * word table in the same (word, freq, s) final symbol state. */
+  def trainLocal(docs: DataFrame, nMerges: Int = 10,
+                 textCol: String = "text"): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    // vocab-sized: one row per distinct word; symbols parsed from the
+    // SAME delimited state string the distributed rounds rewrite, so
+    // Spark's own character splitting is reused verbatim
+    val collected = wordTable(docs, textCol).collect()
+    val wordArr = collected.map(_.getString(0))
+    val freqArr = collected.map(_.getLong(1))
+    val symArr: Array[Array[String]] =
+      collected.map(_.getString(2).split(" ").filter(_.nonEmpty))
+
+    def pairsOf(syms: Array[String]): Iterator[String] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+        .map { case (a, b) => a + " " + b }
+    // unsigned UTF-8 byte order — what Spark's UTF8String.compareTo and
+    // DuckDB's string ORDER BY both implement (Ordering.String would
+    // diverge on supplementary-plane characters)
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[Int]]
+    symArr.indices.foreach { wi =>
+      val f = freqArr(wi)
+      pairsOf(symArr(wi)).foreach { pr =>
+        counts(pr) = counts.getOrElse(pr, 0L) + f
+        occ.getOrElseUpdate(pr,
+          scala.collection.mutable.HashSet.empty[Int]) += wi
+      }
+    }
+
+    val out = Seq.newBuilder[Merge]
+    (1 to nMerges).foreach { r =>
+      require(counts.nonEmpty,
+        s"bpe: no adjacent pairs left after ${r - 1} merges")
+      // full-scan argmax: O(|distinct pairs|) per round — seconds at a
+      // 30k-merge vocabulary, dwarfed by what the per-round work saves
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      counts.foreach { case (pr, c) =>
+        if (c > bestCnt || (c == bestCnt && byteLt(pr, bestPair))) {
+          bestPair = pr; bestCnt = c
+        }
+      }
+      val sp = bestPair.indexOf(' ')
+      val a = bestPair.substring(0, sp)
+      val b = bestPair.substring(sp + 1)
+      val merged = a + b
+      occ.getOrElse(bestPair, scala.collection.mutable.HashSet.empty[Int])
+        .toArray.foreach { wi =>
+          val syms = symArr(wi)
+          val f = freqArr(wi)
+          // left-to-right non-overlapping — the same run semantics as
+          // train's two-space-delimited string replace
+          val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              ns += merged; j += 2
+            } else { ns += syms(j); j += 1 }
+          }
+          val arr = ns.toArray
+          // delta the count bag; diff the DISTINCT pair sets into the
+          // occurrence index
+          pairsOf(syms).foreach(pr => counts(pr) = counts(pr) - f)
+          pairsOf(arr).foreach(pr => counts(pr) = counts.getOrElse(pr, 0L) + f)
+          val oldSet = pairsOf(syms).toSet
+          val newSet = pairsOf(arr).toSet
+          (oldSet -- newSet).foreach(pr => occ.get(pr).foreach(_ -= wi))
+          (newSet -- oldSet).foreach(pr =>
+            occ.getOrElseUpdate(pr,
+              scala.collection.mutable.HashSet.empty[Int]) += wi)
+          symArr(wi) = arr
+        }
+      counts.filterInPlace((_, c) => c > 0)
+      occ.remove(bestPair)
+      out += Merge(r, bestPair, merged, bestCnt)
+    }
+    import spark.implicits._
+    val finalWords = wordArr.indices.map(wi =>
+      (wordArr(wi), freqArr(wi), symArr(wi).mkString(" ", "  ", " ")))
+      .toDF("word", "freq", "s")
+    (out.result(), finalWords)
+  }
+
   /** The classical full-recount reference: every round re-counts ALL
     * pairs over the whole word table. O(nMerges) corpus-table passes —
     * kept ONLY as the equivalence oracle for [[train]]'s delta counting
@@ -163,6 +277,15 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     train(docs, nMerges)._1.toDF().orderBy("step")
+  }
+
+  /** [[mergeTable]] through [[trainLocal]] — the driver-local tier's
+    * gate surface (bpe6), pinned to bpe1's oracle: both tiers must
+    * learn the identical merge table. */
+  def mergeTableLocal(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainLocal(docs, nMerges)._1.toDF().orderBy("step")
   }
 
   /** Persist a trained merge table — the artifact a training pipeline

@@ -113,5 +113,39 @@ class BpeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Bpe.train(docs, 0) }
     // "ab" has one pair; after merging it nothing remains
     intercept[IllegalArgumentException] { Bpe.train(docs, 3) }
+    intercept[IllegalArgumentException] { Bpe.trainLocal(docs, 0) }
+    intercept[IllegalArgumentException] { Bpe.trainLocal(docs, 3) }
+  }
+
+  test("trainLocal matches train bit-for-bit, merges and final word state") {
+    // the trainRecount-equivalence fixture: runs, shared affixes, ties
+    val docs = corpus("low" -> 9, "lower" -> 4, "lowest" -> 2,
+      "newest" -> 7, "widest" -> 3, "aaaa" -> 5, "aaab" -> 4,
+      "banana" -> 6, "bandana" -> 2, "estates" -> 3)
+    val (dist, wordsDist) = Bpe.train(docs, nMerges = 20)
+    val (local, wordsLocal) = Bpe.trainLocal(docs, nMerges = 20)
+    assert(local == dist,
+      s"merge tables diverged:\n${local.zip(dist).filter(p => p._1 != p._2)}")
+    val sd = wordsDist.select("word", "freq", "s").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val sl = wordsLocal.select("word", "freq", "s").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(sl.toSeq == sd.toSeq, "final word states diverged")
+  }
+
+  test("trainLocal matches train at a 500-merge production vocabulary") {
+    // enough distinct adjacent pairs to sustain 500 rounds: 700
+    // seeded-random 12-char words (near-unique, so merge capacity is
+    // thousands), skewed frequencies so argmax ties still occur
+    val rng = new scala.util.Random(42)
+    val words = (0 until 700).map { i =>
+      val w = (0 until 12).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      w -> (i % 5 + 1)
+    }
+    val docs = corpus(words: _*)
+    val (dist, _) = Bpe.train(docs, nMerges = 500)
+    val (local, _) = Bpe.trainLocal(docs, nMerges = 500)
+    assert(local == dist,
+      s"first divergence: ${local.zip(dist).find(p => p._1 != p._2)}")
   }
 }
