@@ -122,9 +122,11 @@ object ScaleProbe {
       case "kmv"        => probeKmv(spark, rows, hotFrac, cpus)
       case "unigram"    => probeUnigram(spark, rows, cpus)
       case "screen"     => probeScreenState(spark, rows, cpus)
+      case "bandappend" => probeBandAppend(spark, rows, cpus)
       case other => throw new IllegalArgumentException(
         s"unknown --family $other (known: hotkey dedup components ann graph " +
-          "topk substr bpe truss pq semdedup xcorpus scc kmv unigram screen)")
+          "topk substr bpe truss pq semdedup xcorpus scc kmv unigram screen " +
+          "bandappend)")
     }
     spark.stop()
   }
@@ -489,7 +491,7 @@ object ScaleProbe {
     measure(spark, s"bpe_delta_m$quarter") {
       sig(Bpe.train(docs, quarter)._1)
     }
-    measure(spark, s"bpe_delta_m$nMerges") {
+    val (dn, _, wDist) = measure(spark, s"bpe_delta_m$nMerges") {
       sig(Bpe.train(docs, nMerges)._1)
     }
     val eqM = math.min(nMerges, 8)
@@ -503,6 +505,108 @@ object ScaleProbe {
       s"delta counting diverged from full recount: $d8 vs $r8")
     val p3 = sig(Bpe.train(docs.repartition(3), eqM)._1)
     require(d8 == p3, s"merge table depends on partitioning: $d8 vs $p3")
+    // the driver-local tier: identical merge table, and the wall ratio
+    // vs the distributed loop at the SAME merge count is the measured
+    // escape from train's one-Spark-job-per-round scheduling floor
+    // (30k production merges = 30k sequential jobs — hours on
+    // scheduling alone; trainLocal's loop is in-process after one
+    // vocab-sized collect)
+    val (ln, _, wLocal) = measure(spark, s"bpe_local_m$nMerges") {
+      sig(Bpe.trainLocal(docs, nMerges)._1)
+    }
+    require(dn == ln,
+      s"trainLocal diverged from train at m=$nMerges: $dn vs $ln")
+    println(f"""{"probe":"bpe-local-tier","merges":$nMerges,""" +
+      f""""wall_dist_s":$wDist%.2f,"wall_local_s":$wLocal%.2f,""" +
+      f""""speedup":${wDist / math.max(wLocal, 1e-3)}%.1f}""")
+  }
+
+  /** `--family bandappend`: the band-index PERSISTENCE cost, measured —
+    * `rows` docs arrive as 4 equal ingest batches (every consecutive id
+    * pair sharing a text, the screen-probe corpus shape). Two
+    * lifecycles persist the same index: (a) `appendBandIndex` — each
+    * batch writes ONLY its own `batch=<n>/` delta; (b) the pre-round-13
+    * shape — fold with `compactBandIndex`, then `saveBandIndex` the
+    * FULL accumulated index every batch. Bytes written per batch must
+    * stay flat under (a) while (b)'s final save rewrites the whole
+    * corpus (quadratic cumulative volume over an ingest); all three
+    * artifacts (append-loaded, rewrite-loaded, fresh in-session build)
+    * must screen a probe batch identically. */
+  private def probeBandAppend(spark: SparkSession, rows: Long,
+                              cpus: Int): Unit = {
+    val nBatches = 4
+    val per = rows / nBatches
+    def mkDocs(lo: Long, hi: Long, idOffset: Long = 0L) =
+      spark.range(lo, hi, 1, cpus).select(
+        (col("id") + idOffset).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), pmod(hash(floor(col("id") / 2).cast("long") * 31 + j),
+            lit(100000L)))): _*).as("text"))
+        .localCheckpoint(eager = true)
+    def du(p: String): Long = {
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(x => du(x.getPath)).sum
+    }
+    val rootPath = java.nio.file.Files.createTempDirectory("graft_bandappend")
+    val root = rootPath.toString
+    println(s"""{"probe":"band-append","rows":$rows,"batches":$nBatches,""" +
+      s""""cpus":$cpus}""")
+    try {
+      // (a) append-only lifecycle
+      Dedup.saveBandIndex(Dedup.buildBandIndex(mkDocs(0, per),
+        reproducible = true), s"$root/app")
+      var prev = du(s"$root/app")
+      val appBytes = (1 until nBatches).map { k =>
+        val (_, _, w) = measure(spark, s"band_append_b$k") {
+          Dedup.appendBandIndex(spark, s"$root/app",
+            mkDocs(k * per, (k + 1) * per)).toLong
+        }
+        val cur = du(s"$root/app")
+        val delta = cur - prev
+        prev = cur
+        println(s"""{"probe":"band-append","mode":"append","batch":$k,""" +
+          f""""bytes_written":$delta,"wall_s":$w%.2f}""")
+        delta
+      }
+      // (b) fold + full-rewrite-per-batch lifecycle
+      var idx = Dedup.buildBandIndex(mkDocs(0, per), reproducible = true)
+      Dedup.saveBandIndex(idx, s"$root/rw")
+      val rwBytes = (1 until nBatches).map { k =>
+        idx = Dedup.compactBandIndex(idx, mkDocs(k * per, (k + 1) * per))
+        val (_, _, w) = measure(spark, s"band_rewrite_b$k") {
+          Dedup.saveBandIndex(idx, s"$root/rw"); k.toLong
+        }
+        val b = du(s"$root/rw") // overwrite: dir size == bytes this save
+        println(s"""{"probe":"band-append","mode":"rewrite","batch":$k,""" +
+          f""""bytes_written":$b,"wall_s":$w%.2f}""")
+        b
+      }
+      // equivalence: a probe batch (clone texts of the first corpus
+      // docs, fresh ids) screens identically from all three artifacts
+      val probe = mkDocs(0, math.min(per, 1024), idOffset = 1000000000L)
+      def chk(ix: Dedup.BandIndex): Long =
+        Dedup.screenAgainstIndex(probe, ix)
+          .filter(col("est_jaccard") >= 0.5)
+          .agg(coalesce(sum(col("doc_in") % 1000000L * 7 + col("doc_corpus")),
+            lit(0L)))
+          .head().getLong(0)
+      val cApp = chk(Dedup.loadBandIndex(spark, s"$root/app"))
+      val cRw = chk(Dedup.loadBandIndex(spark, s"$root/rw"))
+      val cFresh = chk(Dedup.buildBandIndex(mkDocs(0, rows),
+        reproducible = true))
+      require(cApp == cRw && cApp == cFresh,
+        s"lifecycles diverged: append=$cApp rewrite=$cRw fresh=$cFresh")
+      require(cApp != 0L, "probe batch matched nothing — degenerate fixture")
+      // append bytes flat in batch number; the rewrite's final save
+      // pays the whole accumulated index
+      require(appBytes.last < 2 * appBytes.head,
+        s"append bytes not flat: ${appBytes.mkString(",")}")
+      require(rwBytes.last > 2 * appBytes.last,
+        s"rewrite did not dominate append: rw=${rwBytes.mkString(",")} " +
+          s"app=${appBytes.mkString(",")}")
+    } finally graft.Fs.deleteRecursively(rootPath)
   }
 
   /** `--family truss`: k-truss peeling with a planted DENSE CORE — a
@@ -926,13 +1030,14 @@ object ScaleProbe {
     // cluster — a shared template would collide every band bucket into
     // one giant key and probe the refusal path, not the state bound)
     val pairKey = floor(col("id") / 2).cast("long")
-    val incoming = spark.range(0, rows, 1, cpus * 2).select(
+    def mkIncoming(n: Long) = spark.range(0, n, 1, cpus * 2).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until 12).map(j =>
         concat(lit("w"), pmod(hash(pairKey * 31 + j), lit(100000L)))): _*)
         .as("text"),
       timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
       .localCheckpoint(eager = true)
+    val incoming = mkIncoming(rows)
     val corpus = spark.range(0, 8).select(
       (col("id") + 1000000000L).as("doc_id"),
       concat(lit("static corpus filler document number "), col("id"),
@@ -963,6 +1068,26 @@ object ScaleProbe {
       s"screens diverged: unbounded=$pu watermarked=$pw expected=${rows / 2}")
     require(sw < su,
       s"watermarked state ($sw) did not undercut unbounded state ($su)")
+    // the LONG-HORIZON shape: same arrival rate (docs per micro-batch
+    // constant → 10x the micro-batches), same horizon seconds, 10x the
+    // corpus length. Once state plateaus at arrival-rate x
+    // (horizon + delay), max state must be FLAT in corpus length —
+    // previously inferred from the single point above, now measured.
+    // 100+ micro-batches also exercises the listener-accumulated state
+    // census past recentProgress's 100-entry cap.
+    val (p10, s10) = run("screen_watermarked_10x") {
+      graft.streaming.CorpusStreams.growingNearDupScreenWatermarked(spark,
+        mkIncoming(rows * 10), corpus,
+        horizonSeconds = math.max(4L, rows / 20),
+        watermarkDelay = "60 seconds", reproducible = true, tau = 0.5,
+        inputFiles = 100).count()
+    }
+    println(s"""{"probe":"screen-state","form":"watermarked_10x","pairs":$p10,""" +
+      s""""max_state_rows":$s10}""")
+    require(p10 == rows * 10 / 2,
+      s"10x screen lost pairs: $p10 vs ${rows * 10 / 2}")
+    require(s10 < 2 * sw,
+      s"watermarked state grew with corpus length: 10x=$s10 vs 1x=$sw")
   }
 
   /** `--family semdedup`: the single-assignment recall gap, measured —
