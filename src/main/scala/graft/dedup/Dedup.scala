@@ -777,7 +777,9 @@ object Dedup {
   /** Executed plan of the LAST [[screenAgainstIndex]] call in this JVM
     * — diagnostic only (PlanAuditSpec pins the band equi-join strategy
     * through it; the returned frame is checkpointed, so the gate's
-    * final plan no longer contains the join). */
+    * final plan no longer contains the join). Last-writer-wins global:
+    * valid only when the read is single-threaded with the call, as the
+    * spec sites are. */
   @volatile private[graft] var lastScreenPlan: String = ""
 
   /** SimHash 64-bit fingerprint from distinct-token hashes: per bit

@@ -482,7 +482,10 @@ object Relational {
   /** Executed plan of the LAST [[kmvBottomK]] prefilter round in this
     * JVM — diagnostic only (PlanAuditSpec pins the regime-adaptive
     * join strategy through it; the loop's eager checkpoints mean the
-    * gate's final plan no longer contains the join). */
+    * gate's final plan no longer contains the join). Last-writer-wins
+    * global: valid only when the read is single-threaded with the
+    * call, as the spec sites are — concurrent queries would observe
+    * another call's plan. */
   @volatile private[graft] var lastPrefilterPlan: String = ""
 
   /** KMV (k-minimum-values / bottom-k) distinct-count sketch per group

@@ -101,6 +101,8 @@ class KmvSpec extends SparkTestBase {
     val h = graft.functions.HashExpressions.fnv1a32(col("text"))
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // lastPrefilterPlan is a last-writer-wins JVM global — valid only
+    // because each kmvBottomK call and its read are single-threaded
     val shuffled = rows(Relational.kmvBottomK(df, "source", h, k = 16,
       broadcastGroupLimit = 1))
     assert(Relational.lastPrefilterPlan.contains("ShuffledHashJoin"),
