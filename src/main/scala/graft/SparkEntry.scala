@@ -3758,6 +3758,33 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("doc_in", "doc_corpus").limit(1000)
     }),
+    // band-index SNAPSHOT COMPACTION — the maintenance op a long
+    // append chain needs (one batch=<n>/ dir per append → listing
+    // overhead and census width grow with batch count): build ⅓ →
+    // save (v=1) → append ⅙ → SNAPSHOT (folds the chain into batch 0
+    // of v=2, _LATEST flipped) → append ⅙ (lands in v=2) → load →
+    // screen. Pinned to the IDENTICAL oracle as d29/io16/io17/io18,
+    // so versioning + snapshot + post-snapshot appends must compose
+    // bit-faithfully with a fresh full build
+    "io19_band_index_snapshot" -> q((s, d) =>
+      withTempDir("graft_io19") { dir =>
+        val docs = Tables.documents(s, d)
+        Dedup.saveBandIndex(Dedup.buildBandIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 1),
+          reproducible = true), s"$dir/idx")
+        Dedup.appendBandIndex(s, s"$dir/idx",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+            && pmod(col("doc_id"), lit(2L)) === 0))
+        Dedup.snapshotBandIndex(s, s"$dir/idx")
+        Dedup.appendBandIndex(s, s"$dir/idx",
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+            && pmod(col("doc_id"), lit(2L)) === 1))
+        Dedup.screenAgainstIndex(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+            Dedup.loadBandIndex(s, s"$dir/idx"))
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy("doc_in", "doc_corpus").limit(1000)
+      }),
     "io17_band_index_compact" -> q((s, d) => withTempDir("graft_io17") { dir =>
       val docs = Tables.documents(s, d)
       val idx0 = Dedup.buildBandIndex(
@@ -8594,6 +8621,9 @@ object SparkEntry {
     // through the append-only persistence path must land on the same
     // fresh-full-build answer
     "io18_band_index_append" -> crossCorpusSql,
+    // save → append → SNAPSHOT (new version) → append → load → screen
+    // must land on the same fresh-full-build answer
+    "io19_band_index_snapshot" -> crossCorpusSql,
     // growing-corpus screen: incoming×corpus (corpus-side guard, as in
     // d29) UNION incoming×incoming (unguarded band self-join — the
     // stateful side refuses loudly instead of degrading), canonically

@@ -616,29 +616,85 @@ object Dedup {
   @volatile private[graft] var lastCensusMergePlan: String = ""
 
   /** Persist a band index ([[graft.similarity.Ivf.save]] pattern, io14)
-    * in the APPEND-ONLY batch-keyed layout: each table lands under a
-    * `batch=<n>/` partition directory, and a `_BATCHES` pointer file
-    * (written tmp-then-rename, the `CuratedWriter.publishVersion`
-    * commit) names how many batches are committed. `saveBandIndex`
-    * writes the WHOLE index as `batch=0` — the initial snapshot, or an
-    * explicit snapshot-compaction of a long append chain; the per-batch
-    * ingest path is [[appendBandIndex]], which writes ONLY the new
-    * batch's rows (batch-sized IO — saving the folded index per batch
-    * would rewrite the full accumulated corpus every time, quadratic
-    * total write volume over an ingest). Long arrays and band keys
-    * round-trip parquet bit-exactly, so a reloaded index screens
-    * IDENTICALLY to a fresh one (gate io16 pins it to the same oracle
-    * as d29; io18 pins the append lifecycle to the same oracle). */
-  def saveBandIndex(index: BandIndex, path: String): Unit = {
-    index.signatures.write.mode("overwrite").parquet(s"$path/signatures/batch=0")
-    index.bands.write.mode("overwrite").parquet(s"$path/bands/batch=0")
-    index.buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=0")
+    * in the APPEND-ONLY, VERSIONED layout:
+    *
+    * {{{
+    * <root>/_LATEST                 // committed version pointer
+    * <root>/v=<k>/_BATCHES          // committed batch count, this version
+    * <root>/v=<k>/params            // banding-contract sidecar
+    * <root>/v=<k>/{signatures,bands,buckets}/batch=<n>/
+    * }}}
+    *
+    * Every commit is a pointer flipped tmp-then-rename (the
+    * `CuratedWriter.publishVersion` pattern): `saveBandIndex` writes a
+    * FRESH version tree holding the whole index as `batch=0` and flips
+    * `_LATEST`; [[appendBandIndex]] writes ONLY the new batch's rows
+    * into the current version and flips that version's `_BATCHES`
+    * (batch-sized IO — saving the folded index per batch would rewrite
+    * the full accumulated corpus every time, quadratic total write
+    * volume over an ingest); [[snapshotBandIndex]] folds a long append
+    * chain back to one batch in a NEW version (bounded read
+    * amplification), leaving prior versions pinnable until
+    * [[vacuumBandIndex]]. A crash before a pointer flip leaves an
+    * orphan directory no pointer names — invisible to loads, skipped
+    * by the next save's version numbering, reclaimed by vacuum.
+    *
+    * Long arrays and band keys round-trip parquet bit-exactly, so a
+    * reloaded index screens IDENTICALLY to a fresh one (gate io16 pins
+    * it to the same oracle as d29; io18 pins the append lifecycle and
+    * io19 the snapshot-compaction lifecycle to the same oracle).
+    * Returns the version written. */
+  def saveBandIndex(index: BandIndex, path: String): Int = {
     val spark = index.signatures.sparkSession
+    val fs = hadoopFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(root)
+    val existing =
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.drop(2).toInt)
+    val next = if (existing.isEmpty) 1 else existing.max + 1
+    val vdir = s"$path/v=$next"
+    index.signatures.write.mode("overwrite").parquet(s"$vdir/signatures/batch=0")
+    index.bands.write.mode("overwrite").parquet(s"$vdir/bands/batch=0")
+    index.buckets.write.mode("overwrite").parquet(s"$vdir/buckets/batch=0")
     import spark.implicits._
     Seq((index.numHashes, index.numBands, index.shingleK, index.reproducible))
       .toDF("num_hashes", "num_bands", "shingle_k", "reproducible")
-      .write.mode("overwrite").parquet(s"$path/params")
-    writeBatchPointer(spark, path, 1)
+      .write.mode("overwrite").parquet(s"$vdir/params")
+    writePointer(fs, vdir, "_BATCHES", 1)
+    writePointer(fs, path, "_LATEST", next)
+    next
+  }
+
+  /** Fold the CURRENT version's append chain into a single batch in a
+    * NEW version — the maintenance twin of [[appendBandIndex]]: a long
+    * ingest accumulates one `batch=<n>/` directory per append (listing
+    * overhead and census merge width grow with batch count), so a
+    * periodic snapshot rewrites the committed state as `batch=0` of
+    * version latest+1 and flips `_LATEST`. One full-index write,
+    * amortized over the appends since the last snapshot — the SAME
+    * total write volume as a single rewrite-save, paid every k batches
+    * instead of every batch. Prior versions stay readable (pin via
+    * `loadBandIndex(..., version = Some(k))`) until [[vacuumBandIndex]].
+    * Returns the new version. */
+  def snapshotBandIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Int =
+    saveBandIndex(loadBandIndex(spark, path), path)
+
+  /** Delete committed version trees OLDER than `_LATEST` (plus any
+    * orphaned uncommitted ones) and return how many were removed.
+    * Callers own the coordination caveat every vacuum has: a reader
+    * that pinned an old version mid-scan loses its files. */
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val fs = hadoopFs(spark, path)
+    val latest = readPointer(fs, path, "_LATEST")
+    val old = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("v=") && p.getName.drop(2).toInt != latest
+      }
+    old.foreach(p => fs.delete(p, true))
+    old.length
   }
 
   /** Append one ingest batch to a persisted band index WITHOUT
@@ -659,41 +715,48 @@ object Dedup {
     * rows. Returns the committed batch count. */
   def appendBandIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, newDocs: DataFrame): Int = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val fs = hadoopFs(spark, path)
+    val vdir = s"$path/v=${readPointer(fs, path, "_LATEST")}"
+    val p = spark.read.parquet(s"$vdir/params").head()
     val numHashes = p.getAs[Int]("num_hashes")
     val numBands = p.getAs[Int]("num_bands")
     val shingleK = p.getAs[Int]("shingle_k")
     val reproducible = p.getAs[Boolean]("reproducible")
-    val n = readBatchPointer(spark, path)
+    val n = readPointer(fs, vdir, "_BATCHES")
     minhashSignatures(graft.operators.Partitioning.spread(newDocs),
         numHashes, shingleK, reproducible)
-      .write.mode("overwrite").parquet(s"$path/signatures/batch=$n")
+      .write.mode("overwrite").parquet(s"$vdir/signatures/batch=$n")
     // band off the just-written signatures: one signing pass total
     // (banding a live signature frame would recompute it per write)
-    val sigsNew = spark.read.parquet(s"$path/signatures/batch=$n")
+    val sigsNew = spark.read.parquet(s"$vdir/signatures/batch=$n")
     bandedKeys(sigsNew, numHashes, numBands, reproducible)
-      .write.mode("overwrite").parquet(s"$path/bands/batch=$n")
-    spark.read.parquet(s"$path/bands/batch=$n")
+      .write.mode("overwrite").parquet(s"$vdir/bands/batch=$n")
+    spark.read.parquet(s"$vdir/bands/batch=$n")
       .groupBy("band", "band_hash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
-      .write.mode("overwrite").parquet(s"$path/buckets/batch=$n")
-    writeBatchPointer(spark, path, n + 1)
+      .write.mode("overwrite").parquet(s"$vdir/buckets/batch=$n")
+    writePointer(fs, vdir, "_BATCHES", n + 1)
     n + 1
   }
 
-  /** Load a persisted band index: the params sidecar restores the
-    * banding contract the probe side must reproduce; only batches the
-    * `_BATCHES` pointer has committed are visible (partition pruning on
-    * the `batch` column — an in-flight or crashed append never leaks).
-    * The per-batch bucket censuses merge on read with the same min/sum
-    * arithmetic [[compactBandIndex]] uses. */
+  /** Load a persisted band index at `_LATEST` (or a pinned older
+    * `version` — time travel until vacuumed): the params sidecar
+    * restores the banding contract the probe side must reproduce; only
+    * batches the version's `_BATCHES` pointer has committed are
+    * visible (partition pruning on the `batch` column — an in-flight
+    * or crashed append never leaks). The per-batch bucket censuses
+    * merge on read with the same min/sum arithmetic
+    * [[compactBandIndex]] uses (the census is bands×buckets-sized, so
+    * the re-aggregation is cheap). */
   def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String): BandIndex = {
-    val p = spark.read.parquet(s"$path/params").head()
-    val n = readBatchPointer(spark, path)
+                    path: String, version: Option[Int] = None): BandIndex = {
+    val fs = hadoopFs(spark, path)
+    val vdir = s"$path/v=${version.getOrElse(readPointer(fs, path, "_LATEST"))}"
+    val p = spark.read.parquet(s"$vdir/params").head()
+    val n = readPointer(fs, vdir, "_BATCHES")
     def committed(table: String) =
-      spark.read.parquet(s"$path/$table").filter(col("batch") < n).drop("batch")
-    val buckets = spark.read.parquet(s"$path/buckets")
+      spark.read.parquet(s"$vdir/$table").filter(col("batch") < n).drop("batch")
+    val buckets = spark.read.parquet(s"$vdir/buckets")
       .filter(col("batch") < n)
       .groupBy("band", "band_hash")
       .agg(min("rep").as("rep"), sum("bsz").as("bsz"))
@@ -703,32 +766,33 @@ object Dedup {
       p.getAs[Int]("shingle_k"), p.getAs[Boolean]("reproducible"))
   }
 
-  /** Commit `n` as the band index's visible batch count: write
-    * `_BATCHES.tmp`, rename over `_BATCHES` — atomic on HDFS/local;
-    * a one-object PUT on stores without atomic rename (the
-    * `publishVersion` pattern). */
-  private def writeBatchPointer(spark: org.apache.spark.sql.SparkSession,
-                                path: String, n: Int): Unit = {
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Commit `value` under `dir/name`: write `<name>.tmp`, rename over
+    * `<name>` — atomic on HDFS/local; a one-object PUT on stores
+    * without atomic rename (the `publishVersion` pattern). */
+  private def writePointer(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String, name: String, value: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
     fs.mkdirs(root)
-    val tmp = new Path(root, "_BATCHES.tmp")
+    val tmp = new Path(root, s"$name.tmp")
     val out = fs.create(tmp, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(root, "_BATCHES")
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, name)
     fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(
-        s"appendBandIndex: pointer flip $tmp -> $ptr failed")
+        s"band index: pointer flip $tmp -> $ptr failed")
   }
 
-  /** The committed batch count the `_BATCHES` pointer names. */
-  private def readBatchPointer(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Int = {
-    import org.apache.hadoop.fs.Path
-    val ptr = new Path(path, "_BATCHES")
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+  /** The committed value the `dir/name` pointer names. */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, name: String): Int = {
+    val ptr = new org.apache.hadoop.fs.Path(dir, name)
     val in = fs.open(ptr)
     try new String(in.readAllBytes(), "UTF-8").trim.toInt
     finally in.close()

@@ -82,7 +82,13 @@ object Bpe {
     * words every 16 rounds), so plan depth is bounded at any merge
     * count. Delta arithmetic is exact integer — the merge table is
     * bit-identical to the full-recount reference [[trainRecount]],
-    * asserted by BpeSpec and the `--family bpe` scale probe. */
+    * asserted by BpeSpec and the `--family bpe` scale probe.
+    *
+    * Tier choice: each round is one Spark job + a 1-row collect, so a
+    * production merge count (30k) pays 30k sequential scheduling
+    * floors — use [[trainLocal]] (bit-identical, measured 15.6× at 128
+    * merges and growing linearly) unless the word table genuinely
+    * exceeds driver memory. */
   def train(docs: DataFrame, nMerges: Int = 10,
             textCol: String = "text"): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")

@@ -173,9 +173,9 @@ class CrossCorpusSpec extends SparkTestBase {
     // simulate a crashed append: batch data lands but the pointer was
     // never flipped (write the delta tables by hand at batch=1)
     val idxB = Dedup.buildBandIndex(b, reproducible = true)
-    idxB.signatures.write.parquet(s"$dir/idx/signatures/batch=1")
-    idxB.bands.write.parquet(s"$dir/idx/bands/batch=1")
-    idxB.buckets.write.parquet(s"$dir/idx/buckets/batch=1")
+    idxB.signatures.write.parquet(s"$dir/idx/v=1/signatures/batch=1")
+    idxB.bands.write.parquet(s"$dir/idx/v=1/bands/batch=1")
+    idxB.buckets.write.parquet(s"$dir/idx/v=1/buckets/batch=1")
     val after = Dedup.loadBandIndex(spark, s"$dir/idx")
     assert(after.signatures.count() == committed,
       "uncommitted batch rows leaked past the _BATCHES pointer")
@@ -183,6 +183,47 @@ class CrossCorpusSpec extends SparkTestBase {
     Dedup.appendBandIndex(spark, s"$dir/idx", b)
     assert(Dedup.loadBandIndex(spark, s"$dir/idx").signatures.count()
       == committed + idxB.signatures.count())
+  }
+
+  test("snapshotBandIndex folds the append chain into a new pinned version") {
+    val docs = fixture
+    val a = docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+      && pmod(col("doc_id"), lit(2L)) === 0)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2
+      && pmod(col("doc_id"), lit(2L)) === 1)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val dir = tempDir("graft_snapshot_spec")
+    assert(Dedup.saveBandIndex(Dedup.buildBandIndex(a, reproducible = true),
+      s"$dir/idx") == 1)
+    Dedup.appendBandIndex(spark, s"$dir/idx", b1)
+    // snapshot: the two-batch chain of v=1 becomes batch=0 of v=2
+    assert(Dedup.snapshotBandIndex(spark, s"$dir/idx") == 2)
+    // the append after the snapshot lands in v=2 as batch=1
+    assert(Dedup.appendBandIndex(spark, s"$dir/idx", b2) == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    val fresh = Dedup.buildBandIndex(a.unionByName(b1).unionByName(b2),
+      reproducible = true)
+    val loaded = Dedup.loadBandIndex(spark, s"$dir/idx")
+    assert(rows(loaded.signatures) == rows(fresh.signatures))
+    assert(rows(loaded.buckets) == rows(fresh.buckets))
+    val screened = rows(Dedup.screenAgainstIndex(incoming, loaded))
+    assert(screened == rows(Dedup.screenAgainstIndex(incoming, fresh)))
+    assert(screened.nonEmpty)
+    // v=1 stays pinnable (pre-snapshot, pre-b2 state) until vacuumed
+    val pinned = Dedup.loadBandIndex(spark, s"$dir/idx", version = Some(1))
+    assert(rows(pinned.signatures)
+      == rows(Dedup.buildBandIndex(a.unionByName(b1),
+        reproducible = true).signatures))
+    assert(Dedup.vacuumBandIndex(spark, s"$dir/idx") == 1)
+    assert(!new java.io.File(s"$dir/idx/v=1").exists())
+    // the latest version is untouched by vacuum
+    assert(rows(Dedup.loadBandIndex(spark, s"$dir/idx").signatures)
+      == rows(fresh.signatures))
   }
 
   test("compaction chain lineage is cut: 20 folds keep plan depth bounded") {
