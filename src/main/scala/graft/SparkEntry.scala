@@ -2365,8 +2365,12 @@ object SparkEntry {
     // `documents`, replayed over the part-name vocabulary — subwords
     // only merge where the trained pairs actually occur, so the
     // encoded symbol profile is a genuine out-of-domain application
+    // training runs through the driver-local tier (bit-identical to the
+    // distributed one — bpe6 pins the pair to one oracle; bpe1 keeps the
+    // distributed tier gate-covered): one collect of the vocab-sized
+    // word table replaces 10 sequential per-merge Spark jobs
     "bpe3_cross_encode" -> q((s, d) => {
-      val merges = graft.text.Bpe.train(Tables.documents(s, d), nMerges = 10)._1
+      val merges = graft.text.Bpe.trainLocal(Tables.documents(s, d), nMerges = 10)._1
       graft.text.Bpe.encode(
           Tables.part(s, d).select(col("p_name").as("text")), merges)
         .select(col("freq"), explode(col("symbols")).as("symbol"))
@@ -2378,7 +2382,7 @@ object SparkEntry {
     // pinned to the IDENTICAL oracle, so a merge row lost, reordered,
     // or re-typed in the round-trip fails the hash
     "bpe5_bpe_model_roundtrip" -> q((s, d) => withTempDir("graft_bpe5") { dir =>
-      val merges = graft.text.Bpe.train(Tables.documents(s, d), nMerges = 10)._1
+      val merges = graft.text.Bpe.trainLocal(Tables.documents(s, d), nMerges = 10)._1
       graft.text.Bpe.save(merges, s"$dir/bpe", s)
       graft.text.Bpe.encode(
           Tables.part(s, d).select(col("p_name").as("text")),
@@ -2400,7 +2404,7 @@ object SparkEntry {
     // by; segmentation table is vocab-sized and broadcasts
     "bpe4_fertility" -> q((s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.text.Bpe.train(docs, nMerges = 10)._1
+      val merges = graft.text.Bpe.trainLocal(docs, nMerges = 10)._1
       val seg = graft.text.Bpe.encode(docs, merges)
         .select(col("word"), size(col("symbols")).as("n_sym"))
       docs.select(col("lang"),

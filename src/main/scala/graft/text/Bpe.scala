@@ -350,10 +350,15 @@ object Bpe {
 
   /** Corpus-weighted symbol frequencies AFTER the learned merges — the
     * encoded-output pin: top `topK` symbols by `(count desc, symbol)`.
-    * Shows merged subwords overtaking raw characters. */
+    * Shows merged subwords overtaking raw characters. Trains through
+    * [[trainLocal]] (bit-identical to [[train]] — BpeSpec pins both
+    * tiers, gate bpe6 pins the tier pair to one oracle): the word
+    * table is vocab-sized by construction, so the driver loop replaces
+    * nMerges sequential Spark jobs with one collect (r13 optimization;
+    * the distributed tier stays gate-covered via bpe1). */
   def encodedSymbolCounts(docs: DataFrame, nMerges: Int = 10,
                           topK: Int = 20): DataFrame =
-    train(docs, nMerges)._2
+    trainLocal(docs, nMerges)._2
       .select(col("freq"), explode(symbolsOf(col("s"))).as("symbol"))
       .groupBy("symbol").agg(sum("freq").as("cnt"))
       .orderBy(desc("cnt"), asc("symbol")).limit(topK)
