@@ -529,9 +529,18 @@ object Dedup {
                      reproducible: Boolean = false): BandIndex = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly")
+    // LAZY localCheckpoint: every consumer of a fresh index (a save's
+    // three table writes, a screen's four corpus-side checkpoints)
+    // otherwise re-runs the corpus-sized shingle+signature pass per
+    // materialization — bands and buckets both derive from `sigs`, so
+    // the first action signs ONCE and the rest read the cached
+    // signature frame (measured: saveBandIndex(buildBandIndex(..)) paid
+    // 3 signing passes; the r13 bench cut io16-io19/st14-st17 by
+    // sharing it). Lazy, not eager: no extra job when the first
+    // consumer materializes anyway.
     val sigs = minhashSignatures(
       graft.operators.Partitioning.spread(corpus), numHashes, shingleK,
-      reproducible)
+      reproducible).localCheckpoint(eager = false)
     val banded = bandedKeys(sigs, numHashes, bands, reproducible)
     val buckets = banded.groupBy("band", "band_hash")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
@@ -559,9 +568,13 @@ object Dedup {
     * (re-ingesting a doc_id would double-count its census rows, same
     * as feeding it to buildBandIndex twice). */
   def compactBandIndex(index: BandIndex, newDocs: DataFrame): BandIndex = {
+    // lazy checkpoint for the same reason as [[buildBandIndex]]'s: the
+    // folded index's signature/band/bucket tables all contain this
+    // batch subtree, so a following save would re-sign the batch once
+    // per table write without the shared cache
     val sigsNew = minhashSignatures(
       graft.operators.Partitioning.spread(newDocs), index.numHashes,
-      index.shingleK, index.reproducible)
+      index.shingleK, index.reproducible).localCheckpoint(eager = false)
     val bandedNew = bandedKeys(sigsNew, index.numHashes, index.numBands,
       index.reproducible)
     val bucketsNew = bandedNew.groupBy("band", "band_hash")
@@ -654,16 +667,62 @@ object Dedup {
         .filter(_.startsWith("v=")).map(_.drop(2).toInt)
     val next = if (existing.isEmpty) 1 else existing.max + 1
     val vdir = s"$path/v=$next"
-    index.signatures.write.mode("overwrite").parquet(s"$vdir/signatures/batch=0")
-    index.bands.write.mode("overwrite").parquet(s"$vdir/bands/batch=0")
-    index.buckets.write.mode("overwrite").parquet(s"$vdir/buckets/batch=0")
+    // Signatures first, ALONE: for a fresh or compacted index every
+    // other table derives from the (lazily checkpointed) signature
+    // frame, so this job is the one that materializes the shared cache
+    // — the remaining three writes then read it concurrently without
+    // racing its materialization. The writes are independent (guide
+    // §2.6: overlap independent jobs), so a small pool turns their
+    // wall-clock from sum to max; job descriptions are thread-local,
+    // so each write labels itself. `rebalance` on the map-only
+    // signature/band frames sizes the output files (guide §6): the
+    // signing pass runs wide for compute parallelism
+    // (Partitioning.spread), but writing one file per map task leaves
+    // KB-sized files locally and unsized files at scale — the AQE
+    // rebalance coalesces to advisoryPartitionSizeInBytes either way.
+    // The bucket census already crosses its aggregation shuffle, which
+    // AQE sizes the same way.
+    labeled(spark, s"bandindex: save v$next signatures")(
+      index.signatures.hint("rebalance").write.mode("overwrite")
+        .parquet(s"$vdir/signatures/batch=0"))
     import spark.implicits._
-    Seq((index.numHashes, index.numBands, index.shingleK, index.reproducible))
-      .toDF("num_hashes", "num_bands", "shingle_k", "reproducible")
-      .write.mode("overwrite").parquet(s"$vdir/params")
+    inParallel(
+      () => labeled(spark, s"bandindex: save v$next bands")(
+        index.bands.hint("rebalance").write.mode("overwrite")
+          .parquet(s"$vdir/bands/batch=0")),
+      () => labeled(spark, s"bandindex: save v$next buckets")(
+        index.buckets.write.mode("overwrite").parquet(s"$vdir/buckets/batch=0")),
+      () => labeled(spark, s"bandindex: save v$next params")(
+        Seq((index.numHashes, index.numBands, index.shingleK,
+            index.reproducible))
+          .toDF("num_hashes", "num_bands", "shingle_k", "reproducible")
+          .write.mode("overwrite").parquet(s"$vdir/params")))
     writePointer(fs, vdir, "_BATCHES", 1)
     writePointer(fs, path, "_LATEST", next)
     next
+  }
+
+  /** Run independent Spark actions concurrently on a transient pool
+    * (guide §2.6 — overlap independent jobs so the tail of one
+    * back-fills the others); rethrows the first failure. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+      fs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
+  /** Label the jobs of `body` in the Spark UI / listener timelines
+    * (thread-local — safe under [[inParallel]]). */
+  private def labeled[A](spark: org.apache.spark.sql.SparkSession,
+                         desc: String)(body: => A): A = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
   }
 
   /** Fold the CURRENT version's append chain into a single batch in a
@@ -723,18 +782,30 @@ object Dedup {
     val shingleK = p.getAs[Int]("shingle_k")
     val reproducible = p.getAs[Boolean]("reproducible")
     val n = readPointer(fs, vdir, "_BATCHES")
-    minhashSignatures(graft.operators.Partitioning.spread(newDocs),
-        numHashes, shingleK, reproducible)
-      .write.mode("overwrite").parquet(s"$vdir/signatures/batch=$n")
-    // band off the just-written signatures: one signing pass total
-    // (banding a live signature frame would recompute it per write)
-    val sigsNew = spark.read.parquet(s"$vdir/signatures/batch=$n")
-    bandedKeys(sigsNew, numHashes, numBands, reproducible)
-      .write.mode("overwrite").parquet(s"$vdir/bands/batch=$n")
-    spark.read.parquet(s"$vdir/bands/batch=$n")
-      .groupBy("band", "band_hash")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
-      .write.mode("overwrite").parquet(s"$vdir/buckets/batch=$n")
+    // ONE signing pass, shared in memory: the eager localCheckpoint
+    // materializes the batch signatures once, and the band/bucket
+    // chains derive from the cached frame — this replaces the former
+    // write-then-read-back sequencing (3 dependent write+scan pairs)
+    // with one materialization plus THREE CONCURRENT writes (guide
+    // §2.6); the batch is ingest-sized, so the cache is small by
+    // contract. `rebalance` sizes the map-only signature/band outputs
+    // (guide §6); the bucket census crosses its own shuffle, which AQE
+    // sizes.
+    val sigsNew = labeled(spark, s"bandindex: append batch=$n sign")(
+      minhashSignatures(graft.operators.Partitioning.spread(newDocs),
+        numHashes, shingleK, reproducible).localCheckpoint(eager = true))
+    val bandedNew = bandedKeys(sigsNew, numHashes, numBands, reproducible)
+    inParallel(
+      () => labeled(spark, s"bandindex: append batch=$n signatures")(
+        sigsNew.hint("rebalance").write.mode("overwrite")
+          .parquet(s"$vdir/signatures/batch=$n")),
+      () => labeled(spark, s"bandindex: append batch=$n bands")(
+        bandedNew.hint("rebalance").write.mode("overwrite")
+          .parquet(s"$vdir/bands/batch=$n")),
+      () => labeled(spark, s"bandindex: append batch=$n buckets")(
+        bandedNew.groupBy("band", "band_hash")
+          .agg(min("doc_id").as("rep"), count(lit(1)).as("bsz"))
+          .write.mode("overwrite").parquet(s"$vdir/buckets/batch=$n")))
     writePointer(fs, vdir, "_BATCHES", n + 1)
     n + 1
   }

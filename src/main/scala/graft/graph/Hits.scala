@@ -29,15 +29,19 @@ object Hits {
     * unit L2 norm in the result. */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // lazy lineage cuts — fixed rounds, the L2 norms are broadcast
+    // one-row aggregates inside the plan (never driver reads), so the
+    // full hub/authority recursion executes as one job at the caller's
+    // first action (the [[PageRank]]/[[Sssp]] discipline)
     val e = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def l2normed(scores: DataFrame, c: String): DataFrame = {
       val z = scores.agg(sqrt(sum(col(c) * col(c))).as("_z"))
@@ -54,14 +58,14 @@ object Hits {
       auth = l2normed(
         nodes.join(aRaw, nodes("node") === aRaw("node2"), "left")
           .select(nodes("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth").localCheckpoint(true)
+        "auth").localCheckpoint(false)
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src").as("node2"))
         .agg(sum("auth").as("hub"))
       hub = l2normed(
         nodes.join(hRaw, nodes("node") === hRaw("node2"), "left")
           .select(nodes("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub").localCheckpoint(true)
+        "hub").localCheckpoint(false)
     }
     nodes.join(hub, "node").join(auth, "node")
       .select(col("node"), col("hub"), col("auth"))

@@ -37,7 +37,13 @@ object Kcore {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
-    var cur = und.localCheckpoint(true)
+    // LAZY checkpoints (the [[PageRank]] fixed-iteration discipline):
+    // no round reads a driver scalar, so the whole peel executes as ONE
+    // job at the caller's first action instead of one eager job per
+    // round — the checkpoint still caches each round's survivors on
+    // first computation and still cuts plan lineage (LogicalRDD wraps
+    // the round's plan immediately, eager or not).
+    var cur = und.localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val keep = cur.select(col("a").as("v"))
         .unionAll(cur.select(col("b").as("v")))
@@ -48,7 +54,7 @@ object Kcore {
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       cur = next
     }
     cur.select(col("a").as("v")).unionAll(cur.select(col("b").as("v")))

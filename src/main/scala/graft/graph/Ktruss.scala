@@ -33,12 +33,15 @@ object Ktruss {
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .distinct()
+    // lazy lineage cuts — fixed rounds, no per-round driver reads, so
+    // the peel folds into the caller's first action as one job (the
+    // [[PageRank]]/[[Sssp]] discipline)
     for (_ <- 1 to rounds) {
       e = Triangles
         .edgeSupportOf(e.select(col("a").as("src"), col("b").as("dst")))
         .filter(col("sup") >= k - 2)
         .select("a", "b")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     Triangles.edgeSupportOf(e.select(col("a").as("src"), col("b").as("dst")))
       .groupBy(col("sup").as("support"))

@@ -42,12 +42,16 @@ object LabelProp {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
+    // lazy lineage cuts — fixed rounds, no per-round driver reads, so
+    // the whole propagation executes as one job at the caller's first
+    // action (the [[PageRank]]/[[Sssp]] discipline); the checkpoint
+    // still caches adj/labels for their multiple per-round consumers
     val adj = und.select(col("a").as("v"), col("b").as("u"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val picked = adj
         .join(labels.select(col("v").as("u"), col("label")), "u")
@@ -62,7 +66,7 @@ object LabelProp {
       labels = labels.select(col("v"), col("label").as("_old"))
         .join(picked, Seq("v"), "left")
         .select(col("v"), coalesce(col("label"), col("_old")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels
   }

@@ -25,11 +25,25 @@ object Partitioning {
     val files = df.inputFiles.length
     if (files == 0) df
     else {
-      val maxPart = math.max(1L,
-        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-      val estSplits = math.max(files.toLong,
-        (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart).toLong)
-      if (estSplits < target) df.repartition(target) else df
+      val conf = df.sparkSession.sessionState.conf
+      val maxPart = math.max(1L, conf.filesMaxPartitionBytes)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estSplits = math.max(files.toLong, (bytes / maxPart).toLong)
+      // The parallelism floor is SIZED, not a flat core count: blowing
+      // a KB-sized input to defaultParallelism partitions pays a
+      // shuffle plus `target` near-empty tasks in EVERY downstream
+      // map-only stage (and one tiny output file per task on a write)
+      // for microseconds of per-task work — measured r13 as the
+      // dominant fixed cost of the dedup/band-index gate family. One
+      // task per `filesOpenCostInBytes` (Spark's own tiny-input
+      // amortization constant, 4 MB) keeps per-task work meaningful:
+      // inputs under it stay as scanned, cluster-scale inputs hit the
+      // `target` cap exactly as before, and the 100-TB pass-through
+      // regime (estSplits >= target) is unchanged.
+      val openCost = math.max(1L, conf.filesOpenCostInBytes)
+      val sized = math.min(target.toLong,
+        (bytes / openCost).toLong + 1).toInt
+      if (estSplits < sized) df.repartition(sized) else df
     }
   }
 }

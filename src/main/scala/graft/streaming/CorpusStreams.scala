@@ -158,17 +158,25 @@ object CorpusStreams {
     val reproducible = index.reproducible
     // checkpoint the corpus-side frames so every micro-batch probes an
     // identical, lineage-free index (a freshly built index otherwise
-    // re-evaluates per batch)
-    val bucketsC = index.buckets.localCheckpoint(eager = true)
-    val smallC = index.bands.join(bucketsC, Seq("band", "band_hash"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
-      .localCheckpoint(eager = true)
-    val starC = bucketsC.filter(col("bsz") > maxBucket)
-      .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
-      .localCheckpoint(eager = true)
-    val sigCorpus = index.signatures.select(col("doc_id").as("doc_corpus"),
-      col("sig").as("sig_c")).localCheckpoint(eager = true)
+    // re-evaluates per batch); labeled so the freeze phase is
+    // attributable in job timelines (guide §1.5)
+    val sc = spark.sparkContext
+    def frozen(desc: String)(df: DataFrame): DataFrame = {
+      sc.setJobDescription(s"screen: freeze $desc")
+      try df.localCheckpoint(eager = true)
+      finally sc.setJobDescription(null)
+    }
+    val bucketsC = frozen("buckets")(index.buckets)
+    val smallC = frozen("small-buckets")(
+      index.bands.join(bucketsC, Seq("band", "band_hash"))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus")))
+    val starC = frozen("star-buckets")(
+      bucketsC.filter(col("bsz") > maxBucket)
+        .select(col("band"), col("band_hash"), col("rep").as("doc_corpus")))
+    val sigCorpus = frozen("signatures")(
+      index.signatures.select(col("doc_id").as("doc_corpus"),
+        col("sig").as("sig_c")))
 
     import spark.implicits._
     def agreement(a: Seq[Long], b: Seq[Long]): Double =
@@ -310,17 +318,25 @@ object CorpusStreams {
     val reproducible = index.reproducible
     // checkpoint the corpus-side frames so every micro-batch probes an
     // identical, lineage-free index (a freshly built index otherwise
-    // re-evaluates per batch)
-    val bucketsC = index.buckets.localCheckpoint(eager = true)
-    val smallC = index.bands.join(bucketsC, Seq("band", "band_hash"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus"))
-      .localCheckpoint(eager = true)
-    val starC = bucketsC.filter(col("bsz") > maxBucket)
-      .select(col("band"), col("band_hash"), col("rep").as("doc_corpus"))
-      .localCheckpoint(eager = true)
-    val sigCorpus = index.signatures.select(col("doc_id").as("doc_corpus"),
-      col("sig").as("sig_c")).localCheckpoint(eager = true)
+    // re-evaluates per batch); labeled so the freeze phase is
+    // attributable in job timelines (guide §1.5)
+    val sc = spark.sparkContext
+    def frozen(desc: String)(df: DataFrame): DataFrame = {
+      sc.setJobDescription(s"screen: freeze $desc")
+      try df.localCheckpoint(eager = true)
+      finally sc.setJobDescription(null)
+    }
+    val bucketsC = frozen("buckets")(index.buckets)
+    val smallC = frozen("small-buckets")(
+      index.bands.join(bucketsC, Seq("band", "band_hash"))
+        .filter(col("bsz") <= maxBucket)
+        .select(col("band"), col("band_hash"), col("doc_id").as("doc_corpus")))
+    val starC = frozen("star-buckets")(
+      bucketsC.filter(col("bsz") > maxBucket)
+        .select(col("band"), col("band_hash"), col("rep").as("doc_corpus")))
+    val sigCorpus = frozen("signatures")(
+      index.signatures.select(col("doc_id").as("doc_corpus"),
+        col("sig").as("sig_c")))
 
     import spark.implicits._
     val hMs = horizonSeconds * 1000L
