@@ -34,15 +34,19 @@ object Partitioning {
       // shuffle plus `target` near-empty tasks in EVERY downstream
       // map-only stage (and one tiny output file per task on a write)
       // for microseconds of per-task work — measured r13 as the
-      // dominant fixed cost of the dedup/band-index gate family. One
-      // task per `filesOpenCostInBytes` (Spark's own tiny-input
-      // amortization constant, 4 MB) keeps per-task work meaningful:
-      // inputs under it stay as scanned, cluster-scale inputs hit the
-      // `target` cap exactly as before, and the 100-TB pass-through
-      // regime (estSplits >= target) is unchanged.
-      val openCost = math.max(1L, conf.filesOpenCostInBytes)
+      // dominant fixed cost of the dedup/band-index gate family. The
+      // per-task quantum is 1/16 of `filesOpenCostInBytes` (256 KB at
+      // the 4 MB default): spread feeds COMPUTE-heavy per-row stages
+      // (signing, shingling), so the quantum must be small enough that
+      // a mid-size corpus still fans out — the full 4 MB quantum was
+      // measured costing d5/d8/d21 ~1 s each of single-core signing at
+      // sf0.1, while 256 KB keeps them parallel AND keeps KB-sized
+      // inputs at a handful of tasks instead of 32. Cluster-scale
+      // inputs hit the `target` cap exactly as before; the 100-TB
+      // pass-through regime (estSplits >= target) is unchanged.
+      val quantum = math.max(1L, conf.filesOpenCostInBytes / 16)
       val sized = math.min(target.toLong,
-        (bytes / openCost).toLong + 1).toInt
+        (bytes / quantum).toLong + 1).toInt
       if (estSplits < sized) df.repartition(sized) else df
     }
   }
