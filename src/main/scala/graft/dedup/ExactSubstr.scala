@@ -59,7 +59,14 @@ object ExactSubstr {
     * whose k-shingles ALL occur at least twice corpus-wide. Output:
     * `(doc_id, span_start, span_end, span_len)`, token indices 1-based
     * inclusive, ordered by `(doc_id, span_start)`. */
-  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame =
+    spansUnordered(docs, k).orderBy("doc_id", "span_start")
+
+  /** [[duplicatedSpans]] WITHOUT the output ordering — the internal
+    * form [[stripSpans]]/[[cutProfile]] consume: both re-aggregate or
+    * re-sort downstream, so the cut list's global sort would be a pure
+    * extra exchange+sort in their plans (r13 measurement). */
+  private def spansUnordered(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2 tokens, got $k")
     val postings = docs
       .select(col("doc_id"),
@@ -84,7 +91,6 @@ object ExactSubstr {
         (max("pos") + (k - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
-      .orderBy("doc_id", "span_start")
   }
 
   /** APPLY the cut list: remove every token covered by a duplicated
@@ -101,7 +107,12 @@ object ExactSubstr {
     * rebuild is a per-document sort-free aggregation (positions ride in
     * a struct, `array_sort` orders each doc's survivors locally). */
   def stripSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val spans = duplicatedSpans(docs, k)
+    // unordered + LAZY checkpoint: the cut list feeds two consumers
+    // (covered-position explode + affected-doc distinct), so without
+    // the cache the whole postings→dup→window pipeline runs twice —
+    // and it is cut-list-sized (bounded by duplication mass), so
+    // caching it is cheap at any scale
+    val spans = spansUnordered(docs, k).localCheckpoint(eager = false)
     // spans of one doc are disjoint by construction (islands split on
     // gap > k, so consecutive spans are separated by ≥1 uncovered
     // position) — no dedup needed after the explode
@@ -134,7 +145,7 @@ object ExactSubstr {
     * the removal step would cut, per doc that has any — the accounting
     * number a dedup job publishes before destructive removal. */
   def cutProfile(docs: DataFrame, k: Int = 8): DataFrame =
-    duplicatedSpans(docs, k)
+    spansUnordered(docs, k)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum("span_len").as("dup_tokens"),
