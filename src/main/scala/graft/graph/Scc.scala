@@ -95,8 +95,15 @@ object Scc {
       .distinct().select(col("node"), lit(0L).as("part"))
       .transform(cp)
     var rem = e0.withColumn("part", lit(0L))
-    var result = Seq.empty[(Long, Long)].toDF("node", "scc")
-      .transform(cp)
+    // Per-level peel outputs accumulate as a driver-side LIST of frames
+    // and union once at the end: every accumulated frame derives from a
+    // level's already-checkpointed trimmed/cat RDD, so the deferred
+    // union re-evaluates only a cheap projection/join per level — the
+    // former running `result.unionByName(..).cp` paid two EAGER
+    // materialization jobs per level for a frame nothing reads until
+    // the loop ends (r13 profiling: the SCC gates are job-count-bound).
+    // maxLevels bounds the union width at 2·64 children.
+    val resultParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
     lastLevels = 0
     lastMaxPropRounds = 0
@@ -114,9 +121,7 @@ object Scc {
         .union(nodes.select("node").join(hasOut, Seq("node"), "left_anti"))
         .distinct()
         .transform(cp)
-      result = result
-        .unionByName(trimmed.select(col("node"), col("node").as("scc")))
-        .transform(cp)
+      resultParts += trimmed.select(col("node"), col("node").as("scc"))
       nodes = nodes.join(trimmed, Seq("node"), "left_anti")
         .transform(cp)
       rem = rem
@@ -144,9 +149,8 @@ object Scc {
         val sccNodes = cat.filter(col("f_ln") === col("b_ln"))
         val labels = sccNodes.groupBy("part", "f_ln")
           .agg(min("node").as("scc"))
-        result = result.unionByName(
-          sccNodes.join(labels, Seq("part", "f_ln")).select("node", "scc"))
-          .transform(cp)
+        resultParts += sccNodes.join(labels, Seq("part", "f_ln"))
+          .select("node", "scc")
         // 4. split survivors by the full LABEL PAIR — the finest
         // SCC-closed refinement both propagations yield (every SCC has
         // constant labels, so no SCC spans two classes; this refines
@@ -170,7 +174,9 @@ object Scc {
       level += 1
       lastLevels = level
     }
-    result.orderBy("node")
+    resultParts.reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("node", "scc"))
+      .orderBy("node")
   }
 
   /** Min-(priority, node) label propagation over directed edges to
@@ -297,8 +303,11 @@ object Scc {
     var remaining = rem.select(col("src").as("node"))
       .union(rem.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = true)
-    var result = Seq.empty[(Long, Long)].toDF("node", "layer")
-      .localCheckpoint(eager = true)
+    // per-layer outputs accumulate as a frame list and union once at
+    // the end — each part is a projection of that layer's checkpointed
+    // sources frame, so nothing re-executes (same r13 job-count cut as
+    // [[components]]'s resultParts); maxLayers bounds the union width
+    val resultParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var layer = 0L
     while (!remaining.isEmpty) {
       require(layer < maxLayers,
@@ -310,9 +319,7 @@ object Scc {
       require(!sources.isEmpty,
         "topoLayers: no in-degree-0 node remains — the graph has a " +
           "cycle; condense SCCs first")
-      result = result.unionByName(
-        sources.select(col("node"), lit(layer).as("layer")))
-        .localCheckpoint(eager = true)
+      resultParts += sources.select(col("node"), lit(layer).as("layer"))
       remaining = remaining.join(sources, Seq("node"), "left_anti")
         .localCheckpoint(eager = true)
       rem = rem.join(sources.select(col("node").as("src")),
@@ -320,6 +327,8 @@ object Scc {
         .select("src", "dst").localCheckpoint(eager = true)
       layer += 1
     }
-    result.orderBy("node")
+    resultParts.reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("node", "layer"))
+      .orderBy("node")
   }
 }
